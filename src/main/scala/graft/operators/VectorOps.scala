@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators (SURVEY.md §2 B5–B7).
+  *
+  * All arithmetic runs in codegen'd higher-order functions over
+  * `array<double>` — a strict left fold, so results are bit-deterministic
+  * regardless of partitioning (no float reduce-order drift).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set
+  * and streams the corpus once — linear scan, no shuffle. The LSH path
+  * buckets by random-hyperplane sign bits so candidate generation is a
+  * bucket-key shuffle instead of a cross join.
+  */
+object VectorOps {
+
+  /** ‖v‖ via an ordered fold (deterministic summation). */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** v·w via zip_with + ordered fold. */
+  def dot(v: Column, w: Column): Column =
+    aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Corpus with precomputed norms; embeddings cast to array<double>. */
+  def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k: broadcast the query set, scan the corpus
+    * once, per-query top-k via window rank on the rounded score. */
+  def annTopKBrute(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val n = withNorms(embeddings)
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** All pairs above a cosine threshold within a bounded id range —
+    * near-duplicate detection by embedding (exact, quadratic; the LSH
+    * variant below is the scale path). */
+  def cosineNearDupPairs(embeddings: DataFrame, maxId: Int, threshold: Double): DataFrame = {
+    val n = withNorms(embeddings).filter(col("vec_id") < maxId)
+    val a = n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  /** Random-hyperplane LSH bucket key: `bits` sign bits from
+    * deterministic pseudo-hyperplanes (hash-mixed index products —
+    * reproducible across runs, no RNG state). */
+  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
+    // hyperplane b, component i: a fixed pseudo-random ±weight from a
+    // integer hash of (b, i); the fold computes sign(v · h_b) per bit.
+    def planeDot(b: Int): Column = {
+      val weights = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+        lit((h % 1000).toDouble / 1000.0)
+      }
+      (0 until dim).map(i => element_at(v, i + 1) * weights(i)).reduce(_ + _)
+    }
+    concat((0 until bits).map(b => when(planeDot(b) >= 0, "1").otherwise("0")): _*)
+  }
+
+  /** ANN via LSH buckets: shuffle on bucket key, local top-k per bucket,
+    * then global top-k per query over surviving candidates. Recall vs
+    * the brute path is checked in VectorOpsSpec. */
+  def annTopKLsh(embeddings: DataFrame, queryPred: Column, k: Int, dim: Int, bits: Int): DataFrame = {
+    val n = withNorms(embeddings).withColumn("bucket", lshBucket(col("v"), dim, bits))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("bucket").as("q_bucket"))
+    val scored = n.join(broadcast(q),
+      col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+}

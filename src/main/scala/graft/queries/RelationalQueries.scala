@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator coverage (SURVEY.md §2 C-block) on the
+  * TPC-H-ish tables. Each query is declarative DataFrame code — Catalyst
+  * handles pushdown/pruning/join selection; dims are broadcast-size so
+  * the planner picks broadcast hash joins (verified in BenchSpec plans).
+  *
+  * Numeric discipline (see SURVEY.md §5): money inputs are exact
+  * two-decimal doubles, so both engines cast them to DECIMAL(12,2)
+  * before any arithmetic; products stay ≤ DECIMAL(38,6) — never lossy —
+  * and sums are associative-exact. Averages convert the exact decimal
+  * sum to double and ROUND(..,6).
+  */
+object RelationalQueries {
+
+  private def dec(name: String): Column = col(name).cast(DecimalType(12, 2))
+  private val one = lit(1).cast(DecimalType(12, 2))
+  private def asDec2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def asDec4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private val discPrice: Column = dec("l_extendedprice") * (one - dec("l_discount"))
+
+  private val decSql = "DECIMAL(12,2)"
+  private def d(c: String) = s"CAST($c AS $decSql)"
+  private val discPriceSql = s"${d("l_extendedprice")} * (CAST(1 AS $decSql) - ${d("l_discount")})"
+
+  val defs: Map[String, QueryDef] = Map(
+    // C3: hash aggregate with partial (map-side) aggregation
+    "q1_agg" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            asDec2(sum(dec("l_quantity"))).as("sum_qty"),
+            asDec2(sum(dec("l_extendedprice"))).as("sum_base_price"),
+            asDec4(sum(discPrice)).as("sum_disc_price"),
+            round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(SUM(${d("l_extendedprice")}) AS DECIMAL(38,2)) AS sum_base_price,
+         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  ROUND(CAST(SUM(${d("l_quantity")}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // C4: broadcast dim join + agg + deterministic top-k
+    "q3_join" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp") &&
+            col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+          .agg(asDec4(sum(discPrice)).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin),
+
+    // C5: multi-way join through region/nation dims
+    "q5_multijoin" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy("n_name")
+          .agg(asDec4(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name")),
+      s"""SELECT n_name, CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // C2: selective filter fully pushed to the scan
+    "q6_filter" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(asDec4(sum(dec("l_extendedprice") * dec("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items")),
+      s"""SELECT CAST(SUM(${d("l_extendedprice")} * ${d("l_discount")}) AS DECIMAL(38,4)) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    // C6: fact-to-fact join (shuffle join at scale; AQE decides locally)
+    "q_factjoin" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(countDistinct("o_orderkey").as("n_orders"),
+            asDec2(sum(dec("l_quantity"))).as("total_qty"))
+          .orderBy("o_orderpriority"),
+      s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS total_qty
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // C7: semi join (EXISTS)
+    "q_semijoin" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_totalprice") > 100000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // C8: anti join (NOT EXISTS)
+    "q_antijoin" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+          .orderBy("c_nationkey"),
+      """SELECT c_nationkey, COUNT(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // C9: global top-k (TakeOrderedAndProject — no full sort at scale)
+    "q_topk" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(20),
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // C10: distinct
+    "q_distinct" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority").distinct()
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    // C11: window rank per group
+    "q_window" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).cast("long").as("rnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy("c_nationkey", "rnk")
+      },
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin),
+
+    // C11: window lag — inter-order gaps per customer
+    "q_window_lag" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir).filter(col("o_custkey") < 20)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ((unix_micros(col("o_orderdate").cast("timestamp_ltz")) -
+              unix_micros(lag("o_orderdate", 1).over(w).cast("timestamp_ltz"))) / 1000000L)
+              .cast("long").as("gap_s"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST((epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER (
+        |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) / 1000000 AS BIGINT) AS gap_s
+        |FROM orders WHERE o_custkey < 20
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // C12: union distinct of two dim-derived sets
+    "q_union" -> QueryDef.sql(
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val fromCust = n.join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"), "left_semi")
+        val fromSupp = n.join(Tables.supplier(s, dir), col("n_nationkey") === col("s_nationkey"), "left_semi")
+        fromCust.select("n_nationkey", "n_name").union(fromSupp.select("n_nationkey", "n_name"))
+          .distinct().orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |UNION
+        |SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // C15: rollup
+    "q_rollup" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), asDec2(sum(dec("l_quantity"))).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // C16: aggregate filter (HAVING)
+    "q_having" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_partkey").agg(count(lit(1)).as("n_items"))
+          .filter(col("n_items") > 40)
+          .orderBy("l_partkey"),
+      """SELECT l_partkey, COUNT(*) AS n_items FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) > 40 ORDER BY l_partkey""".stripMargin),
+
+    // C17: conditional aggregation
+    "q_caseagg" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_high"),
+            sum(when(col("o_totalprice") <= 200000, 1L).otherwise(0L)).as("n_low"),
+            asDec2(sum(when(col("o_orderstatus") === "F", dec("o_totalprice"))
+              .otherwise(lit(0).cast(DecimalType(12, 2))))).as("f_total"))
+          .orderBy("o_orderpriority"),
+      s"""SELECT o_orderpriority,
+         |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high,
+         |  SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS n_low,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${d("o_totalprice")}
+         |           ELSE CAST(0 AS $decSql) END) AS DECIMAL(38,2)) AS f_total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // C13: explode / unnest with positions
+    "q_explode" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+          .select(col("vec_id"), col("pos").cast("int").as("pos"), col("val"))
+          .orderBy("vec_id", "pos"),
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin)
+  )
+}

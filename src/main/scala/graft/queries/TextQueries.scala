@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup coverage (SURVEY.md §2 B-block) over
+  * `documents`. The corpus has no exact duplicates, so dedup demos run
+  * on a doubled corpus (each text twice under different doc_ids) —
+  * deterministic and identical on both engines.
+  *
+  * All tokenization is `\s+` splitting of `trim(text)`; both engines
+  * use the same regexes (Java regex vs RE2 agree on these patterns).
+  */
+object TextQueries {
+
+  /** Tokens of a document, as both engines see them. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles per doc, docs under `maxId`, over the
+    * doubled corpus when `doubled`. Shared by jaccard + minhash. */
+  private def shingles(s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
+      .select(col("doc_id"), col("text"))
+    val corpus =
+      if (doubled) base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      else base
+    corpus
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("shingle"))
+      .distinct()
+  }
+
+  private def shinglesSql(maxId: Int, doubled: Boolean): String = {
+    val corpus =
+      if (doubled)
+        s"""(SELECT doc_id, text FROM documents WHERE doc_id < $maxId
+           | UNION ALL
+           | SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < $maxId)"""
+          .stripMargin
+      else s"(SELECT doc_id, text FROM documents WHERE doc_id < $maxId)"
+    s"""WITH corpus AS (SELECT * FROM $corpus),
+       |toksrc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+       |w AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toksrc),
+       |sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // B1: exact dedup by content hash — keep lowest id
+    "dedup_exact" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash")
+      },
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000, text FROM documents) t
+        |GROUP BY md5(text) ORDER BY text_hash""".stripMargin),
+
+    // B10: token counting — whitespace + BPE-ish regex
+    "text_tokens" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("bpe_ish_tokens"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_ish_tokens
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+
+    // B9: quality scoring — length / alpha / digit / stopword ratios
+    "text_quality" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text")), 6)
+            .as("alpha_ratio"),
+          round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text")), 6)
+            .as("digit_ratio"),
+          round(regexp_count(col("text"), lit("\\b(the|and|of|to|a|in)\\b")).cast("double") /
+            size(toks(col("text"))), 6).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+        |  ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+        |  ROUND(CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in)\b')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // B8: language id — stopword-lexicon scores, deterministic argmax
+    "text_langid" -> QueryDef.sql(
+      (s, dir) => {
+        val sEn = regexp_count(col("text"), lit("\\b(the|and|of|to|in|is)\\b"))
+        val sEs = regexp_count(col("text"), lit("\\b(el|la|de|los|que|y)\\b"))
+        val sDe = regexp_count(col("text"), lit("\\b(der|die|und|das|ist|nicht)\\b"))
+        val sFr = regexp_count(col("text"), lit("\\b(le|les|des|et|est|une)\\b"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            sEn.cast("long").as("s_en"), sEs.cast("long").as("s_es"),
+            sDe.cast("long").as("s_de"), sFr.cast("long").as("s_fr"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+              .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+              .when(col("s_fr") > 0, "fr")
+              .otherwise("unk"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'unk' END AS predicted
+        |FROM (SELECT doc_id,
+        |        len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS s_en,
+        |        len(regexp_extract_all(text, '\b(el|la|de|los|que|y)\b')) AS s_es,
+        |        len(regexp_extract_all(text, '\b(der|die|und|das|ist|nicht)\b')) AS s_de,
+        |        len(regexp_extract_all(text, '\b(le|les|des|et|est|une)\b')) AS s_fr
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin),
+
+    // B11: document fingerprint — hash of the sorted distinct token set
+    "text_fingerprint" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks(col("text")))))).as("fp"),
+          size(array_distinct(toks(col("text")))).cast("long").as("n_distinct_tokens"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+        |  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // B4: n-gram Jaccard similarity on shingle sets
+    "dedup_ngram_jaccard" -> QueryDef.sql(
+      (s, dir) => {
+        val sh = shingles(s, dir, 150, doubled = false)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .select(col("d1"), col("d2"),
+            round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy("d1", "d2")
+      },
+      shinglesSql(150, doubled = false) +
+        """,
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+          |      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |      GROUP BY x.doc_id, y.doc_id)
+          |SELECT d1, d2, ROUND(CAST(i.i AS DOUBLE) / (a.n + b.n - i.i), 6) AS jaccard
+          |FROM i JOIN sz a ON i.d1 = a.doc_id JOIN sz b ON i.d2 = b.doc_id
+          |WHERE CAST(i.i AS DOUBLE) / (a.n + b.n - i.i) >= 0.3
+          |ORDER BY d1, d2""".stripMargin),
+
+    // B2: MinHash + LSH candidate pairs (8 hashes, 4 bands of 2) on the
+    // doubled corpus — every duplicate pair must collide in all bands
+    "dedup_minhash" -> QueryDef.sql(
+      (s, dir) => {
+        val sh = shingles(s, dir, 300, doubled = true)
+        val hs = sh
+          .withColumn("j", explode(lit((0 to 7).toArray)))
+          .withColumn("h",
+            conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("shingle"))), 1, 8), 16, 10)
+              .cast("long"))
+        val sigCols = (0 to 7).map(j => min(when(col("j") === j, col("h"))).as(s"s$j"))
+        val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bands = (0 to 3).map { b =>
+          sig.select(col("doc_id"), lit(b).cast("long").as("band"),
+            md5(concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh"))
+        }.reduce(_.union(_))
+        bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      shinglesSql(300, doubled = true) +
+        """,
+          |hs AS (SELECT doc_id, j,
+          |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) AS h
+          |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) seeds),
+          |sig AS (SELECT doc_id,
+          |  MIN(CASE WHEN j=0 THEN h END) AS s0, MIN(CASE WHEN j=1 THEN h END) AS s1,
+          |  MIN(CASE WHEN j=2 THEN h END) AS s2, MIN(CASE WHEN j=3 THEN h END) AS s3,
+          |  MIN(CASE WHEN j=4 THEN h END) AS s4, MIN(CASE WHEN j=5 THEN h END) AS s5,
+          |  MIN(CASE WHEN j=6 THEN h END) AS s6, MIN(CASE WHEN j=7 THEN h END) AS s7
+          |  FROM hs GROUP BY doc_id),
+          |bands AS (
+          |  SELECT doc_id, CAST(0 AS BIGINT) AS band, md5(CAST(s0 AS VARCHAR) || '_' || CAST(s1 AS VARCHAR)) AS bh FROM sig
+          |  UNION ALL SELECT doc_id, 1, md5(CAST(s2 AS VARCHAR) || '_' || CAST(s3 AS VARCHAR)) FROM sig
+          |  UNION ALL SELECT doc_id, 2, md5(CAST(s4 AS VARCHAR) || '_' || CAST(s5 AS VARCHAR)) FROM sig
+          |  UNION ALL SELECT doc_id, 3, md5(CAST(s6 AS VARCHAR) || '_' || CAST(s7 AS VARCHAR)) FROM sig)
+          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          |ORDER BY d1, d2""".stripMargin)
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SpanOps
+import graft.trace.TraceDataset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trace-domain coverage (SURVEY.md §2 A-block): the haystack-traces
+  * reader/indexer query surface over the `events`-derived span relation
+  * (see [[SpanOps.spansFromEvents]]). Every oracle shares the same
+  * spans CTE so both engines see one span relation.
+  *
+  * Time window constants cover the whole events range (Jan 2024, UTC).
+  */
+object TraceQueries {
+
+  private val T0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+  private val T1 = 1706745600000000L // 2024-02-01
+  private val DayUs = 86400000000L
+
+  private def spans(s: SparkSession, dir: String): DataFrame =
+    SpanOps.spansFromEvents(Tables.events(s, dir))
+
+  private def cte(body: String): String = SpanOps.spansSqlCte + "\n" + body
+
+  val defs: Map[String, QueryDef] = Map(
+    // A1: span ingest/deserialize — typed projection of the raw stream
+    "trace_span_ingest" -> QueryDef.sql(
+      (s, dir) => spans(s, dir).orderBy("span_id").limit(100),
+      cte("SELECT * FROM spans ORDER BY span_id LIMIT 100")),
+
+    // A2: span-buffer assembly summary (one traceId shuffle)
+    "trace_span_buffer" -> QueryDef.sql(
+      (s, dir) => SpanOps.spanBufferSummary(spans(s, dir)).orderBy("trace_id"),
+      cte("""SELECT trace_id, COUNT(*) AS span_count, MIN(start_us) AS trace_start_us,
+            |  MAX(start_us + duration_us) AS trace_end_us,
+            |  COUNT(DISTINCT service) AS n_services
+            |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin)),
+
+    // A4: trace index documents — (trace, service, operation) rollup
+    "trace_index_docs" -> QueryDef.sql(
+      (s, dir) => SpanOps.indexDocs(spans(s, dir))
+        .orderBy("trace_id", "service", "operation"),
+      cte("""SELECT trace_id, service, operation, COUNT(*) AS span_count,
+            |  MIN(start_us - (start_us % 1000000)) AS min_start_us_sec,
+            |  COUNT(DISTINCT CASE WHEN duration_us > 20000000
+            |        THEN duration_us - (duration_us % 1000000) ELSE duration_us END) AS distinct_durations
+            |FROM spans WHERE service IS NOT NULL AND operation IS NOT NULL
+            |GROUP BY trace_id, service, operation
+            |ORDER BY trace_id, service, operation""".stripMargin)),
+
+    // A5: service metadata catalog
+    "trace_service_metadata" -> QueryDef.sql(
+      (s, dir) => SpanOps.serviceMetadata(spans(s, dir)).orderBy("service"),
+      cte("""SELECT service, COUNT(DISTINCT operation) AS n_operations,
+            |  MIN(start_us) AS first_seen_us, MAX(start_us) AS last_seen_us
+            |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
+
+    // A6/C14: whitelist tag extraction with type adjustment
+    "trace_tag_extract" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .select(col("service"), get_json_object(col("tags"), "$.k").cast("int").cast("long").as("k"))
+        .filter(col("k") > 80)
+        .groupBy("service").agg(count(lit(1)).as("n_spans"), max("k").as("max_k"))
+        .orderBy("service"),
+      cte("""SELECT service, COUNT(*) AS n_spans, MAX(k) AS max_k FROM (
+            |  SELECT service, CAST(CAST(json_extract(tags, '$.k') AS INT) AS BIGINT) AS k FROM spans) t
+            |WHERE k > 80 GROUP BY service ORDER BY service""".stripMargin)),
+
+    // A7: getTrace — fetch one full trace
+    "trace_get" -> QueryDef.sql(
+      (s, dir) => spans(s, dir).filter(col("trace_id") === "13").orderBy("span_id"),
+      cte("SELECT * FROM spans WHERE trace_id = '13' ORDER BY span_id")),
+
+    // A8: getRawSpan — (traceId, spanId) point lookup (scalar subquery)
+    "trace_get_span" -> QueryDef.sql(
+      (s, dir) => {
+        val t = spans(s, dir).filter(col("trace_id") === "13")
+        t.join(broadcast(t.agg(min("span_id").as("span_id"))), "span_id")
+          .select(t.columns.map(col).toIndexedSeq: _*)
+      },
+      cte("""SELECT * FROM spans WHERE trace_id = '13'
+            |  AND span_id = (SELECT MIN(span_id) FROM spans WHERE trace_id = '13')""".stripMargin)),
+
+    // A9: getRawTraces — multi-get
+    "trace_multi_get" -> QueryDef.sql(
+      (s, dir) => spans(s, dir).filter(col("trace_id").isin("7", "11", "13"))
+        .orderBy("trace_id", "span_id"),
+      cte("""SELECT * FROM spans WHERE trace_id IN ('7', '11', '13')
+            |ORDER BY trace_id, span_id""".stripMargin)),
+
+    // A10: searchTraces — two-phase index lookup + trace fetch
+    "trace_search" -> QueryDef.sql(
+      (s, dir) => SpanOps.searchTraces(spans(s, dir), "purchase", T0, T0 + 7 * DayUs, 10),
+      cte(s"""SELECT trace_id, MIN(start_us) AS trace_start_us, COUNT(*) AS span_count
+             |FROM spans
+             |WHERE trace_id IN (SELECT DISTINCT trace_id FROM spans
+             |                   WHERE service = 'purchase' AND start_us BETWEEN $T0 AND ${T0 + 7 * DayUs})
+             |GROUP BY trace_id
+             |ORDER BY trace_start_us DESC, trace_id LIMIT 10""".stripMargin)),
+
+    // A11: expression-tree search — AND of span-level groups (intersect)
+    "trace_search_expr" -> QueryDef.sql(
+      (s, dir) => SpanOps.searchTracesExpr(spans(s, dir), Seq(
+        col("service") === "purchase" && col("start_us").between(T0, T1),
+        col("service") === "error" && col("start_us").between(T0, T1)))
+        .orderBy("trace_id"),
+      cte(s"""SELECT trace_id FROM spans WHERE service = 'purchase' AND start_us BETWEEN $T0 AND $T1
+             |INTERSECT
+             |SELECT trace_id FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
+             |ORDER BY trace_id""".stripMargin)),
+
+    // A12/C18: getTraceCounts — time-bucket histogram
+    "trace_counts" -> QueryDef.sql(
+      (s, dir) => SpanOps.traceCounts(spans(s, dir), "error", T0, T1, DayUs).orderBy("bucket"),
+      cte(s"""SELECT CAST(FLOOR((start_us - $T0) / $DayUs) AS BIGINT) AS bucket, COUNT(*) AS n
+             |FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A13: getFieldNames — indexed-field catalog
+    "trace_field_names" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        Seq("duration", "operation", "service", "starttime", "traceid").toDF("field").orderBy("field")
+      },
+      """SELECT field FROM (VALUES ('duration'), ('operation'), ('service'), ('starttime'), ('traceid'))
+        |  AS t(field) ORDER BY field""".stripMargin),
+
+    // A14: getFieldValues — filtered distinct values of an indexed field
+    "trace_field_values" -> QueryDef.sql(
+      (s, dir) => SpanOps.fieldValues(spans(s, dir), "service",
+        col("start_us").between(T0, T0 + 14 * DayUs)).orderBy("value"),
+      cte(s"""SELECT DISTINCT service AS value FROM spans
+             |WHERE start_us BETWEEN $T0 AND ${T0 + 14 * DayUs} ORDER BY value""".stripMargin)),
+
+    // A16: per-trace validation (traceId/root/parent validators)
+    "trace_validate" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val parents = sp.select(col("trace_id").as("p_trace_id"), col("span_id").as("p_span_id"))
+        sp.join(parents,
+          col("trace_id") === col("p_trace_id") && col("parent_span_id") === col("p_span_id"),
+          "left")
+          .groupBy("trace_id")
+          .agg(
+            count(lit(1)).as("span_count"),
+            sum(when(col("parent_span_id").isNull, 1L).otherwise(0L)).as("n_roots"),
+            sum(when(col("parent_span_id").isNotNull && col("p_span_id").isNull, 1L).otherwise(0L))
+              .as("n_unresolved"))
+          .orderBy("trace_id")
+      },
+      cte("""SELECT s.trace_id, COUNT(*) AS span_count,
+            |  SUM(CASE WHEN s.parent_span_id IS NULL THEN 1 ELSE 0 END) AS n_roots,
+            |  SUM(CASE WHEN s.parent_span_id IS NOT NULL AND p.span_id IS NULL THEN 1 ELSE 0 END) AS n_unresolved
+            |FROM spans s LEFT JOIN spans p
+            |  ON s.trace_id = p.trace_id AND s.parent_span_id = p.span_id
+            |GROUP BY s.trace_id ORDER BY s.trace_id""".stripMargin)),
+
+    // A17: span de-duplication (doubled stream → exact dedup)
+    "trace_dedup_spans" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("trace_id", "span_id", "service", "start_us")
+        sp.union(sp)
+          .groupBy("trace_id", "span_id", "service", "start_us")
+          .agg(count(lit(1)).as("n_copies"))
+          .orderBy("trace_id", "span_id").limit(200)
+      },
+      cte("""SELECT trace_id, span_id, service, start_us, COUNT(*) AS n_copies
+            |FROM (SELECT trace_id, span_id, service, start_us FROM spans
+            |      UNION ALL
+            |      SELECT trace_id, span_id, service, start_us FROM spans) t
+            |GROUP BY trace_id, span_id, service, start_us
+            |ORDER BY trace_id, span_id LIMIT 200""".stripMargin)),
+
+    // A21: root-first span ordering within a trace
+    "trace_sort_spans" -> QueryDef.sql(
+      (s, dir) => spans(s, dir).filter(col("trace_id") === "7")
+        .select("trace_id", "span_id", "parent_span_id", "start_us")
+        .orderBy(col("parent_span_id").isNotNull, col("start_us"), col("span_id")),
+      cte("""SELECT trace_id, span_id, parent_span_id, start_us FROM spans WHERE trace_id = '7'
+            |ORDER BY (parent_span_id IS NOT NULL), start_us, span_id""".stripMargin)),
+
+    // A15: call graph over processed traces (tree logic — rows-only check;
+    // exact-semantics specs live in TraceTransformsSpec)
+    "trace_call_graph" -> QueryDef.rowsOnly(
+      (s, dir) => TraceDataset.callGraphEdges(
+        TraceDataset.toSpanDataset(
+          spans(s, dir).withColumn("kind",
+            when(col("span_id") % 2 === 0, "client").otherwise("server"))))
+        .orderBy("fromService", "fromOperation", "toService", "toOperation")),
+
+    // A18–A20 composite: full reference read pipeline over every trace
+    "trace_processed" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val processed = TraceDataset.processedSpans(
+          TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit(""))))
+        processed.groupBy("traceId").count().orderBy("traceId")
+      })
+  )
+}

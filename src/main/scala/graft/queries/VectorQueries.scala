@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity coverage (SURVEY.md §2 B5–B7) over
+  * `embeddings` (64-dim float vectors). Oracles mirror the exact
+  * left-fold double arithmetic (DuckDB list_dot_product ≡ Spark
+  * zip_with+aggregate), with ROUND(..,6) guarding the last ulp.
+  */
+object VectorQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+    // B6: brute-force cosine top-k for 10 query vectors
+    "ann_topk_brute" -> QueryDef.sql(
+      (s, dir) => VectorOps.annTopKBrute(Tables.embeddings(s, dir), col("vec_id") < 10, 5),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |sc AS (SELECT q_id, vec_id AS neighbor_id,
+        |         ROUND(list_dot_product(v, qv) / (nrm * qnrm), 6) AS score
+        |       FROM n CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, neighbor_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin),
+
+    // B5: embedding-cosine near-duplicate pairs
+    "neardup_cosine" -> QueryDef.sql(
+      (s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir), 300, 0.4),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY d1, d2""".stripMargin),
+
+    // B7: LSH-bucketed ANN — scale path; recall checked in VectorOpsSpec
+    "ann_topk_lsh" -> QueryDef.rowsOnly(
+      (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4))
+  )
+}

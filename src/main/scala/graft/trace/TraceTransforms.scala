@@ -1,0 +1,347 @@
+package graft.trace
+
+import graft.model.Span
+
+import scala.annotation.tailrec
+import scala.collection.mutable
+
+/** Per-trace transformation pipeline, re-expressing the reference
+  * reader's validators + transformers as pure functions
+  * `Seq[Span] => Seq[Span]` over one trace's spans.
+  *
+  * Spark-first rationale: every step here is local to one trace, so the
+  * distributed shape is a SINGLE shuffle (groupBy traceId) followed by
+  * partition-local logic — see [[TraceDataset.transformTraces]]. The
+  * reference runs the same logic driver-side per gRPC call
+  * (reader/readers/TraceProcessor.scala:34-41); at 100 TB we run it
+  * data-parallel over millions of traces.
+  *
+  * Reference files (semantics source, not code source):
+  *  - DeDuplicateSpanTransformer.scala        → [[dedupSpans]]
+  *  - PartialSpanTransformer.scala + SpanMerger.scala → [[mergePartialSpans]]
+  *  - ServerClientSpanMergeTransformer.scala  → [[mergeServerClientSpans]]
+  *  - ClockSkewFromParentTransformer.scala    → [[adjustClockSkew]]
+  *  - InvalidRootTransformer.scala            → [[fixInvalidRoots]]
+  *  - InvalidParentTransformer.scala          → [[fixInvalidParents]]
+  *  - OrphanedTraceTransformer.scala          → [[fixOrphanedTrace]]
+  *  - SortSpanTransformer.scala               → [[sortSpans]]
+  *  - TraceReader.buildTraceCallGraph         → [[callGraph]]
+  *  - validators/{TraceId,Root,ParentId}Validator.scala → [[validate]]
+  */
+object TraceTransforms {
+
+  // Auxiliary tag keys (same public names as the reference's
+  // reader/readers/utils/AuxiliaryTags.scala so indexed traces stay
+  // queryable by users migrating from the reference).
+  object Aux {
+    val IsMergedSpan = "X-HAYSTACK-IS-MERGED-SPAN"
+    val NetworkDelta = "X-HAYSTACK-NETWORK-DELTA"
+    val ClientServiceName = "X-HAYSTACK-CLIENT-SERVICE-NAME"
+    val ClientOperationName = "X-HAYSTACK-CLIENT-OPERATION-NAME"
+    val ClientSpanId = "X-HAYSTACK-CLIENT-SPAN-ID"
+    val ClientStartTime = "X-HAYSTACK-CLIENT-START-TIME"
+    val ClientDuration = "X-HAYSTACK-CLIENT-DURATION"
+    val ServerServiceName = "X-HAYSTACK-SERVER-SERVICE-NAME"
+    val ServerOperationName = "X-HAYSTACK-SERVER-OPERATION-NAME"
+    val ServerStartTime = "X-HAYSTACK-SERVER-START-TIME"
+    val ServerDuration = "X-HAYSTACK-SERVER-DURATION"
+    val ErrMultiPartialSpan = "X-HAYSTACK-ERR-IS-MULTI-PARTIAL-SPAN"
+    val AutogenFlag = "X-HAYSTACK-AUTOGEN"
+    val AutogenReason = "X-HAYSTACK-AUTOGEN-REASON"
+    val RootCount = "X-HAYSTACK-SPAN-ROOT-COUNT"
+    val AutogenOperation = "auto-generated"
+  }
+
+  // ---------------------------------------------------------------- forest
+
+  /** Span forest: trees linked by parentSpanId; roots are spans whose
+    * parent is absent from the trace (or empty). Reference:
+    * reader/readers/utils/MutableSpanForest.scala reCreateForest. */
+  final case class Tree(span: Span, children: Seq[Tree])
+
+  def buildForest(spans: Seq[Span]): Seq[Tree] = {
+    val byParent = spans.groupBy(_.parentSpanId)
+    val ids = spans.map(_.spanId).toSet
+    def grow(s: Span): Tree =
+      Tree(s, byParent.getOrElse(s.spanId, Nil).filterNot(_.spanId == s.spanId).map(grow))
+    // a root: empty parent, self-loop, or parent not present in trace
+    spans.filter(s => s.parentSpanId.isEmpty || s.parentSpanId == s.spanId || !ids.contains(s.parentSpanId))
+      .map(grow)
+  }
+
+  private def flatten(t: Tree): Seq[Span] = t.span +: t.children.flatMap(flatten)
+
+  // ------------------------------------------------------- pre-transforms
+
+  /** Remove exactly-duplicated spans, keeping first occurrence. */
+  def dedupSpans(spans: Seq[Span]): Seq[Span] = {
+    val seen = mutable.HashSet[Span]()
+    spans.filter(s => seen.add(s))
+  }
+
+  // ------------------------------------------------------ span merging
+
+  /** Merge client+server halves reported under the same spanId.
+    * Fallbacks mirror the reference: only-server → server, only-client →
+    * client, neither/many unlabeled → collapse with an error tag. */
+  def mergePartialSpans(spans: Seq[Span]): Seq[Span] =
+    spans.groupBy(_.spanId).valuesIterator.map {
+      case Seq(one) => one
+      case many => mergeSpans(many)
+    }.toSeq
+
+  def mergeSpans(spans: Seq[Span]): Span = {
+    val server = collapseSpans(spans.filter(_.isServer))
+    val client = collapseSpans(spans.filter(_.isClient))
+    (client, server) match {
+      case (Some(c), Some(s)) => merge(c, s)
+      case (None, Some(s)) => s
+      case (Some(c), None) => c
+      case _ => collapseSpans(spans).get
+    }
+  }
+
+  /** Client/server pair → one span: server span is the base, client's
+    * parent id stitches it into the caller's tree, auxiliary tags keep
+    * both sides' identities (reference SpanMerger.merge). */
+  private def merge(client: Span, server: Span): Span = {
+    val networkDelta =
+      if (server.durationUs < client.durationUs) client.durationUs - server.durationUs else -1L
+    server.copy(
+      parentSpanId = client.parentSpanId,
+      kind = "merged",
+      tags = client.tags ++ server.tags ++ Map(
+        Aux.IsMergedSpan -> "true",
+        Aux.NetworkDelta -> networkDelta.toString,
+        Aux.ClientServiceName -> client.service,
+        Aux.ClientOperationName -> client.operation,
+        Aux.ClientSpanId -> client.spanId,
+        Aux.ClientStartTime -> client.startUs.toString,
+        Aux.ClientDuration -> client.durationUs.toString,
+        Aux.ServerServiceName -> server.service,
+        Aux.ServerOperationName -> server.operation,
+        Aux.ServerStartTime -> server.startUs.toString,
+        Aux.ServerDuration -> server.durationUs.toString))
+  }
+
+  private def collapseSpans(spans: Seq[Span]): Option[Span] = spans match {
+    case Nil => None
+    case Seq(one) => Some(one)
+    case many =>
+      val first = many.minBy(_.startUs)
+      val last = many.maxBy(_.endUs)
+      Some(first.copy(
+        operation = many.map(_.operation).mkString(" & "),
+        durationUs = last.endUs - first.startUs,
+        tags = many.iterator.flatMap(_.tags).toMap + (Aux.ErrMultiPartialSpan -> "true")))
+  }
+
+  /** Merge a parent client span with its single child server span from a
+    * different service (reference ServerClientSpanMergeTransformer):
+    * top-down collapse; a merged node adopts its grandchildren. */
+  def mergeServerClientSpans(spans: Seq[Span]): Seq[Span] = {
+    def alreadyMerged(s: Span) = s.tags.contains(Aux.IsMergedSpan)
+    def kindOf(s: Span) = if (s.kind.nonEmpty) s.kind else ""
+    def mergeableKinds(a: Span, b: Span): Boolean = {
+      val (ka, kb) = (kindOf(a), kindOf(b))
+      val pc = Set("producer", "consumer")
+      !(ka.nonEmpty && kb.nonEmpty && ka == kb) && !pc(ka) && !pc(kb)
+    }
+    def shouldMerge(p: Span, c: Span) =
+      c.service != p.service && !alreadyMerged(p) && !alreadyMerged(c) && mergeableKinds(p, c)
+
+    def collapse(t: Tree): Tree = t.children match {
+      case Seq(only) if shouldMerge(t.span, only.span) =>
+        collapse(Tree(mergeClientParentWithServerChild(t.span, only.span), only.children))
+      case kids => Tree(t.span, kids.map(collapse))
+    }
+    buildForest(spans).map(collapse).flatMap(flatten)
+  }
+
+  private def mergeClientParentWithServerChild(parent: Span, child: Span): Span =
+    merge(
+      if (parent.kind.isEmpty) parent.copy(kind = "client") else parent,
+      if (child.kind.isEmpty) child.copy(kind = "server") else child)
+
+  // ------------------------------------------------------- clock skew
+
+  /** Shift children into the parent's interval, cascading the adjusted
+    * parent downward (reference ClockSkewFromParentTransformer). */
+  def adjustClockSkew(spans: Seq[Span]): Seq[Span] = {
+    val out = mutable.ListBuffer[Span]()
+    @tailrec
+    def walk(level: Seq[(Tree, Option[Span])]): Unit =
+      if (level.nonEmpty) {
+        val next = mutable.ListBuffer[(Tree, Option[Span])]()
+        level.foreach { case (tree, parent) =>
+          val adjusted = parent match {
+            case Some(p) => shiftIntoParent(tree.span, p)
+            case None => tree.span
+          }
+          out += adjusted
+          next ++= tree.children.map(c => (c, Some(adjusted)))
+        }
+        walk(next.toSeq)
+      }
+    walk(buildForest(spans).map(t => (t, Option.empty[Span])))
+    out.toSeq
+  }
+
+  private def shiftIntoParent(child: Span, parent: Span): Span = {
+    var shift = 0L
+    if (child.startUs < parent.startUs) shift = parent.startUs - child.startUs
+    if (parent.endUs < child.endUs + shift) shift = parent.endUs - child.endUs
+    if (shift == 0L) child else child.copy(startUs = child.startUs + shift)
+  }
+
+  // ------------------------------------------------------- root/parent fixes
+
+  /** Zero roots → clear a parent id (single tree, else single loopback,
+    * else earliest tree root); many roots → synthesize a parent root.
+    * Reference InvalidRootTransformer. */
+  def fixInvalidRoots(spans: Seq[Span]): Seq[Span] = {
+    if (spans.isEmpty) return spans
+    val emptyParentRoots = spans.filter(_.parentSpanId.isEmpty)
+    emptyParentRoots.size match {
+      case 1 => spans
+      case 0 =>
+        val forest = buildForest(spans)
+        val clear: Span => Boolean =
+          if (forest.size <= 1) { _ => true }
+          else {
+            val loopbacks = forest.filter(t => t.span.spanId == t.span.parentSpanId)
+            if (loopbacks.size == 1) { s => s == loopbacks.head.span }
+            else {
+              val earliest = forest.minBy(_.span.startUs).span
+              s => s == earliest
+            }
+          }
+        val rootSpans = forest.map(_.span).toSet
+        spans.map(s => if (rootSpans.contains(s) && clear(s)) s.copy(parentSpanId = "") else s)
+      case n =>
+        val forest = buildForest(spans)
+        val newRoot = autoGeneratedRoot(forest.map(_.span), "multiple root spans", spans.head.traceId + "-autogen-root")
+          .copy(tags = Map(Aux.AutogenFlag -> "true", Aux.AutogenReason -> "multiple root spans", Aux.RootCount -> n.toString))
+        reparentTreeRoots(spans, forest, newRoot)
+    }
+  }
+
+  /** Exactly-one-empty-parent-root expected; every other tree gets
+    * re-attached under it (reference InvalidParentTransformer). */
+  def fixInvalidParents(spans: Seq[Span]): Seq[Span] = {
+    val forest = buildForest(spans)
+    val rootTrees = forest.filter(_.span.parentSpanId.isEmpty)
+    require(rootTrees.size == 1, s"expected exactly one root, found ${rootTrees.size}")
+    val root = rootTrees.head.span
+    val strayRoots = forest.filterNot(_.span == root).map(_.span).toSet
+    spans.map(s => if (strayRoots.contains(s)) s.copy(parentSpanId = root.spanId) else s)
+  }
+
+  /** No root at all: if every orphan tree hangs off the same missing
+    * parent AND that parent id equals the traceId, synthesize the root;
+    * multiple distinct orphans → drop the trace (reference
+    * OrphanedTraceTransformer). */
+  def fixOrphanedTrace(spans: Seq[Span]): Seq[Span] = {
+    val orphanTrees = buildForest(spans).filter(_.span.parentSpanId.nonEmpty)
+    if (orphanTrees.isEmpty) spans
+    else {
+      val parents = orphanTrees.map(_.span.parentSpanId).distinct
+      val single = parents.size == 1 && parents.head == orphanTrees.head.span.traceId
+      if (!single) Seq.empty
+      else spans :+ autoGeneratedRoot(spans, "Missing root span", spans.head.traceId)
+    }
+  }
+
+  private def autoGeneratedRoot(spans: Seq[Span], reason: String, rootSpanId: String): Span = {
+    val first = spans.minBy(_.startUs)
+    val last = spans.maxBy(_.endUs)
+    Span(
+      traceId = first.traceId,
+      spanId = rootSpanId,
+      parentSpanId = "",
+      service = first.service,
+      operation = Aux.AutogenOperation,
+      startUs = first.startUs,
+      durationUs = last.endUs - first.startUs,
+      kind = "",
+      tags = Map(Aux.AutogenFlag -> "true", Aux.AutogenReason -> reason))
+  }
+
+  private def reparentTreeRoots(spans: Seq[Span], forest: Seq[Tree], newRoot: Span): Seq[Span] = {
+    val oldRoots = forest.map(_.span).toSet
+    newRoot +: spans.map(s => if (oldRoots.contains(s)) s.copy(parentSpanId = newRoot.spanId) else s)
+  }
+
+  // ------------------------------------------------------------- ordering
+
+  /** Root first, then remaining spans by start time (reference
+    * SortSpanTransformer). */
+  def sortSpans(spans: Seq[Span]): Seq[Span] = {
+    val (roots, rest) = spans.partition(_.parentSpanId.isEmpty)
+    roots ++ rest.sortBy(s => (s.startUs, s.spanId))
+  }
+
+  // ------------------------------------------------------------ call graph
+
+  final case class CallEdge(
+      fromService: String, fromOperation: String,
+      toService: String, toOperation: String,
+      networkDeltaUs: Long)
+
+  /** Call edges from merged client/server spans (reference
+    * TraceReader.buildTraceCallGraph). */
+  def callGraph(spans: Seq[Span]): Seq[CallEdge] =
+    spans.filter(_.tags.contains(Aux.IsMergedSpan)).map { s =>
+      CallEdge(
+        s.tags.getOrElse(Aux.ClientServiceName, ""),
+        s.tags.getOrElse(Aux.ClientOperationName, ""),
+        s.tags.getOrElse(Aux.ServerServiceName, ""),
+        s.tags.getOrElse(Aux.ServerOperationName, ""),
+        s.tags.get(Aux.NetworkDelta).map(_.toLong).getOrElse(-1L))
+    }
+
+  // ------------------------------------------------------------ validation
+
+  final case class TraceValidation(
+      traceId: String,
+      spanCount: Int,
+      traceIdConsistent: Boolean, // TraceIdValidator
+      singleRoot: Boolean, // RootValidator
+      parentsResolvable: Boolean, // ParentIdValidator
+      valid: Boolean)
+
+  def validate(traceId: String, spans: Seq[Span]): TraceValidation = {
+    val ids = spans.map(_.spanId).toSet
+    val consistent = spans.forall(_.traceId == traceId)
+    val roots = spans.count(_.parentSpanId.isEmpty)
+    val resolvable = spans.forall(s => s.parentSpanId.isEmpty || ids.contains(s.parentSpanId))
+    TraceValidation(traceId, spans.size, consistent, roots == 1, resolvable,
+      consistent && roots == 1 && resolvable)
+  }
+
+  // ------------------------------------------------------------ pipeline
+
+  /** The reference's default pipeline (reader base.conf transformer
+    * sequence): dedup (pre) → partial-span merge → server/client span
+    * merge → clock-skew fix → sort. Root/orphan repair
+    * ([[fixInvalidRoots]]/[[fixInvalidParents]]/[[fixOrphanedTrace]])
+    * stays opt-in, exactly as in the reference config. */
+  def defaultPipeline(spans: Seq[Span]): Seq[Span] = {
+    val pre = dedupSpans(spans)
+    if (pre.isEmpty) pre
+    else sortSpans(adjustClockSkew(mergeServerClientSpans(mergePartialSpans(pre))))
+  }
+
+  /** Pipeline variant with full root/orphan repair enabled (the
+    * reference's InvalidRoot/InvalidParent/Orphaned transformers). */
+  def repairingPipeline(spans: Seq[Span]): Seq[Span] = {
+    val pre = dedupSpans(spans)
+    if (pre.isEmpty) pre
+    else fixOrphanedTrace(pre) match {
+      case Nil => Nil
+      case s =>
+        val reparented = fixInvalidParents(fixInvalidRoots(s))
+        sortSpans(adjustClockSkew(mergeServerClientSpans(mergePartialSpans(reparented))))
+    }
+  }
+}

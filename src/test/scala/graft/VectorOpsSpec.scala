@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  describe("annTopKBrute") {
+    it("returns k neighbors per query, best-first") {
+      val res = VectorOps.annTopKBrute(emb, col("vec_id") < 3, 5).collect()
+      res.length shouldBe 15
+      res.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+        val scores = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+        scores.toSeq shouldBe scores.sorted(Ordering[Double].reverse).toSeq
+      }
+    }
+    it("never returns the query itself") {
+      val res = VectorOps.annTopKBrute(emb, col("vec_id") < 3, 5).collect()
+      res.foreach(r => r.getAs[Long]("q_id") should not be r.getAs[Long]("neighbor_id"))
+    }
+  }
+
+  describe("annTopKLsh") {
+    it("only proposes candidates from the query's bucket and ranks like brute force on them") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 3).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val lsh = VectorOps.annTopKLsh(emb, col("vec_id") < 10, 3, 64, 2).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      // with 2 bits (4 buckets) recall should be non-trivial on 500 vecs
+      val recall = (brute & lsh).size.toDouble / brute.size
+      recall should be > 0.05
+    }
+  }
+
+  describe("cosineNearDupPairs") {
+    it("returns symmetric-free ordered pairs above threshold") {
+      val res = VectorOps.cosineNearDupPairs(emb, 100, 0.2).collect()
+      res.foreach { r =>
+        r.getAs[Long]("d1") should be < r.getAs[Long]("d2")
+        r.getAs[Double]("score") should be >= 0.2
+      }
+    }
+  }
+}
