@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{QueryDef, RelationalQueries, TextQueries, TraceQueries, VectorQueries}
+import graft.queries.{QueryDef, RelationalQueries, StreamingQueries, TextQueries, TraceQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Full coverage inventory (SURVEY.md §2). */
   val allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ TraceQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+    RelationalQueries.defs ++ TraceQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

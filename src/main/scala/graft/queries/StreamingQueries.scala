@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.SpanBufferStream
+import graft.trace.TraceDataset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming coverage (SURVEY.md §2 A3): the indexer's accumulate-and-
+  * seal loop as a real Structured Streaming job over the events parquet,
+  * run to completion with an AvailableNow trigger and returned as the
+  * sealed-buffer summary. Rows-only check (watermark semantics are not
+  * DuckDB-expressible); exact sealing behavior is specified in
+  * SpanBufferStreamSpec.
+  */
+object StreamingQueries {
+
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    // batch read defines the schema (and flips the nanosAsLong conf the
+    // streaming read needs for the TIMESTAMP(NANOS) column)
+    val batchSchema = Tables.events(s, dir).schema
+    // the file stream source wants a directory: stream the testdata dir
+    // with a glob pinned to the events file
+    val eventsStream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+
+    // at ingest time parents are unknown (the reference's indexer also
+    // sees bare spans) — no lag window here, streams can't sort history
+    val spanStream = TraceDataset.toSpanDataset(eventsStream.select(
+      col("user_id").cast("string").as("trace_id"),
+      col("event_id").as("span_id"),
+      lit(null).cast("long").as("parent_span_id"),
+      col("event_type").as("service"),
+      concat(lit("op_"), (get_json_object(col("props"), "$.k").cast("int") % 5).cast("string"))
+        .as("operation"),
+      expr("ts div 1000").as("start_us"),
+      round(col("value") * 1000, 0).cast("long").as("duration_us"),
+      lit("").as("kind"),
+      col("props").as("tags")))
+
+    val sealedBuffers = SpanBufferStream.assemble(spanStream, gapSeconds = 60, maxSpans = 10000)
+    val sink = s"sealed_buffers_${System.nanoTime()}"
+    val q = sealedBuffers
+      .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("trace_id")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "streaming_span_buffer" -> QueryDef.rowsOnly(run))
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.model.{Span, SpanBuffer}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming trace assembly — the Spark Structured Streaming analogue of
+  * the reference indexer's span accumulation loop
+  * (indexer/processors/SpanIndexProcessor.scala +
+  * store/impl/SpanBufferMemoryStore.scala): spans buffer per traceId and
+  * the buffer seals when the trace has been quiet for `gapSeconds`
+  * (event time, watermark-driven — the reference uses wall-clock
+  * accumulate windows) or when it reaches `maxSpans` (the reference's
+  * eviction cap).
+  *
+  * Scale: state is partitioned by traceId across executors (the
+  * reference shards by Kafka partition); per-trace state is bounded by
+  * `maxSpans`, and the watermark bounds total state retention.
+  *
+  * Source wiring: any streaming Dataset[Span] works — MemoryStream in
+  * tests, files, or Kafka in production:
+  * {{{
+  *   spark.readStream.format("kafka")
+  *     .option("kafka.bootstrap.servers", bootstrap)
+  *     .option("subscribe", "proto-spans")         // reference topic name
+  *     .load().select(deserializeSpan($"value"))   // indexer/serde/SpanDeserializer.scala
+  * }}}
+  * (the kafka connector jar is not in this offline image, so that path
+  * is documentation, not tested code).
+  */
+object SpanBufferStream {
+
+  /** Accumulation state for one in-flight trace. */
+  case class BufferState(spans: Seq[Span], lastEventUs: Long)
+
+  /** spans (streaming, with event-time watermark applied here) →
+    * sealed SpanBuffers. */
+  def assemble(spans: Dataset[Span], gapSeconds: Long, maxSpans: Int): Dataset[SpanBuffer] = {
+    val s = spans.sparkSession
+    import s.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    // the watermark column must flow INTO the stateful operator, so the
+    // span rides alongside it as a struct
+    val withTime = spans
+      .select(struct(spans.columns.map(col).toIndexedSeq: _*).as("_1"),
+        timestamp_micros(col("startUs")).as("_2"))
+      .withWatermark("_2", s"$gapSeconds seconds")
+      .as[(Span, java.sql.Timestamp)]
+
+    withTime
+      .groupByKey(_._1.traceId)
+      .flatMapGroupsWithState[BufferState, SpanBuffer](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (traceId: String, incoming: Iterator[(Span, java.sql.Timestamp)], state: GroupState[BufferState]) =>
+          if (state.hasTimedOut) {
+            // quiet for >= gap: seal and emit (SpanBufferMemoryStore
+            // getAndRemoveSpanBuffersOlderThan semantics)
+            val sealed_ = state.get
+            state.remove()
+            Iterator.single(SpanBuffer(traceId, sealed_.spans))
+          } else {
+            val fresh = incoming.map(_._1).toSeq
+            val prev = state.getOption.map(_.spans).getOrElse(Seq.empty)
+            val all = prev ++ fresh
+            val lastUs = (state.getOption.map(_.lastEventUs).getOrElse(0L) +: fresh.map(_.startUs)).max
+            if (all.size >= maxSpans) {
+              // cap hit: early-seal, like the reference's eldest-entry
+              // eviction under memory pressure
+              state.remove()
+              Iterator.single(SpanBuffer(traceId, all))
+            } else {
+              state.update(BufferState(all, lastUs))
+              // late spans can arrive with the watermark already past
+              // this trace's quiet deadline — clamp so the seal fires on
+              // the very next batch instead of throwing
+              state.setTimeoutTimestamp(
+                math.max(lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Sealed buffers → flat processed spans, applying the reference read
+    * pipeline at ingest time (a capability the reference defers to the
+    * reader; doing it once at indexing amortizes it at 100 TB scale). */
+  def processedSpans(buffers: Dataset[SpanBuffer]): Dataset[Span] = {
+    val s = buffers.sparkSession
+    import s.implicits._
+    buffers.flatMap(b => graft.trace.TraceTransforms.defaultPipeline(b.spans))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.MultimodalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  private lazy val media = MultimodalOps.syntheticMedia(Tables.documents(spark, sfDir))
+
+  describe("syntheticMedia") {
+    it("produces the typed media schema with binary payloads") {
+      media.schema.fieldNames.toSeq shouldBe Seq("media_id", "media_type", "payload", "source")
+      val row = media.orderBy("media_id").head()
+      row.getAs[Array[Byte]]("payload").length should be > 0
+      Set("image", "audio", "video") should contain(row.getAs[String]("media_type"))
+    }
+  }
+
+  describe("decodeFeatures") {
+    it("emits one feature row per media item, payload dropped") {
+      val feats = MultimodalOps.decodeFeatures(media)
+      feats.count() shouldBe media.count()
+      feats.schema.fieldNames should not contain "payload"
+      val r = feats.orderBy("media_id").head()
+      r.getAs[Long]("n_bytes") should be > 0L
+      r.getAs[Double]("byte_entropy") should be > 0.0
+    }
+    it("is deterministic (stub decode is hash-driven, not random)") {
+      val a = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
+      val b = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
+      a.toSeq shouldBe b.toSeq
+    }
+  }
+
+  describe("sampleFrames") {
+    it("samples a bounded number of frames per video with uniform stride") {
+      val frames = MultimodalOps.sampleFrames(media, nFrames = 4, frameBytes = 16)
+      val perItem = frames.groupBy("media_id").count().collect()
+      perItem.foreach(_.getAs[Long]("count") should be <= 4L)
+      perItem.length shouldBe media.filter(col("media_type") === "video").count()
+      frames.select(max(org.apache.spark.sql.functions.length(col("frame"))).as("m"))
+        .head().getAs[Int]("m") should be <= 16
+    }
+  }
+}

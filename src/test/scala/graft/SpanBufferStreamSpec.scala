@@ -1,0 +1,68 @@
+package graft
+
+import graft.model.{Span, SpanBuffer}
+import graft.streaming.SpanBufferStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  private def span(trace: String, id: String, tUs: Long): Span =
+    Span(trace, id, "", "svc", "op", tUs, 10L, "", Map.empty)
+
+  private def runBatches(gapSeconds: Long, maxSpans: Int)(batches: Seq[Span]*): Seq[SpanBuffer] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Span]
+    val out = SpanBufferStream.assemble(input.toDS(), gapSeconds, maxSpans)
+    val sink = s"buffers_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(sink).as[SpanBuffer].collect().toSeq
+  }
+
+  describe("streaming span-buffer assembly") {
+    val t0 = 1704067200000000L // 2024-01-01 UTC, micros
+
+    it("seals a trace after the inactivity gap passes the watermark") {
+      val sealed_ = runBatches(gapSeconds = 60, maxSpans = 100)(
+        Seq(span("t1", "a", t0), span("t1", "b", t0 + 1000000L)),
+        // a much later span on another trace advances the watermark
+        // beyond t1's timeout → t1 seals
+        Seq(span("t2", "x", t0 + 600000000L)))
+      val t1 = sealed_.filter(_.traceId == "t1")
+      t1 should have size 1
+      t1.head.spans.map(_.spanId).toSet shouldBe Set("a", "b")
+    }
+
+    it("keeps quiet-but-young traces open") {
+      val sealed_ = runBatches(gapSeconds = 3600, maxSpans = 100)(
+        Seq(span("t1", "a", t0)),
+        Seq(span("t2", "x", t0 + 5000000L))) // +5 s — inside the gap
+      sealed_.filter(_.traceId == "t1") shouldBe empty
+    }
+
+    it("early-seals a trace that hits the span cap") {
+      val sealed_ = runBatches(gapSeconds = 3600, maxSpans = 3)(
+        Seq(span("t1", "a", t0), span("t1", "b", t0 + 1000L), span("t1", "c", t0 + 2000L)))
+      sealed_.filter(_.traceId == "t1") should have size 1
+      sealed_.find(_.traceId == "t1").get.spans should have size 3
+    }
+
+    it("accumulates one trace across micro-batches before sealing") {
+      val sealed_ = runBatches(gapSeconds = 60, maxSpans = 100)(
+        Seq(span("t1", "a", t0)),
+        Seq(span("t1", "b", t0 + 1000000L)),
+        Seq(span("t2", "x", t0 + 600000000L)))
+      val t1 = sealed_.filter(_.traceId == "t1")
+      t1 should have size 1
+      t1.head.spans.map(_.spanId).toSet shouldBe Set("a", "b")
+    }
+  }
+}
