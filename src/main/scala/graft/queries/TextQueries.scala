@@ -183,10 +183,12 @@ object TextQueries {
               .cast("long"))
         val sigCols = (0 to 7).map(j => min(when(col("j") === j, col("h"))).as(s"s$j"))
         val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bands = (0 to 3).map { b =>
-          sig.select(col("doc_id"), lit(b).cast("long").as("band"),
-            md5(concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh"))
-        }.reduce(_.union(_))
+        // all 4 band keys in ONE pass over sig (a union of per-band
+        // selects would re-execute the whole shingle→minhash subtree
+        // once per band per join side)
+        val bands = sig.select(col("doc_id"), posexplode(array(
+          (0 to 3).map(b => md5(concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")))): _*))
+          .as(Seq("band", "bh")))
         bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))

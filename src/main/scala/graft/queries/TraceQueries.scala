@@ -182,12 +182,16 @@ object TraceQueries {
             |ORDER BY (parent_span_id IS NOT NULL), start_us, span_id""".stripMargin)),
 
     // A15: call graph over processed traces (tree logic — rows-only check;
-    // exact-semantics specs live in TraceTransformsSpec)
+    // exact-semantics specs live in TraceTransformsSpec). Input tags are
+    // dropped before the per-trace stage: call-graph edges read only the
+    // aux tags the merge step itself creates, so parsing the ingest JSON
+    // here would be pure overhead.
     "trace_call_graph" -> QueryDef.rowsOnly(
       (s, dir) => TraceDataset.callGraphEdges(
         TraceDataset.toSpanDataset(
-          spans(s, dir).withColumn("kind",
-            when(col("span_id") % 2 === 0, "client").otherwise("server"))))
+          spans(s, dir)
+            .withColumn("kind", when(col("span_id") % 2 === 0, "client").otherwise("server"))
+            .withColumn("tags", lit(null).cast("string"))))
         .orderBy("fromService", "fromOperation", "toService", "toOperation")),
 
     // A18–A20 composite: full reference read pipeline over every trace
