@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.FnvHash64
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions into the session's function registry.
+  *
+  * Two ways in:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` (new sessions)
+  *  - programmatic: `GraftExtensions.register(spark)` (existing sessions
+  *    — what the query pack uses, idempotent)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text/dedup operators shared by the query pack (SURVEY.md §2 B-block).
+  * Hash primitives are md5-substring based so the DuckDB oracles can
+  * mirror them bit-for-bit; the scale path swaps in the native
+  * [[graft.functions.FnvHash64]] expression (one pass, no hex strings).
+  */
+object TextOps {
+
+  val SimHashBits = 48 // md5-substring hashes are 48-bit so votes/shifts stay in exact long range
+
+  /** 48-bit token hash, identical to the oracle's
+    * CAST(('0x'||substr(md5(tok),1,12)) AS BIGINT). */
+  def tokenHash48(tok: Column): Column =
+    conv(substring(md5(tok), 1, 12), 16, 10).cast("long")
+
+  /** SimHash over the distinct token set of each document: per-bit ±1
+    * votes from each token's hash, sign of the vote becomes the bit.
+    * One explode + one partial-aggregated groupBy; the 48 conditional
+    * sums stay inside whole-stage codegen. */
+  def simHash(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val votes = (0 until SimHashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val sig = (0 until SimHashBits)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    docs
+      .select(col(idCol), explode(array_distinct(col(tokensCol))).as("tok"))
+      .withColumn("h", tokenHash48(col("tok")))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Matching oracle SQL for [[simHash]], given a CTE named `corpus`
+    * with (doc_id, text) — emits per-doc 48-bit simhash. */
+  def simHashSql: String = {
+    val votes = (0 until SimHashBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n      ")
+    val sig = (0 until SimHashBits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE 0 END)")
+      .mkString(" + ")
+    s"""votes AS (
+       |  SELECT doc_id,
+       |      $votes
+       |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+       |        FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |              FROM corpus) t)
+       |  GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM votes)""".stripMargin
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-partitioned span layout (SURVEY.md §2 A22) — the Spark
+  * analogue of the reference's hourly ES index buckets + TTL
+  * (reader/.../SpansIndexConfiguration.indexHourBucket/indexHourTtl and
+  * ESUtils.getESIndexes index-name fan-out).
+  *
+  * Spans land under dt=YYYY-MM-DD/hr=HH directories; every time-ranged
+  * query filters on the partition columns so the scan prunes whole
+  * directories before reading a byte — at 100 TB with hourly partitions
+  * a one-day search touches 24/8760ths of the data. Retention (the
+  * reference's TTL) is `drop partition`, not a delete-scan.
+  */
+object TimePartitioner {
+
+  /** Write a span relation partitioned by (dt, hr) of its start time. */
+  def writePartitioned(spans: DataFrame, outDir: String): Unit =
+    spans
+      .withColumn("start_ts", timestamp_micros(col("start_us")))
+      .withColumn("dt", date_format(col("start_ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("start_ts"), "HH"))
+      .drop("start_ts")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("dt", "hr")
+      .parquet(outDir)
+
+  /** Read back with partition pruning for a time window: the dt/hr
+    * predicates bind to partition directories (PartitionFilters in the
+    * scan), the start_us predicate refines within surviving files. */
+  def readRange(spark: SparkSession, dir: String, fromUs: Long, toUs: Long): DataFrame = {
+    val from = java.time.Instant.ofEpochSecond(0, fromUs * 1000)
+    val to = java.time.Instant.ofEpochSecond(0, toUs * 1000)
+    val fromDt = from.toString.substring(0, 10)
+    val toDt = to.toString.substring(0, 10)
+    spark.read.parquet(dir)
+      .filter(col("dt") >= fromDt && col("dt") <= toDt)
+      .filter(col("start_us").between(fromUs, toUs))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.Tables
+import graft.{GraftExtensions, Tables}
+import graft.operators.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -170,6 +171,46 @@ object TextQueries {
           |FROM i JOIN sz a ON i.d1 = a.doc_id JOIN sz b ON i.d2 = b.doc_id
           |WHERE CAST(i.i AS DOUBLE) / (a.n + b.n - i.i) >= 0.3
           |ORDER BY d1, d2""".stripMargin),
+
+    // B3: SimHash near-dup — 48-bit signatures, pairs within hamming 6
+    // on the doubled corpus (every duplicate pair lands at hamming 0)
+    "dedup_simhash" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        val sig = TextOps.simHash(
+          corpus.select(col("doc_id"), toks(col("text")).as("t")), "doc_id", "t")
+        val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+        a.join(b, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 6)
+          .orderBy("d1", "d2")
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 200),
+         |${TextOps.simHashSql}
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY d1, d2""".stripMargin),
+
+    // Native Catalyst expression path (SURVEY §2 custom-operator tier):
+    // codegen'd 64-bit FNV-1a fingerprint registered through
+    // SparkSessionExtensions. Rows-only (FNV not in DuckDB); bit-level
+    // equivalence is specified in FnvHash64Spec.
+    "text_fingerprint64" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Tables.documents(s, dir)
+          .selectExpr("doc_id", "fnv_hash64(text) AS fp64")
+          .orderBy("doc_id")
+      }),
 
     // B2: MinHash + LSH candidate pairs (8 hashes, 4 bands of 2) on the
     // doubled corpus — every duplicate pair must collide in all bands

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.SpanOps
+import graft.operators.{SpanOps, TimePartitioner, TraceSearch}
 import graft.trace.TraceDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,6 +110,38 @@ object TraceQueries {
              |INTERSECT
              |SELECT trace_id FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
              |ORDER BY trace_id""".stripMargin)),
+
+    // A11 full ADT: boolean structure (OR) inside span-level groups
+    "trace_search_expr_tree" -> QueryDef.sql(
+      (s, dir) => {
+        import TraceSearch._
+        TraceSearch.matchingTraceIds(spans(s, dir), Seq(
+          And(Seq(Or(Seq(Eq("service", "purchase"), Eq("service", "signup"))),
+            RangeUs("start_us", T0, T1))),
+          And(Seq(Eq("service", "error"), RangeUs("start_us", T0, T0 + 14 * DayUs)))))
+          .orderBy("trace_id")
+      },
+      cte(s"""SELECT trace_id FROM spans
+             |WHERE (service = 'purchase' OR service = 'signup') AND start_us BETWEEN $T0 AND $T1
+             |INTERSECT
+             |SELECT trace_id FROM spans
+             |WHERE service = 'error' AND start_us BETWEEN $T0 AND ${T0 + 14 * DayUs}
+             |ORDER BY trace_id""".stripMargin)),
+
+    // A22: hourly-partitioned layout round trip — write dt/hr partitions,
+    // read back with partition pruning; result must equal a plain
+    // time-range scan (which is exactly what the oracle computes)
+    "trace_partitioned_scan" -> QueryDef.sql(
+      (s, dir) => {
+        val outDir = System.getProperty("java.io.tmpdir") + "/graft_partitioned_spans"
+        TimePartitioner.writePartitioned(spans(s, dir), outDir)
+        TimePartitioner.readRange(s, outDir, T0, T0 + 3 * DayUs)
+          .groupBy("service").agg(count(lit(1)).as("n_spans"))
+          .orderBy("service")
+      },
+      cte(s"""SELECT service, COUNT(*) AS n_spans FROM spans
+             |WHERE start_us BETWEEN $T0 AND ${T0 + 3 * DayUs}
+             |GROUP BY service ORDER BY service""".stripMargin)),
 
     // A12/C18: getTraceCounts — time-bucket histogram
     "trace_counts" -> QueryDef.sql(

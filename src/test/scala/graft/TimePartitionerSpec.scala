@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{SpanOps, TimePartitioner}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  private val T0 = 1704067200000000L // 2024-01-01 UTC micros
+  private val DayUs = 86400000000L
+
+  private lazy val outDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tp_spec").toString
+    TimePartitioner.writePartitioned(SpanOps.spansFromEvents(Tables.events(spark, sfDir)), dir)
+    dir
+  }
+
+  describe("time-partitioned layout") {
+    it("round-trips the same rows a plain time filter selects") {
+      val spans = SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+      val expected = spans
+        .filter(org.apache.spark.sql.functions.col("start_us").between(T0, T0 + 2 * DayUs))
+        .count()
+      TimePartitioner.readRange(spark, outDir, T0, T0 + 2 * DayUs).count() shouldBe expected
+    }
+
+    it("prunes partitions: the scan only touches in-range dt directories") {
+      val df = TimePartitioner.readRange(spark, outDir, T0, T0 + 2 * DayUs)
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f
+      }.get
+      scan.partitionFilters should not be empty
+      // Jan 2024 has ~30 dt partitions x 24 hr each; a 3-day window must
+      // read far fewer directories than the full layout
+      val selected = scan.selectedPartitions.partitionCount
+      selected should be > 0
+      selected should be < 100 // full layout is ~720 hr partitions
+    }
+  }
+}
