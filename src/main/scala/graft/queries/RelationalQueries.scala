@@ -268,6 +268,24 @@ object RelationalQueries {
          |           ELSE CAST(0 AS $decSql) END) AS DECIMAL(38,2)) AS f_total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // C16b: correlated scalar subquery — parts priced above their
+    // brand's average (decorrelates to an agg + broadcast join back)
+    "q_correlated" -> QueryDef.sql(
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+          .agg(round(sum(dec("p_retailprice")).cast("double") / count(lit(1)), 6).as("brand_avg"))
+        p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+          .filter(col("p_retailprice") > col("brand_avg"))
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .orderBy("p_partkey")
+      },
+      s"""SELECT p_partkey, p_brand, p_retailprice
+         |FROM part p
+         |WHERE p_retailprice > (SELECT ROUND(CAST(SUM(${d("p_retailprice")}) AS DOUBLE) / COUNT(*), 6)
+         |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+         |ORDER BY p_partkey""".stripMargin),
+
     // C13: explode / unnest with positions
     "q_explode" -> QueryDef.sql(
       (s, dir) =>

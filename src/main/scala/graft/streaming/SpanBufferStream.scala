@@ -83,6 +83,25 @@ object SpanBufferStream {
       }
   }
 
+  /** Streaming trace-index documents: windowed per-(service, operation)
+    * rollups with watermark-bounded state — the streaming analogue of
+    * the indexer's ES docs (IndexDocumentGenerator), emitted per time
+    * window instead of per trace. Distinct-duration cardinality uses
+    * HyperLogLog (approx_count_distinct) because exact distincts are
+    * unbounded state in a stream — same trade the reference makes by
+    * truncating long durations to second granularity. */
+  def indexDocsStream(spans: Dataset[Span], windowSeconds: Long, gapSeconds: Long): DataFrame =
+    spans
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$gapSeconds seconds")
+      .groupBy(
+        window(col("event_time"), s"$windowSeconds seconds"),
+        col("service"), col("operation"))
+      .agg(
+        count(lit(1)).as("span_count"),
+        min("startUs").as("min_start_us"),
+        approx_count_distinct("durationUs").as("approx_distinct_durations"))
+
   /** Sealed buffers → flat processed spans, applying the reference read
     * pipeline at ingest time (a capability the reference defers to the
     * reader; doing it once at indexing amortizes it at 100 TB scale). */
