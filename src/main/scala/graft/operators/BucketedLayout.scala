@@ -18,12 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object BucketedLayout {
 
-  def writeBucketed(spans: DataFrame, table: String, buckets: Int): Unit =
+  def writeBucketed(spans: DataFrame, table: String, buckets: Int): Unit = {
+    val spark = spans.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a table dropped from the catalog can leave an orphaned managed
+    // location behind (e.g. across JVM restarts with the default
+    // in-memory catalog) — clear it or the CTAS refuses to run
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     spans.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, "trace_id")
       .sortBy("trace_id")
       .saveAsTable(table)
+  }
 
   /** Per-trace aggregation over the bucketed table — planner sees the
     * bucket distribution and elides the exchange. */

@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object TimePartitioner {
 
-  /** Write a span relation partitioned by (dt, hr) of its start time. */
-  def writePartitioned(spans: DataFrame, outDir: String): Unit =
-    spans
+  /** Write a span relation partitioned by start time: (dt, hr) when
+    * `hourly` (the 100 TB layout — keeps each directory's data volume
+    * bounded), dt-only otherwise (right-sized for small corpora, where
+    * hourly dirs would be a small-files pathology). */
+  def writePartitioned(spans: DataFrame, outDir: String, hourly: Boolean = true): Unit = {
+    val withCols = spans
       .withColumn("start_ts", timestamp_micros(col("start_us")))
       .withColumn("dt", date_format(col("start_ts"), "yyyy-MM-dd"))
       .withColumn("hr", date_format(col("start_ts"), "HH"))
       .drop("start_ts")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("dt", "hr")
+    val (df, cols) =
+      if (hourly) (withCols, Seq("dt", "hr")) else (withCols.drop("hr"), Seq("dt"))
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*)
       .parquet(outDir)
+  }
 
   /** Read back with partition pruning for a time window: the dt/hr
     * predicates bind to partition directories (PartitionFilters in the

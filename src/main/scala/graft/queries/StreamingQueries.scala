@@ -39,13 +39,18 @@ object StreamingQueries {
       lit("").as("kind"),
       col("props").as("tags")))
 
+    // state-store init cost scales with state partitions; a bounded
+    // one-file backlog doesn't need the full batch parallelism
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val sealedBuffers = SpanBufferStream.assemble(spanStream, gapSeconds = 60, maxSpans = 10000)
     val sink = s"sealed_buffers_${System.nanoTime()}"
     val q = sealedBuffers
       .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count"))
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sink).orderBy("trace_id")
   }
 

@@ -134,7 +134,7 @@ object TraceQueries {
     "trace_partitioned_scan" -> QueryDef.sql(
       (s, dir) => {
         val outDir = System.getProperty("java.io.tmpdir") + "/graft_partitioned_spans"
-        TimePartitioner.writePartitioned(spans(s, dir), outDir)
+        TimePartitioner.writePartitioned(spans(s, dir), outDir, hourly = false)
         TimePartitioner.readRange(s, outDir, T0, T0 + 3 * DayUs)
           .groupBy("service").agg(count(lit(1)).as("n_spans"))
           .orderBy("service")
@@ -149,6 +149,25 @@ object TraceQueries {
       cte(s"""SELECT CAST(FLOOR((start_us - $T0) / $DayUs) AS BIGINT) AS bucket, COUNT(*) AS n
              |FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Latency percentiles per service — the haystack-trends-style rollup
+    // served from the same span relation (exact linear-interpolated
+    // percentile on both engines; percentile_approx is the 100 TB path)
+    "trace_latency_quantiles" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .groupBy("service")
+        .agg(
+          round(expr("percentile(duration_us, 0.5)"), 6).as("p50"),
+          round(expr("percentile(duration_us, 0.95)"), 6).as("p95"),
+          round(expr("percentile(duration_us, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n_spans"))
+        .orderBy("service"),
+      cte("""SELECT service,
+            |  ROUND(quantile_cont(duration_us, 0.5), 6) AS p50,
+            |  ROUND(quantile_cont(duration_us, 0.95), 6) AS p95,
+            |  ROUND(quantile_cont(duration_us, 0.99), 6) AS p99,
+            |  COUNT(*) AS n_spans
+            |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
 
     // A13: getFieldNames — indexed-field catalog
     "trace_field_names" -> QueryDef.sql(

@@ -55,6 +55,31 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
       sealed_.find(_.traceId == "t1").get.spans should have size 3
     }
 
+    it("session_window groupBy is an equivalent built-in assembly for summary rollups") {
+      // the declarative alternative to flatMapGroupsWithState when only
+      // per-trace aggregates (not full buffers) are needed
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.functions._
+      val input = MemoryStream[Span]
+      val out = input.toDS()
+        .withColumn("event_time", timestamp_micros(col("startUs")))
+        .withWatermark("event_time", "60 seconds")
+        .groupBy(session_window(col("event_time"), "60 seconds"), col("traceId"))
+        .agg(count(lit(1)).as("span_count"))
+      val sink = s"sessions_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData(Seq(span("t1", "a", t0), span("t1", "b", t0 + 1000000L)))
+        q.processAllAvailable()
+        input.addData(Seq(span("t2", "x", t0 + 600000000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(sink).collect()
+      rows.find(_.getAs[String]("traceId") == "t1").get.getAs[Long]("span_count") shouldBe 2L
+    }
+
     it("accumulates one trace across micro-batches before sealing") {
       val sealed_ = runBatches(gapSeconds = 60, maxSpans = 100)(
         Seq(span("t1", "a", t0)),
