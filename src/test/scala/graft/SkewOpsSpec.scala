@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class SkewOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  describe("saltedAggregate") {
+    it("matches the unsalted aggregation on a skewed key distribution") {
+      val events = Tables.events(spark, sfDir)
+      // event_type is low-cardinality (5 values over all rows) — exactly
+      // the shape where one reducer would take a whole key
+      val salted = SkewOps.saltedAggregate(events, col("event_type"), col("event_id"), salts = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = events.groupBy(col("event_type").as("k"))
+        .agg(count(lit(1)).as("n"), sum("event_id").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      salted shouldBe plain
+    }
+
+    it("spreads a hot key over multiple salt partitions in phase one") {
+      val events = Tables.events(spark, sfDir)
+      val phase1Groups = events
+        .select(col("event_type").as("k"), col("event_id").as("v"))
+        .withColumn("salt", pmod(hash(col("v")), lit(16)))
+        .groupBy("k", "salt").count()
+        .groupBy("k").count()
+        .collect().map(_.getLong(1))
+      // every key fanned out to >1 sub-group
+      all(phase1Groups) should be > 1L
+    }
+  }
+}
