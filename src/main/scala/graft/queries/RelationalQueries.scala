@@ -268,6 +268,22 @@ object RelationalQueries {
          |           ELSE CAST(0 AS $decSql) END) AS DECIMAL(38,2)) AS f_total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // C19: pivot — per-priority order counts spread across status columns
+    "q_pivot" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // C16b: correlated scalar subquery — parts priced above their
     // brand's average (decorrelates to an agg + broadcast join back)
     "q_correlated" -> QueryDef.sql(

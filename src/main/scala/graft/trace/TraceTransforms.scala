@@ -79,6 +79,21 @@ object TraceTransforms {
     spans.filter(s => seen.add(s))
   }
 
+  /** Derive the client/server kind from the span.kind tag when the kind
+    * field is unset — the model-level analogue of the reference's
+    * ClientServerEventLogTransformer, which backfills cs/cr/sr/ss log
+    * events from the span.kind tag so downstream merge steps can
+    * classify partial spans. */
+  def deriveKinds(spans: Seq[Span]): Seq[Span] =
+    spans.map { s =>
+      if (s.kind.nonEmpty) s
+      else s.tags.get("span.kind") match {
+        case Some(k) if k.equalsIgnoreCase("client") || k.equalsIgnoreCase("server") =>
+          s.copy(kind = k.toLowerCase)
+        case _ => s
+      }
+    }
+
   // ------------------------------------------------------ span merging
 
   /** Merge client+server halves reported under the same spanId.
