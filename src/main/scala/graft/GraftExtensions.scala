@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head)))
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
 

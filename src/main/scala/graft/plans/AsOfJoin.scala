@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** AS-OF join — a whole-operator Spark lacks, implemented at the
+  * preference-ladder's (c) tier (SURVEY.md §2): custom LogicalPlan +
+  * SparkStrategy + physical SparkPlan, injected through
+  * SparkSessionExtensions.
+  *
+  * Semantics (inner as-of): for each left row, the single right row
+  * with matching keys and the LARGEST right time ≤ the left time.
+  * The declarative workaround (join on key + time range, then
+  * row_number to keep the latest) shuffles and ranks EVERY candidate
+  * pair; this operator asks Catalyst for co-partitioned,
+  * (key, time)-sorted children and then streams both sides once per
+  * partition — O(n+m) after the sort, no candidate blow-up. That's the
+  * shape that survives 100 TB: one co-partitioned shuffle per side,
+  * merge scan, nothing materialized.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // Catalyst inserts the hash exchanges (co-partitioned on the keys) and
+  // the per-partition (key, time) sorts for us — the operator only ever
+  // sees sorted runs.
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val lOutput = left.output
+    val rOutput = right.output
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      if (lIter.isEmpty || rIter.isEmpty) Iterator.empty
+      else {
+        val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
+        val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
+        val keySchema = lKeys.map(k => SortOrder(org.apache.spark.sql.catalyst.expressions
+          .BoundReference(lKeys.indexOf(k), k.dataType, k.nullable), Ascending))
+        val keyOrd = GenerateOrdering.generate(keySchema, Nil)
+        val lTimeBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(lTime, lOutput)
+        val rTimeBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(rTime, rOutput)
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+
+        // right side cursor state: current candidate (latest right row
+        // whose time <= current left time, same key)
+        var rRow: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+        var candidate: InternalRow = null
+        var candidateKey: InternalRow = null
+
+        lIter.flatMap { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = lTimeBound.eval(lRow).asInstanceOf[Long]
+          // drop candidate from a previous key group
+          if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null; candidateKey = null
+          }
+          // advance right while it is behind (smaller key, or same key
+          // with time <= left time — each such row becomes the candidate)
+          var advancing = true
+          while (advancing && rRow != null) {
+            val rKey = rKeyProj(rRow)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              rRow = if (rIter.hasNext) rIter.next().copy() else null
+            } else if (c == 0 && rTimeBound.eval(rRow).asInstanceOf[Long] <= lT) {
+              candidate = rRow
+              candidateKey = rKey.copy()
+              rRow = if (rIter.hasNext) rIter.next().copy() else null
+            } else {
+              advancing = false
+            }
+          }
+          if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
+            Iterator.single(resultProj(joined(lRow, candidate)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Make the strategy available on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy])) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    }
+  }
+}

@@ -150,6 +150,32 @@ object TraceQueries {
              |FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Custom whole-operator tier (SURVEY §2 preference (c)): native
+    // AS-OF join (graft.plans.AsOfJoinExec — co-partitioned merge scan)
+    // — for each error span, the latest purchase span of the same trace
+    // at or before it. Oracle is DuckDB's native ASOF JOIN.
+    "q_asof_join" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val errors = sp.filter(col("service") === "error")
+          .select("trace_id", "span_id", "start_us")
+        val purchases = sp.filter(col("service") === "purchase")
+          .select("trace_id", "span_id", "start_us")
+        org.apache.spark.sql.GraftPlanBridge
+          .asofJoin(errors, purchases, Seq("trace_id"), "start_us")
+          .select(col("trace_id"), col("span_id").as("err_span_id"),
+            col("span_id_r").as("purchase_span_id"),
+            (col("start_us") - col("start_us_r")).as("lag_us"))
+          .orderBy("err_span_id")
+      },
+      cte("""SELECT e.trace_id, e.span_id AS err_span_id, p.p_span_id AS purchase_span_id,
+            |  e.start_us - p.p_start_us AS lag_us
+            |FROM (SELECT trace_id, span_id, start_us FROM spans WHERE service = 'error') e
+            |ASOF JOIN (SELECT trace_id, span_id AS p_span_id, start_us AS p_start_us
+            |           FROM spans WHERE service = 'purchase') p
+            |  ON e.trace_id = p.trace_id AND e.start_us >= p.p_start_us
+            |ORDER BY err_span_id""".stripMargin)),
+
     // Latency percentiles per service — the haystack-trends-style rollup
     // served from the same span relation (exact linear-interpolated
     // percentile on both engines; percentile_approx is the 100 TB path)

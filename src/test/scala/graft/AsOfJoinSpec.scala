@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.GraftPlanBridge
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class AsOfJoinSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  describe("AsOfJoinExec") {
+    it("matches each left row to the latest right row at or before it") {
+      val s = spark
+      import s.implicits._
+      val left = Seq(("k1", 100L), ("k1", 200L), ("k2", 50L)).toDF("k", "t")
+      val right = Seq(("k1", 90L), ("k1", 150L), ("k1", 250L), ("k2", 60L)).toDF("k", "t")
+      val out = GraftPlanBridge.asofJoin(left, right, Seq("k"), "t")
+        .select("k", "t", "t_r").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // k1@100 → 90; k1@200 → 150; k2@50 has no right row at/before → dropped
+      out shouldBe Set(("k1", 100L, 90L), ("k1", 200L, 150L))
+    }
+
+    it("matches the window-based equivalent on real data") {
+      val sp = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+      val errors = sp.filter(col("service") === "error").select("trace_id", "span_id", "start_us")
+      val purchases = sp.filter(col("service") === "purchase").select("trace_id", "span_id", "start_us")
+
+      val custom = GraftPlanBridge.asofJoin(errors, purchases, Seq("trace_id"), "start_us")
+        .select("span_id", "span_id_r").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // declarative equivalent: range join + keep latest per left row
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("span_id").orderBy(col("p_start").desc, col("p_span").desc)
+      val expected = errors.join(
+        purchases.select(col("trace_id"), col("span_id").as("p_span"), col("start_us").as("p_start")),
+        Seq("trace_id"))
+        .filter(col("start_us") >= col("p_start"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("span_id", "p_span").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      custom shouldBe expected
+    }
+
+    it("produces the exchange/sort shape of a merge join, not a cross product") {
+      val sp = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+      val errors = sp.filter(col("service") === "error").select("trace_id", "span_id", "start_us")
+      val purchases = sp.filter(col("service") === "purchase").select("trace_id", "span_id", "start_us")
+      val plan = GraftPlanBridge.asofJoin(errors, purchases, Seq("trace_id"), "start_us")
+        .queryExecution.executedPlan.toString
+      plan should include("AsOfJoin")
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+}
