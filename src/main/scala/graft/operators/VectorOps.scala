@@ -75,6 +75,44 @@ object VectorOps {
     concat((0 until bits).map(b => when(planeDot(b) >= 0, "1").otherwise("0")): _*)
   }
 
+  /** IVF-style ANN: deterministic coarse centroids (the first
+    * `nCentroids` corpus vectors — a real system would k-means these),
+    * every vector assigned to its nearest centroid, queries probe the
+    * `nProbe` nearest centroid cells. The shuffle carries (cell, vector)
+    * pairs; a query scans nProbe/nCentroids of the corpus instead of all
+    * of it — the standard recall/cost dial for billion-vector corpora. */
+  def annTopKIvf(
+      embeddings: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val n = withNorms(embeddings)
+    val centroids = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+    // rank centroid affinities per vector; cells = top-1 for corpus
+    // vectors, top-nProbe for queries
+    val affinity = n.join(broadcast(centroids), col("vec_id") =!= col("c_id") || col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("caff"))
+    val w = Window.partitionBy("vec_id").orderBy(col("caff").desc, col("c_id"))
+    val ranked = affinity.withColumn("crnk", row_number().over(w))
+
+    val assigned = ranked.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("crnk") <= nProbe && queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("c_id").as("cell"))
+
+    val scored = assigned.join(broadcast(probes),
+      assigned("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("score"))
+      .distinct() // a neighbor can appear via several probed cells
+    val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
   /** ANN via LSH buckets: shuffle on bucket key, local top-k per bucket,
     * then global top-k per query over surviving candidates. Recall vs
     * the brute path is checked in VectorOpsSpec. */

@@ -40,6 +40,11 @@ object VectorQueries {
 
     // B7: LSH-bucketed ANN — scale path; recall checked in VectorOpsSpec
     "ann_topk_lsh" -> QueryDef.rowsOnly(
-      (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4))
+      (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4)),
+
+    // B7b: IVF-style ANN — probe-limited centroid cells
+    "ann_topk_ivf" -> QueryDef.rowsOnly(
+      (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
+        nCentroids = 16, nProbe = 4))
   )
 }

@@ -102,6 +102,21 @@ object SpanBufferStream {
         min("startUs").as("min_start_us"),
         approx_count_distinct("durationUs").as("approx_distinct_durations"))
 
+  /** Streaming exact de-duplication: at-least-once sources (the
+    * reference consumes Kafka with retries) deliver duplicate spans;
+    * watermarked dropDuplicates keeps (traceId, spanId) state only
+    * until the watermark passes — bounded state, exactly-once output.
+    * The streaming counterpart of DeDuplicateSpanTransformer (A17). */
+  def dedupSpans(spans: Dataset[Span], gapSeconds: Long): Dataset[Span] = {
+    val s = spans.sparkSession
+    import s.implicits._
+    spans
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$gapSeconds seconds")
+      .dropDuplicates("traceId", "spanId", "event_time")
+      .drop("event_time").as[Span]
+  }
+
   /** Sealed buffers → flat processed spans, applying the reference read
     * pipeline at ingest time (a capability the reference defers to the
     * reader; doing it once at indexing amortizes it at 100 TB scale). */

@@ -27,6 +27,27 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
     s.table(sink).as[SpanBuffer].collect().toSeq
   }
 
+  describe("streaming dedup") {
+    it("drops at-least-once duplicates within the watermark horizon") {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val t0 = 1704067200000000L
+      val input = MemoryStream[Span]
+      val out = SpanBufferStream.dedupSpans(input.toDS(), gapSeconds = 60)
+      val sink = s"dedup_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val sp = span("t1", "a", t0)
+        input.addData(Seq(sp, sp, sp, span("t1", "b", t0 + 1000L)))
+        q.processAllAvailable()
+        input.addData(Seq(sp)) // redelivery in a later micro-batch
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).collect().length shouldBe 2
+    }
+  }
+
   describe("streaming span-buffer assembly") {
     val t0 = 1704067200000000L // 2024-01-01 UTC, micros
 

@@ -36,6 +36,17 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("annTopKIvf") {
+    it("achieves reasonable recall with a fraction of the scan") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 3).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivf = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 3, nCentroids = 16, nProbe = 4)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      recall should be > 0.2 // probing 4/16 cells
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("returns symmetric-free ordered pairs above threshold") {
       val res = VectorOps.cosineNearDupPairs(emb, 100, 0.2).collect()
