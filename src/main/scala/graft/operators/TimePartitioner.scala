@@ -37,10 +37,15 @@ object TimePartitioner {
     * predicates bind to partition directories (PartitionFilters in the
     * scan), the start_us predicate refines within surviving files. */
   def readRange(spark: SparkSession, dir: String, fromUs: Long, toUs: Long): DataFrame = {
-    val from = java.time.Instant.ofEpochSecond(0, fromUs * 1000)
-    val to = java.time.Instant.ofEpochSecond(0, toUs * 1000)
-    val fromDt = from.toString.substring(0, 10)
-    val toDt = to.toString.substring(0, 10)
+    // dt partition values were produced by date_format, which renders in
+    // the SESSION time zone — derive the directory bounds in the same
+    // zone or boundary rows silently fall outside the pruned range
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    def dt(us: Long): String =
+      java.time.Instant.ofEpochSecond(0, us * 1000).atZone(zone).toLocalDate.toString
+    val fromDt = dt(fromUs)
+    val toDt = dt(toUs)
     spark.read.parquet(dir)
       .filter(col("dt") >= fromDt && col("dt") <= toDt)
       .filter(col("start_us").between(fromUs, toUs))

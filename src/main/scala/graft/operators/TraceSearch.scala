@@ -33,10 +33,10 @@ object TraceSearch {
   }
 
   /** Trace ids satisfying every span-level group. */
-  def matchingTraceIds(spans: DataFrame, groups: Seq[Expr]): DataFrame =
-    groups
-      .map(g => spans.filter(compile(g)).select("trace_id").distinct())
-      .reduce(_.intersect(_))
+  def matchingTraceIds(spans: DataFrame, groups: Seq[Expr]): DataFrame = {
+    require(groups.nonEmpty, "expression-tree search needs at least one span-level group")
+    SpanOps.searchTracesExpr(spans, groups.map(compile))
+  }
 
   /** Full search: matching ids → fetch + summarize those traces,
     * newest-first with a deterministic tie-break. */

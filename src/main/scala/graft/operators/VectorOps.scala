@@ -89,8 +89,9 @@ object VectorOps {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
     // rank centroid affinities per vector; cells = top-1 for corpus
-    // vectors, top-nProbe for queries
-    val affinity = n.join(broadcast(centroids), col("vec_id") =!= col("c_id") || col("vec_id") < nCentroids)
+    // vectors, top-nProbe for queries. Full cross join on purpose:
+    // centroid vectors assign to their own cell like any other vector.
+    val affinity = n.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("caff"))
     val w = Window.partitionBy("vec_id").orderBy(col("caff").desc, col("c_id"))

@@ -98,7 +98,10 @@ case class AsOfJoinExec(
 
         lIter.flatMap { lRow =>
           val lKey = lKeyProj(lRow)
-          val lT = lTimeBound.eval(lRow).asInstanceOf[Long]
+          val lTimeVal = lTimeBound.eval(lRow)
+          if (lTimeVal == null) Iterator.empty // NULL left time matches nothing
+          else {
+          val lT = lTimeVal.asInstanceOf[Long]
           // drop candidate from a previous key group
           if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
             candidate = null; candidateKey = null
@@ -109,9 +112,13 @@ case class AsOfJoinExec(
           while (advancing && rRow != null) {
             val rKey = rKeyProj(rRow)
             val c = keyOrd.compare(rKey, lKey)
+            lazy val rTimeVal = rTimeBound.eval(rRow)
             if (c < 0) {
               rRow = if (rIter.hasNext) rIter.next().copy() else null
-            } else if (c == 0 && rTimeBound.eval(rRow).asInstanceOf[Long] <= lT) {
+            } else if (c == 0 && rTimeVal == null) {
+              // NULL right time never matches (sorts first; skip it)
+              rRow = if (rIter.hasNext) rIter.next().copy() else null
+            } else if (c == 0 && rTimeVal.asInstanceOf[Long] <= lT) {
               candidate = rRow
               candidateKey = rKey.copy()
               rRow = if (rIter.hasNext) rIter.next().copy() else null
@@ -122,6 +129,7 @@ case class AsOfJoinExec(
           if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
             Iterator.single(resultProj(joined(lRow, candidate)))
           else Iterator.empty
+          }
         }
       }
     }

@@ -67,6 +67,9 @@ object TraceDataset {
     spans.groupByKey(_.traceId)
       .flatMapGroups((_, it) => TraceTransforms.callGraph(TraceTransforms.defaultPipeline(it.toSeq)))
       .groupBy("fromService", "fromOperation", "toService", "toOperation")
-      .agg(count(lit(1)).as("n_calls"), avg("networkDeltaUs").as("avg_network_delta_us"))
+      // -1 is the "no measurable delta" sentinel (server span not shorter
+      // than client) — keep it out of the average
+      .agg(count(lit(1)).as("n_calls"),
+        avg(when(col("networkDeltaUs") >= 0, col("networkDeltaUs"))).as("avg_network_delta_us"))
   }
 }

@@ -60,13 +60,35 @@ object TraceTransforms {
   final case class Tree(span: Span, children: Seq[Tree])
 
   def buildForest(spans: Seq[Span]): Seq[Tree] = {
-    val byParent = spans.groupBy(_.parentSpanId)
+    val indexed = spans.zipWithIndex
     val ids = spans.map(_.spanId).toSet
-    def grow(s: Span): Tree =
-      Tree(s, byParent.getOrElse(s.spanId, Nil).filterNot(_.spanId == s.spanId).map(grow))
+    val childrenOf = indexed.groupBy(_._1.parentSpanId)
+    val used = mutable.BitSet()
+    // `used` consumes each physical span once; the ancestor set breaks
+    // parent-id cycles (a→b→a) during descent so malformed traces can't
+    // loop the builder or vanish from the forest
+    def grow(s: Span, i: Int, ancestors: Set[String]): Tree = {
+      used += i
+      val kids = childrenOf.getOrElse(s.spanId, Nil)
+        .filter { case (c, j) => !used(j) && c.spanId != s.spanId && !ancestors(c.spanId) }
+      Tree(s, kids.map { case (c, j) => grow(c, j, ancestors + s.spanId) })
+    }
     // a root: empty parent, self-loop, or parent not present in trace
-    spans.filter(s => s.parentSpanId.isEmpty || s.parentSpanId == s.spanId || !ids.contains(s.parentSpanId))
-      .map(grow)
+    val roots = indexed
+      .filter { case (s, _) =>
+        s.parentSpanId.isEmpty || s.parentSpanId == s.spanId || !ids.contains(s.parentSpanId)
+      }
+      .map { case (s, i) => grow(s, i, Set.empty) }
+    // spans only reachable through a cycle: elect the earliest remaining
+    // span as that cycle's root until every span is in some tree
+    val extra = mutable.ListBuffer[Tree]()
+    var remaining = indexed.filterNot { case (_, i) => used(i) }
+    while (remaining.nonEmpty) {
+      val (s, i) = remaining.minBy { case (sp, ix) => (sp.startUs, sp.spanId, ix) }
+      extra += grow(s, i, Set.empty)
+      remaining = indexed.filterNot { case (_, j) => used(j) }
+    }
+    roots ++ extra.toSeq
   }
 
   private def flatten(t: Tree): Seq[Span] = t.span +: t.children.flatMap(flatten)
@@ -241,15 +263,21 @@ object TraceTransforms {
     }
   }
 
-  /** Exactly-one-empty-parent-root expected; every other tree gets
-    * re-attached under it (reference InvalidParentTransformer). */
+  /** Every tree that isn't the (single) empty-parent root gets
+    * re-attached under it (reference InvalidParentTransformer). Total:
+    * with zero or several empty-parent roots there is no unambiguous
+    * attach point, so the trace passes through unchanged instead of
+    * failing the whole Spark task (the reference throws here, which is
+    * acceptable per-RPC but not inside a 100 TB stage). */
   def fixInvalidParents(spans: Seq[Span]): Seq[Span] = {
     val forest = buildForest(spans)
     val rootTrees = forest.filter(_.span.parentSpanId.isEmpty)
-    require(rootTrees.size == 1, s"expected exactly one root, found ${rootTrees.size}")
-    val root = rootTrees.head.span
-    val strayRoots = forest.filterNot(_.span == root).map(_.span).toSet
-    spans.map(s => if (strayRoots.contains(s)) s.copy(parentSpanId = root.spanId) else s)
+    if (rootTrees.size != 1) spans
+    else {
+      val root = rootTrees.head.span
+      val strayRoots = forest.filterNot(_.span == root).map(_.span).toSet
+      spans.map(s => if (strayRoots.contains(s)) s.copy(parentSpanId = root.spanId) else s)
+    }
   }
 
   /** No root at all: if every orphan tree hangs off the same missing
@@ -348,11 +376,18 @@ object TraceTransforms {
   }
 
   /** Pipeline variant with full root/orphan repair enabled (the
-    * reference's InvalidRoot/InvalidParent/Orphaned transformers). */
+    * reference's InvalidRoot/InvalidParent/Orphaned transformers).
+    * fixOrphanedTrace only fires when NO root exists at all — composing
+    * it with a rooted trace would delete valid traces (the reference
+    * never composes them either: Orphaned is commented out of its
+    * default config precisely because it assumes a rootless input). */
   def repairingPipeline(spans: Seq[Span]): Seq[Span] = {
     val pre = dedupSpans(spans)
-    if (pre.isEmpty) pre
-    else fixOrphanedTrace(pre) match {
+    if (pre.isEmpty) return Nil
+    val afterOrphan =
+      if (pre.exists(_.parentSpanId.isEmpty)) pre
+      else fixOrphanedTrace(pre)
+    afterOrphan match {
       case Nil => Nil
       case s =>
         val reparented = fixInvalidParents(fixInvalidRoots(s))

@@ -16,6 +16,8 @@ class TraceTransformsSpec extends AnyFunSpec with Matchers {
       tags: Map[String, String] = Map.empty): Span =
     Span("t1", id, parent, service, operation, start, dur, kind, tags)
 
+  private def flattenTree(t: Tree): Seq[Span] = t.span +: t.children.flatMap(flattenTree)
+
   describe("dedupSpans") {
     it("removes exact duplicates keeping first occurrence") {
       val a = span("a", "")
@@ -149,10 +151,15 @@ class TraceTransformsSpec extends AnyFunSpec with Matchers {
       val fixed = fixInvalidParents(spans)
       fixed.find(_.spanId == "stray").get.parentSpanId shouldBe "r"
     }
-    it("requires exactly one root") {
-      assertThrows[IllegalArgumentException] {
-        fixInvalidParents(Seq(span("a", ""), span("b", "")))
-      }
+    it("passes through unchanged when there is no unambiguous root") {
+      val spans = Seq(span("a", ""), span("b", ""))
+      fixInvalidParents(spans) shouldBe spans
+    }
+    it("survives a parent-id cycle without dropping spans") {
+      val spans = Seq(span("a", "b"), span("b", "a"), span("c", "a"))
+      val forest = buildForest(spans)
+      forest.flatMap(flattenTree).size shouldBe 3
+      defaultPipeline(spans).size shouldBe 3
     }
   }
 
@@ -171,6 +178,13 @@ class TraceTransformsSpec extends AnyFunSpec with Matchers {
     }
     it("drops the trace when orphans disagree on their parent") {
       fixOrphanedTrace(Seq(span("a", "p1"), span("b", "p2"))) shouldBe empty
+    }
+    it("repairingPipeline keeps a rooted trace that also has an orphan branch") {
+      val spans = Seq(span("r", ""), span("c", "r"), span("stray", "missing"))
+      val out = repairingPipeline(spans)
+      out.map(_.spanId).toSet shouldBe Set("r", "c", "stray")
+      // the orphan got reattached under the root, not deleted
+      out.find(_.spanId == "stray").get.parentSpanId shouldBe "r"
     }
   }
 
