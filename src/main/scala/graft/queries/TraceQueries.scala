@@ -277,6 +277,33 @@ object TraceQueries {
         val processed = TraceDataset.processedSpans(
           TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit(""))))
         processed.groupBy("traceId").count().orderBy("traceId")
-      })
+      }),
+
+    // Repairing variant (InvalidRoot/InvalidParent/Orphaned enabled)
+    "trace_repaired" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val sp = TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit("")))
+        TraceDataset.transformTraces(sp)(graft.trace.TraceTransforms.repairingPipeline)
+          .groupBy("traceId").count().orderBy("traceId")
+      }),
+
+    // Skew-safe aggregation: salted two-phase result must equal the plain
+    // groupBy — which is exactly what the oracle computes
+    "q_salted_agg" -> QueryDef.sql(
+      (s, dir) => graft.operators.SkewOps.saltedAggregate(
+        Tables.events(s, dir), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)), salts = 16)
+        .select(col("k"), col("n"),
+          col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total"))
+        .orderBy("k"),
+      """SELECT event_type AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY event_type ORDER BY k""".stripMargin),
+
+    // B12 surface: multimodal decode/feature plumbing (stub codec)
+    "media_features" -> QueryDef.rowsOnly(
+      (s, dir) => graft.operators.MultimodalOps.decodeFeatures(
+        graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy("media_id"))
   )
 }
