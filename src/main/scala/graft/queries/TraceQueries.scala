@@ -195,6 +195,17 @@ object TraceQueries {
             |  COUNT(*) AS n_spans
             |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
 
+    // Scale path for the percentile rollup: t-digest sketch
+    // (percentile_approx) — mergeable, bounded memory, the form that
+    // runs at 100 TB; exactness is covered by trace_latency_quantiles
+    "trace_latency_quantiles_approx" -> QueryDef.rowsOnly(
+      (s, dir) => spans(s, dir)
+        .groupBy("service")
+        .agg(
+          expr("percentile_approx(duration_us, array(0.5, 0.95, 0.99), 1000)").as("pcts"),
+          count(lit(1)).as("n_spans"))
+        .orderBy("service")),
+
     // A13: getFieldNames — indexed-field catalog
     "trace_field_names" -> QueryDef.sql(
       (s, dir) => {

@@ -3,6 +3,7 @@ package graft
 import graft.model.{Span, SpanBuffer}
 import graft.streaming.SpanBufferStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funspec.AnyFunSpec
 import org.scalatest.matchers.should.Matchers
@@ -45,6 +46,32 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
         q.processAllAvailable()
       } finally q.stop()
       spark.table(sink).collect().length shouldBe 2
+    }
+  }
+
+  describe("streaming persist path") {
+    it("sealed buffers land in parquet through a checkpointed file sink") {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val t0 = 1704067200000000L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      val input = MemoryStream[Span]
+      val q = SpanBufferStream.assemble(input.toDS(), gapSeconds = 60, maxSpans = 100)
+        .select(col("traceId").as("trace_id"),
+          org.apache.spark.sql.functions.size(col("spans")).as("span_count"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(span("t1", "a", t0), span("t1", "b", t0 + 1000000L)))
+        q.processAllAvailable()
+        input.addData(Seq(span("t2", "x", t0 + 600000000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.read.parquet(s"$tmp/out")
+      out.filter(col("trace_id") === "t1").head().getAs[Int]("span_count") shouldBe 2
     }
   }
 
