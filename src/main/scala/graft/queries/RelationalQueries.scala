@@ -16,13 +16,23 @@ import org.apache.spark.sql.types.DecimalType
   * before any arithmetic; products stay ≤ DECIMAL(38,6) — never lossy —
   * and sums are associative-exact. Averages convert the exact decimal
   * sum to double and ROUND(..,6).
+  *
+  * Output-type discipline: every emitted column is string, BIGINT, or
+  * DOUBLE on BOTH engines. Decimal stays internal to the aggregation:
+  * the exact decimal sum is cast to double only as the final step
+  * (exact-input float division/conversion is correctly rounded on both
+  * engines, so the float64 bits agree). Dates are emitted as
+  * 'yyyy-MM-dd' strings. DuckDB SUM over ints widens to HUGEINT, so
+  * the oracle casts those back to BIGINT. This keeps the driver-side
+  * pandas representations byte-identical (Decimal vs float64 and
+  * date vs datetime64 mismatches are what failed 9 round-1 hashes).
   */
 object RelationalQueries {
 
   private def dec(name: String): Column = col(name).cast(DecimalType(12, 2))
   private val one = lit(1).cast(DecimalType(12, 2))
-  private def asDec2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def asDec4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def asDec2(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+  private def asDec4(c: Column): Column = c.cast(DecimalType(38, 4)).cast("double")
   private val discPrice: Column = dec("l_extendedprice") * (one - dec("l_discount"))
 
   private val decSql = "DECIMAL(12,2)"
@@ -44,9 +54,9 @@ object RelationalQueries {
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
-         |  CAST(SUM(${d("l_extendedprice")}) AS DECIMAL(38,2)) AS sum_base_price,
-         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(SUM(${d("l_extendedprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
          |  ROUND(CAST(SUM(${d("l_quantity")}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
          |  COUNT(*) AS count_order
          |FROM lineitem
@@ -62,19 +72,20 @@ object RelationalQueries {
           .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
           .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp") &&
             col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("o_orderpriority"))
           .agg(asDec4(sum(discPrice)).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10),
-      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-         |  CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+         |  CAST(CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |  AND o_orderdate < TIMESTAMP '1998-03-15'
          |  AND l_shipdate > TIMESTAMP '1995-03-15'
-         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin),
 
@@ -92,7 +103,7 @@ object RelationalQueries {
           .groupBy("n_name")
           .agg(asDec4(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
           .orderBy(col("revenue").desc, col("n_name")),
-      s"""SELECT n_name, CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS revenue, COUNT(*) AS n_items
+      s"""SELECT n_name, CAST(CAST(SUM($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, COUNT(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -112,7 +123,7 @@ object RelationalQueries {
             col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
           .agg(asDec4(sum(dec("l_extendedprice") * dec("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items")),
-      s"""SELECT CAST(SUM(${d("l_extendedprice")} * ${d("l_discount")}) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT CAST(CAST(SUM(${d("l_extendedprice")} * ${d("l_discount")}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -128,7 +139,7 @@ object RelationalQueries {
             asDec2(sum(dec("l_quantity"))).as("total_qty"))
           .orderBy("o_orderpriority"),
       s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
-         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS total_qty
+         |  CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
@@ -235,7 +246,7 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n"), asDec2(sum(dec("l_quantity"))).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         |  CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS qty
+         |  CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS qty
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
@@ -262,10 +273,10 @@ object RelationalQueries {
               .otherwise(lit(0).cast(DecimalType(12, 2))))).as("f_total"))
           .orderBy("o_orderpriority"),
       s"""SELECT o_orderpriority,
-         |  SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high,
-         |  SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS n_low,
-         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${d("o_totalprice")}
-         |           ELSE CAST(0 AS $decSql) END) AS DECIMAL(38,2)) AS f_total
+         |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  CAST(SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${d("o_totalprice")}
+         |           ELSE CAST(0 AS $decSql) END) AS DECIMAL(38,2)) AS DOUBLE) AS f_total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // C19: pivot — per-priority order counts spread across status columns
@@ -279,9 +290,9 @@ object RelationalQueries {
           .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
           .orderBy("o_orderpriority"),
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // C16b: correlated scalar subquery — parts priced above their

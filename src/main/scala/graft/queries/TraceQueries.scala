@@ -197,13 +197,18 @@ object TraceQueries {
 
     // Scale path for the percentile rollup: t-digest sketch
     // (percentile_approx) — mergeable, bounded memory, the form that
-    // runs at 100 TB; exactness is covered by trace_latency_quantiles
+    // runs at 100 TB; exactness is covered by trace_latency_quantiles.
+    // Output is projected to scalar columns (not array<double>) so the
+    // driver's pandas row sort can handle it.
     "trace_latency_quantiles_approx" -> QueryDef.rowsOnly(
       (s, dir) => spans(s, dir)
         .groupBy("service")
         .agg(
           expr("percentile_approx(duration_us, array(0.5, 0.95, 0.99), 1000)").as("pcts"),
           count(lit(1)).as("n_spans"))
+        .select(col("service"), col("pcts").getItem(0).as("p50"),
+          col("pcts").getItem(1).as("p95"), col("pcts").getItem(2).as("p99"),
+          col("n_spans"))
         .orderBy("service")),
 
     // A13: getFieldNames — indexed-field catalog
@@ -239,8 +244,8 @@ object TraceQueries {
           .orderBy("trace_id")
       },
       cte("""SELECT s.trace_id, COUNT(*) AS span_count,
-            |  SUM(CASE WHEN s.parent_span_id IS NULL THEN 1 ELSE 0 END) AS n_roots,
-            |  SUM(CASE WHEN s.parent_span_id IS NOT NULL AND p.span_id IS NULL THEN 1 ELSE 0 END) AS n_unresolved
+            |  CAST(SUM(CASE WHEN s.parent_span_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+            |  CAST(SUM(CASE WHEN s.parent_span_id IS NOT NULL AND p.span_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unresolved
             |FROM spans s LEFT JOIN spans p
             |  ON s.trace_id = p.trace_id AND s.parent_span_id = p.span_id
             |GROUP BY s.trace_id ORDER BY s.trace_id""".stripMargin)),
@@ -305,10 +310,10 @@ object TraceQueries {
         Tables.events(s, dir), col("event_type"),
         col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)), salts = 16)
         .select(col("k"), col("n"),
-          col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total"))
+          col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("total"))
         .orderBy("k"),
       """SELECT event_type AS k, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY k""".stripMargin),
 
     // B12 surface: multimodal decode/feature plumbing (stub codec)
