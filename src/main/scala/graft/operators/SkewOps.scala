@@ -21,11 +21,17 @@ object SkewOps {
 
   /** Salted distributed count+sum per key, equal to
     * `df.groupBy(key).agg(count, sum(valueCol))` but skew-resistant.
-    * The salt is derived from a hash of the whole row's value column so
-    * it's deterministic — no RNG state on executors. */
+    * The salt comes from the row's position (monotonically_increasing_id
+    * cycles through all salts within each input partition), NOT from a
+    * hash of the value: a hot key whose rows share one value — the
+    * constant-duration heartbeat-span case — would collapse into a
+    * single salt bucket and resurrect the straggler. Position-derived
+    * salt splits a hot key evenly no matter what its values are, stays
+    * deterministic within a run, and the phase-two combine makes the
+    * result independent of the salt assignment anyway. */
   def saltedAggregate(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame =
     df.select(key.as("k"), valueCol.as("v"))
-      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .withColumn("salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy("k", "salt")
       .agg(count(lit(1)).as("pc"), sum("v").as("ps"))
       .groupBy("k")

@@ -36,6 +36,32 @@ object TextOps {
       .select(col(idCol), sig.as("simhash"))
   }
 
+  /** Candidate pairs within `maxHamming` of each other, via pigeonhole
+    * banding: split the 48-bit signature into maxHamming+1 chunks — if
+    * two signatures differ in ≤ maxHamming bits, at least one chunk is
+    * bit-identical (pigeonhole), so bucketing on (chunk_idx, chunk_value)
+    * and equi-joining finds every qualifying pair while shuffling only
+    * (id, chunk) rows. Round 1 generated candidates with an all-pairs
+    * theta join — O(N²) at corpus scale; this is the scale-safe shape
+    * (same output, verified against the unchanged DuckDB oracle).
+    * Hot chunk values (skewed buckets) are split by AQE skew-join.
+    * A pair colliding in several chunks emits duplicates → distinct. */
+  def simHashPairs(sig: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = (SimHashBits + nChunks - 1) / nChunks
+    val chunks = sig.select(col(idCol).as("pid"), col(sigCol).as("psig"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col(sigCol), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)): _*))
+        .as(Seq("chunk", "ckey")))
+    chunks.as("a").join(chunks.as("b"),
+      col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.pid") < col("b.pid"))
+      .select(col("a.pid").as("d1"), col("b.pid").as("d2"),
+        bit_count(col("a.psig").bitwiseXOR(col("b.psig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Matching oracle SQL for [[simHash]], given a CTE named `corpus`
     * with (doc_id, text) — emits per-doc 48-bit simhash. */
   def simHashSql: String = {

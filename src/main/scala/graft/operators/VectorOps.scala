@@ -78,36 +78,45 @@ object VectorOps {
   /** IVF-style ANN: deterministic coarse centroids (the first
     * `nCentroids` corpus vectors — a real system would k-means these),
     * every vector assigned to its nearest centroid, queries probe the
-    * `nProbe` nearest centroid cells. The shuffle carries (cell, vector)
-    * pairs; a query scans nProbe/nCentroids of the corpus instead of all
-    * of it — the standard recall/cost dial for billion-vector corpora. */
+    * `nProbe` nearest centroid cells — the standard recall/cost dial
+    * for billion-vector corpora.
+    *
+    * Cell assignment is SHUFFLE-FREE: the centroid set is folded into a
+    * single-row array<struct> and attached to every corpus row via a
+    * broadcast nested-loop join, so affinity ranking is a row-local
+    * `transform` + `array_sort` (all codegen) — the corpus is scanned
+    * once with no exchange until the (tiny) candidate set. A per-vector
+    * window over corpus×nCentroids rows here was round 1's slowest
+    * bench entry. No distinct is needed downstream: each neighbor lives
+    * in exactly one cell, so a (q_id, neighbor) pair arises at most
+    * once across probed cells. */
   def annTopKIvf(
       embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int, nProbe: Int): DataFrame = {
     val n = withNorms(embeddings)
-    val centroids = n.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // one row: all centroids, sorted by c_id so the array is
+    // deterministic regardless of collect_list's partition order
+    val centroidArr = n.filter(col("vec_id") < nCentroids)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"))
 
-    // rank centroid affinities per vector; cells = top-1 for corpus
-    // vectors, top-nProbe for queries. Full cross join on purpose:
-    // centroid vectors assign to their own cell like any other vector.
-    val affinity = n.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("caff"))
-    val w = Window.partitionBy("vec_id").orderBy(col("caff").desc, col("c_id"))
-    val ranked = affinity.withColumn("crnk", row_number().over(w))
+    // per-row affinity list, best cell first: ascending sort on
+    // (-cosine, c_id) structs = cosine desc with c_id tie-break
+    val affSorted = array_sort(transform(col("cents"), c =>
+      struct((-dot(col("v"), c("cv")) / (col("nrm") * c("cnrm"))).as("neg"),
+        c("c_id").as("c_id"))))
+    val withCells = n.crossJoin(broadcast(centroidArr)).withColumn("aff", affSorted)
 
-    val assigned = ranked.filter(col("crnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    val probes = ranked.filter(col("crnk") <= nProbe && queryPred)
+    val assigned = withCells.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(col("aff"), 1).getField("c_id").as("cell"))
+    val probes = withCells.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
-        col("c_id").as("cell"))
+        explode(transform(slice(col("aff"), 1, nProbe), a => a("c_id"))).as("cell"))
 
     val scored = assigned.join(broadcast(probes),
       assigned("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("score"))
-      .distinct() // a neighbor can appear via several probed cells
     val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(wq).cast("long"))
       .filter(col("rnk") <= k)

@@ -62,9 +62,18 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  // Right ordering appends every remaining right column after
+  // (keys, time): when several right rows tie on the max time ≤ left
+  // time, the one the scan keeps (last in sort order) is then a total-
+  // order maximum — deterministic across runs and partitionings instead
+  // of whatever the sort happened to place last.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val rKeyTime = rightKeys :+ rightTime
+    val rTieBreak = right.output.filterNot(a => rKeyTime.exists(_.semanticEquals(a)))
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      (rKeyTime ++ rTieBreak).map(SortOrder(_, Ascending)))
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeys = leftKeys

@@ -173,7 +173,11 @@ object TextQueries {
           |ORDER BY d1, d2""".stripMargin),
 
     // B3: SimHash near-dup — 48-bit signatures, pairs within hamming 6
-    // on the doubled corpus (every duplicate pair lands at hamming 0)
+    // on the doubled corpus (every duplicate pair lands at hamming 0).
+    // Candidates come from pigeonhole-banded equi-joins (TextOps
+    // .simHashPairs), not an all-pairs theta join; the oracle computes
+    // the all-pairs reference, so the hash match proves the banded path
+    // loses no pair.
     "dedup_simhash" -> QueryDef.sql(
       (s, dir) => {
         val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
@@ -181,12 +185,7 @@ object TextQueries {
         val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
         val sig = TextOps.simHash(
           corpus.select(col("doc_id"), toks(col("text")).as("t")), "doc_id", "t")
-        val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-        val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-        a.join(b, col("d1") < col("d2"))
-          .select(col("d1"), col("d2"),
-            bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
-          .filter(col("hamming") <= 6)
+        TextOps.simHashPairs(sig, "doc_id", "simhash", maxHamming = 6)
           .orderBy("d1", "d2")
       },
       s"""WITH corpus AS (

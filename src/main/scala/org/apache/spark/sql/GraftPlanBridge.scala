@@ -36,6 +36,14 @@ object GraftPlanBridge {
 
     val lOut = l.queryExecution.analyzed.output
     val rOut = r2.queryExecution.analyzed.output
+    // the merge scan evaluates time as a raw Long — fail analysis-time
+    // with a clear message rather than ClassCastException mid-stage
+    Seq(attr(lOut, timeCol), attr(rOut, timeCol + rightSuffix)).foreach { t =>
+      if (t.dataType != org.apache.spark.sql.types.LongType)
+        throw new IllegalArgumentException(
+          s"asofJoin time column '${t.name}' must be LongType (epoch micros), " +
+            s"got ${t.dataType.simpleString}; cast it before joining")
+    }
     CDataset.ofRows(spark, AsOfJoinPlan(
       l.queryExecution.analyzed,
       r2.queryExecution.analyzed,

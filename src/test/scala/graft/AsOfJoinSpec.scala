@@ -44,6 +44,33 @@ class AsOfJoinSpec extends AnyFunSpec with Matchers with SparkTestBase {
       custom shouldBe expected
     }
 
+    it("breaks right-side time ties deterministically (total-order max)") {
+      val s = spark
+      import s.implicits._
+      val left = Seq(("k1", 100L)).toDF("k", "t")
+      // three right rows tied at t=90: the kept one must be the total-
+      // order maximum of the remaining columns ("c"), on every run and
+      // under any input partitioning
+      val right = Seq(("k1", 90L, "a"), ("k1", 90L, "c"), ("k1", 90L, "b"))
+        .toDF("k", "t", "tag").repartition(5)
+      (1 to 3).foreach { _ =>
+        val out = GraftPlanBridge.asofJoin(left, right, Seq("k"), "t")
+          .select("tag_r").collect().map(_.getString(0)).toSeq
+        out shouldBe Seq("c")
+      }
+    }
+
+    it("rejects non-long time columns at analysis time with a clear error") {
+      val s = spark
+      import s.implicits._
+      val left = Seq(("k1", 100)).toDF("k", "t") // Int time
+      val right = Seq(("k1", 90)).toDF("k", "t")
+      val e = intercept[IllegalArgumentException] {
+        GraftPlanBridge.asofJoin(left, right, Seq("k"), "t")
+      }
+      e.getMessage should include("must be LongType")
+    }
+
     it("produces the exchange/sort shape of a merge join, not a cross product") {
       val sp = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
       val errors = sp.filter(col("service") === "error").select("trace_id", "span_id", "start_us")

@@ -24,12 +24,27 @@ class SkewOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val events = Tables.events(spark, sfDir)
       val phase1Groups = events
         .select(col("event_type").as("k"), col("event_id").as("v"))
-        .withColumn("salt", pmod(hash(col("v")), lit(16)))
+        .withColumn("salt", pmod(monotonically_increasing_id(), lit(16)))
         .groupBy("k", "salt").count()
         .groupBy("k").count()
         .collect().map(_.getLong(1))
       // every key fanned out to >1 sub-group
       all(phase1Groups) should be > 1L
+    }
+
+    it("splits a hot key with one constant value across most salts") {
+      import spark.implicits._
+      // the case that defeats value-derived salting: every row of the
+      // hot key carries the SAME value (constant-duration heartbeats)
+      val hot = Seq.fill(10000)(("hot", 42L)).toDF("k", "v").repartition(8)
+      val nSalts = hot
+        .withColumn("salt", pmod(monotonically_increasing_id(), lit(16)))
+        .select("salt").distinct().count()
+      nSalts should be >= 8L
+      // and the aggregate is still exact
+      val res = SkewOps.saltedAggregate(hot, col("k"), col("v"), salts = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      res.toSeq shouldBe Seq(("hot", 10000L, 420000L))
     }
   }
 }

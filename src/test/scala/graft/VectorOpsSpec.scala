@@ -45,6 +45,24 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val recall = (brute & ivf).size.toDouble / brute.size
       recall should be > 0.2 // probing 4/16 cells
     }
+
+    it("assigns cells without shuffling the corpus") {
+      val plan = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 3, 16, 4)
+        .queryExecution.executedPlan.toString
+      // round 1 assigned cells via a per-vector window — an Exchange
+      // hash-partitioned on vec_id over corpus×nCentroids rows. The
+      // row-local array path must never partition by vec_id; the only
+      // exchanges left serve the candidate-set window and final sort.
+      plan should not include "hashpartitioning(vec_id"
+      plan should include("BroadcastNestedLoopJoin")
+    }
+
+    it("never pairs a query with a neighbor twice") {
+      val rows = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 3, 16, 4)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      rows.distinct.length shouldBe rows.length
+    }
   }
 
   describe("cosineNearDupPairs") {
