@@ -1,10 +1,12 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{SpanOps, TimePartitioner, TraceSearch}
+import graft.operators.{SpanOps, TimePartitioner, TraceSearch, WhitelistIndex}
+import graft.operators.WhitelistIndex.WhitelistField
 import graft.trace.TraceDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Trace-domain coverage (SURVEY.md §2 A-block): the haystack-traces
   * reader/indexer query surface over the `events`-derived span relation
@@ -23,6 +25,31 @@ object TraceQueries {
     SpanOps.spansFromEvents(Tables.events(s, dir))
 
   private def cte(body: String): String = SpanOps.spansSqlCte + "\n" + body
+
+  /** Demo whitelist config (A6/A13): four live fields of four types —
+    * two reached through aliases — plus one that never converts
+    * (badnum's only source is a non-numeric string), exercising the
+    * reference's ignore-on-cast-failure path. */
+  private val demoWhitelist = Seq(
+    WhitelistField("kval", "long", aliases = Seq("k"), enableRangeQuery = true),
+    WhitelistField("iserror", "boolean", aliases = Seq("err")),
+    WhitelistField("score", "double", enableRangeQuery = true),
+    WhitelistField("region", "string"),
+    WhitelistField("badnum", "long", aliases = Seq("region")))
+
+  /** Spans with a richer tags JSON (the events stream only carries one
+    * tag key): typed values re-serialized into real JSON so the
+    * whitelist extraction exercises an actual JSON round trip. The
+    * oracle computes the same typed values straight from span columns,
+    * so the compare proves extraction, not serialization. score is a
+    * plain division (never ROUND on a double — engines disagree on
+    * half-way doubles; decimal casts are correctly rounded on both). */
+  private def richSpans(s: SparkSession, dir: String): DataFrame =
+    spans(s, dir).withColumn("tags", to_json(struct(
+      get_json_object(col("tags"), "$.k").cast("int").as("k"),
+      (col("service") === "error").as("err"),
+      (col("duration_us") / 1000.0).as("score"),
+      upper(substring(col("service"), 1, 3)).as("region"))))
 
   val defs: Map[String, QueryDef] = Map(
     // A1: span ingest/deserialize — typed projection of the raw stream
@@ -57,16 +84,31 @@ object TraceQueries {
             |  MIN(start_us) AS first_seen_us, MAX(start_us) AS last_seen_us
             |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
 
-    // A6/C14: whitelist tag extraction with type adjustment
+    // A6/C14: configurable whitelist tag indexing — five fields, four
+    // types, alias resolution, and cast-failure tolerance, aggregated
+    // per service. The oracle derives every typed value directly from
+    // span columns, so the hash match proves the config-driven JSON
+    // extraction produced exactly the declared types and values.
     "trace_tag_extract" -> QueryDef.sql(
-      (s, dir) => spans(s, dir)
-        .select(col("service"), get_json_object(col("tags"), "$.k").cast("int").cast("long").as("k"))
-        .filter(col("k") > 80)
-        .groupBy("service").agg(count(lit(1)).as("n_spans"), max("k").as("max_k"))
-        .orderBy("service"),
-      cte("""SELECT service, COUNT(*) AS n_spans, MAX(k) AS max_k FROM (
-            |  SELECT service, CAST(CAST(json_extract(tags, '$.k') AS INT) AS BIGINT) AS k FROM spans) t
-            |WHERE k > 80 GROUP BY service ORDER BY service""".stripMargin)),
+      (s, dir) =>
+        WhitelistIndex.extractTags(richSpans(s, dir), demoWhitelist)
+          .groupBy("service")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            max("kval").as("max_k"),
+            sum(when(col("iserror"), 1L).otherwise(0L)).as("n_err"),
+            sum(col("score").cast(DecimalType(18, 3))).cast(DecimalType(38, 3))
+              .cast("double").as("total_score"),
+            min("region").as("region"),
+            count(col("badnum")).as("n_badnum"))
+          .orderBy("service"),
+      cte("""SELECT service, COUNT(*) AS n_spans,
+            |  MAX(CAST(CAST(json_extract(tags, '$.k') AS INT) AS BIGINT)) AS max_k,
+            |  CAST(SUM(CASE WHEN service = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+            |  CAST(CAST(SUM(CAST(duration_us / 1000.0 AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS DOUBLE) AS total_score,
+            |  MIN(upper(substr(service, 1, 3))) AS region,
+            |  COUNT(TRY_CAST(upper(substr(service, 1, 3)) AS BIGINT)) AS n_badnum
+            |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
 
     // A7: getTrace — fetch one full trace
     "trace_get" -> QueryDef.sql(
@@ -211,14 +253,31 @@ object TraceQueries {
           col("n_spans"))
         .orderBy("service")),
 
-    // A13: getFieldNames — indexed-field catalog
+    // A13: getFieldNames — catalog derived from the whitelist config +
+    // the data: intrinsic index-doc fields plus whitelisted fields that
+    // indexed at least one value. badnum is configured but never
+    // converts, so it must NOT appear — the oracle re-derives presence
+    // per field with EXISTS probes over the same span relation.
     "trace_field_names" -> QueryDef.sql(
-      (s, dir) => {
-        import s.implicits._
-        Seq("duration", "operation", "service", "starttime", "traceid").toDF("field").orderBy("field")
-      },
-      """SELECT field FROM (VALUES ('duration'), ('operation'), ('service'), ('starttime'), ('traceid'))
-        |  AS t(field) ORDER BY field""".stripMargin),
+      (s, dir) => WhitelistIndex.fieldNames(richSpans(s, dir), demoWhitelist).orderBy("field"),
+      cte("""SELECT field FROM (
+            |  SELECT unnest(['duration','operation','service','starttime','traceid']) AS field
+            |  UNION
+            |  SELECT 'kval' WHERE EXISTS (SELECT 1 FROM spans
+            |    WHERE TRY_CAST(json_extract_string(tags, '$.k') AS BIGINT) IS NOT NULL)
+            |  UNION
+            |  SELECT 'iserror' WHERE EXISTS (SELECT 1 FROM spans
+            |    WHERE TRY_CAST(CAST(service = 'error' AS VARCHAR) AS BOOLEAN) IS NOT NULL)
+            |  UNION
+            |  SELECT 'score' WHERE EXISTS (SELECT 1 FROM spans
+            |    WHERE TRY_CAST(CAST(duration_us / 1000.0 AS VARCHAR) AS DOUBLE) IS NOT NULL)
+            |  UNION
+            |  SELECT 'region' WHERE EXISTS (SELECT 1 FROM spans
+            |    WHERE upper(substr(service, 1, 3)) IS NOT NULL)
+            |  UNION
+            |  SELECT 'badnum' WHERE EXISTS (SELECT 1 FROM spans
+            |    WHERE TRY_CAST(upper(substr(service, 1, 3)) AS BIGINT) IS NOT NULL)
+            |) t ORDER BY field""".stripMargin)),
 
     // A14: getFieldValues — filtered distinct values of an indexed field
     "trace_field_values" -> QueryDef.sql(

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.WhitelistIndex
+import graft.operators.WhitelistIndex.WhitelistField
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  private def tagged(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("span_id", "tags")
+  }
+
+  describe("extractTags") {
+    it("extracts typed columns, resolving aliases case-insensitively") {
+      val df = tagged(
+        1L -> """{"httpstatus": "200", "svc": "api"}""",
+        2L -> """{"status": "404"}""")
+      val fields = Seq(
+        WhitelistField("HTTPStatus", "long", aliases = Seq("Status")),
+        WhitelistField("svc", "string"))
+      val out = WhitelistIndex.extractTags(df, fields)
+        .select("span_id", "httpstatus", "svc").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+      out shouldBe Set((1L, 200L, "api"), (2L, 404L, null))
+    }
+
+    it("prefers the field name over its aliases when both exist") {
+      val df = tagged(1L -> """{"status": "1", "code": "2"}""")
+      val out = WhitelistIndex.extractTags(df,
+        Seq(WhitelistField("status", "long", aliases = Seq("code"))))
+        .select("status").collect().head.getLong(0)
+      out shouldBe 1L
+    }
+
+    it("indexes null (not an error) on conversion failure, like the reference Try") {
+      val df = tagged(1L -> """{"n": "not-a-number", "b": "maybe"}""")
+      val out = WhitelistIndex.extractTags(df, Seq(
+        WhitelistField("n", "long"), WhitelistField("b", "boolean")))
+        .select("n", "b").collect().head
+      out.isNullAt(0) shouldBe true
+      out.isNullAt(1) shouldBe true
+    }
+
+    it("skips disabled fields") {
+      val df = tagged(1L -> """{"a": "1"}""")
+      val cols = WhitelistIndex.extractTags(df,
+        Seq(WhitelistField("a", "long", enabled = false))).columns.toSeq
+      cols should not contain "a"
+    }
+  }
+
+  describe("fieldNames") {
+    it("serves intrinsics plus whitelisted fields that indexed a value") {
+      val df = tagged(
+        1L -> """{"present": "7"}""",
+        2L -> """{"other": "x"}""")
+      val names = WhitelistIndex.fieldNames(df, Seq(
+        WhitelistField("present", "long"),
+        WhitelistField("absent", "long"),          // tag never occurs
+        WhitelistField("unconvertible", "long", aliases = Seq("other"))))
+        .collect().map(_.getString(0)).sorted.toSeq
+      names shouldBe (WhitelistIndex.IntrinsicFields :+ "present").sorted
+    }
+  }
+
+  describe("catalog") {
+    it("exposes normalized metadata sorted by name") {
+      WhitelistIndex.catalog(Seq(
+        WhitelistField("B", "string"),
+        WhitelistField("a", "long", enableRangeQuery = true),
+        WhitelistField("off", "long", enabled = false))) shouldBe
+        Seq(("a", "long", true), ("b", "string", false))
+    }
+  }
+}
