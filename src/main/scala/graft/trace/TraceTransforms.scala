@@ -18,8 +18,11 @@ import scala.collection.mutable
   *
   * Reference files (semantics source, not code source):
   *  - DeDuplicateSpanTransformer.scala        → [[dedupSpans]]
+  *  - ClientServerEventLogTransformer.scala   → [[deriveKinds]]
+  *  - InfrastructureTagTransformer.scala      → [[propagateInfraTags]]
   *  - PartialSpanTransformer.scala + SpanMerger.scala → [[mergePartialSpans]]
   *  - ServerClientSpanMergeTransformer.scala  → [[mergeServerClientSpans]]
+  *  - ClockSkewTransformer.scala              → [[adjustClockSkewFromEvents]]
   *  - ClockSkewFromParentTransformer.scala    → [[adjustClockSkew]]
   *  - InvalidRootTransformer.scala            → [[fixInvalidRoots]]
   *  - InvalidParentTransformer.scala          → [[fixInvalidParents]]
@@ -50,6 +53,8 @@ object TraceTransforms {
     val AutogenReason = "X-HAYSTACK-AUTOGEN-REASON"
     val RootCount = "X-HAYSTACK-SPAN-ROOT-COUNT"
     val AutogenOperation = "auto-generated"
+    val InfraProvider = "X-HAYSTACK-INFRASTRUCTURE-PROVIDER"
+    val InfraLocation = "X-HAYSTACK-AWS-REGION"
   }
 
   // ---------------------------------------------------------------- forest
@@ -115,6 +120,29 @@ object TraceTransforms {
         case _ => s
       }
     }
+
+  /** Propagate infrastructure provider/location tags across all spans
+    * of a service (reference InfrastructureTagTransformer): many
+    * services send infra tags only on the server span to save transfer
+    * cost; spans of the same service that carry NO infra tag inherit
+    * the ones observed anywhere in the trace. Spans that already carry
+    * any infra tag are left untouched, exactly like the reference.
+    * First observation per (service, key) wins — deterministic in span
+    * order. */
+  def propagateInfraTags(spans: Seq[Span]): Seq[Span] = {
+    val infraKeys = Set(Aux.InfraProvider, Aux.InfraLocation)
+    val byService = mutable.HashMap[String, Map[String, String]]()
+    spans.foreach { s =>
+      val infra = s.tags.filter { case (k, _) => infraKeys(k) }
+      if (infra.nonEmpty)
+        // existing entries win (first span's value is kept)
+        byService.update(s.service, infra ++ byService.getOrElse(s.service, Map.empty))
+    }
+    spans.map { s =>
+      if (s.tags.keysIterator.exists(infraKeys)) s
+      else byService.get(s.service).fold(s)(infra => s.copy(tags = s.tags ++ infra))
+    }
+  }
 
   // ------------------------------------------------------ span merging
 
@@ -202,8 +230,54 @@ object TraceTransforms {
 
   // ------------------------------------------------------- clock skew
 
+  private final case class Skew(service: String, delta: Long)
+
+  /** Event-log clock-skew correction — the reference's DEFAULT skew
+    * transformer (ClockSkewTransformer, enabled in reader base.conf).
+    * A merged client/server span carries both sides' event timestamps
+    * in its merge aux tags: cs = client start, cr = cs + client
+    * duration, sr = server start, ss = sr + server duration. Skew
+    * exists when the logs are NOT in cs → sr → ss → cr order (and the
+    * server interval isn't longer than the client's): the server clock
+    * is off by delta = sr − (clientDur − serverDur)/2 − cs. The span
+    * itself and its direct children are shifted by −delta when their
+    * service matches the skewed (server) service; a child that is
+    * itself a merged span computes and cascades its own skew, exactly
+    * mirroring the reference's adjustSkew recursion (event logs stay
+    * pristine — shifts touch only startUs). */
+  def adjustClockSkewFromEvents(spans: Seq[Span]): Seq[Span] = {
+    def skewOf(s: Span): Option[Skew] =
+      if (!s.tags.contains(Aux.IsMergedSpan)) None
+      else for {
+        cs <- s.tags.get(Aux.ClientStartTime).flatMap(_.toLongOption)
+        cd <- s.tags.get(Aux.ClientDuration).flatMap(_.toLongOption)
+        sr <- s.tags.get(Aux.ServerStartTime).flatMap(_.toLongOption)
+        sd <- s.tags.get(Aux.ServerDuration).flatMap(_.toLongOption)
+        // cs → sr and ss → cr already ordered, or server longer than
+        // client: timestamps are plausible, leave them alone
+        if !(sd > cd || (cs < sr && cs + cd > sr + sd))
+        delta = sr - (cd - sd) / 2 - cs
+        if delta != 0
+      } yield Skew(s.service, delta)
+
+    def shift(s: Span, k: Skew): Span =
+      if (s.service == k.service) s.copy(startUs = s.startUs - k.delta) else s
+
+    def walk(t: Tree, prev: Option[Skew]): Seq[Span] = {
+      val prevAdjusted = prev.fold(t.span)(shift(t.span, _))
+      skewOf(prevAdjusted) match {
+        case Some(own) =>
+          shift(prevAdjusted, own) +: t.children.flatMap(walk(_, Some(own)))
+        case None =>
+          prevAdjusted +: t.children.flatMap(walk(_, None))
+      }
+    }
+    buildForest(spans).flatMap(walk(_, None))
+  }
+
   /** Shift children into the parent's interval, cascading the adjusted
-    * parent downward (reference ClockSkewFromParentTransformer). */
+    * parent downward (reference ClockSkewFromParentTransformer — the
+    * alternate skew strategy for spans without event logs). */
   def adjustClockSkew(spans: Seq[Span]): Seq[Span] = {
     val out = mutable.ListBuffer[Span]()
     @tailrec
@@ -364,15 +438,18 @@ object TraceTransforms {
 
   // ------------------------------------------------------------ pipeline
 
-  /** The reference's default pipeline (reader base.conf transformer
-    * sequence): dedup (pre) → partial-span merge → server/client span
-    * merge → clock-skew fix → sort. Root/orphan repair
+  /** The reference's default pipeline, in base.conf order — pre:
+    * dedup → client/server kind derivation → infra-tag propagation;
+    * post: partial-span merge → server/client span merge → event-log
+    * clock-skew fix → sort. Root/orphan repair
     * ([[fixInvalidRoots]]/[[fixInvalidParents]]/[[fixOrphanedTrace]])
-    * stays opt-in, exactly as in the reference config. */
+    * stays opt-in, exactly as in the reference config; the from-parent
+    * skew variant ([[adjustClockSkew]]) remains the alternate strategy
+    * for spans that never carried event logs. */
   def defaultPipeline(spans: Seq[Span]): Seq[Span] = {
-    val pre = dedupSpans(spans)
+    val pre = propagateInfraTags(deriveKinds(dedupSpans(spans)))
     if (pre.isEmpty) pre
-    else sortSpans(adjustClockSkew(mergeServerClientSpans(mergePartialSpans(pre))))
+    else sortSpans(adjustClockSkewFromEvents(mergeServerClientSpans(mergePartialSpans(pre))))
   }
 
   /** Pipeline variant with full root/orphan repair enabled (the
@@ -382,7 +459,7 @@ object TraceTransforms {
     * never composes them either: Orphaned is commented out of its
     * default config precisely because it assumes a rootless input). */
   def repairingPipeline(spans: Seq[Span]): Seq[Span] = {
-    val pre = dedupSpans(spans)
+    val pre = propagateInfraTags(deriveKinds(dedupSpans(spans)))
     if (pre.isEmpty) return Nil
     val afterOrphan =
       if (pre.exists(_.parentSpanId.isEmpty)) pre
@@ -391,7 +468,7 @@ object TraceTransforms {
       case Nil => Nil
       case s =>
         val reparented = fixInvalidParents(fixInvalidRoots(s))
-        sortSpans(adjustClockSkew(mergeServerClientSpans(mergePartialSpans(reparented))))
+        sortSpans(adjustClockSkewFromEvents(mergeServerClientSpans(mergePartialSpans(reparented))))
     }
   }
 }

@@ -83,6 +83,117 @@ class TraceTransformsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("adjustClockSkewFromEvents") {
+    // scenarios mirror the reference ClockSkewTransformerSpec timelines
+    val T = 150000000000L
+
+    it("does not touch a trace without merged spans") {
+      // a -> b(-50) -> e(-100); a -> c(+500); a -> d(-100)
+      val spans = Seq(
+        span("a", "", start = T, dur = 1000),
+        span("b", "a", start = T - 50, dur = 100),
+        span("c", "a", start = T + 500, dur = 100),
+        span("d", "a", start = T - 100, dur = 100),
+        span("e", "b", start = T - 150, dur = 100))
+      val out = adjustClockSkewFromEvents(spans)
+      out.map(s => s.spanId -> s.startUs).toMap shouldBe
+        spans.map(s => s.spanId -> s.startUs).toMap
+    }
+
+    it("shifts a skewed merged span and its same-service children by the event-log delta") {
+      // cs=T cr=T+1000 sr=T+2000 ss=T+2400 → latency=(1000-400)/2=300,
+      // delta = sr - latency - cs = 1700
+      val merged = span("m", "", start = T + 2000, dur = 1000, service = "S",
+        kind = "merged", tags = Map(
+          Aux.IsMergedSpan -> "true",
+          Aux.ClientStartTime -> T.toString,
+          Aux.ClientDuration -> "1000",
+          Aux.ServerStartTime -> (T + 2000).toString,
+          Aux.ServerDuration -> "400"))
+      val a = span("a", "m", start = T + 2500, dur = 400, service = "S")
+      val b = span("b", "m", start = T + 2700, dur = 400, service = "S")
+      val c = span("c", "b", start = T + 100, dur = 400, service = "other")
+      val out = adjustClockSkewFromEvents(Seq(a, b, c, merged))
+        .map(s => s.spanId -> s.startUs).toMap
+      out("m") shouldBe T + 300 // 2000 - 1700
+      out("a") shouldBe T + 800 // direct child, same service
+      out("b") shouldBe T + 1000
+      out("c") shouldBe T + 100 // grandchild below a non-merged span: untouched
+    }
+
+    it("leaves plausible timelines alone (cs→sr→ss→cr ordered)") {
+      val merged = span("m", "", start = T + 100, dur = 1000, service = "S",
+        kind = "merged", tags = Map(
+          Aux.IsMergedSpan -> "true",
+          Aux.ClientStartTime -> T.toString,
+          Aux.ClientDuration -> "1000",
+          Aux.ServerStartTime -> (T + 100).toString,
+          Aux.ServerDuration -> "400"))
+      adjustClockSkewFromEvents(Seq(merged)).head.startUs shouldBe T + 100
+    }
+
+    it("leaves the span alone when the server interval exceeds the client's") {
+      val merged = span("m", "", start = T + 2000, dur = 1000, service = "S",
+        kind = "merged", tags = Map(
+          Aux.IsMergedSpan -> "true",
+          Aux.ClientStartTime -> T.toString,
+          Aux.ClientDuration -> "400",
+          Aux.ServerStartTime -> (T + 2000).toString,
+          Aux.ServerDuration -> "1000"))
+      adjustClockSkewFromEvents(Seq(merged)).head.startUs shouldBe T + 2000
+    }
+
+    it("shifts only spans of the skewed service") {
+      val merged = span("m", "", start = T + 2000, dur = 1000, service = "S",
+        kind = "merged", tags = Map(
+          Aux.IsMergedSpan -> "true",
+          Aux.ClientStartTime -> T.toString,
+          Aux.ClientDuration -> "1000",
+          Aux.ServerStartTime -> (T + 2000).toString,
+          Aux.ServerDuration -> "400"))
+      val other = span("x", "m", start = T + 2500, dur = 100, service = "other")
+      val out = adjustClockSkewFromEvents(Seq(merged, other))
+        .map(s => s.spanId -> s.startUs).toMap
+      out("x") shouldBe T + 2500
+    }
+  }
+
+  describe("propagateInfraTags") {
+    val infra = Map(
+      Aux.InfraProvider -> "aws",
+      Aux.InfraLocation -> "us-west-2")
+
+    it("fills infra tags onto same-service spans that lack them") {
+      val server = span("s", "", service = "A", kind = "server", tags = infra)
+      val client = span("c", "s", service = "A", kind = "client")
+      val foreign = span("f", "s", service = "B")
+      val out = propagateInfraTags(Seq(server, client, foreign))
+        .map(s => s.spanId -> s.tags).toMap
+      out("c")(Aux.InfraProvider) shouldBe "aws"
+      out("c")(Aux.InfraLocation) shouldBe "us-west-2"
+      out("f") should not contain key(Aux.InfraProvider)
+    }
+
+    it("never overwrites a span that already carries any infra tag") {
+      val server = span("s", "", service = "A", tags = infra)
+      val partial = span("p", "s", service = "A",
+        tags = Map(Aux.InfraProvider -> "gcp"))
+      val out = propagateInfraTags(Seq(server, partial))
+        .map(s => s.spanId -> s.tags).toMap
+      out("p")(Aux.InfraProvider) shouldBe "gcp"
+      out("p") should not contain key(Aux.InfraLocation)
+    }
+
+    it("is deterministic when two spans disagree: first span order wins") {
+      val s1 = span("s1", "", service = "A", tags = Map(Aux.InfraProvider -> "aws"))
+      val s2 = span("s2", "", service = "A", tags = Map(Aux.InfraProvider -> "gcp"))
+      val bare = span("b", "s1", service = "A")
+      val out = propagateInfraTags(Seq(s1, s2, bare))
+        .map(s => s.spanId -> s.tags).toMap
+      out("b")(Aux.InfraProvider) shouldBe "aws"
+    }
+  }
+
   describe("adjustClockSkew") {
     it("shifts a child starting before its parent") {
       val parent = span("p", "", start = 1000, dur = 500)
