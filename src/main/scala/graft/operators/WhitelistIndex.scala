@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Configurable whitelist tag indexing + the field-name catalog served
   * from it — the Spark analogue of the reference's
@@ -53,22 +54,29 @@ object WhitelistIndex {
     lc.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
   }
 
-  /** Raw (string) tag value for a field: name then aliases, first
-    * non-null JSON hit wins. */
-  private def rawTag(tags: Column, f: WhitelistField): Column =
-    coalesce((f.name +: f.aliases).map(k => get_json_object(tags, s"$$.$k")): _*)
-
-  /** spans + one typed column per enabled whitelist field. The typed
-    * cast is `try_cast`: a non-convertible value indexes as null
-    * (reference ignores it) instead of failing the job. */
+  /** spans + one typed column per enabled whitelist field. The tags
+    * JSON is parsed ONCE per row into a lowercased-key map (the
+    * reference lowercases tag keys before its whitelist lookup) — one
+    * Jackson pass feeding every field, instead of a get_json_object
+    * parse per (field, alias). Scalar JSON values coerce to their text
+    * form in a map<string,string>, which is exactly what the typed
+    * cast wants. The cast is `try_cast`: a non-convertible value
+    * indexes as null (reference ignores it) instead of failing the
+    * job. */
   def extractTags(spans: DataFrame, fields: Seq[WhitelistField]): DataFrame = {
     val fs = normalize(fields)
-    val withRaw = fs.foldLeft(spans)((df, f) =>
-      df.withColumn(s"__raw_${f.name}", rawTag(col("tags"), f)))
-    val typed = withRaw.selectExpr(
+    val parsed = spans.withColumn("__tags_map",
+      transform_keys(
+        coalesce(
+          from_json(col("tags"), MapType(StringType, StringType), Map.empty[String, String]),
+          map()),
+        (k, _) => lower(k)))
+    val withRaw = fs.foldLeft(parsed)((df, f) =>
+      df.withColumn(s"__raw_${f.name}",
+        coalesce((f.name +: f.aliases).map(k => element_at(col("__tags_map"), k)): _*)))
+    withRaw.selectExpr(
       spans.columns.map(c => s"`$c`") ++
         fs.map(f => s"try_cast(`__raw_${f.name}` AS ${f.fieldType}) AS `${f.name}`"): _*)
-    typed
   }
 
   /** getFieldNames: intrinsic doc fields ∪ whitelisted fields with at

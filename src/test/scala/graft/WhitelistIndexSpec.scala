@@ -28,6 +28,23 @@ class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out shouldBe Set((1L, 200L, "api"), (2L, 404L, null))
     }
 
+    it("matches tag keys case-insensitively, like the reference's lowercased lookup") {
+      val df = tagged(1L -> """{"HttpStatus": "200"}""")
+      val out = WhitelistIndex.extractTags(df,
+        Seq(WhitelistField("httpstatus", "long")))
+        .select("httpstatus").collect().head.getLong(0)
+      out shouldBe 200L
+    }
+
+    it("coerces unquoted JSON scalars (numbers, bools) through the map parse") {
+      val df = tagged(1L -> """{"n": 42, "b": true, "d": 1.5}""")
+      val out = WhitelistIndex.extractTags(df, Seq(
+        WhitelistField("n", "long"), WhitelistField("b", "boolean"),
+        WhitelistField("d", "double")))
+        .select("n", "b", "d").collect().head
+      (out.getLong(0), out.getBoolean(1), out.getDouble(2)) shouldBe ((42L, true, 1.5))
+    }
+
     it("prefers the field name over its aliases when both exist") {
       val df = tagged(1L -> """{"status": "1", "code": "2"}""")
       val out = WhitelistIndex.extractTags(df,
