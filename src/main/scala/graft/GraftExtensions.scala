@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FnvHash64
+import graft.functions.{FnvHash64, SimHash48}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash48"), SimHash48.info, exprs => SimHash48(exprs.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -24,5 +26,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash48"), SimHash48.info, exprs => SimHash48(exprs.head))
   }
 }

@@ -36,6 +36,17 @@ object TextOps {
       .select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash signatures via the native codegen'd expression
+    * ([[graft.functions.SimHash48]], registered as `simhash48` through
+    * GraftExtensions) — bit-identical to [[simHash]] (spec-proven) but
+    * computed entirely inside the scan stage: no explode, no 48-column
+    * aggregation, ZERO shuffle before candidate banding. The path to
+    * run at 10^9 documents. */
+  def simHashNative(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.selectExpr(s"`$idCol`", s"simhash48(`$tokensCol`) AS simhash")
+  }
+
   /** Candidate pairs within `maxHamming` of each other, via pigeonhole
     * banding: split the 48-bit signature into maxHamming+1 chunks — if
     * two signatures differ in ≤ maxHamming bits, at least one chunk is

@@ -174,16 +174,20 @@ object TextQueries {
 
     // B3: SimHash near-dup — 48-bit signatures, pairs within hamming 6
     // on the doubled corpus (every duplicate pair lands at hamming 0).
-    // Candidates come from pigeonhole-banded equi-joins (TextOps
-    // .simHashPairs), not an all-pairs theta join; the oracle computes
-    // the all-pairs reference, so the hash match proves the banded path
-    // loses no pair.
+    // Signatures come from the native codegen'd simhash48 expression
+    // (one map-side pass, zero shuffle — SimHash48Spec proves bit
+    // equality with the declarative explode+vote build); candidates
+    // come from pigeonhole-banded equi-joins (TextOps.simHashPairs),
+    // not an all-pairs theta join. The oracle computes the all-pairs
+    // reference over the declarative SQL signature build, so the hash
+    // match proves BOTH the native expression and the banding lose
+    // nothing.
     "dedup_simhash" -> QueryDef.sql(
       (s, dir) => {
         val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
           .select(col("doc_id"), col("text"))
         val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
-        val sig = TextOps.simHash(
+        val sig = TextOps.simHashNative(
           corpus.select(col("doc_id"), toks(col("text")).as("t")), "doc_id", "t")
         TextOps.simHashPairs(sig, "doc_id", "simhash", maxHamming = 6)
           .orderBy("d1", "d2")
