@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, SimHash48}
+import graft.functions.{FnvHash64, MinHashSig, SimHash48}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head)))
     ext.injectFunction(
       (FunctionIdentifier("simhash48"), SimHash48.info, exprs => SimHash48(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"), MinHashSig.info,
+        exprs => MinHashSig(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -28,5 +31,8 @@ object GraftExtensions {
       FunctionIdentifier("fnv_hash64"), FnvHash64.info, exprs => FnvHash64(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash48"), SimHash48.info, exprs => SimHash48(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"), MinHashSig.info,
+      exprs => MinHashSig(exprs(0), exprs(1)))
   }
 }

@@ -216,22 +216,33 @@ object TextQueries {
       }),
 
     // B2: MinHash + LSH candidate pairs (8 hashes, 4 bands of 2) on the
-    // doubled corpus — every duplicate pair must collide in all bands
+    // doubled corpus — every duplicate pair must collide in all bands.
+    // Signatures come from the native codegen'd minhash_sig expression:
+    // the whole 8-hash signature per document in one map-side pass over
+    // its distinct shingle array, replacing the shingles×seeds explode
+    // + 8-column min aggregation (one exchange of 8 rows per
+    // (doc, shingle) — the dominant shuffle of the pipeline at corpus
+    // scale). The oracle still computes the declarative SQL build, so
+    // the hash match proves bit equality end to end.
     "dedup_minhash" -> QueryDef.sql(
       (s, dir) => {
-        val sh = shingles(s, dir, 300, doubled = true)
-        val hs = sh
-          .withColumn("j", explode(lit((0 to 7).toArray)))
-          .withColumn("h",
-            conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("shingle"))), 1, 8), 16, 10)
-              .cast("long"))
-        val sigCols = (0 to 7).map(j => min(when(col("j") === j, col("h"))).as(s"s$j"))
-        val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        graft.GraftExtensions.register(s)
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        val sig = corpus
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+            .as("shingles"))
+          .selectExpr("doc_id", "minhash_sig(shingles, 8) AS sig")
         // all 4 band keys in ONE pass over sig (a union of per-band
-        // selects would re-execute the whole shingle→minhash subtree
-        // once per band per join side)
+        // selects would re-execute the signature subtree per band per
+        // join side)
         val bands = sig.select(col("doc_id"), posexplode(array(
-          (0 to 3).map(b => md5(concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")))): _*))
+          (0 to 3).map(b => md5(concat_ws("_",
+            element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
           .as(Seq("band", "bh")))
         bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
