@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,28 +52,26 @@ object MultimodalOps {
       encode(col("text"), "UTF-8").as("payload"),
       col("source"))
 
+  /** One small feature row per media item. */
+  final case class MediaFeatureRow(
+      media_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, duration_s: Double, byte_entropy: Double)
+
   /** Decode + feature-extract, batched per partition. Output: one small
-    * feature row per media item; payload is dropped before any shuffle. */
+    * feature row per media item; payload is dropped before any shuffle.
+    * Typed `Dataset.mapPartitions` (not `.rdd`), so rows stay on the
+    * encoder/Tungsten path end to end — no RDD drop-out around the
+    * imperative decode stage. */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("media_type", StringType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("duration_s", DoubleType, nullable = false),
-      StructField("byte_entropy", DoubleType, nullable = false)))
-    val rdd = media.select("media_id", "media_type", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val mt = r.getString(1)
-        val payload = r.getAs[Array[Byte]](2)
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, payload) =>
         val (w, h, dur) = stubDecode(mt, payload)
-        Row(id, mt, payload.length.toLong, w, h, dur, byteEntropy(payload))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+        MediaFeatureRow(id, mt, payload.length.toLong, w, h, dur, byteEntropy(payload))
+      })
+      .toDF()
   }
 
   /** Shannon entropy of the byte histogram — a real (non-stub) feature
@@ -90,31 +88,31 @@ object MultimodalOps {
     e
   }
 
+  /** One sampled frame slice. */
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
   /** Frame sampling for video payloads: fixed-count byte-window slices
     * standing in for decoded frames (the sampling STRATEGY — uniform
-    * temporal stride, bounded frames per item — is the real logic). */
+    * temporal stride, bounded frames per item — is the real logic).
+    * Typed `Dataset.mapPartitions`, same encoder-path rationale as
+    * [[decodeFeatures]]. */
   def sampleFrames(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame", BinaryType, nullable = false)))
-    val rdd = media.filter(col("media_type") === "video")
-      .select("media_id", "payload").rdd.mapPartitions { it =>
-        it.flatMap { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          if (payload.isEmpty) Iterator.empty
-          else {
-            val stride = math.max(1, payload.length / nFrames)
-            (0 until math.min(nFrames, payload.length)).iterator.map { i =>
-              val from = i * stride
-              val until = math.min(from + frameBytes, payload.length)
-              Row(id, i, java.util.Arrays.copyOfRange(payload, from, math.max(from + 1, until)))
-            }
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("media_type") === "video")
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        if (payload.isEmpty) Iterator.empty
+        else {
+          val stride = math.max(1, payload.length / nFrames)
+          (0 until math.min(nFrames, payload.length)).iterator.map { i =>
+            val from = i * stride
+            val until = math.min(from + frameBytes, payload.length)
+            FrameRow(id, i, java.util.Arrays.copyOfRange(payload, from, math.max(from + 1, until)))
           }
         }
-      }
-    spark.createDataFrame(rdd, outSchema)
+      })
+      .toDF()
   }
 }

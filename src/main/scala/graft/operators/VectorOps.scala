@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity operators (SURVEY.md §2 B5–B7).
@@ -75,11 +75,89 @@ object VectorOps {
     concat((0 until bits).map(b => when(planeDot(b) >= 0, "1").otherwise("0")): _*)
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (the first
-    * `nCentroids` corpus vectors — a real system would k-means these),
-    * every vector assigned to its nearest centroid, queries probe the
-    * `nProbe` nearest centroid cells — the standard recall/cost dial
-    * for billion-vector corpora.
+  /** Element-wise mean of double arrays — the reduce step of
+    * distributed Lloyd's iterations. A typed Aggregator, so the cell
+    * mean computes with map-side partial aggregation: each partition
+    * contributes ONE (sum, count) pair per cell and only k×dim partials
+    * shuffle, never the vectors themselves. */
+  private val vectorMean: Aggregator[(Long, Array[Double]), (Array[Double], Long), Array[Double]] =
+    new Aggregator[(Long, Array[Double]), (Array[Double], Long), Array[Double]] {
+      override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+      override def reduce(b: (Array[Double], Long), a: (Long, Array[Double])): (Array[Double], Long) = {
+        val v = a._2
+        if (b._2 == 0L) (v.clone(), 1L)
+        else {
+          var i = 0
+          while (i < v.length) { b._1(i) += v(i); i += 1 }
+          (b._1, b._2 + 1)
+        }
+      }
+      override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+        if (x._2 == 0L) y
+        else if (y._2 == 0L) x
+        else {
+          var i = 0
+          while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+          (x._1, x._2 + y._2)
+        }
+      override def finish(b: (Array[Double], Long)): Array[Double] =
+        b._1.map(_ / b._2)
+      override def bufferEncoder: Encoder[(Array[Double], Long)] =
+        Encoders.tuple(ExpressionEncoderHelper.doubleArray, Encoders.scalaLong)
+      override def outputEncoder: Encoder[Array[Double]] =
+        ExpressionEncoderHelper.doubleArray
+    }
+
+  private object ExpressionEncoderHelper {
+    val doubleArray: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** One-row DataFrame holding the centroid set as a deterministic
+    * array<struct> (sorted by c_id) — the broadcastable form every
+    * cell-assignment step attaches row-locally. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cnrm")))).as("cents"))
+
+  /** Per-row affinity list over the attached centroid array, best cell
+    * first: ascending sort on (-cosine, c_id) structs. */
+  private def affSorted: Column =
+    array_sort(transform(col("cents"), c =>
+      struct((-dot(col("v"), c("cv")) / (col("nrm") * c("cnrm"))).as("neg"),
+        c("c_id").as("c_id"))))
+
+  /** Coarse centroids by distributed Lloyd's iterations (cosine
+    * affinity): init = first k corpus vectors, then `iters` rounds of
+    * {row-local nearest-cell assignment (broadcast centroid array, no
+    * shuffle), per-cell mean via [[vectorMean]] (k×dim partials
+    * shuffle)}. Exactly the 100 TB k-means shape — per iteration, the
+    * corpus is scanned once and never shuffled. Cells that lose all
+    * members disappear (standard Lloyd's degeneracy; k can shrink). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val n = withNorms(embeddings)
+    var cents = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    (0 until iters).foreach { _ =>
+      val assigned = n.crossJoin(broadcast(centroidArray(cents)))
+        .withColumn("aff", affSorted)
+        .select(element_at(col("aff"), 1).getField("c_id").as("cell"), col("v"))
+        .as[(Long, Array[Double])]
+      cents = assigned
+        .groupByKey(_._1)
+        .agg(vectorMean.toColumn.name("cv"))
+        .toDF("c_id", "cv")
+        .withColumn("cnrm", norm(col("cv")))
+    }
+    cents
+  }
+
+  /** IVF-style ANN: coarse centroids (first `nCentroids` corpus
+    * vectors, optionally refined by [[kmeansCentroids]] Lloyd's
+    * rounds), every vector assigned to its nearest centroid, queries
+    * probe the `nProbe` nearest centroid cells — the standard
+    * recall/cost dial for billion-vector corpora.
     *
     * Cell assignment is SHUFFLE-FREE: the centroid set is folded into a
     * single-row array<struct> and attached to every corpus row via a
@@ -92,20 +170,16 @@ object VectorOps {
     * once across probed cells. */
   def annTopKIvf(
       embeddings: DataFrame, queryPred: Column, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
     val n = withNorms(embeddings)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(embeddings, nCentroids, kmeansIters)
+      else n.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     // one row: all centroids, sorted by c_id so the array is
-    // deterministic regardless of collect_list's partition order
-    val centroidArr = n.filter(col("vec_id") < nCentroids)
-      .agg(sort_array(collect_list(struct(col("vec_id").as("c_id"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("cents"))
-
-    // per-row affinity list, best cell first: ascending sort on
-    // (-cosine, c_id) structs = cosine desc with c_id tie-break
-    val affSorted = array_sort(transform(col("cents"), c =>
-      struct((-dot(col("v"), c("cv")) / (col("nrm") * c("cnrm"))).as("neg"),
-        c("c_id").as("c_id"))))
-    val withCells = n.crossJoin(broadcast(centroidArr)).withColumn("aff", affSorted)
+    // deterministic regardless of collect_list's partition order;
+    // affinity list per row, best cell first ((-cosine, c_id) sort)
+    val withCells = n.crossJoin(broadcast(centroidArray(cents))).withColumn("aff", affSorted)
 
     val assigned = withCells.select(col("vec_id"), col("v"), col("nrm"),
       element_at(col("aff"), 1).getField("c_id").as("cell"))

@@ -45,6 +45,13 @@ object VectorQueries {
     // B7b: IVF-style ANN — probe-limited centroid cells
     "ann_topk_ivf" -> QueryDef.rowsOnly(
       (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
-        nCentroids = 16, nProbe = 4))
+        nCentroids = 16, nProbe = 4)),
+
+    // B7c: IVF with Lloyd's-refined centroids (2 distributed k-means
+    // rounds: row-local assignment, typed partial-agg cell means) —
+    // recall vs brute in VectorOpsSpec
+    "ann_topk_ivf_kmeans" -> QueryDef.rowsOnly(
+      (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
+        nCentroids = 16, nProbe = 4, kmeansIters = 2))
   )
 }

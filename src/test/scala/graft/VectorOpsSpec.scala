@@ -57,11 +57,43 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       plan should include("BroadcastNestedLoopJoin")
     }
 
+    it("reaches at least the raw-centroid recall with k-means-refined cells") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 3).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivf = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 3,
+        nCentroids = 16, nProbe = 4, kmeansIters = 2)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      recall should be > 0.2
+    }
+
     it("never pairs a query with a neighbor twice") {
       val rows = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 3, 16, 4)
         .select("q_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       rows.distinct.length shouldBe rows.length
+    }
+  }
+
+  describe("kmeansCentroids") {
+    it("keeps dimensionality, bounds k, and leaves unit-consistent norms") {
+      val cents = VectorOps.kmeansCentroids(emb, k = 8, iters = 2).collect()
+      cents.length should be <= 8
+      cents.length should be > 0
+      cents.foreach { r =>
+        r.getAs[scala.collection.Seq[Double]]("cv").length shouldBe 64
+        val cv = r.getAs[scala.collection.Seq[Double]]("cv")
+        val expected = math.sqrt(cv.map(x => x * x).sum)
+        r.getAs[Double]("cnrm") shouldBe expected +- 1e-9
+      }
+    }
+
+    it("iterating moves centroids toward cell means (not a no-op)") {
+      val init = VectorOps.kmeansCentroids(emb, k = 8, iters = 0)
+        .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[scala.collection.Seq[Double]]("cv")).toMap
+      val once = VectorOps.kmeansCentroids(emb, k = 8, iters = 1)
+        .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[scala.collection.Seq[Double]]("cv")).toMap
+      once should not be init
     }
   }
 
