@@ -102,6 +102,26 @@ object SpanBufferStream {
         min("startUs").as("min_start_us"),
         approx_count_distinct("durationUs").as("approx_distinct_durations"))
 
+  /** Streaming latency percentiles per (window, service) — the
+    * haystack-trends-style rollup as a stream. percentile_approx's
+    * t-digest sketch is mergeable with bounded memory, so state per
+    * open window is O(services × sketch), never O(spans); the
+    * watermark closes windows and evicts their state. The streaming
+    * counterpart of the batch `trace_latency_quantiles` pair. */
+  def latencyQuantilesStream(spans: Dataset[Span], windowSeconds: Long, gapSeconds: Long): DataFrame =
+    spans
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$gapSeconds seconds")
+      .groupBy(window(col("event_time"), s"$windowSeconds seconds"), col("service"))
+      .agg(
+        expr("percentile_approx(durationUs, array(0.5, 0.95, 0.99), 1000)").as("pcts"),
+        count(lit(1)).as("n_spans"))
+      .select(col("window"), col("service"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p95"),
+        col("pcts").getItem(2).as("p99"),
+        col("n_spans"))
+
   /** Streaming exact de-duplication: at-least-once sources (the
     * reference consumes Kafka with retries) deliver duplicate spans;
     * watermarked dropDuplicates keeps (traceId, spanId) state only

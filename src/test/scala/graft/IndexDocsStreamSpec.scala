@@ -39,4 +39,33 @@ class IndexDocsStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
       rows.find(_.getAs[String]("service") == "svcB").get.getAs[Long]("span_count") shouldBe 1L
     }
   }
+
+  describe("streaming latency quantiles") {
+    it("emits per-(window, service) percentile sketches after watermark close") {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val t0 = 1704067200000000L
+      val input = MemoryStream[Span]
+      val out = SpanBufferStream.latencyQuantilesStream(
+        input.toDS(), windowSeconds = 60, gapSeconds = 30)
+      val sink = s"lat_q_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData((1 to 100).map(i =>
+          span("t1", s"s$i", t0 + i * 1000L, "svcA", dur = i.toLong)))
+        q.processAllAvailable()
+        input.addData(Seq(span("t2", "z", t0 + 600000000L, "svcA")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = s.table(sink).collect()
+      val svcA = rows.find(_.getAs[String]("service") == "svcA").get
+      svcA.getAs[Long]("n_spans") shouldBe 100L
+      // 1..100 durations: the t-digest medians land on the exact ranks
+      // at this tiny accuracy setting
+      svcA.getAs[Long]("p50") shouldBe 50L +- 2L
+      svcA.getAs[Long]("p95") shouldBe 95L +- 2L
+      svcA.getAs[Long]("p99") shouldBe 99L +- 2L
+    }
+  }
 }
