@@ -55,16 +55,34 @@ object TextOps {
     * (id, chunk) rows. Round 1 generated candidates with an all-pairs
     * theta join — O(N²) at corpus scale; this is the scale-safe shape
     * (same output, verified against the unchanged DuckDB oracle).
-    * Hot chunk values (skewed buckets) are split by AQE skew-join.
+    * Hot chunk values (skewed buckets) are split by AQE skew-join;
+    * `maxBucket` additionally DROPS degenerate buckets outright — a
+    * bucket shared by more than `maxBucket` documents contributes
+    * O(bucket²) candidate pairs while carrying almost no signal (a
+    * chunk value that common doesn't discriminate), so production LSH
+    * dedup caps it. Capped buckets can lose pairs by design; leave the
+    * default for exact pigeonhole semantics.
     * A pair colliding in several chunks emits duplicates → distinct. */
-  def simHashPairs(sig: DataFrame, idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+  def simHashPairs(
+      sig: DataFrame, idCol: String, sigCol: String, maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = (SimHashBits + nChunks - 1) / nChunks
     val chunks = sig.select(col(idCol).as("pid"), col(sigCol).as("psig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col(sigCol), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)): _*))
         .as(Seq("chunk", "ckey")))
-    chunks.as("a").join(chunks.as("b"),
+    val bounded =
+      if (maxBucket == Int.MaxValue) chunks
+      else {
+        // count per bucket with a partial-agg pass; the join back is on
+        // the same (chunk, ckey) keys so it reuses the hash exchange
+        val sizes = chunks.groupBy("chunk", "ckey").agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucket)
+          .select("chunk", "ckey")
+        chunks.join(sizes, Seq("chunk", "ckey"), "left_semi")
+      }
+    bounded.as("a").join(bounded.as("b"),
       col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.pid") < col("b.pid"))
       .select(col("a.pid").as("d1"), col("b.pid").as("d2"),

@@ -39,5 +39,43 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
       rows.distinct.length shouldBe rows.length
     }
+
+    it("matches the all-pairs reference on random signatures (pigeonhole property)") {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(42)
+      val sigs = (0L until 300L).map(i => (i, rnd.nextLong() & ((1L << 48) - 1)))
+        .toDF("doc_id", "simhash")
+      val a = sigs.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sigs.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      (0 to 6).foreach { maxH =>
+        val allPairs = a.join(b, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= maxH)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val banded = TextOps.simHashPairs(sigs, "doc_id", "simhash", maxH)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        withClue(s"maxHamming=$maxH: ") { banded shouldBe allPairs }
+      }
+    }
+
+    it("drops degenerate buckets when capped, keeping discriminative pairs") {
+      val s = spark
+      import s.implicits._
+      // 50 identical all-zero signatures (one degenerate bucket per
+      // chunk) + two near-identical outliers that only meet in a
+      // small bucket
+      val near = (1L << 47) | (1L << 20) // differs from `near2` by 1 bit
+      val near2 = (1L << 47) | (1L << 21)
+      val sigs = ((0L until 50L).map(i => (i, 0L)) ++ Seq((100L, near), (101L, near2)))
+        .toDF("doc_id", "simhash")
+      val capped = TextOps.simHashPairs(sigs, "doc_id", "simhash", 6, maxBucket = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the zero-cluster's O(n²) pairs are gone...
+      capped.exists(p => p._1 < 50L && p._2 < 50L) shouldBe false
+      // ...but the outlier pair survives via its uncapped chunk bucket
+      capped should contain((100L, 101L))
+    }
   }
 }
