@@ -59,19 +59,26 @@ object VectorOps {
       .orderBy("d1", "d2")
   }
 
+  /** Deterministic pseudo-random hyperplane weights for [[lshBucket]]
+    * — pure driver-side constants (hash-mixed index products), public
+    * so oracles can embed the identical literals. */
+  def lshWeights(dim: Int, bits: Int): Seq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+        (h % 1000).toDouble / 1000.0
+      }
+    }
+
   /** Random-hyperplane LSH bucket key: `bits` sign bits from
     * deterministic pseudo-hyperplanes (hash-mixed index products —
-    * reproducible across runs, no RNG state). */
+    * reproducible across runs, no RNG state). The per-plane dot is a
+    * left-associated sum of v[i]*w[i] terms, so an oracle writing the
+    * same literal chain reproduces the exact IEEE result. */
   def lshBucket(v: Column, dim: Int, bits: Int): Column = {
-    // hyperplane b, component i: a fixed pseudo-random ±weight from a
-    // integer hash of (b, i); the fold computes sign(v · h_b) per bit.
-    def planeDot(b: Int): Column = {
-      val weights = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((b, i))
-        lit((h % 1000).toDouble / 1000.0)
-      }
-      (0 until dim).map(i => element_at(v, i + 1) * weights(i)).reduce(_ + _)
-    }
+    val ws = lshWeights(dim, bits)
+    def planeDot(b: Int): Column =
+      (0 until dim).map(i => element_at(v, i + 1) * lit(ws(b)(i))).reduce(_ + _)
     concat((0 until bits).map(b => when(planeDot(b) >= 0, "1").otherwise("0")): _*)
   }
 

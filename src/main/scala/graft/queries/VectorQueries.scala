@@ -38,14 +38,59 @@ object VectorQueries {
         |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY d1, d2""".stripMargin),
 
-    // B7: LSH-bucketed ANN — scale path; recall checked in VectorOpsSpec
-    "ann_topk_lsh" -> QueryDef.rowsOnly(
-      (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4)),
+    // B7: LSH-bucketed ANN — scale path; recall checked in
+    // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
+    // driver-side literals, embedded into the SQL as the SAME
+    // left-associated v[i]*w chain, so sign bits (and therefore
+    // buckets, candidates, and top-k) match bit-for-bit.
+    "ann_topk_lsh" -> QueryDef.sql(
+      (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4),
+      {
+        val ws = VectorOps.lshWeights(64, 4)
+        val planes = ws.map { w =>
+          val terms = w.zipWithIndex
+            .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
+          s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e),
+           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket AS q_bucket
+           |      FROM n WHERE vec_id < 10),
+           |sc AS (SELECT q_id, vec_id AS neighbor_id,
+           |         ROUND(list_dot_product(v, qv) / (nrm * qnrm), 6) AS score
+           |       FROM n JOIN q ON bucket = q_bucket AND vec_id <> q_id),
+           |r AS (SELECT q_id, neighbor_id, score,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+           |      FROM sc)
+           |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }),
 
-    // B7b: IVF-style ANN — probe-limited centroid cells
-    "ann_topk_ivf" -> QueryDef.rowsOnly(
+    // B7b: IVF-style ANN — probe-limited centroid cells. Full DuckDB
+    // oracle: deterministic centroids + cosine cell ranking are plain
+    // SQL, so the hash match proves the shuffle-free row-local
+    // assignment ranks cells exactly like the reference windowed form.
+    "ann_topk_ivf" -> QueryDef.sql(
       (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
-        nCentroids = 16, nProbe = 4)),
+        nCentroids = 16, nProbe = 4),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |            ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk
+        |        FROM n CROSS JOIN c),
+        |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id AS cell
+        |           FROM aff WHERE crnk <= 4 AND vec_id < 10),
+        |sc AS (SELECT q_id, a.vec_id AS neighbor_id,
+        |         ROUND(list_dot_product(a.v, qv) / (a.nrm * qnrm), 6) AS score
+        |       FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+        |r AS (SELECT q_id, neighbor_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin),
 
     // B7c: IVF with Lloyd's-refined centroids (2 distributed k-means
     // rounds: row-local assignment, typed partial-agg cell means) —
