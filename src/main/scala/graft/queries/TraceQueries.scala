@@ -175,6 +175,25 @@ object TraceQueries {
              |WHERE service = 'error' AND start_us BETWEEN $T0 AND ${T0 + 14 * DayUs}
              |ORDER BY trace_id""".stripMargin)),
 
+    // A11 Not branch: span-level negation inside a group — traces with
+    // a span in a one-day window that is NONE of the three common
+    // services (NOT applies to a single span's fields, mirroring the
+    // reference tree's must_not); selective, so a broken Not would
+    // change the row set, not just pass through
+    "trace_search_expr_not" -> QueryDef.sql(
+      (s, dir) => {
+        import TraceSearch._
+        TraceSearch.matchingTraceIds(spans(s, dir), Seq(
+          And(Seq(Not(Or(Seq(Eq("service", "view"), Eq("service", "click"),
+            Eq("service", "signup")))),
+            RangeUs("start_us", T0, T0 + DayUs)))))
+          .orderBy("trace_id")
+      },
+      cte(s"""SELECT DISTINCT trace_id FROM spans
+             |WHERE NOT (service = 'view' OR service = 'click' OR service = 'signup')
+             |  AND start_us BETWEEN $T0 AND ${T0 + DayUs}
+             |ORDER BY trace_id""".stripMargin)),
+
     // A22: hourly-partitioned layout round trip — write dt/hr partitions
     // ONCE per (JVM, sf dir) into a run-unique temp dir (concurrent
     // runs can't clobber each other), then read back with partition
