@@ -238,6 +238,37 @@ object RelationalQueries {
         |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
         |ORDER BY n_nationkey""".stripMargin),
 
+    // C12b: EXCEPT — customers newly active in 1998 (ordered in 1998,
+    // never before 1995): two fact projections set-differenced on the
+    // key, ~1.5k rows at sf0.01
+    "q_except" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select("o_custkey").distinct()
+          .except(
+            o.filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+              .select("o_custkey").distinct())
+          .orderBy("o_custkey")
+      },
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |ORDER BY o_custkey""".stripMargin),
+
+    // C15b: CUBE — all grouping-set combinations over two dims
+    "q_cube" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), asDec2(sum(dec("o_totalprice"))).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  CAST(CAST(SUM(${d("o_totalprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
     // C15: rollup
     "q_rollup" -> QueryDef.sql(
       (s, dir) =>
