@@ -29,11 +29,20 @@ case class MinHashSig(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // compute() yields null for empty/all-null shingle arrays even when
+  // the child is non-nullable — declare it, or codegen marks the slot
+  // non-nullable and downstream IsNull folds to a wrong constant
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(shingles: Any, n: Any): Any =
     MinHashSig.compute(shingles.asInstanceOf[ArrayData], n.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, n) => s"graft.functions.MinHashSig.compute($a, $n)")
+    nullSafeCodeGen(ctx, ev, (a, n) => s"""
+      |${ev.value} = graft.functions.MinHashSig.compute($a, $n);
+      |if (${ev.value} == null) {
+      |  ${ev.isNull} = true;
+      |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSig =

@@ -28,11 +28,22 @@ case class SimHash48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash48"
 
+  // compute() yields null when the array holds no tokens (matching the
+  // declarative path, whose explode emits no row for that doc) — even
+  // when the child itself is non-nullable
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     SimHash48.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash48.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long ${ev.value}_boxed = graft.functions.SimHash48.compute($c);
+      |if (${ev.value}_boxed == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_boxed.longValue();
+      |}""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash48 =
     copy(child = newChild)
@@ -67,16 +78,21 @@ object SimHash48 {
 
   /** Signature of one document's token array (null tokens skipped,
     * duplicate tokens voted once — the array_distinct of the
-    * declarative build). */
-  def compute(tokens: ArrayData): Long = {
+    * declarative build). Returns null when NO token voted
+    * (empty/all-null array): the declarative explode emits no row for
+    * such a doc, so a 0L here would invent hamming-0 "near-duplicate"
+    * pairs between all empty docs. */
+  def compute(tokens: ArrayData): java.lang.Long = {
     val n = tokens.numElements()
     val seen = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
     val votes = new Array[Int](Bits)
+    var any = false
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val tok = tokens.getUTF8String(i)
         if (seen.add(tok)) {
+          any = true
           val h = tokenHash48(tok)
           var b = 0
           while (b < Bits) {
@@ -87,6 +103,7 @@ object SimHash48 {
       }
       i += 1
     }
+    if (!any) return null
     var sig = 0L
     var b = 0
     while (b < Bits) {

@@ -21,16 +21,23 @@ object SkewOps {
 
   /** Salted distributed count+sum per key, equal to
     * `df.groupBy(key).agg(count, sum(valueCol))` but skew-resistant.
-    * The salt comes from the row's position (monotonically_increasing_id
-    * cycles through all salts within each input partition), NOT from a
-    * hash of the value: a hot key whose rows share one value — the
-    * constant-duration heartbeat-span case — would collapse into a
+    *
+    * The salt comes from the row's position within its partition, NOT
+    * from a hash of the value: a hot key whose rows share one value —
+    * the constant-duration heartbeat-span case — would collapse into a
     * single salt bucket and resurrect the straggler. Position-derived
-    * salt splits a hot key evenly no matter what its values are, stays
-    * deterministic within a run, and the phase-two combine makes the
-    * result independent of the salt assignment anyway. */
+    * salts are retry-hazardous in general (a recomputed map task that
+    * enumerates rows in a different order re-salts them —
+    * SPARK-23207's round-robin problem), so rows are first sorted
+    * within each partition by (k, v): rows that differ get a
+    * content-stable order, and rows that are bit-identical can permute
+    * freely because any permutation yields the same (k, v, salt)
+    * multiset — either way the map output is deterministic across
+    * retries. Same mitigation Spark itself applies to round-robin
+    * repartition (spark.sql.execution.sortBeforeRepartition). */
   def saltedAggregate(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame =
     df.select(key.as("k"), valueCol.as("v"))
+      .sortWithinPartitions("k", "v")
       .withColumn("salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy("k", "salt")
       .agg(count(lit(1)).as("pc"), sum("v").as("ps"))

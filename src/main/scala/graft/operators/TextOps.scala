@@ -45,6 +45,10 @@ object TextOps {
   def simHashNative(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
     docs.selectExpr(s"`$idCol`", s"simhash48(`$tokensCol`) AS simhash")
+      // token-less docs have no signature on either path: the
+      // declarative explode emits no row, the native expression null —
+      // drop them so the two stay row-identical
+      .filter(col("simhash").isNotNull)
   }
 
   /** Candidate pairs within `maxHamming` of each other, via pigeonhole

@@ -149,7 +149,10 @@ object VectorOps {
     (0 until iters).foreach { _ =>
       val assigned = n.crossJoin(broadcast(centroidArray(cents)))
         .withColumn("aff", affSorted)
-        .select(element_at(col("aff"), 1).getField("c_id").as("cell"), col("v"))
+        // try_element_at: an empty centroid set (degenerate k-means)
+        // yields null cells, not an ANSI INVALID_ARRAY_INDEX error
+        .select(try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"), col("v"))
+        .filter(col("cell").isNotNull)
         .as[(Long, Array[Double])]
       cents = assigned
         .groupByKey(_._1)
@@ -188,8 +191,12 @@ object VectorOps {
     // affinity list per row, best cell first ((-cosine, c_id) sort)
     val withCells = n.crossJoin(broadcast(centroidArray(cents))).withColumn("aff", affSorted)
 
+    // try_element_at: an empty centroid set (vec_ids not starting at 0,
+    // or fully-degenerate k-means) produces null cells — the join below
+    // then finds no candidates, instead of an ANSI INVALID_ARRAY_INDEX
+    // error killing the stage
     val assigned = withCells.select(col("vec_id"), col("v"), col("nrm"),
-      element_at(col("aff"), 1).getField("c_id").as("cell"))
+      try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"))
     val probes = withCells.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(transform(slice(col("aff"), 1, nProbe), a => a("c_id"))).as("cell"))

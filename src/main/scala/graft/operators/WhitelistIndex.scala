@@ -65,12 +65,18 @@ object WhitelistIndex {
     * job. */
   def extractTags(spans: DataFrame, fields: Seq[WhitelistField]): DataFrame = {
     val fs = normalize(fields)
-    val parsed = spans.withColumn("__tags_map",
-      transform_keys(
-        coalesce(
-          from_json(col("tags"), MapType(StringType, StringType), Map.empty[String, String]),
-          map()),
-        (k, _) => lower(k)))
+    // lowercase the keys by folding over the entry list, keeping the
+    // FIRST value per lowered key — transform_keys would throw
+    // DUPLICATED_MAP_KEY on tags differing only in case, which is
+    // exactly the input case-insensitive matching exists for
+    val entries = map_entries(
+      from_json(col("tags"), MapType(StringType, StringType), Map.empty[String, String]))
+    val loweredMap = aggregate(
+      coalesce(entries, array()),
+      map().cast(MapType(StringType, StringType)),
+      (acc, e) => when(map_contains_key(acc, lower(e.getField("key"))), acc)
+        .otherwise(map_concat(acc, map(lower(e.getField("key")), e.getField("value")))))
+    val parsed = spans.withColumn("__tags_map", loweredMap)
     val withRaw = fs.foldLeft(parsed)((df, f) =>
       df.withColumn(s"__raw_${f.name}",
         coalesce((f.name +: f.aliases).map(k => element_at(col("__tags_map"), k)): _*)))
@@ -85,6 +91,13 @@ object WhitelistIndex {
     * a literal union — no second scan. */
   def fieldNames(spans: DataFrame, fields: Seq[WhitelistField]): DataFrame = {
     val fs = normalize(fields)
+    if (fs.isEmpty) {
+      // no (enabled) whitelist fields: the catalog is just the
+      // intrinsic doc fields, like the reference with an empty config
+      val s = spans.sparkSession
+      import s.implicits._
+      return IntrinsicFields.toDF("field").distinct()
+    }
     val present = fs.map(f => max(when(col(f.name).isNotNull, lit(f.name))).as(f.name))
     extractTags(spans, fields)
       .agg(present.head, present.tail: _*)

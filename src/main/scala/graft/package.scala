@@ -12,10 +12,12 @@
   *                         bucketed), text/dedup, vectors/ANN, skew,
   *                         multimodal
   *  - [[graft.functions]]  native Catalyst expressions + typed
-  *                         aggregators (fnv_hash64, bounded-heap top-k)
+  *                         aggregators (fnv_hash64, simhash48,
+  *                         minhash_sig, bounded-heap top-k)
   *  - [[graft.plans]]      custom logical/physical plans (AS-OF join)
   *  - [[graft.streaming]]  Structured Streaming ingest: buffer assembly,
-  *                         dedup, windowed index docs
+  *                         dedup, windowed index docs, latency
+  *                         percentile sketches, kafka source/sink wiring
   *  - [[graft.queries]]    the driver-facing query packs with their
   *                         DuckDB oracles
   *

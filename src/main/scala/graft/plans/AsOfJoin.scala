@@ -62,14 +62,28 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
-  // Right ordering appends every remaining right column after
+  // Right ordering appends the remaining CHEAP right columns after
   // (keys, time): when several right rows tie on the max time ≤ left
   // time, the one the scan keeps (last in sort order) is then a total-
-  // order maximum — deterministic across runs and partitionings instead
-  // of whatever the sort happened to place last.
+  // order maximum over those columns — deterministic across runs and
+  // partitionings instead of whatever the sort happened to place last.
+  // Wide payload columns (binary, arrays, maps, structs) are excluded
+  // from the sort key: comparing full payloads per row would tax every
+  // join to guard a rare tie, so rows identical in all scalar columns
+  // but differing inside a payload may still resolve either way.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
     val rKeyTime = rightKeys :+ rightTime
-    val rTieBreak = right.output.filterNot(a => rKeyTime.exists(_.semanticEquals(a)))
+    val rTieBreak = right.output
+      .filterNot(a => rKeyTime.exists(_.semanticEquals(a)))
+      .filter(a => a.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      })
     Seq(
       (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
       (rKeyTime ++ rTieBreak).map(SortOrder(_, Ascending)))

@@ -18,9 +18,12 @@ object TextQueries {
   /** Tokens of a document, as both engines see them. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word 3-gram shingles per doc, docs under `maxId`, over the
-    * doubled corpus when `doubled`. Shared by jaccard + minhash. */
-  private def shingles(s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
+  /** Distinct word 3-gram shingle ARRAY per doc (docs under `maxId`,
+    * doubled corpus when `doubled`) — the single source of the
+    * shingling definition (separator, n-gram width, min-token filter)
+    * for jaccard, minhash, and the native-expression path. */
+  private[graft] def shingleArrays(
+      s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
       .select(col("doc_id"), col("text"))
     val corpus =
@@ -29,10 +32,15 @@ object TextQueries {
     corpus
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("shingles"))
   }
+
+  /** Exploded (doc_id, shingle) rows over [[shingleArrays]]. */
+  private def shingles(s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame =
+    shingleArrays(s, dir, maxId, doubled)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   private def shinglesSql(maxId: Int, doubled: Boolean): String = {
     val corpus =
@@ -227,15 +235,7 @@ object TextQueries {
     "dedup_minhash" -> QueryDef.sql(
       (s, dir) => {
         graft.GraftExtensions.register(s)
-        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
-          .select(col("doc_id"), col("text"))
-        val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
-        val sig = corpus
-          .select(col("doc_id"), toks(col("text")).as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
-            .as("shingles"))
+        val sig = shingleArrays(s, dir, 300, doubled = true)
           .selectExpr("doc_id", "minhash_sig(shingles, 8) AS sig")
         // all 4 band keys in ONE pass over sig (a union of per-band
         // selects would re-execute the signature subtree per band per

@@ -113,12 +113,11 @@ object KafkaSpanSource {
       }.load())
 
   /** Live producer for any streaming span set (e.g. processed spans
-    * flowing back out, the KafkaWriter analogue). */
+    * flowing back out, the KafkaWriter analogue). Folds the
+    * spec-tested option map, like [[readSpanStream]], so options added
+    * to [[KafkaSinkConfig.options]] reach the writer. */
   def writeSpanStream(spans: Dataset[Span], config: KafkaSinkConfig) =
-    serializeSpans(spans)
-      .writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", config.bootstrapServers)
-      .option("topic", config.topic)
-      .option("checkpointLocation", config.checkpointDir)
+    config.options.foldLeft(serializeSpans(spans).writeStream.format("kafka")) {
+      case (w, (k, v)) => w.option(k, v)
+    }
 }

@@ -8,12 +8,8 @@ class MinHashSigSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
   private lazy val shingled = {
     GraftExtensions.register(spark)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .filter(expr("size(t) >= 3"))
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
-        .as("shingles"))
+    // the query pack's single shingling definition
+    graft.queries.TextQueries.shingleArrays(spark, sfDir, Int.MaxValue, doubled = false)
   }
 
   describe("MinHashSig native expression") {
@@ -62,6 +58,14 @@ class MinHashSigSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val empty = Seq((1L, Seq.empty[String])).toDF("doc_id", "shingles")
       empty.selectExpr("minhash_sig(shingles, 4) AS sig")
         .collect().head.isNullAt(0) shouldBe true
+    }
+
+    it("survives a non-nullable child yielding an empty array (codegen null path)") {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, Seq.empty[String])).toDF("doc_id", "shingles")
+        .selectExpr("doc_id", "minhash_sig(coalesce(shingles, array('z')), 4) AS sig")
+      df.filter(org.apache.spark.sql.functions.col("sig").isNull).count() shouldBe 1L
     }
 
     it("rejects a non-literal hash count at analysis") {

@@ -52,6 +52,26 @@ class SimHash48Spec extends AnyFunSpec with Matchers with SparkTestBase {
         }
     }
 
+    it("emits no row for token-less docs, like the declarative explode") {
+      val s = spark
+      import s.implicits._
+      GraftExtensions.register(spark)
+      val mixed = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+        .toDF("doc_id", "t")
+      val ids = TextOps.simHashNative(mixed, "doc_id", "t")
+        .collect().map(_.getLong(0)).toSeq
+      ids shouldBe Seq(1L)
+    }
+
+    it("survives a non-nullable child yielding an empty array (codegen null path)") {
+      val s = spark
+      import s.implicits._
+      GraftExtensions.register(spark)
+      val df = Seq((1L, Seq.empty[String])).toDF("doc_id", "t")
+        .selectExpr("doc_id", "simhash48(coalesce(t, array('z'))) AS sig")
+      df.filter(col("sig").isNull).count() shouldBe 1L
+    }
+
     it("rejects non-array input at analysis") {
       GraftExtensions.register(spark)
       assertThrows[Exception] {

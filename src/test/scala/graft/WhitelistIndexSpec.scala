@@ -62,6 +62,14 @@ class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out.isNullAt(1) shouldBe true
     }
 
+    it("tolerates tag keys differing only in case (first value wins)") {
+      val df = tagged(1L -> """{"Region": "us", "region": "eu", "other": "x"}""")
+      val out = WhitelistIndex.extractTags(df,
+        Seq(WhitelistField("region", "string")))
+        .select("region").collect().head.getString(0)
+      out shouldBe "us"
+    }
+
     it("skips disabled fields") {
       val df = tagged(1L -> """{"a": "1"}""")
       val cols = WhitelistIndex.extractTags(df,
@@ -81,6 +89,14 @@ class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
         WhitelistField("unconvertible", "long", aliases = Seq("other"))))
         .collect().map(_.getString(0)).sorted.toSeq
       names shouldBe (WhitelistIndex.IntrinsicFields :+ "present").sorted
+    }
+
+    it("serves just the intrinsic fields when the config is empty or fully disabled") {
+      val df = tagged(1L -> """{"a": "1"}""")
+      WhitelistIndex.fieldNames(df, Nil)
+        .collect().map(_.getString(0)).sorted.toSeq shouldBe WhitelistIndex.IntrinsicFields
+      WhitelistIndex.fieldNames(df, Seq(WhitelistField("a", "long", enabled = false)))
+        .collect().map(_.getString(0)).sorted.toSeq shouldBe WhitelistIndex.IntrinsicFields
     }
   }
 
