@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-graph operators over edge lists — the cluster-forming step a
+  * dedup pipeline runs AFTER candidate pair generation: near-duplicate
+  * pairs (minhash/simhash/cosine) form components, and each component
+  * keeps one canonical document.
+  *
+  * Spark realization: iterative min-label propagation (the classic
+  * large-graph connected-components shape — HashToMin-style): every
+  * node starts labeled with itself; each round, a node takes the
+  * minimum label among itself and its neighbors; converged when no
+  * label changes. Each round is one join + one partial-aggregated
+  * groupBy on node id — no driver-side graph state, and per-round
+  * lineage is truncated (localCheckpoint) so the plan doesn't grow
+  * with iterations. Rounds needed = graph diameter, which for dedup
+  * clusters (cliques and near-cliques) is 1–2; `maxIter` bounds
+  * adversarial chains.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph given by (src, dst)
+    * edge rows → (node, component) where component = the component's
+    * minimum node id. Nodes appear iff they occur in some edge. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = bidir.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = bidir
+        .join(labels, col("a") === col("node"))
+        .groupBy(col("b").as("nb"))
+        .agg(min("component").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("nb"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.select(col("node"), col("component").as("old")), "node")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+}

@@ -42,6 +42,50 @@ object TextQueries {
     shingleArrays(s, dir, maxId, doubled)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** MinHash+LSH candidate pairs (8 hashes, 4 bands of 2): native
+    * minhash_sig signatures (map-side), band keys in one pass, banded
+    * equi-join. Shared by dedup_minhash and dedup_clusters. */
+  private def minhashPairs(s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val sig = shingleArrays(s, dir, maxId, doubled)
+      .selectExpr("doc_id", "minhash_sig(shingles, 8) AS sig")
+    // all 4 band keys in ONE pass over sig (a union of per-band
+    // selects would re-execute the signature subtree per band per
+    // join side)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 to 3).map(b => md5(concat_ws("_",
+        element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
+      .as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Declarative SQL for [[minhashPairs]], CTE chain ending in `pairs`. */
+  private def minhashPairsSql(maxId: Int, doubled: Boolean): String =
+    shinglesSql(maxId, doubled) +
+      """,
+        |hs AS (SELECT doc_id, j,
+        |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) AS h
+        |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN j=0 THEN h END) AS s0, MIN(CASE WHEN j=1 THEN h END) AS s1,
+        |  MIN(CASE WHEN j=2 THEN h END) AS s2, MIN(CASE WHEN j=3 THEN h END) AS s3,
+        |  MIN(CASE WHEN j=4 THEN h END) AS s4, MIN(CASE WHEN j=5 THEN h END) AS s5,
+        |  MIN(CASE WHEN j=6 THEN h END) AS s6, MIN(CASE WHEN j=7 THEN h END) AS s7
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS band, md5(CAST(s0 AS VARCHAR) || '_' || CAST(s1 AS VARCHAR)) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(s2 AS VARCHAR) || '_' || CAST(s3 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(s4 AS VARCHAR) || '_' || CAST(s5 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(s6 AS VARCHAR) || '_' || CAST(s7 AS VARCHAR)) FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
   private def shinglesSql(maxId: Int, doubled: Boolean): String = {
     val corpus =
       if (doubled)
@@ -233,43 +277,32 @@ object TextQueries {
     // scale). The oracle still computes the declarative SQL build, so
     // the hash match proves bit equality end to end.
     "dedup_minhash" -> QueryDef.sql(
-      (s, dir) => {
-        graft.GraftExtensions.register(s)
-        val sig = shingleArrays(s, dir, 300, doubled = true)
-          .selectExpr("doc_id", "minhash_sig(shingles, 8) AS sig")
-        // all 4 band keys in ONE pass over sig (a union of per-band
-        // selects would re-execute the signature subtree per band per
-        // join side)
-        val bands = sig.select(col("doc_id"), posexplode(array(
-          (0 to 3).map(b => md5(concat_ws("_",
-            element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
-          .as(Seq("band", "bh")))
-        bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-          .orderBy("d1", "d2")
-      },
-      shinglesSql(300, doubled = true) +
+      (s, dir) => minhashPairs(s, dir, 300, doubled = true).orderBy("d1", "d2"),
+      minhashPairsSql(300, doubled = true) +
+        "\nSELECT d1, d2 FROM pairs ORDER BY d1, d2"),
+
+    // Near-dup CLUSTERING: connected components over the minhash
+    // candidate pairs — the step that turns pairwise collisions into
+    // keep/drop groups (cluster id = min doc id of the component).
+    // Spark side: iterative min-label propagation (GraphOps); oracle:
+    // recursive-CTE label closure over the identical pair SQL. The
+    // hash match proves the distributed fixpoint reaches exactly the
+    // transitive closure.
+    "dedup_clusters" -> QueryDef.sql(
+      (s, dir) =>
+        graft.operators.GraphOps.connectedComponents(
+          minhashPairs(s, dir, 300, doubled = true), "d1", "d2")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+          .orderBy("doc_id"),
+      minhashPairsSql(300, doubled = true).replaceFirst("^WITH ", "WITH RECURSIVE ") +
         """,
-          |hs AS (SELECT doc_id, j,
-          |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) AS h
-          |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) seeds),
-          |sig AS (SELECT doc_id,
-          |  MIN(CASE WHEN j=0 THEN h END) AS s0, MIN(CASE WHEN j=1 THEN h END) AS s1,
-          |  MIN(CASE WHEN j=2 THEN h END) AS s2, MIN(CASE WHEN j=3 THEN h END) AS s3,
-          |  MIN(CASE WHEN j=4 THEN h END) AS s4, MIN(CASE WHEN j=5 THEN h END) AS s5,
-          |  MIN(CASE WHEN j=6 THEN h END) AS s6, MIN(CASE WHEN j=7 THEN h END) AS s7
-          |  FROM hs GROUP BY doc_id),
-          |bands AS (
-          |  SELECT doc_id, CAST(0 AS BIGINT) AS band, md5(CAST(s0 AS VARCHAR) || '_' || CAST(s1 AS VARCHAR)) AS bh FROM sig
-          |  UNION ALL SELECT doc_id, 1, md5(CAST(s2 AS VARCHAR) || '_' || CAST(s3 AS VARCHAR)) FROM sig
-          |  UNION ALL SELECT doc_id, 2, md5(CAST(s4 AS VARCHAR) || '_' || CAST(s5 AS VARCHAR)) FROM sig
-          |  UNION ALL SELECT doc_id, 3, md5(CAST(s6 AS VARCHAR) || '_' || CAST(s7 AS VARCHAR)) FROM sig)
-          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          |FROM bands a JOIN bands b
-          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-          |ORDER BY d1, d2""".stripMargin)
+          |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+          |          UNION ALL SELECT d2, d1 FROM pairs),
+          |lab(node, label) AS (
+          |  SELECT DISTINCT a AS node, a AS label FROM bidir
+          |  UNION
+          |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node)
+          |SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab
+          |GROUP BY node ORDER BY doc_id""".stripMargin)
   )
 }
