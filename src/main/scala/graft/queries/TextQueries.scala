@@ -18,6 +18,35 @@ object TextQueries {
   /** Tokens of a document, as both engines see them. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  // language stopword lexicons — single source for text_langid and
+  // corpus_select on both engines
+  private val LangRegex = Seq(
+    "en" -> "\\b(the|and|of|to|in|is)\\b",
+    "es" -> "\\b(el|la|de|los|que|y)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une)\\b")
+
+  /** Deterministic argmax language from the stopword scores. */
+  private def langPredicted(text: Column): Column = {
+    val s = LangRegex.map { case (l, re) => l -> regexp_count(text, lit(re)) }.toMap
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr") && s("en") > 0, "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr") && s("es") > 0, "es")
+      .when(s("de") >= s("fr") && s("de") > 0, "de")
+      .when(s("fr") > 0, "fr")
+      .otherwise("unk")
+  }
+
+  /** DuckDB equivalent of [[langPredicted]] over column `tcol`. */
+  private def langPredictedSql(tcol: String): String = {
+    def n(l: String) =
+      s"len(regexp_extract_all($tcol, '${LangRegex.toMap.apply(l)}'))"
+    s"""CASE WHEN ${n("en")} >= ${n("es")} AND ${n("en")} >= ${n("de")} AND ${n("en")} >= ${n("fr")} AND ${n("en")} > 0 THEN 'en'
+       |     WHEN ${n("es")} >= ${n("de")} AND ${n("es")} >= ${n("fr")} AND ${n("es")} > 0 THEN 'es'
+       |     WHEN ${n("de")} >= ${n("fr")} AND ${n("de")} > 0 THEN 'de'
+       |     WHEN ${n("fr")} > 0 THEN 'fr'
+       |     ELSE 'unk' END""".stripMargin
+  }
+
   /** Distinct word 3-gram shingle ARRAY per doc (docs under `maxId`,
     * doubled corpus when `doubled`) — the single source of the
     * shingling definition (separator, n-gram width, min-token filter)
@@ -151,12 +180,14 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // B8: language id — stopword-lexicon scores, deterministic argmax
+    // (lexicons shared with corpus_select via LangRegex)
     "text_langid" -> QueryDef.sql(
       (s, dir) => {
-        val sEn = regexp_count(col("text"), lit("\\b(the|and|of|to|in|is)\\b"))
-        val sEs = regexp_count(col("text"), lit("\\b(el|la|de|los|que|y)\\b"))
-        val sDe = regexp_count(col("text"), lit("\\b(der|die|und|das|ist|nicht)\\b"))
-        val sFr = regexp_count(col("text"), lit("\\b(le|les|des|et|est|une)\\b"))
+        val lr = LangRegex.toMap
+        val sEn = regexp_count(col("text"), lit(lr("en")))
+        val sEs = regexp_count(col("text"), lit(lr("es")))
+        val sDe = regexp_count(col("text"), lit(lr("de")))
+        val sFr = regexp_count(col("text"), lit(lr("fr")))
         Tables.documents(s, dir)
           .select(col("doc_id"),
             sEn.cast("long").as("s_en"), sEs.cast("long").as("s_es"),
@@ -303,6 +334,50 @@ object TextQueries {
           |  UNION
           |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node)
           |SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab
-          |GROUP BY node ORDER BY doc_id""".stripMargin)
+          |GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // The end-to-end corpus pipeline, composed from oracle-proven
+    // pieces: language gate (LangRegex argmax) + quality gates
+    // (length, alpha ratio) + near-dup canonicalization (keep a doc
+    // iff it is its cluster's min id, or belongs to no cluster).
+    // This is the keep/drop decision a training-data pipeline ships.
+    "corpus_select" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val docs = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        val clusters = graft.operators.GraphOps.connectedComponents(
+          minhashPairs(s, dir, 300, doubled = true), "d1", "d2")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        docs.join(clusters, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"),
+            langPredicted(col("text")).as("lang"),
+            length(col("text")).cast("long").as("n_chars"),
+            round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+              length(col("text")), 6).as("alpha_ratio"))
+          .filter(col("lang") =!= "unk" && col("n_chars") >= 50 && col("alpha_ratio") >= 0.5)
+          .orderBy("doc_id")
+      },
+      minhashPairsSql(300, doubled = true).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+           |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+           |          UNION ALL SELECT d2, d1 FROM pairs),
+           |lab(node, label) AS (
+           |  SELECT DISTINCT a AS node, a AS label FROM bidir
+           |  UNION
+           |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node),
+           |canon AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node),
+           |scored AS (
+           |  SELECT c.doc_id,
+           |    ${langPredictedSql("c.text")} AS lang,
+           |    length(c.text) AS n_chars,
+           |    ROUND(CAST(length(regexp_replace(c.text, '[^a-z]', '', 'g')) AS DOUBLE)
+           |          / length(c.text), 6) AS alpha_ratio
+           |  FROM corpus c LEFT JOIN canon ON c.doc_id = canon.doc_id
+           |  WHERE canon.cluster_id IS NULL OR canon.cluster_id = c.doc_id)
+           |SELECT doc_id, lang, n_chars, alpha_ratio FROM scored
+           |WHERE lang <> 'unk' AND n_chars >= 50 AND alpha_ratio >= 0.5
+           |ORDER BY doc_id""".stripMargin)
   )
 }
