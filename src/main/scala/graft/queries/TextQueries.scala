@@ -336,6 +336,32 @@ object TextQueries {
           |SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab
           |GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Deterministic content-hash sampling + train/val split: bucket =
+    // md5(doc_id) prefix mod 100, sample keeps buckets < 20, split is
+    // 90/10 within the sample. Hash-based (not rand/TABLESAMPLE) so
+    // the split is reproducible across runs, partitionings, and
+    // engines — the property a training pipeline actually needs from
+    // its splitter. The md5-prefix bucket is the same construction as
+    // the minhash seeded hash, proven engine-identical there.
+    "corpus_sample_split" -> QueryDef.sql(
+      (s, dir) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(100L))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), bucket.as("bucket"))
+          .filter(col("bucket") < 20)
+          .select(col("doc_id"), col("bucket"),
+            when(col("bucket") < 18, "train").otherwise("val").as("split"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, bucket, CASE WHEN bucket < 18 THEN 'train' ELSE 'val' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |      FROM documents) t
+        |WHERE bucket < 20
+        |ORDER BY doc_id""".stripMargin),
+
     // The end-to-end corpus pipeline, composed from oracle-proven
     // pieces: language gate (LangRegex argmax) + quality gates
     // (length, alpha ratio) + near-dup canonicalization (keep a doc
