@@ -26,8 +26,12 @@ object GraphOps {
     * minimum node id. Nodes appear iff they occur in some edge. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
-    val bidir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // materialize the edge list ONCE before mirroring it — the union
+    // would otherwise execute the (possibly expensive) edge subtree
+    // twice, e.g. the whole minhash banding pipeline
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
+    val bidir = e
+      .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
 

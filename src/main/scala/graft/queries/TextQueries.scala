@@ -47,11 +47,15 @@ object TextQueries {
        |     ELSE 'unk' END""".stripMargin
   }
 
-  /** Distinct word 3-gram shingle ARRAY per doc (docs under `maxId`,
-    * doubled corpus when `doubled`) — the single source of the
-    * shingling definition (separator, n-gram width, min-token filter)
-    * for jaccard, minhash, and the native-expression path. */
-  private[graft] def shingleArrays(
+  /** The 3-gram shingling definition — single source (separator,
+    * n-gram width, per-doc distinct) for jaccard, minhash, and the
+    * native-expression path. Operates on a tokens column `t`. */
+  private val shingleArr: Column = array_distinct(expr(
+    "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+
+  /** Tokenized corpus (docs under `maxId`, doubled when `doubled`)
+    * with ≥3 tokens — the input [[shingleArr]] applies to. */
+  private def shingleBase(
       s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
       .select(col("doc_id"), col("text"))
@@ -61,15 +65,25 @@ object TextQueries {
     corpus
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
-        .as("shingles"))
   }
 
-  /** Exploded (doc_id, shingle) rows over [[shingleArrays]]. */
+  /** Distinct shingle ARRAY per doc. */
+  private[graft] def shingleArrays(
+      s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame =
+    shingleBase(s, dir, maxId, doubled).select(col("doc_id"), shingleArr.as("shingles"))
+
+  /** Exploded (doc_id, shingle) rows. PLAN SHAPE MATTERS here, twice:
+    * (1) the generator must be the inline expression — materializing
+    * the array in a projection and exploding the attribute is ~25×
+    * slower on Spark 4.1 (measured 7.3 s vs 0.3 s on 150 docs);
+    * (2) the trailing distinct is a semantic no-op (arrays are already
+    * per-doc distinct) kept ON PURPOSE: it plants a hash exchange that
+    * ReusedExchange shares across jaccard's three reads of this
+    * relation and gives the planner real cardinality stats. */
   private def shingles(s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame =
-    shingleArrays(s, dir, maxId, doubled)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    shingleBase(s, dir, maxId, doubled)
+      .select(col("doc_id"), explode(shingleArr).as("shingle"))
+      .distinct()
 
   /** MinHash+LSH candidate pairs (8 hashes, 4 bands of 2): native
     * minhash_sig signatures (map-side), band keys in one pass, banded
