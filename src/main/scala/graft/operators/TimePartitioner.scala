@@ -33,6 +33,31 @@ object TimePartitioner {
       .parquet(outDir)
   }
 
+  /** Retention (the reference's index TTL): drop whole dt=… partition
+    * directories strictly older than the cutoff. A metadata/filesystem
+    * operation — no scan, no rewrite, no tombstones — which is the
+    * entire point of time-partitioned layouts at 100 TB (the reference
+    * achieves the same by letting whole hourly ES indexes age out).
+    * Returns the dropped partition names. */
+  def expire(spark: SparkSession, dir: String, cutoffUs: Long): Seq[String] = {
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    val cutoffDt =
+      java.time.Instant.ofEpochSecond(0, cutoffUs * 1000).atZone(zone).toLocalDate.toString
+    val root = new java.io.File(dir)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .filter(_.getName.stripPrefix("dt=") < cutoffDt)
+    dropped.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }
+    dropped.map(_.getName).toSeq.sorted
+  }
+
   /** Read back with partition pruning for a time window: the dt/hr
     * predicates bind to partition directories (PartitionFilters in the
     * scan), the start_us predicate refines within surviving files. */

@@ -37,5 +37,24 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
       selected should be > 0
       selected should be < 100 // full layout is ~720 hr partitions
     }
+
+    it("expire drops exactly the partitions older than the cutoff, no scan") {
+      // fresh layout so dropping doesn't disturb the shared one
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_expire").toString
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)), dir, hourly = false)
+      val before = new java.io.File(dir).listFiles().count(_.getName.startsWith("dt="))
+      val cutoff = T0 + 3 * DayUs
+      val dropped = TimePartitioner.expire(spark, dir, cutoff)
+      dropped should not be empty
+      dropped.foreach(_ should be < "dt=2024-01-04")
+      val left = new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt="))
+      left.length shouldBe before - dropped.size
+      left.foreach(_.getName should be >= "dt=2024-01-04")
+      // surviving data still reads fine and only holds in-range rows
+      val remaining = spark.read.parquet(dir)
+      remaining.filter(org.apache.spark.sql.functions.col("start_us") < cutoff - DayUs)
+        .count() shouldBe 0L
+    }
   }
 }
