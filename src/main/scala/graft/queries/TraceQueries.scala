@@ -147,6 +147,35 @@ object TraceQueries {
              |GROUP BY trace_id
              |ORDER BY trace_start_us DESC, trace_id LIMIT 10""".stripMargin)),
 
+    // A10b: searchTraces by whitelisted TAG field — the reference's
+    // primary search path (field filters hit the ES index built from
+    // whitelist-extracted tags). Two-phase: typed tag predicate +
+    // time range find traceIds, semi join fetches + summarizes those
+    // traces. Runs over the config-extracted columns, so search and
+    // indexing share one whitelist definition.
+    "trace_search_tags" -> QueryDef.sql(
+      (s, dir) => {
+        val extracted = WhitelistIndex.extractTags(richSpans(s, dir), demoWhitelist)
+        val matching = extracted
+          .filter(col("kval") > 90 && col("iserror") &&
+            col("start_us").between(T0, T0 + 14 * DayUs))
+          .select("trace_id").distinct()
+        extracted.join(matching, Seq("trace_id"), "left_semi")
+          .groupBy("trace_id")
+          .agg(min("start_us").as("trace_start_us"), count(lit(1)).as("span_count"))
+          .orderBy(col("trace_start_us").desc, col("trace_id"))
+          .limit(10)
+      },
+      cte(s"""SELECT trace_id, MIN(start_us) AS trace_start_us, COUNT(*) AS span_count
+             |FROM spans
+             |WHERE trace_id IN (
+             |  SELECT DISTINCT trace_id FROM spans
+             |  WHERE CAST(CAST(json_extract(tags, '$$.k') AS INT) AS BIGINT) > 90
+             |    AND service = 'error'
+             |    AND start_us BETWEEN $T0 AND ${T0 + 14 * DayUs})
+             |GROUP BY trace_id
+             |ORDER BY trace_start_us DESC, trace_id LIMIT 10""".stripMargin)),
+
     // A11: expression-tree search — AND of span-level groups (intersect)
     "trace_search_expr" -> QueryDef.sql(
       (s, dir) => SpanOps.searchTracesExpr(spans(s, dir), Seq(
