@@ -23,7 +23,15 @@ object GraphOps {
 
   /** Connected components of the undirected graph given by (src, dst)
     * edge rows → (node, component) where component = the component's
-    * minimum node id. Nodes appear iff they occur in some edge. */
+    * minimum node id. Nodes appear iff they occur in some edge.
+    *
+    * Throws IllegalStateException if the fixpoint hasn't converged
+    * within `maxIter` rounds (component diameter exceeds the bound) —
+    * a silently truncated propagation would report one component as
+    * several, and the caller couldn't tell. Raise `maxIter` for
+    * long-chain graphs. Superseded per-iteration checkpoints are
+    * unpersisted as soon as the next round is materialized, so
+    * block-manager storage stays O(1) frames regardless of rounds. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE before mirroring it — the union
@@ -34,6 +42,7 @@ object GraphOps {
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
+    e.unpersist()
 
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -55,9 +64,15 @@ object GraphOps {
         .join(labels.select(col("node"), col("component").as("old")), "node")
         .filter(col("component") =!= col("old"))
         .isEmpty
+      labels.unpersist()
       labels = updated
       iter += 1
     }
+    bidir.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter exceeds the bound); raise maxIter")
     labels
   }
 }

@@ -38,24 +38,24 @@ object TimePartitioner {
     * operation — no scan, no rewrite, no tombstones — which is the
     * entire point of time-partitioned layouts at 100 TB (the reference
     * achieves the same by letting whole hourly ES indexes age out).
-    * Returns the dropped partition names. */
+    * Uses the Hadoop FileSystem API, so URI-form and remote paths
+    * (file:/, hdfs://, s3a://) work like local ones, and a partition
+    * is only reported dropped if the recursive delete actually
+    * succeeded. Returns the dropped partition names. */
   def expire(spark: SparkSession, dir: String, cutoffUs: Long): Seq[String] = {
     val zone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     val cutoffDt =
       java.time.Instant.ofEpochSecond(0, cutoffUs * 1000).atZone(zone).toLocalDate.toString
-    val root = new java.io.File(dir)
-    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
-      .filter(_.getName.stripPrefix("dt=") < cutoffDt)
-    dropped.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(d)
-    }
-    dropped.map(_.getName).toSeq.sorted
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+      .filter(_.getPath.getName.stripPrefix("dt=") < cutoffDt)
+      .filter(st => fs.delete(st.getPath, true))
+      .map(_.getPath.getName)
+      .sorted
   }
 
   /** Read back with partition pruning for a time window: the dt/hr

@@ -47,6 +47,29 @@ object TextQueries {
        |     ELSE 'unk' END""".stripMargin
   }
 
+  /** Doubled corpus (each text twice under doc_id and doc_id+1000),
+    * docs under `maxId` — the single source of the dedup-demo corpus
+    * construction; the +1000 offset must stay in lockstep everywhere
+    * or doc↔cluster join keys silently stop matching. */
+  private def doubledCorpus(s: SparkSession, dir: String, maxId: Int): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
+      .select(col("doc_id"), col("text"))
+    base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+  }
+
+  /** Recursive-CTE connected-components closure over a `pairs(d1,d2)`
+    * CTE → `canon(doc_id, cluster_id)`. Single source for
+    * dedup_clusters and corpus_select (keep in lockstep with
+    * [[graft.operators.GraphOps.connectedComponents]]). */
+  private val ccSql: String =
+    """bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |lab(node, label) AS (
+      |  SELECT DISTINCT a AS node, a AS label FROM bidir
+      |  UNION
+      |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node),
+      |canon AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)""".stripMargin
+
   /** The 3-gram shingling definition — single source (separator,
     * n-gram width, per-doc distinct) for jaccard, minhash, and the
     * native-expression path. Operates on a tokens column `t`. */
@@ -57,11 +80,10 @@ object TextQueries {
     * with ≥3 tokens — the input [[shingleArr]] applies to. */
   private def shingleBase(
       s: SparkSession, dir: String, maxId: Int, doubled: Boolean): DataFrame = {
-    val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
-      .select(col("doc_id"), col("text"))
     val corpus =
-      if (doubled) base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
-      else base
+      if (doubled) doubledCorpus(s, dir, maxId)
+      else Tables.documents(s, dir).filter(col("doc_id") < maxId)
+        .select(col("doc_id"), col("text"))
     corpus
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -149,13 +171,11 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     // B1: exact dedup by content hash — keep lowest id
     "dedup_exact" -> QueryDef.sql(
-      (s, dir) => {
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      (s, dir) =>
+        doubledCorpus(s, dir, Int.MaxValue)
           .groupBy(md5(col("text")).as("text_hash"))
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-          .orderBy("text_hash")
-      },
+          .orderBy("text_hash"),
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 1000, text FROM documents) t
@@ -281,9 +301,7 @@ object TextQueries {
     // nothing.
     "dedup_simhash" -> QueryDef.sql(
       (s, dir) => {
-        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
-          .select(col("doc_id"), col("text"))
-        val corpus = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        val corpus = doubledCorpus(s, dir, 200)
         val sig = TextOps.simHashNative(
           corpus.select(col("doc_id"), toks(col("text")).as("t")), "doc_id", "t")
         TextOps.simHashPairs(sig, "doc_id", "simhash", maxHamming = 6)
@@ -340,28 +358,23 @@ object TextQueries {
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
           .orderBy("doc_id"),
       minhashPairsSql(300, doubled = true).replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """,
-          |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
-          |          UNION ALL SELECT d2, d1 FROM pairs),
-          |lab(node, label) AS (
-          |  SELECT DISTINCT a AS node, a AS label FROM bidir
-          |  UNION
-          |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node)
-          |SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab
-          |GROUP BY node ORDER BY doc_id""".stripMargin),
+        s""",
+           |$ccSql
+           |SELECT doc_id, cluster_id FROM canon ORDER BY doc_id""".stripMargin),
 
-    // Deterministic content-hash sampling + train/val split: bucket =
-    // md5(doc_id) prefix mod 100, sample keeps buckets < 20, split is
-    // 90/10 within the sample. Hash-based (not rand/TABLESAMPLE) so
-    // the split is reproducible across runs, partitionings, and
-    // engines — the property a training pipeline actually needs from
-    // its splitter. The md5-prefix bucket is the same construction as
-    // the minhash seeded hash, proven engine-identical there.
+    // Deterministic CONTENT-hash sampling + train/val split: bucket =
+    // md5(text) prefix mod 100, sample keeps buckets < 20, split is
+    // 90/10 within the sample. Content-hashed (not rand/TABLESAMPLE,
+    // and not id-hashed) so it delivers both properties a training
+    // pipeline needs from its splitter: reproducible across runs,
+    // partitionings, and engines, AND leakage-safe — identical texts
+    // land in the same bucket, so exact duplicates can never straddle
+    // train and val. The md5-prefix bucket is the same construction
+    // as the minhash seeded hash, proven engine-identical there.
     "corpus_sample_split" -> QueryDef.sql(
       (s, dir) => {
         val bucket = pmod(
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-          lit(100L))
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(100L))
         Tables.documents(s, dir)
           .select(col("doc_id"), bucket.as("bucket"))
           .filter(col("bucket") < 20)
@@ -371,7 +384,7 @@ object TextQueries {
       },
       """SELECT doc_id, bucket, CASE WHEN bucket < 18 THEN 'train' ELSE 'val' END AS split
         |FROM (SELECT doc_id,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |        CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
         |      FROM documents) t
         |WHERE bucket < 20
         |ORDER BY doc_id""".stripMargin),
@@ -383,9 +396,7 @@ object TextQueries {
     // This is the keep/drop decision a training-data pipeline ships.
     "corpus_select" -> QueryDef.sql(
       (s, dir) => {
-        val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
-          .select(col("doc_id"), col("text"))
-        val docs = base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+        val docs = doubledCorpus(s, dir, 300)
         val clusters = graft.operators.GraphOps.connectedComponents(
           minhashPairs(s, dir, 300, doubled = true), "d1", "d2")
           .select(col("node").as("doc_id"), col("component").as("cluster_id"))
@@ -394,26 +405,24 @@ object TextQueries {
           .select(col("doc_id"),
             langPredicted(col("text")).as("lang"),
             length(col("text")).cast("long").as("n_chars"),
-            round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-              length(col("text")), 6).as("alpha_ratio"))
+            // raw double division, deliberately un-ROUNDed: both
+            // engines correctly round the quotient of the same exact
+            // ints, while ROUND-on-double is the half-way-tie trap
+            // the repo rule (TraceQueries richSpans) warns about
+            (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+              length(col("text"))).as("alpha_ratio"))
           .filter(col("lang") =!= "unk" && col("n_chars") >= 50 && col("alpha_ratio") >= 0.5)
           .orderBy("doc_id")
       },
       minhashPairsSql(300, doubled = true).replaceFirst("^WITH ", "WITH RECURSIVE ") +
         s""",
-           |bidir AS (SELECT d1 AS a, d2 AS b FROM pairs
-           |          UNION ALL SELECT d2, d1 FROM pairs),
-           |lab(node, label) AS (
-           |  SELECT DISTINCT a AS node, a AS label FROM bidir
-           |  UNION
-           |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node),
-           |canon AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node),
+           |$ccSql,
            |scored AS (
            |  SELECT c.doc_id,
            |    ${langPredictedSql("c.text")} AS lang,
            |    length(c.text) AS n_chars,
-           |    ROUND(CAST(length(regexp_replace(c.text, '[^a-z]', '', 'g')) AS DOUBLE)
-           |          / length(c.text), 6) AS alpha_ratio
+           |    CAST(length(regexp_replace(c.text, '[^a-z]', '', 'g')) AS DOUBLE)
+           |          / length(c.text) AS alpha_ratio
            |  FROM corpus c LEFT JOIN canon ON c.doc_id = canon.doc_id
            |  WHERE canon.cluster_id IS NULL OR canon.cluster_id = c.doc_id)
            |SELECT doc_id, lang, n_chars, alpha_ratio FROM scored
