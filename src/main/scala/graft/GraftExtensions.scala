@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, MinHashSig, SimHash48}
+import graft.functions.{FnvHash64, JsonTagsMap, MinHashSig, SimHash48}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("minhash_sig"), MinHashSig.info,
         exprs => MinHashSig(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("json_tags_map"), JsonTagsMap.info, exprs => JsonTagsMap(exprs.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -34,5 +36,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), MinHashSig.info,
       exprs => MinHashSig(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("json_tags_map"), JsonTagsMap.info, exprs => JsonTagsMap(exprs.head))
   }
 }

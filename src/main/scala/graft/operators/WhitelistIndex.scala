@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Configurable whitelist tag indexing + the field-name catalog served
   * from it — the Spark analogue of the reference's
@@ -55,31 +54,28 @@ object WhitelistIndex {
   }
 
   /** spans + one typed column per enabled whitelist field. The tags
-    * JSON is parsed ONCE per row into a lowercased-key map (the
-    * reference lowercases tag keys before its whitelist lookup) — one
-    * Jackson pass feeding every field, instead of a get_json_object
-    * parse per (field, alias). Scalar JSON values coerce to their text
-    * form in a map<string,string>, which is exactly what the typed
-    * cast wants. The cast is `try_cast`: a non-convertible value
-    * indexes as null (reference ignores it) instead of failing the
-    * job. */
+    * JSON is parsed by the native codegen'd
+    * [[graft.functions.JsonTagsMap]] expression — lowercased keys,
+    * first value per key (the reference lowercases tag keys before its
+    * whitelist lookup; duplicate keys differing only in case are legal
+    * input, where `transform_keys(lower)` would throw
+    * DUPLICATED_MAP_KEY). Being a plain deterministic expression, WSCG
+    * subexpression elimination evaluates the parse ONCE per row no
+    * matter how many fields read from it — lambda-based folds/filters
+    * are CodegenFallback and re-parse per consuming column, and their
+    * duplicated trees cost seconds of optimizer time. Each lookup is
+    * then a codegen'd map element_at; the cast is `try_cast`: a
+    * non-convertible value indexes as null (reference ignores it)
+    * instead of failing the job. */
   def extractTags(spans: DataFrame, fields: Seq[WhitelistField]): DataFrame = {
+    graft.GraftExtensions.register(spans.sparkSession)
     val fs = normalize(fields)
-    // lowercase the keys by folding over the entry list, keeping the
-    // FIRST value per lowered key — transform_keys would throw
-    // DUPLICATED_MAP_KEY on tags differing only in case, which is
-    // exactly the input case-insensitive matching exists for
-    val entries = map_entries(
-      from_json(col("tags"), MapType(StringType, StringType), Map.empty[String, String]))
-    val loweredMap = aggregate(
-      coalesce(entries, array()),
-      map().cast(MapType(StringType, StringType)),
-      (acc, e) => when(map_contains_key(acc, lower(e.getField("key"))), acc)
-        .otherwise(map_concat(acc, map(lower(e.getField("key")), e.getField("value")))))
-    val parsed = spans.withColumn("__tags_map", loweredMap)
-    val withRaw = fs.foldLeft(parsed)((df, f) =>
+    val tagsMap = expr("json_tags_map(`tags`)")
+    // try_element_at: ANSI element_at throws on a missing map key
+    def lookup(key: String): Column = try_element_at(tagsMap, lit(key))
+    val withRaw = fs.foldLeft(spans)((df, f) =>
       df.withColumn(s"__raw_${f.name}",
-        coalesce((f.name +: f.aliases).map(k => element_at(col("__tags_map"), k)): _*)))
+        coalesce((f.name +: f.aliases).map(lookup): _*)))
     withRaw.selectExpr(
       spans.columns.map(c => s"`$c`") ++
         fs.map(f => s"try_cast(`__raw_${f.name}` AS ${f.fieldType}) AS `${f.name}`"): _*)
@@ -98,12 +94,16 @@ object WhitelistIndex {
       import s.implicits._
       return IntrinsicFields.toDF("field").distinct()
     }
-    val present = fs.map(f => max(when(col(f.name).isNotNull, lit(f.name))).as(f.name))
+    // presence flags are INTS, not strings: a string max buffer forces
+    // SortAggregate (full sort of every span); an int buffer keeps the
+    // one-row presence pass in HashAggregate
+    val present = fs.map(f =>
+      max(when(col(f.name).isNotNull, lit(1)).otherwise(lit(0))).as(f.name))
     extractTags(spans, fields)
       .agg(present.head, present.tail: _*)
       .select(explode(concat(
         array(IntrinsicFields.map(lit): _*),
-        array(fs.map(f => col(f.name)): _*))).as("field"))
+        array(fs.map(f => when(col(f.name) === 1, lit(f.name))): _*))).as("field"))
       .filter(col("field").isNotNull)
       .distinct()
   }
