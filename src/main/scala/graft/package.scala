@@ -13,7 +13,8 @@
   *                         multimodal
   *  - [[graft.functions]]  native Catalyst expressions + typed
   *                         aggregators (fnv_hash64, simhash48,
-  *                         minhash_sig, bounded-heap top-k)
+  *                         minhash_sig, json_tags_map,
+  *                         bounded-heap top-k)
   *  - [[graft.plans]]      custom logical/physical plans (AS-OF join)
   *  - [[graft.streaming]]  Structured Streaming ingest: buffer assembly,
   *                         dedup, windowed index docs, latency
