@@ -58,19 +58,23 @@ object JsonTagsMap {
 
   private val factory = new JsonFactory()
 
-  /** Flat-object parse: lowered keys, first-wins, scalars as text,
-    * nested values as raw JSON text. Returns null on malformed input
-    * or non-object roots. */
+  /** Flat-object parse: lowered keys (Locale.ROOT — matching Spark's
+    * locale-independent lower()), first-wins, scalars as text, nested
+    * values as raw JSON text. Returns null on malformed input —
+    * including truncated objects and trailing garbage — or non-object
+    * roots, like from_json. Parses the UTF-8 bytes directly (no
+    * per-row String decode on the hot path). */
   def parse(json: UTF8String): ArrayBasedMapData = {
     try {
-      val parser = factory.createParser(json.toString)
+      val parser = factory.createParser(json.getBytes)
       try {
         if (parser.nextToken() != JsonToken.START_OBJECT) return null
         val keys = new java.util.ArrayList[UTF8String]()
         val values = new java.util.ArrayList[UTF8String]()
         val seen = new java.util.HashSet[String]()
-        while (parser.nextToken() == JsonToken.FIELD_NAME) {
-          val key = parser.currentName().toLowerCase
+        var tok = parser.nextToken()
+        while (tok == JsonToken.FIELD_NAME) {
+          val key = parser.currentName().toLowerCase(java.util.Locale.ROOT)
           val t = parser.nextToken()
           val value: String = t match {
             case JsonToken.VALUE_NULL => null
@@ -81,13 +85,19 @@ object JsonTagsMap {
               gen.copyCurrentStructure(parser)
               gen.close()
               sw.toString
+            case null => return null // truncated mid-value
             case _ => parser.getText
           }
           if (seen.add(key)) {
             keys.add(UTF8String.fromString(key))
             values.add(if (value == null) null else UTF8String.fromString(value))
           }
+          tok = parser.nextToken()
         }
+        // the object must close AND the input must end there — a
+        // truncated object or trailing garbage is malformed, not a
+        // partial result to silently index
+        if (tok != JsonToken.END_OBJECT || parser.nextToken() != null) return null
         ArrayBasedMapData(keys.toArray, values.toArray)
       } finally parser.close()
     } catch {

@@ -46,10 +46,13 @@ object WhitelistIndex {
   val IntrinsicFields: Seq[String] =
     Seq("duration", "operation", "service", "starttime", "traceid")
 
-  /** Lowercase names/aliases, drop disabled, keep first of each name. */
+  /** Lowercase names/aliases (Locale.ROOT — matching the tag-key
+    * lowering in json_tags_map), drop disabled, keep first of each
+    * name. */
   def normalize(fields: Seq[WhitelistField]): Seq[WhitelistField] = {
+    val root = java.util.Locale.ROOT
     val lc = fields.filter(_.enabled).map(f =>
-      f.copy(name = f.name.toLowerCase, aliases = f.aliases.map(_.toLowerCase)))
+      f.copy(name = f.name.toLowerCase(root), aliases = f.aliases.map(_.toLowerCase(root))))
     lc.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
   }
 

@@ -52,8 +52,10 @@ object TextQueries {
     * construction; the +1000 offset must stay in lockstep everywhere
     * or doc↔cluster join keys silently stop matching. */
   private def doubledCorpus(s: SparkSession, dir: String, maxId: Int): DataFrame = {
-    val base = Tables.documents(s, dir).filter(col("doc_id") < maxId)
-      .select(col("doc_id"), col("text"))
+    // no filter for the unbounded case — an added doc_id < MaxValue
+    // predicate would (unlike the oracle SQL) also drop null doc_ids
+    val all = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = if (maxId == Int.MaxValue) all else all.filter(col("doc_id") < maxId)
     base.union(base.select((col("doc_id") + 1000).as("doc_id"), col("text")))
   }
 

@@ -35,6 +35,11 @@ class JsonTagsMapSpec extends AnyFunSpec with Matchers with SparkTestBase {
       parse("not json", "[1,2]", """"str"""") shouldBe Seq(null, null, null)
     }
 
+    it("returns null (not a partial map) for truncated objects and trailing garbage") {
+      parse("""{"region":"us",""", """{"region":"us"}garbage""",
+        """{"region":"us","k":""") shouldBe Seq(null, null, null)
+    }
+
     it("evaluates identically through codegen and interpreted paths") {
       val json = """{"A": "x", "a": "y", "n": 7}"""
       val viaExpr = parse(json).head
