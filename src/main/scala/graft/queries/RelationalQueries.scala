@@ -222,6 +222,26 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey < 20
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // C11: window frame — per-customer running order total (rows
+    // unbounded-preceding frame), decimal-exact then double
+    "q_window_runsum" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir).filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec("o_totalprice")).over(w).cast(DecimalType(38, 2)).cast("double")
+              .as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(CAST(SUM(${d("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE)
+         |    AS running_total
+         |FROM orders WHERE o_custkey < 50
+         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // C12: union distinct of two dim-derived sets
     "q_union" -> QueryDef.sql(
       (s, dir) => {
