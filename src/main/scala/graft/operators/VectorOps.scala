@@ -211,6 +211,28 @@ object VectorOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Near-duplicate pairs at scale: LSH-bucket the corpus (hyperplane
+    * sign bits), generate candidate pairs only WITHIN a bucket
+    * (equi-join on the bucket key — the shuffle carries (id, bucket)
+    * rows, never the cross product), then verify exactly with the
+    * cosine threshold. The scale path for [[cosineNearDupPairs]]:
+    * recall is bounded by bucket collisions (near-identical vectors
+    * share all sign bits with high probability), cost by bucket sizes.
+    */
+  def cosineNearDupPairsLsh(
+      embeddings: DataFrame, maxId: Int, threshold: Double, dim: Int, bits: Int): DataFrame = {
+    val n = withNorms(embeddings).filter(col("vec_id") < maxId)
+      .withColumn("bucket", lshBucket(col("v"), dim, bits))
+    val a = n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"),
+      col("bucket").as("b1"))
+    val b = n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"),
+      col("bucket").as("b2"))
+    a.join(b, col("b1") === col("b2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** ANN via LSH buckets: shuffle on bucket key, local top-k per bucket,
     * then global top-k per query over surviving candidates. Recall vs
     * the brute path is checked in VectorOpsSpec. */

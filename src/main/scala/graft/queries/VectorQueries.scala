@@ -38,6 +38,31 @@ object VectorQueries {
         |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY d1, d2""".stripMargin),
 
+    // B5 scale path: near-dup pairs via LSH buckets — candidates only
+    // within a bucket, exact cosine verify. Oracle embeds the same
+    // literal hyperplane weights (left-associated chain), so buckets
+    // and the surviving pair set match bit-for-bit; with 2 bits the
+    // buckets are coarse, proving the bucket JOIN (not a cross join)
+    // produces the pairs.
+    "neardup_cosine_lsh" -> QueryDef.sql(
+      (s, dir) => VectorOps.cosineNearDupPairsLsh(
+        Tables.embeddings(s, dir), 300, 0.4, 64, 2).orderBy("d1", "d2"),
+      {
+        val ws = VectorOps.lshWeights(64, 2)
+        val planes = ws.map { w =>
+          val terms = w.zipWithIndex
+            .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
+          s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e)
+           |SELECT a.vec_id AS d1, b.vec_id AS d2,
+           |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     // B7: LSH-bucketed ANN — scale path; recall checked in
     // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
     // driver-side literals, embedded into the SQL as the SAME

@@ -105,5 +105,14 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         r.getAs[Double]("score") should be >= 0.2
       }
     }
+
+    it("LSH-bucketed variant returns a subset of the exact pairs with nontrivial recall") {
+      val exact = VectorOps.cosineNearDupPairs(emb, 300, 0.2).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val lsh = VectorOps.cosineNearDupPairsLsh(emb, 300, 0.2, 64, 2).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      lsh.subsetOf(exact) shouldBe true // exact verify: no false positives
+      if (exact.nonEmpty) (lsh.size.toDouble / exact.size) should be > 0.1
+    }
   }
 }
