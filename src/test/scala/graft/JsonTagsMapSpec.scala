@@ -53,6 +53,35 @@ class JsonTagsMapSpec extends AnyFunSpec with Matchers with SparkTestBase {
       viaExpr shouldBe viaObj
     }
 
+    it("matches a reference Scala parse over randomized flat objects") {
+      val rnd = new scala.util.Random(7)
+      def randKey() = {
+        val base = Seq("region", "K", "Status", "x1", "UP", "mix3")(rnd.nextInt(6))
+        if (rnd.nextBoolean()) base.toUpperCase else base
+      }
+      def randValue(): (String, String) = rnd.nextInt(4) match {
+        case 0 => val n = rnd.nextInt(1000); (n.toString, n.toString)
+        case 1 => val b = rnd.nextBoolean(); (b.toString, b.toString)
+        case 2 => val s = "s" + rnd.nextInt(100); ("\"" + s + "\"", s)
+        case _ => ("null", null)
+      }
+      val cases = (1 to 60).map { _ =>
+        val fields = (0 until rnd.nextInt(5)).map { _ =>
+          val k = randKey(); val (jv, pv) = randValue(); (k, jv, pv)
+        }
+        val json = fields.map { case (k, jv, _) => s""""$k": $jv""" }.mkString("{", ", ", "}")
+        val expected = fields.foldLeft(Map.empty[String, String]) { case (m, (k, _, pv)) =>
+          val lk = k.toLowerCase(java.util.Locale.ROOT)
+          if (m.contains(lk)) m else m + (lk -> pv)
+        }
+        json -> expected
+      }
+      // value "null" entries: the map stores a null value for the key
+      parse(cases.map(_._1): _*).zip(cases.map(_._2)).foreach { case (got, want) =>
+        got shouldBe want
+      }
+    }
+
     it("rejects non-string input at analysis") {
       GraftExtensions.register(spark)
       assertThrows[Exception] {
