@@ -88,6 +88,47 @@ object MultimodalOps {
     e
   }
 
+  /** One resized media item. */
+  final case class ResizedRow(
+      media_id: Long, media_type: String, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB of a pixel resampler: deterministic byte decimation to the
+    * target payload budget — stands in for a real resize kernel. */
+  def stubResize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = payload.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = payload((i * stride).toInt); i += 1 }
+      out
+    }
+  }
+
+  /** Resize images to bounded dimensions (the preprocessing step before
+    * feature extraction / training). The resample itself is the
+    * declared stub; the Spark plumbing is real and production-shaped:
+    * typed partition-local batches (payloads never shuffle), bounded
+    * output size per item, non-image rows pass through untouched. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mt, payload) =>
+        if (mt != "image") ResizedRow(id, mt, -1, -1, payload)
+        else {
+          val (w, h, _) = stubDecode(mt, payload)
+          val (ow, oh) = (math.min(w, maxW), math.min(h, maxH))
+          // budget scales with the area ratio, floor 1 byte
+          val budget = math.max(1,
+            (payload.length.toDouble * (ow.toDouble * oh) / (w.toDouble * h)).toInt)
+          ResizedRow(id, mt, ow, oh, stubResize(payload, budget))
+        }
+      })
+      .toDF()
+  }
+
   /** One sampled frame slice. */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -44,4 +44,34 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .head().getAs[Int]("m") should be <= 16
     }
   }
+
+  describe("resizeImages") {
+    it("bounds image dimensions and shrinks payload by the area ratio") {
+      val resized = MultimodalOps.resizeImages(media, maxW = 128, maxH = 128)
+      val images = resized.filter(col("media_type") === "image").collect()
+      images should not be empty
+      images.foreach { r =>
+        r.getAs[Int]("width") should be <= 128
+        r.getAs[Int]("height") should be <= 128
+        r.getAs[Array[Byte]]("payload").length should be >= 1
+      }
+      // stub decode reports >=512px sources, so payloads must shrink
+      val before = media.filter(col("media_type") === "image")
+        .select(sum(org.apache.spark.sql.functions.length(col("payload")))).head().getLong(0)
+      val after = resized.filter(col("media_type") === "image")
+        .select(sum(org.apache.spark.sql.functions.length(col("payload")))).head().getLong(0)
+      after should be < before
+    }
+
+    it("passes non-image rows through untouched") {
+      val audioBefore = media.filter(col("media_type") === "audio")
+        .select("media_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val audioAfter = MultimodalOps.resizeImages(media, 128, 128)
+        .filter(col("media_type") === "audio")
+        .select("media_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      audioAfter shouldBe audioBefore
+    }
+  }
 }
