@@ -88,9 +88,10 @@ object MultimodalOps {
     e
   }
 
-  /** One resized media item. */
+  /** One resized media item (source metadata carried through). */
   final case class ResizedRow(
-      media_id: Long, media_type: String, width: Int, height: Int, payload: Array[Byte])
+      media_id: Long, media_type: String, width: Int, height: Int,
+      payload: Array[Byte], source: String)
 
   /** STUB of a pixel resampler: deterministic byte decimation to the
     * target payload budget — stands in for a real resize kernel. */
@@ -105,25 +106,29 @@ object MultimodalOps {
     }
   }
 
-  /** Resize images to bounded dimensions (the preprocessing step before
-    * feature extraction / training). The resample itself is the
-    * declared stub; the Spark plumbing is real and production-shaped:
-    * typed partition-local batches (payloads never shuffle), bounded
-    * output size per item, non-image rows pass through untouched. */
+  /** Resize images to fit bounded dimensions (the preprocessing step
+    * before feature extraction / training). Aspect ratio is PRESERVED:
+    * both dims scale by min(1, maxW/w, maxH/h), like a real fit-resize
+    * — clamping each dimension independently would squash non-square
+    * sources. The resample itself is the declared stub; the Spark
+    * plumbing is real: typed partition-local batches (payloads never
+    * shuffle), bounded output size per item, non-image rows and the
+    * source metadata pass through untouched. */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    media.select("media_id", "media_type", "payload")
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mt, payload) =>
-        if (mt != "image") ResizedRow(id, mt, -1, -1, payload)
+    media.select("media_id", "media_type", "payload", "source")
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, mt, payload, source) =>
+        if (mt != "image") ResizedRow(id, mt, -1, -1, payload, source)
         else {
           val (w, h, _) = stubDecode(mt, payload)
-          val (ow, oh) = (math.min(w, maxW), math.min(h, maxH))
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
           // budget scales with the area ratio, floor 1 byte
           val budget = math.max(1,
             (payload.length.toDouble * (ow.toDouble * oh) / (w.toDouble * h)).toInt)
-          ResizedRow(id, mt, ow, oh, stubResize(payload, budget))
+          ResizedRow(id, mt, ow, oh, stubResize(payload, budget), source)
         }
       })
       .toDF()

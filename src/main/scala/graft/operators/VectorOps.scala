@@ -70,6 +70,16 @@ object VectorOps {
       }
     }
 
+  /** DuckDB SQL for the bucket key over a column `v`, embedding the
+    * same literal weights as a left-associated chain — single source
+    * for every LSH oracle (bit-identical IEEE sign bits). */
+  def lshPlanesSql(dim: Int, bits: Int): String =
+    lshWeights(dim, bits).map { w =>
+      val terms = w.zipWithIndex
+        .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   /** Random-hyperplane LSH bucket key: `bits` sign bits from
     * deterministic pseudo-hyperplanes (hash-mixed index products —
     * reproducible across runs, no RNG state). The per-plane dot is a
@@ -212,22 +222,27 @@ object VectorOps {
   }
 
   /** Near-duplicate pairs at scale: LSH-bucket the corpus (hyperplane
-    * sign bits), generate candidate pairs only WITHIN a bucket
-    * (equi-join on the bucket key — the shuffle carries (id, bucket)
-    * rows, never the cross product), then verify exactly with the
-    * cosine threshold. The scale path for [[cosineNearDupPairs]]:
-    * recall is bounded by bucket collisions (near-identical vectors
-    * share all sign bits with high probability), cost by bucket sizes.
+    * sign bits), generate candidate ID pairs from a SKINNY
+    * (vec_id, bucket) projection — the bucket equi-join shuffles two
+    * longs per row, never vectors and never the cross product — then
+    * join the vectors back BY ID for the exact cosine verify, so the
+    * heavy payload movement hashes over ids (uniform), not over the
+    * handful of bucket keys (skewed). The scale path for
+    * [[cosineNearDupPairs]]: recall is bounded by bucket collisions,
+    * cost by bucket sizes.
     */
   def cosineNearDupPairsLsh(
       embeddings: DataFrame, maxId: Int, threshold: Double, dim: Int, bits: Int): DataFrame = {
     val n = withNorms(embeddings).filter(col("vec_id") < maxId)
       .withColumn("bucket", lshBucket(col("v"), dim, bits))
-    val a = n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"),
-      col("bucket").as("b1"))
-    val b = n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"),
-      col("bucket").as("b2"))
-    a.join(b, col("b1") === col("b2") && col("d1") < col("d2"))
+    val skinny = n.select(col("vec_id"), col("bucket"))
+    val candidates = skinny.select(col("vec_id").as("d1"), col("bucket").as("b1"))
+      .join(skinny.select(col("vec_id").as("d2"), col("bucket").as("b2")),
+        col("b1") === col("b2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+    candidates
+      .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+      .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
       .filter(col("score") >= threshold)

@@ -47,21 +47,14 @@ object VectorQueries {
     "neardup_cosine_lsh" -> QueryDef.sql(
       (s, dir) => VectorOps.cosineNearDupPairsLsh(
         Tables.embeddings(s, dir), 300, 0.4, 64, 2).orderBy("d1", "d2"),
-      {
-        val ws = VectorOps.lshWeights(64, 2)
-        val planes = ws.map { w =>
-          val terms = w.zipWithIndex
-            .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
-          s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e)
-           |SELECT a.vec_id AS d1, b.vec_id AS d2,
-           |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
-           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
-           |ORDER BY d1, d2""".stripMargin
-      }),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        ${VectorOps.lshPlanesSql(64, 2)} AS bucket FROM e)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+         |ORDER BY d1, d2""".stripMargin),
 
     // B7: LSH-bucketed ANN — scale path; recall checked in
     // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
@@ -70,26 +63,19 @@ object VectorQueries {
     // buckets, candidates, and top-k) match bit-for-bit.
     "ann_topk_lsh" -> QueryDef.sql(
       (s, dir) => VectorOps.annTopKLsh(Tables.embeddings(s, dir), col("vec_id") < 10, 5, 64, 4),
-      {
-        val ws = VectorOps.lshWeights(64, 4)
-        val planes = ws.map { w =>
-          val terms = w.zipWithIndex
-            .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
-          s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e),
-           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket AS q_bucket
-           |      FROM n WHERE vec_id < 10),
-           |sc AS (SELECT q_id, vec_id AS neighbor_id,
-           |         ROUND(list_dot_product(v, qv) / (nrm * qnrm), 6) AS score
-           |       FROM n JOIN q ON bucket = q_bucket AND vec_id <> q_id),
-           |r AS (SELECT q_id, neighbor_id, score,
-           |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
-           |      FROM sc)
-           |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
-           |ORDER BY q_id, rnk""".stripMargin
-      }),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        ${VectorOps.lshPlanesSql(64, 4)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket AS q_bucket
+         |      FROM n WHERE vec_id < 10),
+         |sc AS (SELECT q_id, vec_id AS neighbor_id,
+         |         ROUND(list_dot_product(v, qv) / (nrm * qnrm), 6) AS score
+         |       FROM n JOIN q ON bucket = q_bucket AND vec_id <> q_id),
+         |r AS (SELECT q_id, neighbor_id, score,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
 
     // B7b: IVF-style ANN — probe-limited centroid cells. Full DuckDB
     // oracle: deterministic centroids + cosine cell ranking are plain

@@ -46,13 +46,19 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
   }
 
   describe("resizeImages") {
-    it("bounds image dimensions and shrinks payload by the area ratio") {
+    it("fits image dimensions preserving aspect ratio and shrinks payload by the area ratio") {
       val resized = MultimodalOps.resizeImages(media, maxW = 128, maxH = 128)
       val images = resized.filter(col("media_type") === "image").collect()
       images should not be empty
       images.foreach { r =>
-        r.getAs[Int]("width") should be <= 128
-        r.getAs[Int]("height") should be <= 128
+        val (ow, oh) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+        ow should be <= 128
+        oh should be <= 128
+        // sources are 512..1535 px (stub decode), so the fit must hit
+        // the bound on the LARGER dim and scale the other by the same
+        // factor — squashing to 128x128 would break this for any
+        // non-square source
+        math.max(ow, oh) should (be >= 127 and be <= 128)
         r.getAs[Array[Byte]]("payload").length should be >= 1
       }
       // stub decode reports >=512px sources, so payloads must shrink
