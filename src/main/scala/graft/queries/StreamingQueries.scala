@@ -54,6 +54,39 @@ object StreamingQueries {
     s.table(sink).orderBy("trace_id")
   }
 
+  /** Streaming exact dedup over a doubled backlog (the at-least-once
+    * redelivery case): every span arrives twice, the watermarked
+    * dropDuplicates must emit each exactly once — checked by comparing
+    * the sink count to the batch distinct count downstream (rows-only
+    * here; exact semantics in SpanBufferStreamSpec). */
+  private def runDedup(s: SparkSession, dir: String): DataFrame = {
+    val batchSchema = Tables.events(s, dir).schema
+    val eventsStream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val spanStream = TraceDataset.toSpanDataset(eventsStream.select(
+      col("user_id").cast("string").as("trace_id"),
+      col("event_id").as("span_id"),
+      lit(null).cast("long").as("parent_span_id"),
+      col("event_type").as("service"),
+      lit("op").as("operation"),
+      expr("ts div 1000").as("start_us"),
+      round(col("value") * 1000, 0).cast("long").as("duration_us"),
+      lit("").as("kind"),
+      col("props").as("tags")))
+    val doubled = spanStream.union(spanStream)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = s"dedup_spans_${System.nanoTime()}"
+    val q = SpanBufferStream.dedupSpans(doubled, gapSeconds = 60)
+      .groupBy("service").count()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(sink).orderBy("service")
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "streaming_span_buffer" -> QueryDef.rowsOnly(run))
+    "streaming_span_buffer" -> QueryDef.rowsOnly(run),
+    "streaming_dedup" -> QueryDef.rowsOnly(runDedup))
 }

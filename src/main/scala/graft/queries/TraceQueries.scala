@@ -438,6 +438,18 @@ object TraceQueries {
     "media_features" -> QueryDef.rowsOnly(
       (s, dir) => graft.operators.MultimodalOps.decodeFeatures(
         graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)))
+        .orderBy("media_id")),
+
+    // B12 surface: aspect-preserving image resize (stub resample),
+    // emitting only the bounded metadata so the checker never sees
+    // binary payloads
+    "media_resized" -> QueryDef.rowsOnly(
+      (s, dir) => graft.operators.MultimodalOps.resizeImages(
+        graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)),
+        maxW = 256, maxH = 256)
+        .filter(col("media_type") === "image")
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("n_bytes"))
         .orderBy("media_id"))
   )
 }
