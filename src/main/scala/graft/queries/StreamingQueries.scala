@@ -51,7 +51,18 @@ object StreamingQueries {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(sink).orderBy("trace_id")
+    drainSink(s, sink).orderBy("trace_id")
+  }
+
+  /** Copy a (small) memory-sink result out and DROP the sink table —
+    * leaked sinks accumulate in driver memory across bench/verify
+    * runs and slow every later query. */
+  private def drainSink(s: SparkSession, sink: String): DataFrame = {
+    val out = s.table(sink)
+    val materialized = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)), out.schema)
+    s.catalog.dropTempView(sink)
+    materialized
   }
 
   /** Streaming exact dedup over a doubled backlog (the at-least-once
@@ -83,7 +94,7 @@ object StreamingQueries {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(sink).orderBy("service")
+    drainSink(s, sink).orderBy("service")
   }
 
   val defs: Map[String, QueryDef] = Map(
