@@ -23,16 +23,15 @@ object BucketedLayout {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a table dropped from the catalog can leave an orphaned managed
     // location behind (e.g. across JVM restarts with the default
-    // in-memory catalog) — clear it or the CTAS refuses to run
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    // in-memory catalog) — clear it or the CTAS refuses to run. The
+    // Hadoop FileSystem API resolves the warehouse URI's scheme, so
+    // object-store warehouses (s3a://, hdfs://) clean up like file:/
+    // ones — java.io.File would silently no-op on them and strand the
+    // CTAS (same pattern as TimePartitioner.expire)
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     spans.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, "trace_id")

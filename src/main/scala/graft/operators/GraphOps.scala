@@ -31,7 +31,15 @@ object GraphOps {
     * several, and the caller couldn't tell. Raise `maxIter` for
     * long-chain graphs. Superseded per-iteration checkpoints are
     * unpersisted as soon as the next round is materialized, so
-    * block-manager storage stays O(1) frames regardless of rounds. */
+    * block-manager storage stays O(1) frames regardless of rounds.
+    *
+    * The RETURNED frame is itself a localCheckpoint (the label set can
+    * be arbitrarily large, so it is not copied to the driver the way
+    * kmeansCentroids copies its k-row result). Callers that are done
+    * with it may `unpersist()` it; otherwise Spark's ContextCleaner
+    * reclaims the blocks once the frame is garbage-collected — the
+    * cost of holding it is one cached (node, component) pair per edge
+    * endpoint, not a permanent leak. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE before mirroring it — the union

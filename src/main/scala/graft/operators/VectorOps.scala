@@ -156,6 +156,13 @@ object VectorOps {
     val n = withNorms(embeddings)
     var cents = n.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // each round MATERIALIZES its centroids (localCheckpoint) and
+    // releases the previous round's blocks — without the truncation,
+    // round i's plan nests round i-1's broadcast subtree and the
+    // whole corpus assignment re-executes per downstream use while
+    // optimizer time grows superlinearly in iters (the exact pattern
+    // GraphOps.connectedComponents already guards against)
+    var prevCheckpoint: Option[DataFrame] = None
     (0 until iters).foreach { _ =>
       val assigned = n.crossJoin(broadcast(centroidArray(cents)))
         .withColumn("aff", affSorted)
@@ -164,13 +171,30 @@ object VectorOps {
         .select(try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"), col("v"))
         .filter(col("cell").isNotNull)
         .as[(Long, Array[Double])]
-      cents = assigned
+      val next = assigned
         .groupByKey(_._1)
         .agg(vectorMean.toColumn.name("cv"))
         .toDF("c_id", "cv")
         .withColumn("cnrm", norm(col("cv")))
+        .localCheckpoint()
+      prevCheckpoint.foreach(_.unpersist())
+      prevCheckpoint = Some(next)
+      cents = next
     }
-    cents
+    prevCheckpoint match {
+      case None => cents // iters = 0: plain corpus-prefix plan, nothing cached
+      case Some(last) =>
+        // hand back a LOCAL relation: the centroid set is k rows (it
+        // already collapses into a single collect_list row for the
+        // broadcast), so copying it to the driver costs what the
+        // broadcast costs, folds into downstream broadcasts for free,
+        // and lets us release the final checkpoint here instead of
+        // leaking one cached RDD per call into the block manager
+        val rows = java.util.Arrays.asList(last.collect(): _*)
+        val out = s.createDataFrame(rows, last.schema)
+        last.unpersist()
+        out
+    }
   }
 
   /** IVF-style ANN: coarse centroids (first `nCentroids` corpus

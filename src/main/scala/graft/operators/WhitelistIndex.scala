@@ -73,6 +73,14 @@ object WhitelistIndex {
   def extractTags(spans: DataFrame, fields: Seq[WhitelistField]): DataFrame = {
     graft.GraftExtensions.register(spans.sparkSession)
     val fs = normalize(fields)
+    // a whitelist field whose lowercased name equals an existing span
+    // column would silently append a DUPLICATE column name, making every
+    // downstream reference ambiguous — fail at definition time instead
+    val clash = fs.map(_.name).toSet
+      .intersect(spans.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(clash.isEmpty,
+      s"whitelist field name(s) ${clash.toSeq.sorted.mkString(", ")} collide with span columns; " +
+        "rename the whitelist field (the span column already serves those queries)")
     val tagsMap = expr("json_tags_map(`tags`)")
     // try_element_at: ANSI element_at throws on a missing map key
     def lookup(key: String): Column = try_element_at(tagsMap, lit(key))

@@ -127,8 +127,15 @@ object TraceTransforms {
     * cost; spans of the same service that carry NO infra tag inherit
     * the ones observed anywhere in the trace. Spans that already carry
     * any infra tag are left untouched, exactly like the reference.
-    * First observation per (service, key) wins — deterministic in span
-    * order. */
+    *
+    * DELIBERATE DIVERGENCE from InfrastructureTagTransformer: the
+    * reference's repeated-tag list model appends EVERY observed
+    * instance of a (service, key) tag to spans lacking it, so two
+    * spans of one service carrying conflicting infra values both
+    * propagate; graft's map-typed tags can hold one value per key, so
+    * the FIRST observation per (service, key) wins — deterministic in
+    * span order, single-valued thereafter. Traces without conflicting
+    * infra tags (the designed-for case) resolve identically. */
   def propagateInfraTags(spans: Seq[Span]): Seq[Span] = {
     val infraKeys = Set(Aux.InfraProvider, Aux.InfraLocation)
     val byService = mutable.HashMap[String, Map[String, String]]()

@@ -35,5 +35,24 @@ class BucketedLayoutSpec extends AnyFunSpec with Matchers with SparkTestBase {
     it("fetches a single trace") {
       BucketedLayout.getTrace(spark, table, "13").count() should be > 0L
     }
+
+    it("clears an orphaned managed location via the Hadoop FS API (URI-form warehouse)") {
+      // the default warehouse is a file: URI — exactly the form a
+      // java.io.File cleanup mishandles and an object store generalizes
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      wh.toUri.getScheme shouldBe "file"
+      val loc = new org.apache.hadoop.fs.Path(wh, "spans_bucketed_orphan")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate the across-JVM orphan: files at the managed location
+      // with no catalog entry (an in-memory catalog forgot the table)
+      val stale = new org.apache.hadoop.fs.Path(loc, "stale/part-00000")
+      fs.mkdirs(stale.getParent)
+      fs.create(stale).close()
+      BucketedLayout.writeBucketed(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)), "spans_bucketed_orphan", buckets = 4)
+      fs.exists(stale) shouldBe false
+      spark.table("spans_bucketed_orphan").count() should be > 0L
+      spark.sql("DROP TABLE spans_bucketed_orphan")
+    }
   }
 }

@@ -95,6 +95,34 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[scala.collection.Seq[Double]]("cv")).toMap
       once should not be init
     }
+
+    it("truncates lineage per round: the result is a local relation, not a nested plan") {
+      // the returned frame must carry NO per-iteration subtree — round
+      // 1's unbounded plan growth meant every extra Lloyd's round
+      // re-nested the full corpus-assignment job. A LocalRelation plan
+      // proves truncation structurally (no timing flake).
+      val plan = VectorOps.kmeansCentroids(emb, k = 8, iters = 3)
+        .queryExecution.optimizedPlan
+      plan.collectLeaves().map(_.nodeName).distinct shouldBe Seq("LocalRelation")
+      // and no RDD blocks may be left behind by the internal checkpoints
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(_.name != null)
+        .count(_.toString.contains("kmeans")) shouldBe 0
+    }
+
+    it("wall time stays ~linear in iterations (no per-round plan blowup)") {
+      def time(iters: Int): Double = {
+        val t0 = System.nanoTime()
+        VectorOps.kmeansCentroids(emb, k = 8, iters = iters).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(1) // warm JIT/codegen paths
+      val t2 = time(2)
+      val t8 = time(8)
+      // linear would be ~4×; superlinear plan growth is well beyond
+      // this deliberately-generous bound even on a noisy machine
+      t8 should be < (8 * t2 + 5.0)
+    }
   }
 
   describe("cosineNearDupPairs") {

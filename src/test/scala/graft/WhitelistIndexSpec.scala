@@ -70,6 +70,14 @@ class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out shouldBe "us"
     }
 
+    it("rejects a whitelist field whose name collides with a span column") {
+      val df = tagged(1L -> """{"span_id": "7"}""")
+      val ex = intercept[IllegalArgumentException] {
+        WhitelistIndex.extractTags(df, Seq(WhitelistField("Span_ID", "long")))
+      }
+      ex.getMessage should include("span_id")
+    }
+
     it("skips disabled fields") {
       val df = tagged(1L -> """{"a": "1"}""")
       val cols = WhitelistIndex.extractTags(df,
