@@ -3,101 +3,172 @@ package graft.queries
 import graft.Tables
 import graft.streaming.SpanBufferStream
 import graft.trace.TraceDataset
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming coverage (SURVEY.md §2 A3): the indexer's accumulate-and-
-  * seal loop as a real Structured Streaming job over the events parquet,
-  * run to completion with an AvailableNow trigger and returned as the
-  * sealed-buffer summary. Rows-only check (watermark semantics are not
-  * DuckDB-expressible); exact sealing behavior is specified in
-  * SpanBufferStreamSpec.
+  * seal loop as real Structured Streaming jobs over the events parquet,
+  * run to completion with an AvailableNow trigger.
+  *
+  * ORACLE-EXACT: with AvailableNow the whole backlog lands in one
+  * micro-batch (watermark 0 while it processes), then the trailing
+  * no-data batch advances the watermark to `globalMaxEventTime − gap`
+  * and fires the event-time timeouts / closes the sessions. The sealed
+  * set is therefore a pure function of the data:
+  *
+  *   sealed(trace) ⟺ lastSpanMs(trace) + gapMs  <  globalMaxMs − gapMs
+  *
+  * (ms flooring on both sides: Spark tracks watermarks and timeout
+  * timestamps in epoch millis; timeouts fire on timestamp < watermark,
+  * strictly). That inequality is plain SQL, so the driver's DuckDB
+  * compare can hash-check streaming output instead of counting rows.
+  *
+  * Session isolation: each query runs on a CLONED session
+  * (`newSession` — same SparkContext, separate SQLConf) so tuning the
+  * state-store parallelism can't race with other queries on the shared
+  * session's `spark.sql.shuffle.partitions`.
   */
 object StreamingQueries {
 
-  private def run(s: SparkSession, dir: String): DataFrame = {
-    // batch read defines the schema (and flips the nanosAsLong conf the
-    // streaming read needs for the TIMESTAMP(NANOS) column)
-    val batchSchema = Tables.events(s, dir).schema
-    // the file stream source wants a directory: stream the testdata dir
-    // with a glob pinned to the events file
-    val eventsStream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  private val GapSeconds = 60L
 
+  /** Cloned session with state-store parallelism right-sized for a
+    * bounded one-file backlog (full batch parallelism just multiplies
+    * state-store init cost). */
+  private def isolated(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
+  /** File-source span stream over the events table (schema borrowed
+    * from the batch read, which also flips the nanosAsLong conf). */
+  private def spanStream(ss: SparkSession, dir: String, richOps: Boolean): Dataset[graft.model.Span] = {
+    val batchSchema = Tables.events(ss, dir).schema
+    val eventsStream = ss.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
     // at ingest time parents are unknown (the reference's indexer also
     // sees bare spans) — no lag window here, streams can't sort history
-    val spanStream = TraceDataset.toSpanDataset(eventsStream.select(
+    TraceDataset.toSpanDataset(eventsStream.select(
       col("user_id").cast("string").as("trace_id"),
       col("event_id").as("span_id"),
       lit(null).cast("long").as("parent_span_id"),
       col("event_type").as("service"),
-      concat(lit("op_"), (get_json_object(col("props"), "$.k").cast("int") % 5).cast("string"))
-        .as("operation"),
+      if (richOps)
+        concat(lit("op_"), (get_json_object(col("props"), "$.k").cast("int") % 5).cast("string"))
+          .as("operation")
+      else lit("op").as("operation"),
       expr("ts div 1000").as("start_us"),
       round(col("value") * 1000, 0).cast("long").as("duration_us"),
       lit("").as("kind"),
       col("props").as("tags")))
+  }
 
-    // state-store init cost scales with state partitions; a bounded
-    // one-file backlog doesn't need the full batch parallelism
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val sealedBuffers = SpanBufferStream.assemble(spanStream, gapSeconds = 60, maxSpans = 10000)
+  /** Copy a (small) memory-sink result out of the CLONED session and
+    * DROP the sink table — leaked sinks accumulate in driver memory
+    * across bench/verify runs and slow every later query. The copy is
+    * rebuilt on the CALLER's session so downstream use doesn't depend
+    * on the clone. */
+  private def drainSink(caller: SparkSession, ss: SparkSession, sink: String): DataFrame = {
+    val out = ss.table(sink)
+    val materialized = caller.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)), out.schema)
+    ss.catalog.dropTempView(sink)
+    materialized
+  }
+
+  /** A3: flatMapGroupsWithState accumulate-and-seal, summarized as
+    * (trace_id, span_count) per SEALED buffer. */
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s)
+    val sealedBuffers = SpanBufferStream.assemble(
+      spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds, maxSpans = 10000)
     val sink = s"sealed_buffers_${System.nanoTime()}"
     val q = sealedBuffers
       .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count"))
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    drainSink(s, sink).orderBy("trace_id")
+    q.awaitTermination()
+    drainSink(s, ss, sink).orderBy("trace_id")
   }
 
-  /** Copy a (small) memory-sink result out and DROP the sink table —
-    * leaked sinks accumulate in driver memory across bench/verify
-    * runs and slow every later query. */
-  private def drainSink(s: SparkSession, sink: String): DataFrame = {
-    val out = s.table(sink)
-    val materialized = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)), out.schema)
-    s.catalog.dropTempView(sink)
-    materialized
+  /** A3 native variant: session_window grouping — less state code, no
+    * user state function; a trace quiet for >= gap splits into separate
+    * sessions (the reference's accumulate window restarted). Emits
+    * (trace_id, session_start_us, span_count) per CLOSED session. */
+  private def runSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s)
+    val sessions = SpanBufferStream.assembleSessions(
+      spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds)
+    val sink = s"session_buffers_${System.nanoTime()}"
+    val q = sessions
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(s, ss, sink).orderBy("trace_id", "session_start_us")
   }
 
   /** Streaming exact dedup over a doubled backlog (the at-least-once
     * redelivery case): every span arrives twice, the watermarked
-    * dropDuplicates must emit each exactly once — checked by comparing
-    * the sink count to the batch distinct count downstream (rows-only
-    * here; exact semantics in SpanBufferStreamSpec). */
+    * dropDuplicates must emit each exactly once — the per-service
+    * counts then equal the batch DISTINCT, which is the oracle. */
   private def runDedup(s: SparkSession, dir: String): DataFrame = {
-    val batchSchema = Tables.events(s, dir).schema
-    val eventsStream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val spanStream = TraceDataset.toSpanDataset(eventsStream.select(
-      col("user_id").cast("string").as("trace_id"),
-      col("event_id").as("span_id"),
-      lit(null).cast("long").as("parent_span_id"),
-      col("event_type").as("service"),
-      lit("op").as("operation"),
-      expr("ts div 1000").as("start_us"),
-      round(col("value") * 1000, 0).cast("long").as("duration_us"),
-      lit("").as("kind"),
-      col("props").as("tags")))
-    val doubled = spanStream.union(spanStream)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = isolated(s)
+    val spans = spanStream(ss, dir, richOps = false)
+    val doubled = spans.union(spans)
     val sink = s"dedup_spans_${System.nanoTime()}"
-    val q = SpanBufferStream.dedupSpans(doubled, gapSeconds = 60)
+    val q = SpanBufferStream.dedupSpans(doubled, gapSeconds = GapSeconds)
       .groupBy("service").count()
       .writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    drainSink(s, sink).orderBy("service")
+    q.awaitTermination()
+    drainSink(s, ss, sink).orderBy("service")
   }
 
+  // Shared oracle scaffolding: the same span timeline DuckDB-side.
+  private val SpanCte =
+    """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
+      |           FROM events)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "streaming_span_buffer" -> QueryDef.rowsOnly(run),
-    "streaming_dedup" -> QueryDef.rowsOnly(runDedup))
+    // sealed ⟺ trace quiet deadline (ms) strictly before final
+    // watermark (ms) — see object doc for the derivation
+    "streaming_span_buffer" -> QueryDef.sql(run,
+      SpanCte + s"""
+        |, g AS (SELECT max(start_us) // 1000 AS gm_ms FROM s)
+        |SELECT trace_id, COUNT(*) AS span_count
+        |FROM s, g
+        |GROUP BY trace_id, gm_ms
+        |HAVING max(start_us) // 1000 + ${GapSeconds * 1000} < gm_ms - ${GapSeconds * 1000}
+        |ORDER BY trace_id""".stripMargin),
+
+    // session split when the in-trace gap >= gapSeconds (Spark merges
+    // sessions only on strict overlap); a session emits when its end
+    // (last span + gap, micros) is past the final watermark
+    "streaming_span_buffer_sessions" -> QueryDef.sql(runSessionWindow,
+      SpanCte + s"""
+        |, x AS (SELECT trace_id, start_us,
+        |          CASE WHEN start_us - lag(start_us) OVER (PARTITION BY trace_id ORDER BY start_us)
+        |                    >= ${GapSeconds * 1000000} THEN 1 ELSE 0 END AS brk
+        |        FROM s),
+        |y AS (SELECT trace_id, start_us,
+        |        SUM(brk) OVER (PARTITION BY trace_id ORDER BY start_us ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM x),
+        |g AS (SELECT max(start_us) AS gmax_us FROM y),
+        |sessions AS (SELECT trace_id, sess, MIN(start_us) AS session_start_us,
+        |               COUNT(*) AS span_count, MAX(start_us) AS last_us
+        |             FROM y GROUP BY trace_id, sess)
+        |SELECT trace_id, session_start_us, span_count
+        |FROM sessions, g
+        |WHERE last_us + ${GapSeconds * 1000000} < (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
+        |ORDER BY trace_id, session_start_us""".stripMargin),
+
+    // exactly-once under redelivery: counts equal the batch DISTINCT
+    "streaming_dedup" -> QueryDef.sql(runDedup,
+      """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS trace_id, event_id,
+        |             epoch_us(ts) AS start_us, event_type
+        |           FROM events)
+        |SELECT event_type AS service, COUNT(*) AS count
+        |FROM d GROUP BY event_type ORDER BY service""".stripMargin))
 }

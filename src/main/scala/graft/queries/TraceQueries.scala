@@ -392,18 +392,74 @@ object TraceQueries {
       cte("""SELECT trace_id, span_id, parent_span_id, start_us FROM spans WHERE trace_id = '7'
             |ORDER BY (parent_span_id IS NOT NULL), start_us, span_id""".stripMargin)),
 
-    // A15: call graph over processed traces (tree logic — rows-only check;
-    // exact-semantics specs live in TraceTransformsSpec). Input tags are
-    // dropped before the per-trace stage: call-graph edges read only the
-    // aux tags the merge step itself creates, so parsing the ingest JSON
+    // A15: call graph over processed traces. Input tags are dropped
+    // before the per-trace stage: call-graph edges read only the aux
+    // tags the merge step itself creates, so parsing the ingest JSON
     // here would be pure overhead.
-    "trace_call_graph" -> QueryDef.rowsOnly(
+    //
+    // ORACLE-EXACT: on a chain-shaped trace (each span's parent is the
+    // previous event) ServerClientSpanMergeTransformer's top-down
+    // collapse reduces to a GREEDY adjacent-pair scan — walk the chain
+    // from the root; at position i, the (i, i+1) pair merges iff
+    // services differ AND kinds differ (span_id parity here); a merged
+    // pair consumes both positions, so the scan resumes at i+2. That
+    // scan is a recursive CTE in DuckDB (state = current position +
+    // whether it merged), so the whole user-facing surface — edge set,
+    // call counts, exact network-delta sums — is hash-checked; the
+    // tree-shaped merge corner cases (multi-child, producer/consumer
+    // kinds, already-merged guards) stay in TraceTransformsSpec.
+    "trace_call_graph" -> QueryDef.sql(
       (s, dir) => TraceDataset.callGraphEdges(
         TraceDataset.toSpanDataset(
           spans(s, dir)
             .withColumn("kind", when(col("span_id") % 2 === 0, "client").otherwise("server"))
             .withColumn("tags", lit(null).cast("string"))))
-        .orderBy("fromService", "fromOperation", "toService", "toOperation")),
+        .orderBy("fromService", "fromOperation", "toService", "toOperation"),
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trace_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |         event_id AS span_id,
+        |         event_type AS service,
+        |         'op_' || CAST(CAST(json_extract(props, '$.k') AS INT) % 5 AS VARCHAR) AS operation,
+        |         CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |  FROM events
+        |),
+        |scan AS (
+        |  SELECT c.trace_id, c.pos,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |                   AND (c.span_id % 2) <> (n.span_id % 2)
+        |              THEN 1 ELSE 0 END AS merged
+        |  FROM chain c LEFT JOIN chain n
+        |    ON n.trace_id = c.trace_id AND n.pos = c.pos + 1
+        |  WHERE c.pos = 1
+        |  UNION ALL
+        |  SELECT c.trace_id, c.pos,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |                   AND (c.span_id % 2) <> (n.span_id % 2)
+        |              THEN 1 ELSE 0 END
+        |  FROM scan s
+        |  JOIN chain c ON c.trace_id = s.trace_id
+        |    AND c.pos = s.pos + (CASE WHEN s.merged = 1 THEN 2 ELSE 1 END)
+        |  LEFT JOIN chain n ON n.trace_id = c.trace_id AND n.pos = c.pos + 1
+        |),
+        |edges AS (
+        |  SELECT c.service AS from_service, c.operation AS from_operation,
+        |         n.service AS to_service, n.operation AS to_operation,
+        |         CASE WHEN n.duration_us < c.duration_us
+        |              THEN c.duration_us - n.duration_us ELSE -1 END AS delta
+        |  FROM scan s
+        |  JOIN chain c ON c.trace_id = s.trace_id AND c.pos = s.pos
+        |  JOIN chain n ON n.trace_id = s.trace_id AND n.pos = s.pos + 1
+        |  WHERE s.merged = 1
+        |)
+        |SELECT from_service AS "fromService", from_operation AS "fromOperation",
+        |       to_service AS "toService", to_operation AS "toOperation",
+        |       COUNT(*) AS n_calls,
+        |       CAST(SUM(CASE WHEN delta >= 0 THEN delta END) AS BIGINT) AS sum_network_delta_us,
+        |       COUNT(CASE WHEN delta >= 0 THEN 1 END) AS n_measured
+        |FROM edges
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin),
 
     // A18–A20 composite: full reference read pipeline over every trace
     "trace_processed" -> QueryDef.rowsOnly(

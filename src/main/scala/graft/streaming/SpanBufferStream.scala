@@ -83,6 +83,32 @@ object SpanBufferStream {
       }
   }
 
+  /** Native session-window trace assembly — the same accumulate-and-
+    * seal semantics as [[assemble]] expressed with `session_window`
+    * instead of a user state function: spans of a trace group into a
+    * session that extends while spans keep arriving within
+    * `gapSeconds` of the last one; the session closes (and emits) when
+    * the watermark passes its end. Where [[assemble]] keeps whatever
+    * arrived in one open buffer until the trace goes quiet,
+    * session_window ALSO splits on in-trace quiet gaps in the same
+    * batch — on a timeline whose traces are each dense (no internal
+    * gap >= gapSeconds) the two seal identical buffers
+    * (SpanBufferStreamSpec proves it). Upsides of the native form: no
+    * state-function code to maintain, mergeable sessions handled by
+    * the engine, and the planner can right-size the single shuffle.
+    *
+    * Emits (trace_id, session_start_us, span_count) summaries. */
+  def assembleSessions(spans: Dataset[Span], gapSeconds: Long): DataFrame =
+    spans
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$gapSeconds seconds")
+      .groupBy(col("traceId"), session_window(col("event_time"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("span_count"))
+      .select(
+        col("traceId").as("trace_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("span_count"))
+
   /** Streaming trace-index documents: windowed per-(service, operation)
     * rollups with watermark-bounded state — the streaming analogue of
     * the indexer's ES docs (IndexDocumentGenerator), emitted per time

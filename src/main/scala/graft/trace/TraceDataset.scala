@@ -68,8 +68,11 @@ object TraceDataset {
       .flatMapGroups((_, it) => TraceTransforms.callGraph(TraceTransforms.defaultPipeline(it.toSeq)))
       .groupBy("fromService", "fromOperation", "toService", "toOperation")
       // -1 is the "no measurable delta" sentinel (server span not shorter
-      // than client) — keep it out of the average
+      // than client) — keep it out of the aggregate. Exact BIGINT sum +
+      // count (avg = sum/n for callers): integer outputs hash
+      // deterministically where a double average cannot
       .agg(count(lit(1)).as("n_calls"),
-        avg(when(col("networkDeltaUs") >= 0, col("networkDeltaUs"))).as("avg_network_delta_us"))
+        sum(when(col("networkDeltaUs") >= 0, col("networkDeltaUs"))).as("sum_network_delta_us"),
+        count(when(col("networkDeltaUs") >= 0, lit(1))).as("n_measured"))
   }
 }

@@ -128,6 +128,39 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
       rows.find(_.getAs[String]("traceId") == "t1").get.getAs[Long]("span_count") shouldBe 2L
     }
 
+    it("assembleSessions seals the same buffers as the state-function path on a dense timeline") {
+      // each trace's spans are within the gap of each other (dense) and
+      // a far-future span drives the watermark past every deadline —
+      // the declared equivalence domain of the two assembly forms
+      val timeline = Seq(
+        Seq(span("t1", "a", t0), span("t1", "b", t0 + 1000000L),
+          span("t2", "p", t0 + 2000000L)),
+        Seq(span("t2", "q", t0 + 30000000L)), // +30 s, inside t2's gap
+        Seq(span("t9", "z", t0 + 600000000L))) // watermark driver
+
+      val stateful = runBatches(gapSeconds = 60, maxSpans = 100)(timeline: _*)
+        .filter(_.traceId != "t9")
+        .map(b => b.traceId -> b.spans.size).toMap
+
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[Span]
+      val out = SpanBufferStream.assembleSessions(input.toDS(), gapSeconds = 60)
+      val sink = s"sessions_eq_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        timeline.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val sessions = spark.table(sink).collect()
+        .filter(_.getAs[String]("trace_id") != "t9")
+      // dense traces: exactly one session each, same span counts
+      val perTrace = sessions.map(r =>
+        r.getAs[String]("trace_id") -> r.getAs[Long]("span_count")).toMap
+      sessions.length shouldBe perTrace.size // no trace split into two sessions
+      perTrace shouldBe stateful.map { case (k, v) => k -> v.toLong }
+    }
+
     it("accumulates one trace across micro-batches before sealing") {
       val sealed_ = runBatches(gapSeconds = 60, maxSpans = 100)(
         Seq(span("t1", "a", t0)),
