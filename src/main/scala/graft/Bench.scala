@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -13,9 +14,21 @@ import org.apache.spark.sql.SparkSession
   *    relations — the serving-tier analogue of the reference reading
   *    from warm Cassandra/ES, and the round-over-round comparable.
   *
+  * ADJUDICABILITY (the round-2 lesson: a one-shot shared-JVM pass is
+  * too noisy to call a 2× regression bar on sub-second queries):
+  *  - every warm query runs `SPARK_GRAFT_TRIALS` (default 3) times;
+  *    `queries` reports the MIN (the plan's floor, robust to GC/JIT
+  *    interference) and `queries_median` the median;
+  *  - a forced GC runs before each query so one query's garbage isn't
+  *    charged to the next;
+  *  - streaming queries run LAST: their state-store init and
+  *    micro-batch machinery are the biggest cross-query contaminants.
+  *
   * A query that throws is reported as -1 in its map and listed in
   * `errors` (never a normal-looking elapsed time), so regressions
-  * can't hide behind a swallowed exception.
+  * can't hide behind a swallowed exception. Only NonFatal throwables
+  * are recorded — an OutOfMemoryError/LinkageError aborts the run
+  * rather than benching a corrupted JVM.
   */
 object Bench {
 
@@ -27,6 +40,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,26 +51,39 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timed(name: String, tag: String): (String, Double) = {
+    def once(name: String, tag: String): Double = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           errors(s"$tag:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
-          name -> -1.0
+          -1.0
+      }
+    }
+
+    /** Per-query isolation: settle the JVM, then N trials → (min, median). */
+    def measured(name: String): (Double, Double) = {
+      System.gc()
+      val ts = (1 to trials).map(_ => once(name, "warm"))
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) (-1.0, -1.0)
+      else {
+        val sorted = ok.sorted
+        (sorted.head, sorted(sorted.size / 2))
       }
     }
 
     // JIT/codegen/classloader warmup on one tiny query so the first
     // cold measurement isn't charged JVM startup
     try SparkEntry.queries("q_topk")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    catch { case NonFatal(_) => }
 
-    // pass 1: cold scans — nothing cached yet
-    val cold = ColdQueries.map(timed(_, "cold"))
+    // pass 1: cold scans — nothing cached yet (single-shot by nature:
+    // a repeat of a cold query isn't cold)
+    val cold = ColdQueries.map(n => n -> once(n, "cold"))
 
     // pass 2 warmup: pin the hot relations (CacheManager substitutes by
     // logical plan, so every query over the same scans hits the cache)
@@ -69,9 +96,12 @@ object Bench {
         graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir)))
         .foreach(df => df.cache().count())
       SparkEntry.queries("trace_partitioned_scan")(spark, sfDir).count()
-    } catch { case _: Throwable => }
+    } catch { case NonFatal(_) => }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(timed(_, "warm"))
+    // batch queries first, streaming last (state-store contamination)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val (streamingNames, batchNames) = names.partition(_.startsWith("streaming_"))
+    val results = (batchNames ++ streamingNames).map(n => n -> measured(n))
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -83,8 +113,10 @@ object Bench {
         case c => c.toString
       } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
+    val mins = results.map { case (k, (mn, _)) => k -> mn }
+    val medians = results.map { case (k, (_, md)) => k -> md }
+    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
