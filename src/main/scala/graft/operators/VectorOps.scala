@@ -70,27 +70,38 @@ object VectorOps {
       }
     }
 
+  private def planeSql(w: Seq[Double]): String = {
+    val terms = w.zipWithIndex
+      .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
+    s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+  }
+
   /** DuckDB SQL for the bucket key over a column `v`, embedding the
     * same literal weights as a left-associated chain — single source
     * for every LSH oracle (bit-identical IEEE sign bits). */
   def lshPlanesSql(dim: Int, bits: Int): String =
-    lshWeights(dim, bits).map { w =>
-      val terms = w.zipWithIndex
-        .map { case (x, i) => s"v[${i + 1}] * ($x)" }.mkString(" + ")
-      s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+    lshWeights(dim, bits).map(planeSql).mkString(" || ")
+
+  /** DuckDB SQL for ONE band's bucket key out of a `bitsPerBand ×
+    * bands` plane family — same literal slice the Spark side uses. */
+  def lshBandSql(dim: Int, bitsPerBand: Int, bands: Int, band: Int): String =
+    lshWeights(dim, bitsPerBand * bands)
+      .slice(band * bitsPerBand, (band + 1) * bitsPerBand)
+      .map(planeSql).mkString(" || ")
+
+  private def bucketFromWeights(v: Column, dim: Int, ws: Seq[Seq[Double]]): Column = {
+    def planeDot(w: Seq[Double]): Column =
+      (0 until dim).map(i => element_at(v, i + 1) * lit(w(i))).reduce(_ + _)
+    concat(ws.map(w => when(planeDot(w) >= 0, "1").otherwise("0")): _*)
+  }
 
   /** Random-hyperplane LSH bucket key: `bits` sign bits from
     * deterministic pseudo-hyperplanes (hash-mixed index products —
     * reproducible across runs, no RNG state). The per-plane dot is a
     * left-associated sum of v[i]*w[i] terms, so an oracle writing the
     * same literal chain reproduces the exact IEEE result. */
-  def lshBucket(v: Column, dim: Int, bits: Int): Column = {
-    val ws = lshWeights(dim, bits)
-    def planeDot(b: Int): Column =
-      (0 until dim).map(i => element_at(v, i + 1) * lit(ws(b)(i))).reduce(_ + _)
-    concat((0 until bits).map(b => when(planeDot(b) >= 0, "1").otherwise("0")): _*)
-  }
+  def lshBucket(v: Column, dim: Int, bits: Int): Column =
+    bucketFromWeights(v, dim, lshWeights(dim, bits))
 
   /** Element-wise mean of double arrays — the reduce step of
     * distributed Lloyd's iterations. A typed Aggregator, so the cell
@@ -265,6 +276,57 @@ object VectorOps {
         col("b1") === col("b2") && col("d1") < col("d2"))
       .select("d1", "d2")
     candidates
+      .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+      .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Candidate pairs for [[cosineNearDupPairsLshBanded]]: `bands`
+    * independent bucket keys of `bitsPerBand` sign bits each; a pair is
+    * a candidate when it shares ANY band's bucket (multi-band OR — the
+    * standard recall dial: P(candidate) = 1 − (1 − p^bits)^bands for
+    * per-bit agreement p). Exposed separately so specs and capacity
+    * planning can measure the candidate volume directly.
+    *
+    * Scale shape: the banded keys are computed INSIDE the scan (explode
+    * of an inline array expression — a projection-materialized array
+    * defeats WSCG and measured 25× slower elsewhere in this repo), the
+    * equi-join shuffles only (vec_id, bucket) pairs, and the band
+    * prefix keeps buckets from colliding across bands. The trailing
+    * distinct dedups pairs that agree in several bands — it shuffles
+    * two longs per candidate, nothing more. */
+  def cosineNearDupCandidatesLshBanded(
+      embeddings: DataFrame, maxId: Int, dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+    val all = lshWeights(dim, bitsPerBand * bands)
+    val bandBuckets = (0 until bands).map { j =>
+      concat(lit(s"$j:"),
+        bucketFromWeights(col("v"), dim, all.slice(j * bitsPerBand, (j + 1) * bitsPerBand)))
+    }
+    val skinny = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), explode(array(bandBuckets: _*)).as("bucket"))
+    skinny.select(col("vec_id").as("d1"), col("bucket").as("b1"))
+      .join(skinny.select(col("vec_id").as("d2"), col("bucket").as("b2")),
+        col("b1") === col("b2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs via banded LSH at production bit widths —
+    * the recall-tunable scale path ([[cosineNearDupPairsLsh]] with a
+    * single coarse key proves the bucket-join shape; this variant
+    * makes the candidate volume sublinear in n² while multi-band OR
+    * keeps recall: candidates ≪ all-pairs is spec-asserted in
+    * VectorOpsSpec). Vectors rejoin by id (uniform hash) only for the
+    * exact cosine verify of the surviving candidates. */
+  def cosineNearDupPairsLshBanded(
+      embeddings: DataFrame, maxId: Int, threshold: Double,
+      dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+    val n = withNorms(embeddings).filter(col("vec_id") < maxId)
+    cosineNearDupCandidatesLshBanded(embeddings, maxId, dim, bitsPerBand, bands)
       .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
       .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
       .select(col("d1"), col("d2"),
