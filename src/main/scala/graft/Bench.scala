@@ -116,7 +116,24 @@ object Bench {
     val mins = results.map { case (k, (mn, _)) => k -> mn }
     val medians = results.map { case (k, (_, md)) => k -> md }
     val total = mins.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
+
+    // The bench driver keeps only the LAST ~2000 chars of stdout and
+    // greps them for a line starting with {"metric" — a full-precision
+    // line with medians is >4000 chars and its head falls outside the
+    // window (BENCH_r01–r03 all recorded parsed:null this way). So:
+    //  - line 1 (detail): full precision + medians, keys ordered so its
+    //    TAIL (cold_queries, errors) stays visible in the window;
+    //  - line 2 (final): compact 3-significant-digit warm mins, sized to
+    //    fit the window whole, falling back to 2 digits if the suite
+    //    ever grows past the budget.
+    def fmtSig(v: Double, sig: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${sig}g", Double.box(v))
+    def jmapSig(kvs: Seq[(String, Double)], sig: Int): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmtSig(v, sig) }.mkString("{", ",", "}")
+    def compactLine(sig: Int): String =
+      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errJson,"sf":"$sfDir"}"""
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(Iterator(3, 2).map(compactLine).find(_.length <= 1800).getOrElse(compactLine(2)))
     spark.stop()
   }
 }

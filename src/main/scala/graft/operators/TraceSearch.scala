@@ -38,6 +38,45 @@ object TraceSearch {
     SpanOps.searchTracesExpr(spans, groups.map(compile))
   }
 
+  /** Span-intrinsic numeric fields — range-indexed in every index doc
+    * (the reference's TraceIndexDoc writes starttime/duration as
+    * numerics unconditionally), so range predicates on them are always
+    * legal. */
+  val IntrinsicRangeFields: Set[String] = Set("start_us", "duration_us")
+
+  /** Analysis-time range-query enforcement, mirroring the reference's
+    * ES mapping behavior (commons
+    * config/entities/WhitelistIndexFieldConfiguration.scala): a field
+    * indexed without `enableRangeQuery` has a keyword mapping, and a
+    * range predicate against it is rejected when the query is BUILT —
+    * not silently scanned, and not a runtime stage failure. */
+  def validateRangeFields(
+      groups: Seq[Expr], whitelist: Seq[WhitelistIndex.WhitelistField]): Unit = {
+    val rangeable = IntrinsicRangeFields ++
+      WhitelistIndex.catalog(whitelist).collect { case (name, _, true) => name }
+    def walk(e: Expr): Unit = e match {
+      case RangeUs(f, _, _) =>
+        require(rangeable.contains(f.toLowerCase(java.util.Locale.ROOT)),
+          s"range query on field '$f' which is not range-indexed; " +
+            "set enableRangeQuery on its whitelist entry (fields indexed " +
+            s"for range queries: ${rangeable.toSeq.sorted.mkString(", ")})")
+      case And(cs) => cs.foreach(walk)
+      case Or(cs) => cs.foreach(walk)
+      case Not(c) => walk(c)
+      case Eq(_, _) => ()
+    }
+    groups.foreach(walk)
+  }
+
+  /** Expression-tree search over whitelist-extracted tag columns, with
+    * the range-flag enforcement applied before any plan is built. */
+  def matchingTraceIdsTagged(
+      spans: DataFrame, groups: Seq[Expr],
+      whitelist: Seq[WhitelistIndex.WhitelistField]): DataFrame = {
+    validateRangeFields(groups, whitelist)
+    matchingTraceIds(WhitelistIndex.extractTags(spans, whitelist), groups)
+  }
+
   /** Full search: matching ids → fetch + summarize those traces,
     * newest-first with a deterministic tie-break. */
   def search(spans: DataFrame, groups: Seq[Expr], limit: Int): DataFrame =

@@ -319,9 +319,13 @@ object VectorOps {
     * the recall-tunable scale path ([[cosineNearDupPairsLsh]] with a
     * single coarse key proves the bucket-join shape; this variant
     * makes the candidate volume sublinear in n² while multi-band OR
-    * keeps recall: candidates ≪ all-pairs is spec-asserted in
-    * VectorOpsSpec). Vectors rejoin by id (uniform hash) only for the
-    * exact cosine verify of the surviving candidates. */
+    * keeps recall). VectorOpsSpec asserts candidates ≪ all-pairs and
+    * 100% recall on planted exact duplicates (identical vectors share
+    * every band's bucket by construction); the driver-facing
+    * `neardup_cosine_lsh_banded` query hash-checks the full pair set
+    * against a per-band UNION oracle. Vectors rejoin by id (uniform
+    * hash) only for the exact cosine verify of the surviving
+    * candidates. */
   def cosineNearDupPairsLshBanded(
       embeddings: DataFrame, maxId: Int, threshold: Double,
       dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {

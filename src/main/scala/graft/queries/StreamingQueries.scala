@@ -32,6 +32,7 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingQueries {
 
   private val GapSeconds = 60L
+  private val MaxSpans = 10000
 
   /** Cloned session with state-store parallelism right-sized for a
     * bounded one-file backlog (full batch parallelism just multiplies
@@ -83,7 +84,7 @@ object StreamingQueries {
   private def run(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s)
     val sealedBuffers = SpanBufferStream.assemble(
-      spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds, maxSpans = 10000)
+      spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds, maxSpans = MaxSpans)
     val sink = s"sealed_buffers_${System.nanoTime()}"
     val q = sealedBuffers
       .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count"))
@@ -133,7 +134,10 @@ object StreamingQueries {
 
   val defs: Map[String, QueryDef] = Map(
     // sealed ⟺ trace quiet deadline (ms) strictly before final
-    // watermark (ms) — see object doc for the derivation
+    // watermark (ms) — see object doc for the derivation — OR the
+    // trace hit the maxSpans cap inside the one AvailableNow batch
+    // (assemble early-seals with everything accumulated, so the
+    // emitted count is still the full per-trace count)
     "streaming_span_buffer" -> QueryDef.sql(run,
       SpanCte + s"""
         |, g AS (SELECT max(start_us) // 1000 AS gm_ms FROM s)
@@ -141,11 +145,15 @@ object StreamingQueries {
         |FROM s, g
         |GROUP BY trace_id, gm_ms
         |HAVING max(start_us) // 1000 + ${GapSeconds * 1000} < gm_ms - ${GapSeconds * 1000}
+        |    OR COUNT(*) >= $MaxSpans
         |ORDER BY trace_id""".stripMargin),
 
     // session split when the in-trace gap >= gapSeconds (Spark merges
-    // sessions only on strict overlap); a session emits when its end
-    // (last span + gap, micros) is past the final watermark
+    // sessions only on strict overlap); a session emits when the final
+    // watermark has passed its end — append-mode eviction fires on
+    // session_end <= watermark (micros vs the ms-floored watermark),
+    // hence <= below where the state-function buffer keeps strict <
+    // (event-time timeouts genuinely fire on ts < watermark)
     "streaming_span_buffer_sessions" -> QueryDef.sql(runSessionWindow,
       SpanCte + s"""
         |, x AS (SELECT trace_id, start_us,
@@ -161,7 +169,7 @@ object StreamingQueries {
         |             FROM y GROUP BY trace_id, sess)
         |SELECT trace_id, session_start_us, span_count
         |FROM sessions, g
-        |WHERE last_us + ${GapSeconds * 1000000} < (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
+        |WHERE last_us + ${GapSeconds * 1000000} <= (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
         |ORDER BY trace_id, session_start_us""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT

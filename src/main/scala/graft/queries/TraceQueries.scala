@@ -176,6 +176,26 @@ object TraceQueries {
              |GROUP BY trace_id
              |ORDER BY trace_start_us DESC, trace_id LIMIT 10""".stripMargin)),
 
+    // A10c: range search on a whitelist TAG field through the guarded
+    // path — kval carries enableRangeQuery, so the analysis-time check
+    // (matchingTraceIdsTagged → validateRangeFields) admits the query;
+    // the same range on a non-range field is rejected before any plan
+    // builds (TraceSearchSpec covers the rejection). Mirrors the
+    // reference, where the ES mapping decides which fields accept
+    // range filters.
+    "trace_search_tags_range" -> QueryDef.sql(
+      (s, dir) => {
+        import TraceSearch._
+        TraceSearch.matchingTraceIdsTagged(richSpans(s, dir), Seq(
+          And(Seq(RangeUs("kval", 91, 1000000),
+            RangeUs("start_us", T0, T0 + 14 * DayUs)))),
+          demoWhitelist).orderBy("trace_id")
+      },
+      cte(s"""SELECT DISTINCT trace_id FROM spans
+             |WHERE CAST(CAST(json_extract(tags, '$$.k') AS INT) AS BIGINT) BETWEEN 91 AND 1000000
+             |  AND start_us BETWEEN $T0 AND ${T0 + 14 * DayUs}
+             |ORDER BY trace_id""".stripMargin)),
+
     // A11: expression-tree search — AND of span-level groups (intersect)
     "trace_search_expr" -> QueryDef.sql(
       (s, dir) => SpanOps.searchTracesExpr(spans(s, dir), Seq(

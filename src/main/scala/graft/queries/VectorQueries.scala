@@ -56,6 +56,39 @@ object VectorQueries {
          |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
          |ORDER BY d1, d2""".stripMargin),
 
+    // B5 scale path at production widths: multi-band OR (6 bands × 5
+    // sign bits) — a pair is a candidate when ANY band's bucket
+    // matches, so recall survives bit widths that keep each band's
+    // buckets fine-grained (the candidate volume stays ≪ all-pairs;
+    // VectorOpsSpec measures both). Oracle: per-band equi-joins
+    // UNION'd (UNION dedups exactly like the Spark-side distinct),
+    // each embedding the same literal plane slice.
+    "neardup_cosine_lsh_banded" -> QueryDef.sql(
+      (s, dir) => VectorOps.cosineNearDupPairsLshBanded(
+        Tables.embeddings(s, dir), 300, 0.4, 64, bitsPerBand = 5, bands = 6)
+        .orderBy("d1", "d2"),
+      {
+        val bandCols = (0 until 6)
+          .map(j => s"${VectorOps.lshBandSql(64, 5, 6, j)} AS b$j").mkString(",\n         |        ")
+        val candUnion = (0 until 6)
+          .map(j => s"SELECT a.vec_id AS d1, b.vec_id AS d2 FROM n a JOIN n b ON a.b$j = b.b$j AND a.vec_id < b.vec_id")
+          .mkString("\n         |  UNION\n         |  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |        $bandCols
+           |      FROM e),
+           |cand AS (
+           |  $candUnion
+           |)
+           |SELECT c.d1, c.d2,
+           |  ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
+           |FROM cand c
+           |JOIN n x ON x.vec_id = c.d1
+           |JOIN n y ON y.vec_id = c.d2
+           |WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
+           |ORDER BY d1, d2""".stripMargin
+      }),
+
     // B7: LSH-bucketed ANN — scale path; recall checked in
     // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
     // driver-side literals, embedded into the SQL as the SAME
@@ -105,9 +138,58 @@ object VectorQueries {
 
     // B7c: IVF with Lloyd's-refined centroids (2 distributed k-means
     // rounds: row-local assignment, typed partial-agg cell means) —
-    // recall vs brute in VectorOpsSpec
-    "ann_topk_ivf_kmeans" -> QueryDef.rowsOnly(
+    // recall vs brute in VectorOpsSpec. FULL DuckDB oracle: Lloyd's
+    // with deterministic init (first k vectors) and fixed iters is
+    // plain SQL — per round, argmax-cosine assignment (ROW_NUMBER) +
+    // per-dimension AVG rebuilt into a list. The elementwise mean is
+    // sum/count in double on both engines; assignment/rank margins are
+    // orders of magnitude above the reduce-order ulps, so the rounded
+    // scores hash-match (verified cell-exact against the Spark dump).
+    "ann_topk_ivf_kmeans" -> QueryDef.sql(
       (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
-        nCentroids = 16, nProbe = 4, kmeansIters = 2))
+        nCentroids = 16, nProbe = 4, kmeansIters = 2),
+      kmeansIvfOracleSql(nCentroids = 16, iters = 2, nProbe = 4, k = 5, nQueries = 10))
   )
+
+  /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's
+    * rounds: centroid refinement unrolled into per-round CTEs. */
+  private def kmeansIvfOracleSql(
+      nCentroids: Int, iters: Int, nProbe: Int, k: Int, nQueries: Int): String = {
+    def affinity(name: String, cents: String): String =
+      s"""$name AS (SELECT n.vec_id, c.c_id,
+         |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |    ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk
+         |FROM n CROSS JOIN $cents c)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}n"
+      s"""${affinity(s"aff$i", prev)},
+         |asg$i AS (SELECT vec_id, c_id AS cell FROM aff$i WHERE crnk = 1),
+         |m$i AS (SELECT a.cell AS c_id, t.i, avg(n.v[t.i]) AS mval
+         |        FROM asg$i a JOIN n ON n.vec_id = a.vec_id
+         |        CROSS JOIN generate_series(1, 64) t(i)
+         |        GROUP BY a.cell, t.i),
+         |c$i AS (SELECT c_id, list(mval ORDER BY i) AS cv FROM m$i GROUP BY c_id),
+         |c${i}n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    val finalCents = if (iters == 0) "c0" else s"c${iters}n"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $nCentroids),
+       |$rounds,
+       |aff AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |            ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk
+       |        FROM n CROSS JOIN $finalCents c),
+       |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id AS cell
+       |           FROM aff WHERE crnk <= $nProbe AND vec_id < $nQueries),
+       |sc AS (SELECT q_id, a.vec_id AS neighbor_id,
+       |         ROUND(list_dot_product(a.v, qv) / (a.nrm * qnrm), 6) AS score
+       |       FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, neighbor_id, score,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 }

@@ -143,4 +143,49 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       if (exact.nonEmpty) (lsh.size.toDouble / exact.size) should be > 0.1
     }
   }
+
+  describe("cosineNearDupPairsLshBanded") {
+    it("generates far fewer candidates than all-pairs at production bit widths") {
+      val n = 300L
+      val allPairs = n * (n - 1) / 2
+      val candidates = VectorOps
+        .cosineNearDupCandidatesLshBanded(emb, 300, 64, bitsPerBand = 5, bands = 6)
+        .count()
+      // 6 bands × 5 bits: random-pair collision ≈ 1−(1−2⁻⁵)⁶ ≈ 17% —
+      // the whole point of banding is that the verify stage runs on a
+      // fraction of n²/2; allow headroom for non-Gaussian planes
+      candidates should be < (allPairs * 0.35).toLong
+      candidates should be > 0L
+    }
+
+    it("banded pairs are a subset of exact pairs (verify stage admits no false positives)") {
+      val exact = VectorOps.cosineNearDupPairs(emb, 300, 0.4).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val banded = VectorOps
+        .cosineNearDupPairsLshBanded(emb, 300, 0.4, 64, bitsPerBand = 5, bands = 6)
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      banded.subsetOf(exact) shouldBe true
+    }
+
+    it("achieves 100% recall on planted exact duplicates while candidates stay sparse") {
+      // identical vectors agree on every sign bit, so they share every
+      // band's bucket by construction — recall on true duplicates is
+      // deterministic, not probabilistic
+      val base = emb.filter(col("vec_id") < 50)
+      val planted = base.withColumn("vec_id", col("vec_id") + lit(10000L))
+      val corpus = emb.filter(col("vec_id") < 300).union(planted)
+      val pairs = VectorOps
+        .cosineNearDupPairsLshBanded(corpus, 20000, 0.999, 64, bitsPerBand = 8, bands = 4)
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val expected = (0L until 50L).map(i => (i, i + 10000L)).toSet
+      expected.subsetOf(pairs) shouldBe true
+      // at 8 bits × 4 bands the random-pair candidate rate is
+      // ≈ 1−(1−2⁻⁸)⁴ ≈ 1.6% — candidate volume must reflect that
+      val nTotal = 350L
+      val candidates = VectorOps
+        .cosineNearDupCandidatesLshBanded(corpus, 20000, 64, bitsPerBand = 8, bands = 4)
+        .count()
+      candidates should be < (nTotal * (nTotal - 1) / 2 / 5)
+    }
+  }
 }
