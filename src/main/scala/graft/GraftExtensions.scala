@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, JsonTagsMap, MinHashSig, SimHash48}
+import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, SimHash48}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => MinHashSig(exprs(0), exprs(1))))
     ext.injectFunction(
       (FunctionIdentifier("json_tags_map"), JsonTagsMap.info, exprs => JsonTagsMap(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
+        exprs => LshBandKeys(exprs(0), exprs(1), exprs(2))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -38,5 +41,8 @@ object GraftExtensions {
       exprs => MinHashSig(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("json_tags_map"), JsonTagsMap.info, exprs => JsonTagsMap(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
+      exprs => LshBandKeys(exprs(0), exprs(1), exprs(2)))
   }
 }

@@ -290,24 +290,24 @@ object VectorOps {
     * per-bit agreement p). Exposed separately so specs and capacity
     * planning can measure the candidate volume directly.
     *
-    * Scale shape: the banded keys are computed INSIDE the scan (explode
-    * of an inline array expression — a projection-materialized array
-    * defeats WSCG and measured 25× slower elsewhere in this repo), the
+    * Scale shape: band keys come from the native codegen'd
+    * [[graft.functions.LshBandKeys]] expression, computed INSIDE the
+    * scan (the declarative plane-sum tree at these widths generates
+    * >64 KB of Java per method — Janino rejects it and Spark pays a
+    * ~5 s failed-compile + interpreted-eval penalty per run; the
+    * expression keeps WSCG intact — see LshBandKeys scaladoc). The
     * equi-join shuffles only (vec_id, bucket) pairs, and the band
     * prefix keeps buckets from colliding across bands. The trailing
     * distinct dedups pairs that agree in several bands — it shuffles
     * two longs per candidate, nothing more. */
   def cosineNearDupCandidatesLshBanded(
       embeddings: DataFrame, maxId: Int, dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {
-    val all = lshWeights(dim, bitsPerBand * bands)
-    val bandBuckets = (0 until bands).map { j =>
-      concat(lit(s"$j:"),
-        bucketFromWeights(col("v"), dim, all.slice(j * bitsPerBand, (j + 1) * bitsPerBand)))
-    }
+    graft.GraftExtensions.register(embeddings.sparkSession)
     val skinny = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(col("vec_id") < maxId)
-      .select(col("vec_id"), explode(array(bandBuckets: _*)).as("bucket"))
+      .select(col("vec_id"),
+        explode(expr(s"lsh_band_keys(v, $bitsPerBand, $bands)")).as("bucket"))
     skinny.select(col("vec_id").as("d1"), col("bucket").as("b1"))
       .join(skinny.select(col("vec_id").as("d2"), col("bucket").as("b2")),
         col("b1") === col("b2") && col("d1") < col("d2"))

@@ -47,8 +47,18 @@ object StreamingQueries {
     * from the batch read, which also flips the nanosAsLong conf). */
   private def spanStream(ss: SparkSession, dir: String, richOps: Boolean): Dataset[graft.model.Span] = {
     val batchSchema = Tables.events(ss, dir).schema
-    val eventsStream = ss.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // the driver testdata ships events as a single FILE $dir/events.parquet
+    // (stream $dir with a filename glob); Spark-written layouts (e.g. the
+    // ScaleUp-derived sf1) make it a DIRECTORY of part files (stream the
+    // directory itself — the glob would match no leaf file and silently
+    // produce an EMPTY stream)
+    val eventsPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = eventsPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      .getFileStatus(eventsPath).isDirectory
+    val eventsStream =
+      if (isDir) ss.readStream.schema(batchSchema).parquet(eventsPath.toString)
+      else ss.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     // at ingest time parents are unknown (the reference's indexer also
     // sees bare spans) — no lag window here, streams can't sort history
     TraceDataset.toSpanDataset(eventsStream.select(

@@ -72,6 +72,12 @@ object TextQueries {
       |  SELECT e.b AS node, l.label FROM lab l JOIN bidir e ON e.a = l.node),
       |canon AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)""".stripMargin
 
+  /** Probe 3-grams for the decontamination demo (B17) — literal
+    * stand-ins for a benchmark's n-gram index; chosen to hit a
+    * nontrivial slice of the corpus. */
+  private val ProbeShingles = Seq(
+    "part filter scan", "row column sort", "stream table hash", "window fast query")
+
   /** The 3-gram shingling definition — single source (separator,
     * n-gram width, per-doc distinct) for jaccard, minhash, and the
     * native-expression path. Operates on a tokens column `t`. */
@@ -322,15 +328,97 @@ object TextQueries {
 
     // Native Catalyst expression path (SURVEY §2 custom-operator tier):
     // codegen'd 64-bit FNV-1a fingerprint registered through
-    // SparkSessionExtensions. Rows-only (FNV not in DuckDB); bit-level
-    // equivalence is specified in FnvHash64Spec.
-    "text_fingerprint64" -> QueryDef.rowsOnly(
+    // SparkSessionExtensions. FULL DuckDB oracle: FNV-1a is one
+    // byte-at-a-time recurrence, expressed as a recursive CTE over
+    // character positions with 128-bit (HUGEINT) modular arithmetic —
+    // DuckDB integer ops trap on overflow, so the unsigned 64-bit
+    // wraparound is an explicit % 2^64, and the final value maps back
+    // to the signed BIGINT Spark emits. Corpus is ASCII (verified:
+    // octet_length == length for every doc), so ord(substr) is the
+    // byte FNV consumes; bit-level equivalence also in FnvHash64Spec.
+    "text_fingerprint64" -> QueryDef.sql(
       (s, dir) => {
         GraftExtensions.register(s)
         Tables.documents(s, dir)
           .selectExpr("doc_id", "fnv_hash64(text) AS fp64")
           .orderBy("doc_id")
-      }),
+      },
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id, text, CAST(1 AS BIGINT) AS i, length(text) AS n,
+        |         CAST('14695981039346656037' AS HUGEINT) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, i + 1, n,
+        |    ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), ord(substr(text, CAST(i AS INT), 1))) AS HUGEINT))
+        |      * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM f WHERE i <= n
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS fp64
+        |FROM f WHERE i = n + 1
+        |ORDER BY doc_id""".stripMargin),
+
+    // B16: repetition-ratio quality signal — fraction of duplicated
+    // 3-grams per doc, the standard boilerplate/templating detector in
+    // corpus curation (high ratio ⇒ generated/repeated text). Entirely
+    // row-local: the shingle array never leaves its row, so the plan
+    // is scan → project → sort, no exchange before the (tiny) ordered
+    // output. rep_ratio is a ratio of small exact ints → identical
+    // float64 bits on both engines, no ROUND.
+    "text_repetition" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          (size(col("t")) - 2).cast("long").as("n_shingles"),
+          size(shingleArr).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+        .orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_shingles,
+        |        CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS n_distinct
+        |      FROM d WHERE len(t) >= 3)
+        |SELECT doc_id, n_shingles, n_distinct,
+        |  CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    // B17: benchmark decontamination — drop every document whose
+    // 3-gram set overlaps the probe set (the n-gram-overlap test-set
+    // filter LLM pipelines run before training). Shape: explode the
+    // shingles INLINE in the Generate (the fast path), keep only
+    // probe hits, and anti-join the (tiny) contaminated-id set back —
+    // at 100 TB the probe side is a broadcast and the corpus is read
+    // once. A row-local `arrays_overlap(shingleArr, probes)` filter
+    // looks cheaper but measured 65× slower (15.7 s vs 0.24 s on 50k
+    // docs): CollapseProject inlines the tokenization into every t[i]
+    // reference of the interpreted lambda, re-splitting the text per
+    // element access. Docs with <3 tokens produce no shingle rows and
+    // survive by construction on both engines.
+    "corpus_decontaminate" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contaminated = docs
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(shingleArr).as("shingle"))
+          .filter(col("shingle").isin(ProbeShingles: _*))
+          .select("doc_id").distinct()
+        docs.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        CASE WHEN len(t) >= 3
+         |             THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |             ELSE [] END AS sh
+         |      FROM d)
+         |SELECT doc_id, lang FROM g
+         |WHERE NOT list_has_any(sh, [${ProbeShingles.map(p => s"'$p'").mkString(", ")}])
+         |ORDER BY doc_id""".stripMargin),
 
     // B2: MinHash + LSH candidate pairs (8 hashes, 4 bands of 2) on the
     // doubled corpus — every duplicate pair must collide in all bands.

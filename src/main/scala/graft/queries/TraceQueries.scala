@@ -160,7 +160,12 @@ object TraceQueries {
           .filter(col("kval") > 90 && col("iserror") &&
             col("start_us").between(T0, T0 + 14 * DayUs))
           .select("trace_id").distinct()
-        extracted.join(matching, Seq("trace_id"), "left_semi")
+        // fetch+summarize needs only span columns — running it over the
+        // raw span relation (not the extracted frame) keeps the
+        // JSON-parse projection on the index-lookup side only, halving
+        // the per-row JSON work (the reference likewise fetches from
+        // the span store after the ES index lookup)
+        spans(s, dir).join(matching, Seq("trace_id"), "left_semi")
           .groupBy("trace_id")
           .agg(min("start_us").as("trace_start_us"), count(lit(1)).as("span_count"))
           .orderBy(col("trace_start_us").desc, col("trace_id"))

@@ -9,7 +9,8 @@ import org.scalatest.matchers.should.Matchers
 class QueriesSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
   // queries whose result can legitimately be empty at sf0.001
-  private val mayBeEmpty = Set("dedup_ngram_jaccard", "neardup_cosine", "q_having", "ann_topk_lsh")
+  private val mayBeEmpty = Set("dedup_ngram_jaccard", "neardup_cosine", "q_having", "ann_topk_lsh",
+    "neardup_cosine_lsh", "neardup_cosine_lsh_banded")
 
   SparkEntry.allDefs.foreach { case (name, qd) =>
     describe(s"query $name") {
