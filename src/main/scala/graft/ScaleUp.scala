@@ -30,6 +30,10 @@ object ScaleUp {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
     require(factor >= 1, "factor must be >= 1")
+    // reuse a live session when run in-process (specs); only stop what
+    // we ourselves created
+    val preexisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,6 +87,6 @@ object ScaleUp {
     write(replicate(events,
       Seq("event_id" -> stride(events, "event_id"), "user_id" -> stride(events, "user_id"))),
       "events")
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }

@@ -13,7 +13,7 @@
   *                         multimodal
   *  - [[graft.functions]]  native Catalyst expressions + typed
   *                         aggregators (fnv_hash64, simhash48,
-  *                         minhash_sig, json_tags_map,
+  *                         minhash_sig, json_tags_map, lsh_band_keys,
   *                         bounded-heap top-k)
   *  - [[graft.plans]]      custom logical/physical plans (AS-OF join)
   *  - [[graft.streaming]]  Structured Streaming ingest: buffer assembly,
