@@ -120,6 +120,31 @@ object StreamingQueries {
     drainSink(s, ss, sink).orderBy("trace_id", "session_start_us")
   }
 
+  /** A4 as a stream, oracle-exact subset: tumbling-window per
+    * (service, operation) rollups with count + min — the
+    * [[SpanBufferStream.indexDocsStream]] shape minus its HLL
+    * distinct-duration sketch (approximate by contract, so the full
+    * variant stays spec-covered; everything the oracle CAN express is
+    * hash-checked here). Epoch-aligned windows emit when the final
+    * watermark passes their end (append eviction: end <= watermark). */
+  private def runIndexDocs(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s)
+    val windowed = spanStream(ss, dir, richOps = true)
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$GapSeconds seconds")
+      .groupBy(window(col("event_time"), s"$GapSeconds seconds"),
+        col("service"), col("operation"))
+      .agg(count(lit(1)).as("span_count"), min("startUs").as("min_start_us"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("service"), col("operation"), col("span_count"), col("min_start_us"))
+    val sink = s"index_docs_${System.nanoTime()}"
+    val q = windowed
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(s, ss, sink).orderBy("window_start_us", "service", "operation")
+  }
+
   /** Streaming exact dedup over a doubled backlog (the at-least-once
     * redelivery case): every span arrives twice, the watermarked
     * dropDuplicates must emit each exactly once — the per-service
@@ -181,6 +206,22 @@ object StreamingQueries {
         |FROM sessions, g
         |WHERE last_us + ${GapSeconds * 1000000} <= (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
         |ORDER BY trace_id, session_start_us""".stripMargin),
+
+    // tumbling windows seal when the final watermark passes their end
+    // (epoch-aligned 60 s windows; <= per append-mode eviction)
+    "streaming_index_docs" -> QueryDef.sql(runIndexDocs,
+      s"""WITH s AS (SELECT epoch_us(ts) AS start_us, event_type AS service,
+         |             'op_' || CAST(CAST(json_extract_string(props, '$$.k') AS INT) % 5 AS VARCHAR) AS operation
+         |           FROM events),
+         |g AS (SELECT (max(start_us) // 1000 - ${GapSeconds * 1000}) * 1000 AS wm_us FROM s),
+         |w AS (SELECT start_us - start_us % ${GapSeconds * 1000000} AS window_start_us,
+         |        service, operation, start_us FROM s)
+         |SELECT window_start_us, service, operation,
+         |  COUNT(*) AS span_count, MIN(start_us) AS min_start_us
+         |FROM w, g
+         |GROUP BY window_start_us, service, operation, wm_us
+         |HAVING window_start_us + ${GapSeconds * 1000000} <= wm_us
+         |ORDER BY window_start_us, service, operation""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,

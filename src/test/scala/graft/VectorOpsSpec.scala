@@ -144,6 +144,36 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("lsh_band_keys native expression") {
+    it("produces bit-identical band keys to the declarative plane chain") {
+      // the whole oracle story rests on sign-bit equality between the
+      // native loop, the Column reduce chain, and the SQL literal
+      // chain; compare native vs declarative at a width where the
+      // declarative tree still compiles
+      graft.GraftExtensions.register(spark)
+      val dim = 64; val bitsPerBand = 2; val bands = 2
+      val ws = VectorOps.lshWeights(dim, bitsPerBand * bands)
+      def planeDot(w: Seq[Double]) =
+        (0 until dim).map(i => element_at(col("v"), i + 1) * lit(w(i))).reduce(_ + _)
+      val declared = (0 until bands).map { j =>
+        concat(lit(s"$j:"), concat((0 until bitsPerBand).map { b =>
+          when(planeDot(ws(j * bitsPerBand + b)) >= 0, "1").otherwise("0")
+        }: _*))
+      }
+      val rows = emb.limit(200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          expr(s"lsh_band_keys(v, $bitsPerBand, $bands)").as("native"),
+          array(declared: _*).as("declarative"))
+        .collect()
+      rows.length shouldBe 200
+      rows.foreach { r =>
+        r.getAs[scala.collection.Seq[String]]("native") shouldBe
+          r.getAs[scala.collection.Seq[String]]("declarative")
+      }
+    }
+  }
+
   describe("cosineNearDupPairsLshBanded") {
     it("generates far fewer candidates than all-pairs at production bit widths") {
       val n = 300L
