@@ -34,12 +34,17 @@ object StreamingQueries {
   private val GapSeconds = 60L
   private val MaxSpans = 10000
 
-  /** Cloned session with state-store parallelism right-sized for a
-    * bounded one-file backlog (full batch parallelism just multiplies
-    * state-store init cost). */
-  private def isolated(s: SparkSession): SparkSession = {
+  /** Cloned session with state-store parallelism sized to the backlog:
+    * small backlogs want few partitions (state-store init dominates —
+    * 8 was measured best at the driver SFs), big ones want real
+    * parallelism (a pinned 8 made the 10M-event session-window pack
+    * 18.8× for 10× data: 1.25M rows per state partition). The events
+    * row count comes from parquet footers — no data scan. */
+  private def isolated(s: SparkSession, dir: String): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val rows = Tables.events(ss, dir).count()
+    val parts = math.min(32L, math.max(8L, rows / 250000L))
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     ss
   }
 
@@ -80,7 +85,9 @@ object StreamingQueries {
     * DROP the sink table — leaked sinks accumulate in driver memory
     * across bench/verify runs and slow every later query. The copy is
     * rebuilt on the CALLER's session so downstream use doesn't depend
-    * on the clone. */
+    * on the clone. Only for COMPLETE-mode outputs (tiny by contract);
+    * append-mode streams go through [[runToParquet]] — never the
+    * driver. */
   private def drainSink(caller: SparkSession, ss: SparkSession, sink: String): DataFrame = {
     val out = ss.table(sink)
     val materialized = caller.createDataFrame(
@@ -89,19 +96,33 @@ object StreamingQueries {
     materialized
   }
 
+  /** Run an append-mode stream to completion into a parquet FILE sink
+    * and hand back a batch read of the result — output size never
+    * touches the driver (a memory sink collected the 10M-row sf10
+    * session set twice; executors write files in parallel instead,
+    * exactly how a production job would land this). Fresh run-unique
+    * temp dir per call; the read-back uses the sink's _spark_metadata
+    * commit log, so partial files from a dying query can't leak into
+    * the result. */
+  private def runToParquet(caller: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    caller.read.parquet(s"$base/out")
+  }
+
   /** A3: flatMapGroupsWithState accumulate-and-seal, summarized as
     * (trace_id, span_count) per SEALED buffer. */
   private def run(s: SparkSession, dir: String): DataFrame = {
-    val ss = isolated(s)
+    val ss = isolated(s, dir)
     val sealedBuffers = SpanBufferStream.assemble(
       spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds, maxSpans = MaxSpans)
-    val sink = s"sealed_buffers_${System.nanoTime()}"
-    val q = sealedBuffers
-      .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, ss, sink).orderBy("trace_id")
+    runToParquet(s, sealedBuffers
+      .select(col("traceId").as("trace_id"), size(col("spans")).cast("long").as("span_count")),
+      "buffers").orderBy("trace_id")
   }
 
   /** A3 native variant: session_window grouping — less state code, no
@@ -109,15 +130,10 @@ object StreamingQueries {
     * sessions (the reference's accumulate window restarted). Emits
     * (trace_id, session_start_us, span_count) per CLOSED session. */
   private def runSessionWindow(s: SparkSession, dir: String): DataFrame = {
-    val ss = isolated(s)
+    val ss = isolated(s, dir)
     val sessions = SpanBufferStream.assembleSessions(
       spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds)
-    val sink = s"session_buffers_${System.nanoTime()}"
-    val q = sessions
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, ss, sink).orderBy("trace_id", "session_start_us")
+    runToParquet(s, sessions, "sessions").orderBy("trace_id", "session_start_us")
   }
 
   /** A4 as a stream, oracle-exact subset: tumbling-window per
@@ -128,7 +144,7 @@ object StreamingQueries {
     * hash-checked here). Epoch-aligned windows emit when the final
     * watermark passes their end (append eviction: end <= watermark). */
   private def runIndexDocs(s: SparkSession, dir: String): DataFrame = {
-    val ss = isolated(s)
+    val ss = isolated(s, dir)
     val windowed = spanStream(ss, dir, richOps = true)
       .withColumn("event_time", timestamp_micros(col("startUs")))
       .withWatermark("event_time", s"$GapSeconds seconds")
@@ -137,12 +153,8 @@ object StreamingQueries {
       .agg(count(lit(1)).as("span_count"), min("startUs").as("min_start_us"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("service"), col("operation"), col("span_count"), col("min_start_us"))
-    val sink = s"index_docs_${System.nanoTime()}"
-    val q = windowed
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    drainSink(s, ss, sink).orderBy("window_start_us", "service", "operation")
+    runToParquet(s, windowed, "index_docs")
+      .orderBy("window_start_us", "service", "operation")
   }
 
   /** Streaming exact dedup over a doubled backlog (the at-least-once
@@ -150,7 +162,7 @@ object StreamingQueries {
     * dropDuplicates must emit each exactly once — the per-service
     * counts then equal the batch DISTINCT, which is the oracle. */
   private def runDedup(s: SparkSession, dir: String): DataFrame = {
-    val ss = isolated(s)
+    val ss = isolated(s, dir)
     val spans = spanStream(ss, dir, richOps = false)
     val doubled = spans.union(spans)
     val sink = s"dedup_spans_${System.nanoTime()}"
