@@ -88,13 +88,19 @@ object Bench {
     // pass 2 warmup: pin the hot relations (CacheManager substitutes by
     // logical plan, so every query over the same scans hits the cache)
     // and pre-build the partitioned layout so its query times the
-    // pruned read, not the setup write
+    // pruned read, not the setup write. Caching is SIZE-GATED: at the
+    // sf10 posture probe a half-evicted 60M-row lineitem cache read
+    // SLOWER than parquet (warm q3_join 36 s vs cold 19 s) — a table
+    // that can't plausibly stay resident is better left uncached, as a
+    // production serving tier would leave it. Row counts come from
+    // parquet footers, no scan.
+    val cacheRowCap = sys.env.getOrElse("SPARK_GRAFT_CACHE_ROW_CAP", "20000000").toLong
     try {
       Seq(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
         Tables.customer(spark, sfDir), Tables.part(spark, sfDir),
         Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir),
         graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir)))
-        .foreach(df => df.cache().count())
+        .foreach(df => if (df.count() <= cacheRowCap) df.cache().count())
       SparkEntry.queries("trace_partitioned_scan")(spark, sfDir).count()
     } catch { case NonFatal(_) => }
 
@@ -130,8 +136,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${sig}g", Double.box(v))
     def jmapSig(kvs: Seq[(String, Double)], sig: Int): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmtSig(v, sig) }.mkString("{", ",", "}")
+    // errors in the compact line carry only the first 40 chars per
+    // message — full text lives on the detail line; a handful of long
+    // failures must not push the line head out of the tail window
+    val errCompact = errors.map { case (k, v) => s"${jq(k)}: ${jq(v.take(40))}" }
+      .mkString("{", ",", "}")
     def compactLine(sig: Int): String =
-      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errCompact,"sf":"$sfDir"}"""
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
     println(Iterator(3, 2).map(compactLine).find(_.length <= 1800).getOrElse(compactLine(2)))
     spark.stop()
