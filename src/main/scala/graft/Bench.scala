@@ -144,7 +144,13 @@ object Bench {
     def compactLine(sig: Int): String =
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errCompact,"sf":"$sfDir"}"""
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
-    println(Iterator(3, 2).map(compactLine).find(_.length <= 1800).getOrElse(compactLine(2)))
+    // hard budget: the tail window is 2000 chars and sbt's trailing
+    // "[success] Total time: …" line eats ~75 of them. If even 2-digit
+    // precision can't fit the per-query map (suite grown very large),
+    // emit a queries-free summary — a parseable total beats a line
+    // whose head is cut off.
+    println(Iterator(3, 2).map(compactLine).find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":{},"errors":$errCompact,"sf":"$sfDir","note":"per-query map exceeded the tail budget; see total_detail"}"""))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, SimHash48}
+import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, PackBlob, SimHash48, UnpackBlob}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
         exprs => LshBandKeys(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("pack_blob"), PackBlob.info,
+        exprs => PackBlob(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("unpack_blob"), UnpackBlob.info, exprs => UnpackBlob(exprs.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -44,5 +49,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
       exprs => LshBandKeys(exprs(0), exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pack_blob"), PackBlob.info,
+      exprs => PackBlob(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("unpack_blob"), UnpackBlob.info, exprs => UnpackBlob(exprs.head))
   }
 }

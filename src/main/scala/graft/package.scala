@@ -14,7 +14,7 @@
   *  - [[graft.functions]]  native Catalyst expressions + typed
   *                         aggregators (fnv_hash64, simhash48,
   *                         minhash_sig, json_tags_map, lsh_band_keys,
-  *                         bounded-heap top-k)
+  *                         pack_blob/unpack_blob, bounded-heap top-k)
   *  - [[graft.plans]]      custom logical/physical plans (AS-OF join)
   *  - [[graft.streaming]]  Structured Streaming ingest: buffer assembly,
   *                         dedup, windowed index docs, latency

@@ -201,6 +201,35 @@ object TraceQueries {
              |  AND start_us BETWEEN $T0 AND ${T0 + 14 * DayUs}
              |ORDER BY trace_id""".stripMargin)),
 
+    // A24: packed-blob store format — the reference compresses span
+    // buffers into framed blobs before the Cassandra write
+    // (commons/packer: "hytc" magic + metadata JSON + gzip/snappy/zstd
+    // body). graft reproduces the frame byte-for-byte over Spark's own
+    // codec jars (native pack_blob/unpack_blob expressions), so
+    // reference-written blobs unpack in a graft scan and vice versa.
+    // Rows-only: compression bytes aren't SQL-expressible — the wire
+    // format itself is proven against hand-built reference bytes in
+    // PackedBlobSpec.
+    "trace_store_blobs" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val perTrace = spans(s, dir)
+          .groupBy("trace_id")
+          .agg(to_json(sort_array(collect_list(col("span_id")))).as("payload_json"))
+          .select(col("payload_json").cast("binary").as("payload"))
+        Seq("GZIP", "SNAPPY", "ZSTD", "NONE").map { c =>
+          perTrace.select(
+            lit(c).as("codec"),
+            (expr(s"unpack_blob(pack_blob(payload, '$c'))") === col("payload")).as("ok"),
+            length(expr(s"pack_blob(payload, '$c')")).cast("long").as("packed_len"))
+        }.reduce(_ unionAll _)
+          .groupBy("codec")
+          .agg(count(lit(1)).as("n_traces"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+            sum("packed_len").cast("long").as("total_packed_bytes"))
+          .orderBy("codec")
+      }),
+
     // A11: expression-tree search — AND of span-level groups (intersect)
     "trace_search_expr" -> QueryDef.sql(
       (s, dir) => SpanOps.searchTracesExpr(spans(s, dir), Seq(
