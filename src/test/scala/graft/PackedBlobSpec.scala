@@ -61,6 +61,17 @@ class PackedBlobSpec extends AnyFunSpec with Matchers with SparkTestBase {
     it("rejects unknown codecs at pack time") {
       an[IllegalArgumentException] should be thrownBy PackedBlob.pack(payload, "LZ4")
     }
+
+    it("round-trips arbitrary payloads (fixed-seed property)") {
+      // deterministic generator style matching TraceTransformsPropertySpec
+      // (no scalatest-scalacheck bridge in the offline cache)
+      val rnd = new scala.util.Random(0xb10b5eed)
+      for (_ <- 1 to 50; codec <- Seq("GZIP", "SNAPPY", "ZSTD", "NONE")) {
+        val bytes = new Array[Byte](rnd.nextInt(4096))
+        rnd.nextBytes(bytes)
+        PackedBlob.unpack(PackedBlob.pack(bytes, codec)).toSeq shouldBe bytes.toSeq
+      }
+    }
   }
 
   describe("pack_blob / unpack_blob expressions") {
