@@ -78,6 +78,12 @@ object TextQueries {
   private val ProbeShingles = Seq(
     "part filter scan", "row column sort", "stream table hash", "window fast query")
 
+  /** Per-language keep rates (percent buckets of 100) for the
+    * stratified sampling demo (B15b) — downsample the dominant
+    * language, keep the rest whole. Declaration order is the CASE
+    * order on both engines. */
+  private val StratifiedRates = Seq("en" -> 25L, "es" -> 60L, "de" -> 60L)
+
   /** The 3-gram shingling definition — single source (separator,
     * n-gram width, per-doc distinct) for jaccard, minhash, and the
     * native-expression path. Operates on a tokens column `t`. */
@@ -478,6 +484,35 @@ object TextQueries {
         |      FROM documents) t
         |WHERE bucket < 20
         |ORDER BY doc_id""".stripMargin),
+
+    // B15b: stratified deterministic sampling — per-language keep
+    // rates over the same md5 bucket (downsample the dominant
+    // language, keep the rare ones whole: the language-rebalancing
+    // pass LLM corpora run before training). Same determinism +
+    // leakage-safety story as corpus_sample_split: content-hashed
+    // buckets are reproducible across runs/partitionings/engines and
+    // put identical texts on the same side of every rate cut.
+    "corpus_sample_stratified" -> QueryDef.sql(
+      (s, dir) => {
+        val bucket = pmod(
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(100L))
+        val rate = StratifiedRates.foldLeft(lit(100L)) { case (acc, (l, r)) =>
+          when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("keep_rate"))
+          .filter(col("bucket") < col("keep_rate"))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+         |    CASE ${StratifiedRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+         |         ELSE 100 END AS keep_rate
+         |  FROM documents) t
+         |WHERE bucket < keep_rate
+         |ORDER BY doc_id""".stripMargin),
 
     // The end-to-end corpus pipeline, composed from oracle-proven
     // pieces: language gate (LangRegex argmax) + quality gates
