@@ -145,11 +145,12 @@ object Bench {
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errCompact,"sf":"$sfDir"}"""
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
     // hard budget: the tail window is 2000 chars and sbt's trailing
-    // "[success] Total time: …" line eats ~75 of them. If even 2-digit
-    // precision can't fit the per-query map (suite grown very large),
-    // emit a queries-free summary — a parseable total beats a line
-    // whose head is cut off.
-    println(Iterator(3, 2).map(compactLine).find(_.length <= 1900).getOrElse(
+    // "[success] Total time: …" line eats ~80 of them, so the line must
+    // fit 1915. Degrade precision (3 → 2 → 1 significant digits) before
+    // ever dropping the per-query map — a low-precision scoreboard
+    // beats no scoreboard, and the full-precision numbers are always on
+    // the total_detail line.
+    println(Iterator(3, 2, 1).map(compactLine).find(_.length <= 1915).getOrElse(
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":{},"errors":$errCompact,"sf":"$sfDir","note":"per-query map exceeded the tail budget; see total_detail"}"""))
     spark.stop()
   }

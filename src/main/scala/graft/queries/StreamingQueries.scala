@@ -157,6 +157,23 @@ object StreamingQueries {
       .orderBy("window_start_us", "service", "operation")
   }
 
+  /** Streaming latency percentiles per (window, service) — the
+    * haystack-trends-style rollup with t-digest sketch state
+    * ([[SpanBufferStream.latencyQuantilesStream]]). Rows-only by the
+    * same contract as the batch `trace_latency_quantiles_approx`: the
+    * sketch is approximate, and its merge order (and therefore the
+    * last ulp of the estimate) depends on partitioning — sketch
+    * behavior is spec-verified, the driver checks shape. */
+  private def runLatencyQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val rolled = SpanBufferStream.latencyQuantilesStream(
+      spanStream(ss, dir, richOps = false), windowSeconds = GapSeconds, gapSeconds = GapSeconds)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("service"), col("p50"), col("p95"), col("p99"), col("n_spans"))
+    runToParquet(s, rolled, "latency_quantiles")
+      .orderBy("window_start_us", "service")
+  }
+
   /** Streaming exact dedup over a doubled backlog (the at-least-once
     * redelivery case): every span arrives twice, the watermarked
     * dropDuplicates must emit each exactly once — the per-service
@@ -234,6 +251,10 @@ object StreamingQueries {
          |GROUP BY window_start_us, service, operation, wm_us
          |HAVING window_start_us + ${GapSeconds * 1000000} <= wm_us
          |ORDER BY window_start_us, service, operation""".stripMargin),
+
+    // watermark-evicted t-digest state; rows-only (sketch approximate
+    // by contract, like the batch _approx entry)
+    "streaming_latency_quantiles" -> QueryDef.rowsOnly(runLatencyQuantiles),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,
