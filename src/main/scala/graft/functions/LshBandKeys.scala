@@ -69,8 +69,13 @@ object LshBandKeys {
       _ => graft.operators.VectorOps.lshWeights(dim, planes).map(_.toArray).toArray)
 
   /** All band keys for one vector; see class doc for the exactness
-    * contract. A null vector element contributes NaN sums like the
-    * Column chain would — callers feed non-null embedding arrays. */
+    * contract. Inputs must be containsNull=false arrays: ArrayData.getDouble
+    * on a null slot reads 0.0 (the slot silently drops out of the dot
+    * product), whereas the declarative Column chain would null-propagate
+    * the whole sum and `when(null >= 0)` would emit a '0' bit — the two
+    * paths diverge on null-containing vectors, so we don't accept them
+    * (the embeddings table and every caller produce dense non-null
+    * arrays; LshBandKeysSpec pins native ≡ declarative on that domain). */
   def compute(v: ArrayData, bitsPerBand: Int, bands: Int): ArrayData = {
     val dim = v.numElements()
     val ws = weights(dim, bitsPerBand * bands)

@@ -40,11 +40,11 @@ object PackedBlob {
     case _ => null
   }
 
-  private def decompressStream(codec: String, in: InputStream): InputStream = codec match {
-    case "GZIP" => new GZIPInputStream(in)
-    case "SNAPPY" => new org.xerial.snappy.SnappyInputStream(in)
-    case "ZSTD" => new com.github.luben.zstd.ZstdInputStream(in)
-    case other => throw new IllegalArgumentException(s"unknown packed-blob codec: $other")
+  private def decompressStream(codec: String, in: InputStream): Option[InputStream] = codec match {
+    case "GZIP" => Some(new GZIPInputStream(in))
+    case "SNAPPY" => Some(new org.xerial.snappy.SnappyInputStream(in))
+    case "ZSTD" => Some(new com.github.luben.zstd.ZstdInputStream(in))
+    case _ => None // reference Unpacker's `case _`: payload passes through
   }
 
   private def drain(in: InputStream): Array[Byte] = {
@@ -86,15 +86,17 @@ object PackedBlob {
     val metadata = new Array[Byte](metadataLen)
     bb.get(metadata)
     val codec = {
-      // minimal parse of {"t":"..."} — the only shape the writer emits
+      // minimal parse of {"t":"..."} — the only shape the writer emits;
+      // an unparseable metadata block degrades to pass-through like the
+      // reference's `case _` (it only ever dispatches on known enum tags)
       val s = new String(metadata, UTF_8)
-      val m = """"t"\s*:\s*"([A-Z]+)"""".r.findFirstMatchIn(s)
-      m.map(_.group(1)).getOrElse(
-        throw new IllegalArgumentException(s"unparseable packed-blob metadata: $s"))
+      """"t"\s*:\s*"([A-Z]+)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("NONE")
     }
     val offset = Magic.length + 4 + metadataLen
-    drain(decompressStream(codec,
-      new ByteArrayInputStream(blob, offset, blob.length - offset)))
+    val body = new ByteArrayInputStream(blob, offset, blob.length - offset)
+    // Framed NONE / unrecognized codec: the reference Unpacker's `case _`
+    // returns the bytes at the data offset rather than failing.
+    decompressStream(codec, body).map(drain).getOrElse(drain(body))
   }
 }
 

@@ -306,6 +306,14 @@ object VectorOps {
     val skinny = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(col("vec_id") < maxId)
+      // lsh_band_keys derives dim from the row's vector, but the weight
+      // family (and any literal-dim oracle) is declared by `dim` — a
+      // mismatched corpus must fail loudly, not hash-diverge silently.
+      // Expressed as a filter (not a dropped assert_true column, which
+      // column pruning would erase before it ever evaluated).
+      .filter(expr(
+        s"CASE WHEN size(v) = $dim THEN true " +
+          s"ELSE raise_error('lsh_band_keys: vector dim <> declared $dim') END"))
       .select(col("vec_id"),
         explode(expr(s"lsh_band_keys(v, $bitsPerBand, $bands)")).as("bucket"))
     skinny.select(col("vec_id").as("d1"), col("bucket").as("b1"))

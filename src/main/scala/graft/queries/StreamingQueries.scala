@@ -111,7 +111,13 @@ object StreamingQueries {
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    caller.read.parquet(s"$base/out")
+    // A stream that commits zero batches never creates the sink path —
+    // mirror the old memory-sink behavior and hand back an empty table
+    // with the stream's schema instead of an AnalysisException.
+    val outPath = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = outPath.getFileSystem(caller.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) caller.read.parquet(s"$base/out")
+    else caller.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
   }
 
   /** A3: flatMapGroupsWithState accumulate-and-seal, summarized as

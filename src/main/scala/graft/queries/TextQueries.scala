@@ -80,8 +80,10 @@ object TextQueries {
 
   /** Per-language keep rates (percent buckets of 100) for the
     * stratified sampling demo (B15b) — downsample the dominant
-    * language, keep the rest whole. Declaration order is the CASE
-    * order on both engines. */
+    * language, keep the rest whole. Built with foldRight below so the
+    * FIRST declared match wins on both engines (DuckDB CASE evaluates
+    * in declaration order; a foldLeft would wrap later entries
+    * outermost and give Spark last-match-wins semantics). */
   private val StratifiedRates = Seq("en" -> 25L, "es" -> 60L, "de" -> 60L)
 
   /** The 3-gram shingling definition — single source (separator,
@@ -496,7 +498,9 @@ object TextQueries {
       (s, dir) => {
         val bucket = pmod(
           conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(100L))
-        val rate = StratifiedRates.foldLeft(lit(100L)) { case (acc, (l, r)) =>
+        // foldRight keeps declaration order = CASE order (first match
+        // wins), matching the DuckDB CASE in the oracle below.
+        val rate = StratifiedRates.foldRight(lit(100L)) { case ((l, r), acc) =>
           when(col("lang") === l, lit(r)).otherwise(acc)
         }
         Tables.documents(s, dir)

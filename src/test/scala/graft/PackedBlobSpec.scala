@@ -62,6 +62,19 @@ class PackedBlobSpec extends AnyFunSpec with Matchers with SparkTestBase {
       an[IllegalArgumentException] should be thrownBy PackedBlob.pack(payload, "LZ4")
     }
 
+    it("tolerates framed NONE / unrecognized codecs like the reference Unpacker's case _") {
+      // the reference writer never emits these today, but its reader
+      // returns the bytes at the data offset — match that tolerance
+      for (metaJson <- Seq("""{"t":"NONE"}""", """{"t":"LZ4FUTURE"}""", """{"v":2}""")) {
+        val metadata = metaJson.getBytes(UTF_8)
+        val framed = ByteBuffer
+          .allocate(4 + 4 + metadata.length + payload.length)
+          .put("hytc".getBytes(UTF_8)).putInt(metadata.length)
+          .put(metadata).put(payload).array()
+        PackedBlob.unpack(framed).toSeq shouldBe payload.toSeq
+      }
+    }
+
     it("round-trips arbitrary payloads (fixed-seed property)") {
       // deterministic generator style matching TraceTransformsPropertySpec
       // (no scalatest-scalacheck bridge in the offline cache)
