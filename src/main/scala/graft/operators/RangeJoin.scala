@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned point-in-interval join — the scale path for predicates like
+  * `p.ts >= i.start AND p.ts < i.end` that Spark plans as a
+  * BroadcastNestedLoopJoin (one small side) or a cartesian product (two
+  * big sides) because there is no equi-key: O(|P|·|I|) compares either
+  * way, which is exactly the plan that dies first at 100 TB.
+  *
+  * Shape: each interval explodes into the fixed-width time buckets it
+  * overlaps (`ceil(len/width)+1` rows — a handful when `width` is near
+  * the median interval length); each point computes its single bucket
+  * row-locally inside the scan stage. Both sides then EQUI-join on
+  * (keys…, bucket) and the exact range predicate runs as a residual
+  * filter on the matched pairs. A (point, interval) pair can meet in at
+  * most one bucket — the point's — so no post-join distinct is needed.
+  *
+  * Cost at scale: one shuffle of each side by (keys, bucket) — or zero
+  * shuffles for the points side when the exploded interval side is
+  * broadcast-size, which is the common "events vs incident windows"
+  * case. Hot buckets (traffic pileups) are ordinary skewed equi-join
+  * keys, split by AQE. The same binning idea backs DuckDB's IEJoin
+  * alternatives and the range-join binning hints in other engines.
+  *
+  * The caller owns column hygiene: `points` and `intervals` must share
+  * ONLY the `keys` column names.
+  */
+object RangeJoin {
+
+  /** Join `points` (timestamp column `pointTs`) to `intervals`
+    * (half-open `[start, end)` long columns) on equality of `keys` plus
+    * interval containment. All three ts columns are BIGINT in the same
+    * unit; `width` is the bucket width in that unit. Empty/inverted
+    * intervals (end <= start) match nothing, as the half-open contract
+    * implies. */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      pointTs: String, start: String, end: String,
+      keys: Seq[String], width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    // end-1 keeps the half-open upper edge from minting a bucket no
+    // point of the interval can land in; any consistent integral
+    // rounding works because both sides bucket with the same `div`.
+    val binned = intervals
+      .filter(col(end) > col(start))
+      .withColumn("_bucket",
+        explode(expr(s"sequence($start div ${width}L, ($end - 1) div ${width}L)")))
+    points
+      .withColumn("_bucket", expr(s"$pointTs div ${width}L"))
+      .join(binned, keys :+ "_bucket")
+      .filter(col(pointTs) >= col(start) && col(pointTs) < col(end))
+      .drop("_bucket")
+  }
+}

@@ -157,6 +157,33 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // Bloom-prefiltered exact semi join (operators/BloomJoin): lineitem
+    // rows belonging to urgent high-value orders. The build side
+    // collapses to a bloom filter probed inside the lineitem scan
+    // (codegen'd BloomMightContain), so at scale only the surviving
+    // fraction reaches the exact verify join — the explicit, tunable
+    // form of Catalyst's InjectRuntimeFilter. Oracle is the plain IN
+    // subquery: bloom false positives die in the verify join, false
+    // negatives are impossible, so results are exactly the semi join.
+    "q_bloom_semijoin" -> QueryDef.sql(
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+          .select("o_orderkey")
+        graft.operators.BloomJoin.semiJoin(
+          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"), asDec2(sum(dec("l_quantity"))).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // C8: anti join (NOT EXISTS)
     "q_antijoin" -> QueryDef.sql(
       (s, dir) =>

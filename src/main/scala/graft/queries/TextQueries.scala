@@ -209,6 +209,24 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_ish_tokens
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
 
+    // Corpus-level heavy hitters: top-25 terms by document frequency —
+    // the vocabulary/stopword audit every curation pass runs. Explode
+    // rides directly on the inline tokenize (never a projected array —
+    // the CollapseProject 25× trap), per-doc distinct via the shingle
+    // dedup inside array_distinct, counts partial-agg map-side, and the
+    // global top-k is TakeOrderedAndProject — no full sort of the term
+    // dictionary at 100 TB. Ties break on the term itself.
+    "text_top_terms" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("term"))
+        .limit(25),
+      """SELECT term, COUNT(*) AS n_docs
+        |FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY n_docs DESC, term LIMIT 25""".stripMargin),
+
     // B9: quality scoring — length / alpha / digit / stopword ratios
     "text_quality" -> QueryDef.sql(
       (s, dir) => Tables.documents(s, dir)

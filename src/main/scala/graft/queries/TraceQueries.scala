@@ -5,6 +5,7 @@ import graft.operators.{SpanOps, TimePartitioner, TraceSearch, WhitelistIndex}
 import graft.operators.WhitelistIndex.WhitelistField
 import graft.trace.TraceDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -18,6 +19,7 @@ import org.apache.spark.sql.types.DecimalType
 object TraceQueries {
 
   private val T0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+  private val HourUs = 3600000000L
   private val T1 = 1706745600000000L // 2024-02-01
   private val DayUs = 86400000000L
 
@@ -330,6 +332,112 @@ object TraceQueries {
             |           FROM spans WHERE service = 'purchase') p
             |  ON e.trace_id = p.trace_id AND e.start_us >= p.p_start_us
             |ORDER BY err_span_id""".stripMargin)),
+
+    // Batch sessionization — the A3 gap semantics (30 min quiet splits
+    // a trace into sessions) expressed as pure window functions, the
+    // form a backfill over stored spans runs (streaming handles the
+    // live path). One shuffle by trace_id; the flag + running-sum +
+    // final agg all ride the same partitioning, so session assembly
+    // adds no exchange beyond the groupBy's. ROWS frames explicit on
+    // both engines so the running sum never picks up range-frame peers.
+    "trace_sessions_batch" -> QueryDef.sql(
+      (s, dir) => {
+        val gapUs = 30 * 60 * 1000000L
+        val w = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        val runsum = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spans(s, dir).select("trace_id", "span_id", "start_us")
+          .withColumn("new_sess",
+            when(lag("start_us", 1).over(w).isNull ||
+              col("start_us") - lag("start_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("new_sess").over(runsum))
+          .groupBy("trace_id", "session_idx")
+          .agg(count(lit(1)).as("n_spans"),
+            min("start_us").as("sess_start_us"), max("start_us").as("sess_end_us"))
+          .orderBy("trace_id", "session_idx")
+      },
+      cte(""", flagged AS (
+            |  SELECT trace_id, span_id, start_us,
+            |    CASE WHEN lag(start_us) OVER w IS NULL
+            |           OR start_us - lag(start_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            |  FROM spans
+            |  WINDOW w AS (PARTITION BY trace_id ORDER BY start_us, span_id)),
+            |sess AS (
+            |  SELECT trace_id, start_us,
+            |    SUM(new_sess) OVER (PARTITION BY trace_id ORDER BY start_us, span_id
+            |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            |  FROM flagged)
+            |SELECT trace_id, CAST(session_idx AS BIGINT) AS session_idx,
+            |  COUNT(*) AS n_spans, MIN(start_us) AS sess_start_us, MAX(start_us) AS sess_end_us
+            |FROM sess GROUP BY trace_id, session_idx
+            |ORDER BY trace_id, session_idx""".stripMargin)),
+
+    // Keep-latest upsert merge — the span-store compaction path: a
+    // correction feed (every 13th span re-emitted with fixed duration,
+    // version 1) merges over the base store (version 0) by
+    // row_number()=1 per (trace_id, span_id) ordered by version desc.
+    // This is how late/duplicate span revisions reconcile at rest: one
+    // shuffle by the merge key — and zero when both sides live in the
+    // traceId-bucketed layout (BucketedLayout), where the window runs
+    // exchange-free per bucket.
+    "trace_upsert" -> QueryDef.sql(
+      (s, dir) => {
+        val base = spans(s, dir)
+          .select(col("trace_id"), col("span_id"), col("service"),
+            col("duration_us"), lit(0L).as("version"))
+        val updates = base.filter(col("span_id") % 13 === 0)
+          .select(col("trace_id"), col("span_id"), col("service"),
+            (col("duration_us") + 1000L).as("duration_us"), lit(1L).as("version"))
+        val w = Window.partitionBy("trace_id", "span_id")
+          .orderBy(col("version").desc)
+        base.unionAll(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("trace_id", "span_id")
+      },
+      cte(""", merged AS (
+            |  SELECT trace_id, span_id, service, duration_us, 0 AS version FROM spans
+            |  UNION ALL
+            |  SELECT trace_id, span_id, service, duration_us + 1000, 1 FROM spans
+            |  WHERE span_id % 13 = 0)
+            |SELECT trace_id, span_id, service, duration_us, CAST(version AS BIGINT) AS version
+            |FROM (SELECT *, row_number() OVER (PARTITION BY trace_id, span_id
+            |                                   ORDER BY version DESC) AS rn
+            |      FROM merged) t
+            |WHERE rn = 1
+            |ORDER BY trace_id, span_id""".stripMargin)),
+
+    // Range/interval join, binned scale path (operators/RangeJoin): all
+    // spans of a service falling inside that service's incident windows
+    // (anchored at every 199th span, 2 h wide). The generic theta form
+    // of this predicate has no equi-key and plans as a nested-loop
+    // compare; RangeJoin explodes each window into its 1 h buckets and
+    // equi-joins on (service, bucket) + residual range filter — one
+    // shuffle (or a broadcast of the window side) at any scale.
+    // RangeJoinSpec asserts the pair set equals the naive theta join
+    // and that the plan is hash/merge, not nested-loop.
+    "q_range_join" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "service", "start_us")
+        val windows = sp.filter(col("span_id") % 199 === 0)
+          .select(col("span_id").as("w_id"), col("service"),
+            col("start_us").as("w_start"),
+            (col("start_us") + lit(2 * HourUs)).as("w_end"))
+        graft.operators.RangeJoin
+          .pointInInterval(sp, windows, "start_us", "w_start", "w_end",
+            keys = Seq("service"), width = HourUs)
+          .select(col("w_id"), col("span_id"),
+            (col("start_us") - col("w_start")).as("offset_us"))
+          .orderBy("w_id", "span_id")
+      },
+      cte(s"""SELECT w.w_id, p.span_id, p.start_us - w.w_start AS offset_us
+             |FROM (SELECT span_id, service, start_us FROM spans) p
+             |JOIN (SELECT span_id AS w_id, service, start_us AS w_start,
+             |             start_us + ${2 * HourUs} AS w_end
+             |      FROM spans WHERE span_id % 199 = 0) w
+             |  ON p.service = w.service
+             | AND p.start_us >= w.w_start AND p.start_us < w.w_end
+             |ORDER BY w_id, span_id""".stripMargin)),
 
     // Latency percentiles per service — the haystack-trends-style rollup
     // served from the same span relation (exact linear-interpolated

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions.col
   */
 object GraftPlanBridge {
 
+  /** Wrap a Catalyst expression as a user-facing Column (Column(expr)
+    * went private behind the Spark 4 ColumnNode refactor). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column. */
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Inner AS-OF join: for each left row, the right row with equal keys
     * and the largest `rightTime` ≤ `leftTime`. Right columns are
     * suffixed to keep self-joins unambiguous (fresh exprIds). Key and
