@@ -197,6 +197,39 @@ object StreamingQueries {
     drainSink(s, ss, sink).orderBy("service")
   }
 
+  /** Stream-stream inner join with event-time bounds: each error span
+    * joined to the same trace's purchase spans from the preceding hour
+    * — the streaming form of the q_asof_join enrichment (all candidates
+    * instead of latest-only; streams can't know "latest" until the
+    * watermark closes the window). Both sides carry watermarks and the
+    * join condition carries the time range, so state eviction is
+    * bounded by gap+window — the shape that runs indefinitely at
+    * production scale. Oracle-exact under the AvailableNow replay: the
+    * backlog lands in one micro-batch (watermark 0 while it processes),
+    * so no row is late and the emitted pair set equals the batch join
+    * — the DuckDB self-join below. */
+  private def runStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val spans = spanStream(ss, dir, richOps = false)
+    val errors = spans
+      .filter(col("service") === "error")
+      .select(col("traceId").as("trace_id"), col("spanId").cast("long").as("err_span_id"),
+        col("startUs").as("err_us"), timestamp_micros(col("startUs")).as("err_time"))
+      .withWatermark("err_time", s"$GapSeconds seconds")
+    val purchases = spans
+      .filter(col("service") === "purchase")
+      .select(col("traceId").as("p_trace_id"), col("spanId").cast("long").as("p_span_id"),
+        col("startUs").as("p_us"), timestamp_micros(col("startUs")).as("p_time"))
+      .withWatermark("p_time", s"$GapSeconds seconds")
+    val joined = errors.join(purchases,
+      col("trace_id") === col("p_trace_id") &&
+        col("p_time") >= col("err_time") - expr("INTERVAL 1 HOUR") &&
+        col("p_time") <= col("err_time"))
+      .select(col("trace_id"), col("err_span_id"), col("p_span_id"),
+        (col("err_us") - col("p_us")).as("lag_us"))
+    runToParquet(s, joined, "stream_join").orderBy("err_span_id", "p_span_id")
+  }
+
   // Shared oracle scaffolding: the same span timeline DuckDB-side.
   private val SpanCte =
     """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
@@ -261,6 +294,21 @@ object StreamingQueries {
     // watermark-evicted t-digest state; rows-only (sketch approximate
     // by contract, like the batch _approx entry)
     "streaming_latency_quantiles" -> QueryDef.rowsOnly(runLatencyQuantiles),
+
+    // stream-stream join: emitted pairs equal the batch self-join
+    // under the single-batch AvailableNow replay (see runStreamJoin)
+    "streaming_join" -> QueryDef.sql(runStreamJoin,
+      """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, event_id,
+        |             epoch_us(ts) AS start_us, event_type
+        |           FROM events)
+        |SELECT e.trace_id, e.event_id AS err_span_id, p.event_id AS p_span_id,
+        |       e.start_us - p.start_us AS lag_us
+        |FROM s e JOIN s p
+        |  ON e.trace_id = p.trace_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND p.start_us >= e.start_us - 3600000000
+        | AND p.start_us <= e.start_us
+        |ORDER BY err_span_id, p_span_id""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,
