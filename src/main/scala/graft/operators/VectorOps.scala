@@ -45,6 +45,51 @@ object VectorOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Int8 scalar-quantized ANN with exact re-rank — the memory-bound
+    * scale path: per-vector symmetric quantization (scale = max|v|/127,
+    * q_i = round-half-up(v_i/scale) ∈ [-127,127]) shrinks the corpus
+    * representation 8× so the coarse pass streams integer dots (exact
+    * in int64 — 64 products ≤ 127²·64 ≪ 2⁵³, so the double cast both
+    * engines compare with is exact too); only the top `rerank`
+    * candidates per query rejoin their full vectors for the exact
+    * cosine that produces the final top-k. Everything is deterministic
+    * IEEE arithmetic, so the whole pipeline (quantize → coarse rank →
+    * rescore) replays bit-for-bit in the DuckDB oracle — the coarse
+    * stage needs no recall hand-waving to be hash-checked, and
+    * VectorOpsSpec measures actual recall vs the brute path.
+    * Zero-norm vectors have no cosine direction — they'd rescore to
+    * 0/0 = NaN, and Spark's descending sort puts NaN FIRST, so one
+    * all-zero row would outrank every real neighbor. They are excluded
+    * from both corpus and query sides (the scale-1 guard below keeps
+    * the quantizer total anyway). */
+  def annTopKQuantized(
+      embeddings: DataFrame, queryPred: Column, k: Int, rerank: Int): DataFrame = {
+    val quant = withNorms(embeddings)
+      .filter(col("nrm") > 0.0)
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("mx") === 0.0, lit(1.0)).otherwise(col("mx") / 127.0))
+      .withColumn("q", transform(col("v"), x => floor(x / col("scale") + lit(0.5))))
+      .select("vec_id", "v", "nrm", "scale", "q")
+    val queries = quant.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+      col("scale").as("qscale"), col("q").as("qq"))
+    val qdot = aggregate(
+      zip_with(col("q"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val coarse = quant.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("qv"), col("qnrm"),
+        (qdot.cast("double") * col("scale") * col("qscale")).as("qscore"))
+    val wc = Window.partitionBy("q_id").orderBy(col("qscore").desc, col("neighbor_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("neighbor_id"))
+    coarse.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= rerank)
+      .select(col("q_id"), col("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("q_id", "rnk")
+  }
+
   /** All pairs above a cosine threshold within a bounded id range —
     * near-duplicate detection by embedding (exact, quadratic; the LSH
     * variant below is the scale path). */

@@ -89,6 +89,38 @@ object VectorQueries {
            |ORDER BY d1, d2""".stripMargin
       }),
 
+    // B7d: int8 scalar-quantized ANN — the memory-bound scale path
+    // (8× smaller corpus representation for the coarse scan, exact
+    // rescore of the top-15 coarse candidates per query). The whole
+    // quantize → integer-dot rank → rescore pipeline is deterministic
+    // IEEE math, so the oracle replays it exactly; recall vs brute is
+    // measured in VectorOpsSpec.
+    "ann_topk_quantized" -> QueryDef.sql(
+      (s, dir) => VectorOps.annTopKQuantized(
+        Tables.embeddings(s, dir), col("vec_id") < 10, k = 5, rerank = 15),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |m AS (SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) AS mx
+        |      FROM n WHERE nrm > 0),
+        |z AS (SELECT vec_id, v, nrm, CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s FROM m),
+        |qz AS (SELECT vec_id, v, nrm, s,
+        |         list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS q FROM z),
+        |p AS (SELECT vec_id AS q_id, v AS pv, nrm AS pnrm, s AS ps, q AS pq
+        |      FROM qz WHERE vec_id < 10),
+        |co AS (SELECT q_id, vec_id AS neighbor_id, v, nrm, pv, pnrm,
+        |         list_dot_product(q, pq) * s * ps AS qscore
+        |       FROM qz CROSS JOIN p WHERE vec_id <> q_id),
+        |cand AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |           ORDER BY qscore DESC, neighbor_id) AS crnk FROM co),
+        |sc AS (SELECT q_id, neighbor_id,
+        |         ROUND(list_dot_product(v, pv) / (nrm * pnrm), 6) AS score
+        |       FROM cand WHERE crnk <= 15),
+        |r AS (SELECT q_id, neighbor_id, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin),
+
     // B7: LSH-bucketed ANN — scale path; recall checked in
     // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
     // driver-side literals, embedded into the SQL as the SAME

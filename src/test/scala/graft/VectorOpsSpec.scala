@@ -36,6 +36,45 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("annTopKQuantized") {
+    it("reaches high recall vs brute at a modest rerank budget") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val quant = VectorOps.annTopKQuantized(emb, col("vec_id") < 10, 5, rerank = 15)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      // int8 coarse scores are a tight cosine approximation — recall
+      // should be near-perfect, unlike bucketing-based ANN
+      val recall = (brute & quant).size.toDouble / brute.size
+      recall should be > 0.85
+    }
+
+    it("rescored scores are exactly the brute scores for shared pairs") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("score")).toMap
+      val quant = VectorOps.annTopKQuantized(emb, col("vec_id") < 10, 5, rerank = 15)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("score")).toMap
+      val shared = brute.keySet & quant.keySet
+      shared should not be empty
+      shared.foreach(k => quant(k) shouldBe brute(k))
+    }
+
+    it("excludes zero-norm vectors instead of letting NaN outrank real neighbors") {
+      val s = spark
+      import s.implicits._
+      val tiny = Seq(
+        (0L, Array(0.0, 0.0, 0.0)), (1L, Array(1.0, 2.0, 3.0)),
+        (2L, Array(2.0, 4.0, 6.0)), (3L, Array(-1.0, 0.5, 0.25)))
+        .toDF("vec_id", "embedding")
+      val out = VectorOps.annTopKQuantized(tiny, col("vec_id") === 1L, 3, rerank = 3)
+        .collect()
+      // the all-zero vec 0 is gone; colinear vec 2 ranks first at 1.0
+      out.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(2L, 3L)
+      out.head.getAs[Long]("neighbor_id") shouldBe 2L
+      out.head.getAs[Double]("score") shouldBe 1.0
+      out.foreach(r => r.getAs[Double]("score").isNaN shouldBe false)
+    }
+  }
+
   describe("annTopKIvf") {
     it("achieves reasonable recall with a fraction of the scan") {
       val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 3).collect()
