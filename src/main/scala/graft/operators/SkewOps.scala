@@ -43,4 +43,41 @@ object SkewOps {
       .agg(count(lit(1)).as("pc"), sum("v").as("ps"))
       .groupBy("k")
       .agg(sum("pc").as("n"), sum("ps").as("total"))
+
+  /** Salted inner equi-join for a hot-keyed big side: each big row
+    * gets a salt in [0, salts), the small side replicates once per salt
+    * (explode of a salts-length array — `salts × |small|` rows, cheap
+    * for a dim side), and the join key becomes (key, salt), so a hot
+    * key's rows spread over `salts` reducers instead of one straggler.
+    *
+    * AQE's skew-join split covers sort-merge joins after the fact by
+    * splitting oversized partitions; explicit salting also covers
+    * shuffled-hash joins and keeps the split deterministic at plan
+    * time. The result set is EXACTLY the plain inner join — each big
+    * row meets each matching small row exactly once (the copy carrying
+    * its salt) — which is what the q_salted_join oracle checks.
+    *
+    * Salts are position-derived after a sortWithinPartitions, the same
+    * retry-determinism mitigation as [[saltedAggregate]]: shuffle
+    * blocks must not change when a map task recomputes (SPARK-23207),
+    * and content-hash salts would collapse the constant-value hot-key
+    * case this operator exists for. Columns of `big` and `small` must
+    * be disjoint; pre-alias as needed. */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    // sort by ALL columns: rows that differ anywhere get a
+    // content-stable order (stable salts across retries); bit-identical
+    // rows may permute but then carry interchangeable salts
+    val saltedBig = big
+      .sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = small
+      .withColumn("_salt", explode(lit((0L until salts.toLong).toArray)))
+    saltedBig
+      .join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) && saltedBig("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }

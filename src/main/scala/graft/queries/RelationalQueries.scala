@@ -329,6 +329,53 @@ object RelationalQueries {
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
 
+    // C15b: explicit GROUPING SETS (beyond rollup/cube): per-status,
+    // per-priority, and grand-total rows in one aggregation pass, with
+    // grouping() flags disambiguating a real NULL group from a
+    // summary row. Spark expands the sets into one Expand + single
+    // shuffle — same plan family as rollup.
+    "q_grouping_sets" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+            count(lit(1)).as("n"), asDec2(sum(dec("o_totalprice"))).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(${d("o_totalprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    // Salted hot-key join (operators/SkewOps.saltedJoin): the join-side
+    // twin of q_salted_agg — big side salted, small side replicated per
+    // salt, equi-join on (key, salt) so a hot key spreads over `salts`
+    // reducers. Results are exactly the plain inner join, which is the
+    // oracle; the skew spread itself is asserted in SkewOpsSpec.
+    "q_salted_join" -> QueryDef.sql(
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderstatus")
+        graft.operators.SkewOps.saltedJoin(
+          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey", salts = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"), asDec2(sum(dec("l_quantity"))).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     // C16: aggregate filter (HAVING)
     "q_having" -> QueryDef.sql(
       (s, dir) =>

@@ -28,6 +28,11 @@ object TraceQueries {
   private val partitionedLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One z-ordered-layout write per (JVM, sf dir) — see
+    * trace_zorder_scan. */
+  private val zorderLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def spans(s: SparkSession, dir: String): DataFrame =
     SpanOps.spansFromEvents(Tables.events(s, dir))
 
@@ -298,6 +303,35 @@ object TraceQueries {
       },
       cte(s"""SELECT service, COUNT(*) AS n_spans FROM spans
              |WHERE start_us BETWEEN $T0 AND ${T0 + 3 * DayUs}
+             |GROUP BY service ORDER BY service""".stripMargin)),
+
+    // Z-order (Morton) layout scan (operators/ZOrderLayout): the store
+    // clustered on interleaved (trace_key, start_us) bits, so a 2-D box
+    // query — a trace-range AND a time-range — prunes parquet files on
+    // BOTH dimensions' min/max envelopes (a single-dim sort scatters
+    // the other dimension; ZOrderLayoutSpec measures the pruning win).
+    // Layout write is once per JVM+sf like trace_partitioned_scan; the
+    // timed query is the pruned box read. Results are layout-invariant,
+    // which is exactly what the oracle checks.
+    "trace_zorder_scan" -> QueryDef.sql(
+      (s, dir) => {
+        val outDir = zorderLayouts.computeIfAbsent(dir, _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft_zorder_spans_").toString
+          graft.operators.ZOrderLayout.writeZOrdered(
+            spans(s, dir).select(col("trace_id").cast("long").as("trace_key"),
+              col("span_id"), col("service"), col("start_us")),
+            d, "trace_key", "start_us", nFiles = 16)
+          d
+        })
+        s.read.parquet(outDir)
+          .filter(col("trace_key").between(0, 4) &&
+            col("start_us").between(T0, T0 + 3 * DayUs))
+          .groupBy("service").agg(count(lit(1)).as("n_spans"))
+          .orderBy("service")
+      },
+      cte(s"""SELECT service, COUNT(*) AS n_spans FROM spans
+             |WHERE CAST(trace_id AS BIGINT) BETWEEN 0 AND 4
+             |  AND start_us BETWEEN $T0 AND ${T0 + 3 * DayUs}
              |GROUP BY service ORDER BY service""".stripMargin)),
 
     // A12/C18: getTraceCounts — time-bucket histogram

@@ -32,6 +32,35 @@ class SkewOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       all(phase1Groups) should be > 1L
     }
 
+    it("salted join equals the plain inner join on real data") {
+      val li = Tables.lineitem(spark, sfDir)
+      val urgent = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "o_orderstatus")
+      val salted = SkewOps.saltedJoin(li, urgent, "l_orderkey", "o_orderkey", salts = 8)
+        .select("l_orderkey", "l_linenumber", "o_orderstatus").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val plain = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderstatus").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      salted should not be empty
+      salted shouldBe plain
+    }
+
+    it("salted join spreads a planted hot key across salts and keeps multiplicity") {
+      import spark.implicits._
+      val big = (Seq.fill(5000)(("hot", 1)) ++ (0 until 100).map(i => (s"k$i", 2)))
+        .toDF("bk", "bv").repartition(8)
+      val small = (Seq(("hot", "H")) ++ (0 until 100).map(i => (s"k$i", "C")))
+        .toDF("sk", "sv")
+      val joined = SkewOps.saltedJoin(big, small, "bk", "sk", salts = 8)
+      joined.count() shouldBe 5100L // every big row joins exactly once
+      // phase-one spread: the hot key's rows carry many distinct salts
+      val spread = big.sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
+        .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8L)))
+        .filter(col("bk") === "hot").select("_salt").distinct().count()
+      spread should be >= 4L
+    }
+
     it("splits a hot key with one constant value across most salts") {
       import spark.implicits._
       // the case that defeats value-derived salting: every row of the
