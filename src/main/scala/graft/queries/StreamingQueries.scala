@@ -230,6 +230,40 @@ object StreamingQueries {
     runToParquet(s, joined, "stream_join").orderBy("err_span_id", "p_span_id")
   }
 
+  /** LEFT OUTER variant of [[runStreamJoin]]: error spans with no
+    * purchase in their preceding hour still emit, null-extended — the
+    * "errors without a recent purchase" alerting shape. Outer results
+    * can only emit once the right watermark proves no future match can
+    * arrive: matched pairs emit in the data batch, and the trailing
+    * no-data batch (right watermark = global max − gap, ms-floored)
+    * releases the unmatched rows whose join window closed strictly
+    * before it. Error spans inside the final watermark's shadow stay in
+    * state — the oracle models exactly that: unmatched rows appear iff
+    * err_time < final watermark. */
+  private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val spans = spanStream(ss, dir, richOps = false)
+    val errors = spans
+      .filter(col("service") === "error")
+      .select(col("traceId").as("trace_id"), col("spanId").cast("long").as("err_span_id"),
+        col("startUs").as("err_us"), timestamp_micros(col("startUs")).as("err_time"))
+      .withWatermark("err_time", s"$GapSeconds seconds")
+    val purchases = spans
+      .filter(col("service") === "purchase")
+      .select(col("traceId").as("p_trace_id"), col("spanId").cast("long").as("p_span_id"),
+        col("startUs").as("p_us"), timestamp_micros(col("startUs")).as("p_time"))
+      .withWatermark("p_time", s"$GapSeconds seconds")
+    val joined = errors.join(purchases,
+      col("trace_id") === col("p_trace_id") &&
+        col("p_time") >= col("err_time") - expr("INTERVAL 1 HOUR") &&
+        col("p_time") <= col("err_time"),
+      "left_outer")
+      .select(col("trace_id"), col("err_span_id"),
+        coalesce(col("p_span_id"), lit(-1L)).as("p_span_id"),
+        coalesce(col("err_us") - col("p_us"), lit(-1L)).as("lag_us"))
+    runToParquet(s, joined, "stream_join_outer").orderBy("err_span_id", "p_span_id")
+  }
+
   // Shared oracle scaffolding: the same span timeline DuckDB-side.
   private val SpanCte =
     """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
@@ -309,6 +343,39 @@ object StreamingQueries {
         | AND p.start_us >= e.start_us - 3600000000
         | AND p.start_us <= e.start_us
         |ORDER BY err_span_id, p_span_id""".stripMargin),
+
+    // left-outer stream-stream join: matched pairs equal the batch
+    // join; unmatched errors emit iff their join window closed
+    // strictly before the final global watermark (min of both sides'
+    // ms-floored max − gap) — see runStreamJoinOuter
+    "streaming_join_outer" -> QueryDef.sql(runStreamJoinOuter,
+      s"""WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, event_id,
+         |             epoch_us(ts) AS start_us, event_type
+         |           FROM events),
+         |e AS (SELECT trace_id, event_id, start_us FROM s WHERE event_type = 'error'),
+         |p AS (SELECT trace_id, event_id, start_us FROM s WHERE event_type = 'purchase'),
+         |wm AS (SELECT LEAST((SELECT max(start_us) // 1000 FROM e),
+         |                    (SELECT max(start_us) // 1000 FROM p))
+         |              - ${GapSeconds * 1000} AS wm_ms),
+         |matched AS (
+         |  SELECT e.trace_id, e.event_id AS err_span_id, p.event_id AS p_span_id,
+         |         e.start_us - p.start_us AS lag_us
+         |  FROM e JOIN p ON e.trace_id = p.trace_id
+         |   AND p.start_us >= e.start_us - 3600000000 AND p.start_us <= e.start_us),
+         |unmatched AS (
+         |  SELECT e.trace_id, e.event_id AS err_span_id, -1 AS p_span_id, -1 AS lag_us
+         |  FROM e, wm
+         |  WHERE NOT EXISTS (SELECT 1 FROM p
+         |                    WHERE p.trace_id = e.trace_id
+         |                      AND p.start_us >= e.start_us - 3600000000
+         |                      AND p.start_us <= e.start_us)
+         |    AND e.start_us < wm_ms * 1000)
+         |SELECT trace_id, err_span_id, CAST(p_span_id AS BIGINT) AS p_span_id,
+         |       CAST(lag_us AS BIGINT) AS lag_us FROM matched
+         |UNION ALL
+         |SELECT trace_id, err_span_id, CAST(p_span_id AS BIGINT),
+         |       CAST(lag_us AS BIGINT) FROM unmatched
+         |ORDER BY err_span_id, p_span_id""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,
