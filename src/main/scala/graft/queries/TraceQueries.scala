@@ -473,6 +473,22 @@ object TraceQueries {
              | AND p.start_us >= w.w_start AND p.start_us < w.w_end
              |ORDER BY w_id, span_id""".stripMargin)),
 
+    // Service cardinality rollup on HLL sketches — the 100 TB form of
+    // "how many distinct operations/traces per service" (A5's exact
+    // distinct is the small-scale anchor): approx_count_distinct keeps
+    // a mergeable fixed-size sketch per group, so partials combine
+    // map-side and nothing rehashes the raw values at the reducer.
+    // Rows-only by the same contract as the t-digest entries — the
+    // sketch is approximate; CardinalitySpec bounds its error against
+    // the exact counts.
+    "trace_service_cardinality" -> QueryDef.rowsOnly(
+      (s, dir) => spans(s, dir)
+        .groupBy("service")
+        .agg(approx_count_distinct("operation").as("approx_operations"),
+          approx_count_distinct("trace_id").as("approx_traces"),
+          count(lit(1)).as("n_spans"))
+        .orderBy("service")),
+
     // Latency percentiles per service — the haystack-trends-style rollup
     // served from the same span relation (exact linear-interpolated
     // percentile on both engines; percentile_approx is the 100 TB path)
