@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftExtensions, Tables}
 import graft.operators.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup coverage (SURVEY.md §2 B-block) over
@@ -208,6 +209,79 @@ object TextQueries {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_ish_tokens
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+
+    // Chunk-level dedup stats (the paragraph-dedup shape, CCNet-style,
+    // on 10-token chunks since the synthetic docs have no paragraph
+    // breaks): every chunk is hashed corpus-wide, the FIRST occurrence
+    // (by doc_id, chunk position) survives, and each doc reports how
+    // many of its chunks it owns. One explode + one window shuffle on
+    // the chunk hash — the chunk text itself never re-shuffles (md5
+    // rides the exchange), which is what keeps this viable when chunks
+    // are kilobytes. Chunks are sliced from the inline tokenize
+    // (CollapseProject re-splits a projected array per element — the
+    // 25× trap).
+    "dedup_chunks" -> QueryDef.sql(
+      (s, dir) => {
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, CAST(floor((size(split(trim(text), '\\\\s+')) - 1) / 10) AS INT)), " +
+              "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * 10 + 1, 10)))"))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+        val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+        chunks
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_first"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |chunks AS (
+        |  -- DuckDB generate_series takes only constants (no lateral or
+        |  -- subquery bounds): unnest an index list built per row instead
+        |  SELECT doc_id, s.i AS chunk_idx,
+        |         md5(array_to_string(t[(s.i * 10 + 1):((s.i + 1) * 10)], ' ')) AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(floor((len(t) - 1) / 10) AS INT) + 1)) AS i
+        |        FROM toks) s(doc_id, t, i)),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // PII redaction — the scrub pass every training corpus runs before
+    // tokenization. The synthetic docs carry no PII, so the demo
+    // appends a deterministic pseudo-identity (same expression on both
+    // engines) and the operator redacts it: emails → <EMAIL>, then
+    // long digit runs → <NUM>. Row-local regexp work inside the scan
+    // stage; redaction order matters (emails first — their local part
+    // may contain digit runs) and is pinned by the nesting.
+    "text_redact_pii" -> QueryDef.sql(
+      (s, dir) => {
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "), (col("doc_id") * 7919 + 1000000).cast("string"))
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+              "[0-9]{6,}", "<NUM>").as("redacted"),
+            regexp_count(aug, lit(emailRe)).cast("long").as("n_emails"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref '
+        |           || CAST(doc_id * 7919 + 1000000 AS VARCHAR),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref '
+        |           || CAST(doc_id * 7919 + 1000000 AS VARCHAR),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Corpus-level heavy hitters: top-25 terms by document frequency —
     // the vocabulary/stopword audit every curation pass runs. Explode

@@ -78,4 +78,29 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       capped should contain((100L, 101L))
     }
   }
+
+  describe("round-5 curation query surfaces") {
+    it("dedup_chunks keeps corpus-wide kept-chunk totals consistent") {
+      val out = SparkEntry.allDefs("dedup_chunks").fn(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      out should not be empty
+      // every doc has chunks; no doc keeps more than it has
+      out.values.foreach { case (n, first) =>
+        n should be > 0L
+        first should be <= n
+      }
+    }
+
+    it("text_redact_pii strips emails and long digit runs") {
+      val rows = SparkEntry.allDefs("text_redact_pii").fn(spark, sfDir).collect()
+      rows should not be empty
+      rows.foreach { r =>
+        val red = r.getString(1)
+        red should include("<EMAIL>")
+        red should include("<NUM>")
+        red should not include "@"
+        r.getLong(2) shouldBe 1L // exactly the planted email per doc
+      }
+    }
+  }
 }
