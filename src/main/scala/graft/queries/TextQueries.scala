@@ -283,6 +283,67 @@ object TextQueries {
         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Quality-quantile gate: keep the best 60% of docs per language by
+    // alpha ratio — curation by RELATIVE quality (a fixed threshold
+    // over- or under-prunes languages with different score
+    // distributions). percent_rank is (rank-1)/(n-1) on both engines;
+    // the (quality desc, doc_id) order makes ranks — and therefore the
+    // cut — deterministic. One shuffle by lang; the window and filter
+    // ride it.
+    "corpus_quality_gate" -> QueryDef.sql(
+      (s, dir) => {
+        val q = round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")), 6)
+        val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), q.as("q"))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") <= 0.6)
+          .select("doc_id", "lang", "q")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, q FROM (
+        |  SELECT doc_id, lang,
+        |    ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text), 6) AS q,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |                     / length(text), 6) DESC, doc_id) AS pr
+        |  FROM documents) t
+        |WHERE pr <= 0.6 ORDER BY doc_id""".stripMargin),
+
+    // Deterministic sequence packing: docs packed into ~512-token bins
+    // by running token count, per language shard — the context-window
+    // packing pass a pretraining pipeline runs before tokenized
+    // shuffling. The assignment is bin = floor(tokens_before / budget)
+    // (a doc straddling a boundary starts in its bin — bounded
+    // overflow, the standard streaming-pack tradeoff), which unlike
+    // greedy first-fit is a pure window cumsum: deterministic,
+    // partition-parallel by shard key, no sequential driver loop.
+    "corpus_pack" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tokens")) / 512L))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+          .orderBy("lang", "bin")
+      },
+      """WITH t AS (SELECT doc_id, lang,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
     // Corpus-level heavy hitters: top-25 terms by document frequency —
     // the vocabulary/stopword audit every curation pass runs. Explode
     // rides directly on the inline tokenize (never a projected array —
