@@ -184,6 +184,40 @@ object RelationalQueries {
          |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Interval-overlap join (RangeJoin.intervalOverlap): same-customer
+    // orders whose 7-day fulfillment windows overlap. Both sides bin
+    // into week buckets; a pair matches ONLY in the bucket holding the
+    // intersection's left edge, so the output is duplicate-free with no
+    // distinct — one equi-join shuffle, never the nested-loop plan the
+    // raw overlap predicate would get. RangeJoinSpec proves pair-set
+    // equality with the theta join.
+    "q_interval_join" -> QueryDef.sql(
+      (s, dir) => {
+        val weekUs = 7L * 86400000000L
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("w_start"))
+          .withColumn("w_end", col("w_start") + weekUs)
+        val a = o.select(col("o_custkey"), col("o_orderkey").as("o1"),
+          col("w_start").as("s1"), col("w_end").as("e1"))
+        val b = o.select(col("o_custkey"), col("o_orderkey").as("o2"),
+          col("w_start").as("s2"), col("w_end").as("e2"))
+        graft.operators.RangeJoin.intervalOverlap(
+          a, b, "s1", "e1", "s2", "e2", keys = Seq("o_custkey"), width = weekUs)
+          .filter(col("o1") < col("o2"))
+          .select(col("o_custkey"), col("o1"), col("o2"),
+            (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2"))).as("overlap_us"))
+          .orderBy("o_custkey", "o1", "o2")
+      },
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS w_start,
+        |             epoch_us(o_orderdate) + 604800000000 AS w_end
+        |           FROM orders)
+        |SELECT a.o_custkey AS o_custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+        |       LEAST(a.w_end, b.w_end) - GREATEST(a.w_start, b.w_start) AS overlap_us
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.w_start < b.w_end AND b.w_start < a.w_end
+        |ORDER BY o_custkey, o1, o2""".stripMargin),
+
     // C8: anti join (NOT EXISTS)
     "q_antijoin" -> QueryDef.sql(
       (s, dir) =>

@@ -54,6 +54,29 @@ class RangeJoinSpec extends AnyFunSpec with Matchers with SparkTestBase {
         Set((10L, 1L), (10L, 2L)) // 200 excluded (half-open), b-intervals empty/inverted
     }
 
+    it("intervalOverlap equals the naive theta join without duplicates") {
+      val weekUs = 7L * 86400000000L
+      val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("w_start"))
+        .withColumn("w_end", col("w_start") + weekUs)
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("o1"),
+        col("w_start").as("s1"), col("w_end").as("e1"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("o2"),
+        col("w_start").as("s2"), col("w_end").as("e2"))
+      // deliberately NOT the interval width: uneven binning exercises the
+      // match-once bucket rule across multi-bucket overlaps
+      val binned = RangeJoin.intervalOverlap(
+        a, b, "s1", "e1", "s2", "e2", Seq("o_custkey"), width = 3L * 86400000000L)
+        .filter(col("o1") < col("o2"))
+        .select("o1", "o2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val naive = a.join(b, a("o_custkey") === b("o_custkey") &&
+          col("o1") < col("o2") && col("s1") < col("e2") && col("s2") < col("e1"))
+        .select("o1", "o2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      binned should not be empty
+      binned.distinct.size shouldBe binned.size // match-once rule: no dup pairs
+      binned.toSet shouldBe naive.toSet
+    }
+
     it("plans as an equi-join, never a nested-loop/cartesian compare") {
       val (sp, windows) = spansWindows()
       val plan = RangeJoin.pointInInterval(
