@@ -264,6 +264,37 @@ object StreamingQueries {
     runToParquet(s, joined, "stream_join_outer").orderBy("err_span_id", "p_span_id")
   }
 
+  /** Stream-static enrichment: the span stream joined to a STATIC
+    * service-catalog dimension (per-service expected-duration SLO) —
+    * the commonest streaming join in practice (fact stream × slowly
+    * changing dim). The static side needs no watermark and no state:
+    * Spark broadcasts it into every micro-batch, so the stream side
+    * never shuffles for the join. Output: per (service, within_slo)
+    * counts over the whole replay — deterministic, so fully
+    * hash-checked. */
+  private def runStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    // static dim derived from the batch table (deterministic): median
+    // span duration per service, rounded to micros — the "SLO" column
+    val dim = graft.operators.SpanOps.spansFromEvents(Tables.events(ss, dir))
+      .groupBy("service")
+      // FLOOR before the BIGINT cast: Spark's double→long cast
+      // truncates while DuckDB's rounds half-even, and an
+      // even-count median interpolates to .5 values routinely
+      .agg(expr("CAST(FLOOR(percentile(duration_us, 0.5)) AS BIGINT)").as("slo_us"))
+    val enriched = spanStream(ss, dir, richOps = false)
+      .select(col("service"), col("durationUs"))
+      .join(broadcast(dim), "service")
+      .select(col("service"),
+        (col("durationUs") <= col("slo_us")).cast("string").as("within_slo"))
+      .groupBy("service", "within_slo").agg(count(lit(1)).as("n"))
+    val sink = s"stream_enrich_${System.nanoTime()}"
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    drainSink(s, ss, sink).orderBy("service", "within_slo")
+  }
+
   // Shared oracle scaffolding: the same span timeline DuckDB-side.
   private val SpanCte =
     """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
@@ -328,6 +359,20 @@ object StreamingQueries {
     // watermark-evicted t-digest state; rows-only (sketch approximate
     // by contract, like the batch _approx entry)
     "streaming_latency_quantiles" -> QueryDef.rowsOnly(runLatencyQuantiles),
+
+    // stream-static broadcast enrichment: counts equal the batch join
+    "streaming_enrich" -> QueryDef.sql(runStreamEnrich,
+      """WITH s AS (SELECT event_type AS service,
+        |             CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |           FROM events),
+        |dim AS (SELECT service,
+        |          CAST(FLOOR(quantile_cont(duration_us, 0.5)) AS BIGINT) AS slo_us
+        |        FROM s GROUP BY service)
+        |SELECT s.service AS service, CAST(s.duration_us <= d.slo_us AS VARCHAR) AS within_slo,
+        |       COUNT(*) AS n
+        |FROM s JOIN dim d ON s.service = d.service
+        |GROUP BY s.service, within_slo
+        |ORDER BY s.service, within_slo""".stripMargin),
 
     // stream-stream join: emitted pairs equal the batch self-join
     // under the single-batch AvailableNow replay (see runStreamJoin)
