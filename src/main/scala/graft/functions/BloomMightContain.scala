@@ -31,16 +31,22 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
       s"bloom_might_contain supports bigint/string keys, got ${other.catalogString}")
   }
 
+  // String keys probe via mightContainBinary on the UTF8String's bytes:
+  // the builder (stat.bloomFilter → BinaryUpdater) put the UTF-8 bytes,
+  // and mightContainString would re-decode to java.lang.String and
+  // re-encode per row — two allocations in the scan's hot loop for the
+  // same hash input.
   override protected def nullSafeEval(key: Any): Any = child.dataType match {
     case LongType => bloom.mightContainLong(key.asInstanceOf[Long])
-    case StringType => bloom.mightContainString(key.toString)
+    case StringType =>
+      bloom.mightContainBinary(key.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloom", bloom, classOf[BloomFilter].getName)
     child.dataType match {
       case LongType => defineCodeGen(ctx, ev, k => s"$ref.mightContainLong($k)")
-      case StringType => defineCodeGen(ctx, ev, k => s"$ref.mightContainString($k.toString())")
+      case StringType => defineCodeGen(ctx, ev, k => s"$ref.mightContainBinary($k.getBytes())")
     }
   }
 

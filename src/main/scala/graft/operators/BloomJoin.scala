@@ -31,10 +31,13 @@ object BloomJoin {
 
   /** Build a bloom filter from `small`'s `smallKey` column (bigint or
     * string) and return `big` rows whose `bigKey` matches — exact semi
-    * join semantics, bloom-pruned probe side. */
+    * join semantics, bloom-pruned probe side. `expectedItems <= 0`
+    * auto-sizes from a count of the build side (one cheap extra job) —
+    * an undersized filter silently saturates past its fpp and the
+    * prefilter stops dropping anything at larger scale factors. */
   def semiJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     val keyed = prefilter(big, small, bigKey, smallKey, expectedItems, fpp)
     // fresh alias keeps the exprIds unambiguous (small appears in both
     // the bloom build and the verify join)
@@ -48,8 +51,9 @@ object BloomJoin {
     * pipelines use this directly). */
   def prefilter(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val items = if (expectedItems > 0) expectedItems else math.max(1L, small.count())
+    val bloom = small.stat.bloomFilter(smallKey, items, fpp)
     big.filter(probe(big(bigKey), bloom))
   }
 

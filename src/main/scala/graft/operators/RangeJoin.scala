@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Explode a side into the fixed-width buckets its `[start, end)`
+    * interval covers. end-1 keeps the half-open upper edge from minting
+    * a bucket no point of the interval can land in; any consistent
+    * integral rounding works because every side buckets with the same
+    * `div`. Empty/inverted intervals (end <= start) produce no buckets,
+    * as the half-open contract implies. */
+  private def binned(df: DataFrame, start: String, end: String, width: Long): DataFrame = df
+    .filter(col(end) > col(start))
+    .withColumn("_bucket",
+      explode(expr(s"sequence($start div ${width}L, ($end - 1) div ${width}L)")))
+
   /** Interval-overlap join: left rows carry `[lStart, lEnd)`, right
     * rows `[rStart, rEnd)`, result is pairs with a non-empty
     * intersection (plus `keys` equality). Both sides explode into their
@@ -44,12 +55,8 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       keys: Seq[String], width: Long): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
-    def binned(df: DataFrame, start: String, end: String): DataFrame = df
-      .filter(col(end) > col(start))
-      .withColumn("_bucket",
-        explode(expr(s"sequence($start div ${width}L, ($end - 1) div ${width}L)")))
-    binned(left, lStart, lEnd)
-      .join(binned(right, rStart, rEnd), keys :+ "_bucket")
+    binned(left, lStart, lEnd, width)
+      .join(binned(right, rStart, rEnd, width), keys :+ "_bucket")
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
         col("_bucket") === expr(s"greatest($lStart, $rStart) div ${width}L"))
       .drop("_bucket")
@@ -66,16 +73,9 @@ object RangeJoin {
       pointTs: String, start: String, end: String,
       keys: Seq[String], width: Long): DataFrame = {
     require(width > 0, s"bucket width must be positive, got $width")
-    // end-1 keeps the half-open upper edge from minting a bucket no
-    // point of the interval can land in; any consistent integral
-    // rounding works because both sides bucket with the same `div`.
-    val binned = intervals
-      .filter(col(end) > col(start))
-      .withColumn("_bucket",
-        explode(expr(s"sequence($start div ${width}L, ($end - 1) div ${width}L)")))
     points
       .withColumn("_bucket", expr(s"$pointTs div ${width}L"))
-      .join(binned, keys :+ "_bucket")
+      .join(binned(intervals, start, end, width), keys :+ "_bucket")
       .filter(col(pointTs) >= col(start) && col(pointTs) < col(end))
       .drop("_bucket")
   }

@@ -55,6 +55,13 @@ object ZOrderLayout {
     val b = df.agg(
       min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input (or all-null layout columns): no bounds to normalize
+      // against — write the empty/degenerate dataset as-is rather than
+      // NPE on the null stats row
+      df.write.mode("overwrite").parquet(outPath)
+      return
+    }
     val z = zValue(col(xCol), col(yCol), b.getDouble(0), b.getDouble(1),
       b.getDouble(2), b.getDouble(3))
     df.withColumn("_z", z)
@@ -66,17 +73,17 @@ object ZOrderLayout {
 
   /** Per-file (min, max) envelope of `colName` across the parquet files
     * under `path` — the same statistic the reader's file/row-group
-    * pruning consults, materialized for specs and capacity planning. */
+    * pruning consults, materialized for specs and capacity planning.
+    * One distributed pass grouped by `input_file_name` (not a Spark job
+    * per file); rows with a null column are ignored like parquet stats
+    * ignore them, and an all-null file reports no envelope. */
   def fileEnvelopes(
       s: SparkSession, path: String, colName: String): Seq[(String, Double, Double)] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(f => f.getPath.getName.endsWith(".parquet")).map(_.getPath.toString)
-    files.toSeq.map { f =>
-      val r = s.read.parquet(f)
-        .agg(min(col(colName)).cast("double"), max(col(colName)).cast("double")).head()
-      (f, r.getDouble(0), r.getDouble(1))
-    }
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(colName)).cast("double").as("lo"), max(col(colName)).cast("double").as("hi"))
+      .collect().toSeq
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
   }
 }

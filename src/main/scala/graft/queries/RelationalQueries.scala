@@ -170,9 +170,10 @@ object RelationalQueries {
         val urgent = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
           .select("o_orderkey")
+        // expectedItems auto-sized from the build side — a hardcoded
+        // capacity saturates silently at bigger scale factors
         graft.operators.BloomJoin.semiJoin(
-          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey",
-          expectedItems = 100000L, fpp = 0.01)
+          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey", fpp = 0.01)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_items"), asDec2(sum(dec("l_quantity"))).as("sum_qty"))
           .orderBy("l_returnflag")

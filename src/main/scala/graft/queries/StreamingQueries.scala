@@ -209,6 +209,17 @@ object StreamingQueries {
     * so no row is late and the emitted pair set equals the batch join
     * — the DuckDB self-join below. */
   private def runStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = errorPurchaseJoin(s, dir, "inner")
+      .select(col("trace_id"), col("err_span_id"), col("p_span_id"),
+        (col("err_us") - col("p_us")).as("lag_us"))
+    runToParquet(s, joined, "stream_join").orderBy("err_span_id", "p_span_id")
+  }
+
+  /** Shared construction for the two stream-stream join variants — one
+    * definition of the watermarks and the 1-hour time bound, so the
+    * inner and outer ORACLES (which encode those constants) can't
+    * silently desynchronize from the Spark side or each other. */
+  private def errorPurchaseJoin(s: SparkSession, dir: String, joinType: String): DataFrame = {
     val ss = isolated(s, dir)
     val spans = spanStream(ss, dir, richOps = false)
     val errors = spans
@@ -221,13 +232,11 @@ object StreamingQueries {
       .select(col("traceId").as("p_trace_id"), col("spanId").cast("long").as("p_span_id"),
         col("startUs").as("p_us"), timestamp_micros(col("startUs")).as("p_time"))
       .withWatermark("p_time", s"$GapSeconds seconds")
-    val joined = errors.join(purchases,
+    errors.join(purchases,
       col("trace_id") === col("p_trace_id") &&
         col("p_time") >= col("err_time") - expr("INTERVAL 1 HOUR") &&
-        col("p_time") <= col("err_time"))
-      .select(col("trace_id"), col("err_span_id"), col("p_span_id"),
-        (col("err_us") - col("p_us")).as("lag_us"))
-    runToParquet(s, joined, "stream_join").orderBy("err_span_id", "p_span_id")
+        col("p_time") <= col("err_time"),
+      joinType)
   }
 
   /** LEFT OUTER variant of [[runStreamJoin]]: error spans with no
@@ -241,23 +250,7 @@ object StreamingQueries {
     * state — the oracle models exactly that: unmatched rows appear iff
     * err_time < final watermark. */
   private def runStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    val ss = isolated(s, dir)
-    val spans = spanStream(ss, dir, richOps = false)
-    val errors = spans
-      .filter(col("service") === "error")
-      .select(col("traceId").as("trace_id"), col("spanId").cast("long").as("err_span_id"),
-        col("startUs").as("err_us"), timestamp_micros(col("startUs")).as("err_time"))
-      .withWatermark("err_time", s"$GapSeconds seconds")
-    val purchases = spans
-      .filter(col("service") === "purchase")
-      .select(col("traceId").as("p_trace_id"), col("spanId").cast("long").as("p_span_id"),
-        col("startUs").as("p_us"), timestamp_micros(col("startUs")).as("p_time"))
-      .withWatermark("p_time", s"$GapSeconds seconds")
-    val joined = errors.join(purchases,
-      col("trace_id") === col("p_trace_id") &&
-        col("p_time") >= col("err_time") - expr("INTERVAL 1 HOUR") &&
-        col("p_time") <= col("err_time"),
-      "left_outer")
+    val joined = errorPurchaseJoin(s, dir, "left_outer")
       .select(col("trace_id"), col("err_span_id"),
         coalesce(col("p_span_id"), lit(-1L)).as("p_span_id"),
         coalesce(col("err_us") - col("p_us"), lit(-1L)).as("lag_us"))
@@ -399,9 +392,16 @@ object StreamingQueries {
          |           FROM events),
          |e AS (SELECT trace_id, event_id, start_us FROM s WHERE event_type = 'error'),
          |p AS (SELECT trace_id, event_id, start_us FROM s WHERE event_type = 'purchase'),
-         |wm AS (SELECT LEAST((SELECT max(start_us) // 1000 FROM e),
-         |                    (SELECT max(start_us) // 1000 FROM p))
-         |              - ${GapSeconds * 1000} AS wm_ms),
+         |-- a side that saw no data keeps Spark's global watermark at 0
+         |-- (no outer rows ever emit); max() over an empty side is NULL
+         |-- and NULL wm_ms null-propagates through the unmatched filter
+         |-- below, modeling exactly that (DuckDB's LEAST would instead
+         |-- IGNORE the NULL and give the wrong watermark)
+         |wm AS (SELECT CASE WHEN (SELECT count(*) FROM e) = 0
+         |                     OR (SELECT count(*) FROM p) = 0 THEN NULL
+         |              ELSE LEAST((SELECT max(start_us) // 1000 FROM e),
+         |                         (SELECT max(start_us) // 1000 FROM p))
+         |                   - ${GapSeconds * 1000} END AS wm_ms),
          |matched AS (
          |  SELECT e.trace_id, e.event_id AS err_span_id, p.event_id AS p_span_id,
          |         e.start_us - p.start_us AS lag_us

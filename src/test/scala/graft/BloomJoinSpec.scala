@@ -28,8 +28,11 @@ class BloomJoinSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val big = (0 until 1000).map(i => (s"k$i", i)).toDF("k", "v")
       val small = (0 until 50).map(i => s"k${i * 3}").toDF("k2")
       val bloomed = BloomJoin.semiJoin(big, small, "k", "k2", 1000L)
-        .select("k").collect().map(_.getString(0)).toSet
-      bloomed shouldBe (0 until 50).map(i => s"k${i * 3}").filter(_ => true).toSet
+        .select("k", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val plain = big.join(small, big("k") === small("k2"), "left_semi")
+        .select("k", "v").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      bloomed should not be empty
+      bloomed shouldBe plain
     }
 
     it("prefilter drops most non-members at production fpp") {
