@@ -141,16 +141,28 @@ object Bench {
     // failures must not push the line head out of the tail window
     val errCompact = errors.map { case (k, v) => s"${jq(k)}: ${jq(v.take(40))}" }
       .mkString("{", ",", "}")
-    def compactLine(sig: Int): String =
-      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(mins, sig)},"errors":$errCompact,"sf":"$sfDir"}"""
+    def compactLine(kvs: Seq[(String, Double)], sig: Int, note: String): String = {
+      val noteJson = if (note.isEmpty) "" else s""","note":${jq(note)}"""
+      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(kvs, sig)},"errors":$errCompact,"sf":"$sfDir"$noteJson}"""
+    }
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
     // hard budget: the tail window is 2000 chars and sbt's trailing
     // "[success] Total time: …" line eats ~80 of them, so the line must
-    // fit 1915. Degrade precision (3 → 2 → 1 significant digits) before
-    // ever dropping the per-query map — a low-precision scoreboard
-    // beats no scoreboard, and the full-precision numbers are always on
-    // the total_detail line.
-    println(Iterator(3, 2, 1).map(compactLine).find(_.length <= 1915).getOrElse(
+    // fit 1915. Degrade in order: precision (3 → 2 → 1 significant
+    // digits), then drop the FASTEST entries one at a time (slow
+    // queries are the ones the scoreboard adjudicates; a sub-0.2 s
+    // timing is warmup noise anyway) with a note saying how many were
+    // cut. Full precision for everything is always on the total_detail
+    // line. Never emit queries:{} while anything fits.
+    val byValueDesc = mins.filter(_._2 >= 0).sortBy(-_._2) ++ mins.filter(_._2 < 0)
+    val candidates =
+      Iterator(3, 2, 1).map(sig => compactLine(mins, sig, "")) ++
+        Iterator.range(1, mins.size).map { drop =>
+          val kept = byValueDesc.dropRight(drop)
+          compactLine(kept.sortBy(_._1), 1,
+            s"$drop fastest entries omitted for the tail budget; see total_detail")
+        }
+    println(candidates.find(_.length <= 1915).getOrElse(
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":{},"errors":$errCompact,"sf":"$sfDir","note":"per-query map exceeded the tail budget; see total_detail"}"""))
     spark.stop()
   }

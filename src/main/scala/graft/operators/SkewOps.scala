@@ -57,22 +57,23 @@ object SkewOps {
     * row meets each matching small row exactly once (the copy carrying
     * its salt) — which is what the q_salted_join oracle checks.
     *
-    * Salts are position-derived after a sortWithinPartitions, the same
-    * retry-determinism mitigation as [[saltedAggregate]]: shuffle
-    * blocks must not change when a map task recomputes (SPARK-23207),
-    * and content-hash salts would collapse the constant-value hot-key
-    * case this operator exists for. Columns of `big` and `small` must
-    * be disjoint; pre-alias as needed. */
+    * Salts are a CONTENT hash of the whole row (`xxhash64` over every
+    * column) — deterministic across task retries by construction
+    * (SPARK-23207 needs no sort mitigation here), row-local, and free
+    * of the full-row sortWithinPartitions the position-derived scheme
+    * pays (measured 10.5 s at the 60M-row sf10 pack). Unlike
+    * [[saltedAggregate]] — where a constant-VALUE hot key must still
+    * fan out, forcing position salts — a join only collapses salts for
+    * rows that are bit-identical in EVERY column, and such duplicates
+    * land on one reducer whether salted or not; differing payload
+    * columns (the normal hot-key join case) hash uniformly. Columns of
+    * `big` and `small` must be disjoint; pre-alias as needed. */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    // sort by ALL columns: rows that differ anywhere get a
-    // content-stable order (stable salts across retries); bit-identical
-    // rows may permute but then carry interchangeable salts
     val saltedBig = big
-      .sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn("_salt", pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = small
       .withColumn("_salt", explode(lit((0L until salts.toLong).toArray)))
     saltedBig

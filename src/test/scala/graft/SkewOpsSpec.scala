@@ -48,17 +48,20 @@ class SkewOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
     it("salted join spreads a planted hot key across salts and keeps multiplicity") {
       import spark.implicits._
-      val big = (Seq.fill(5000)(("hot", 1)) ++ (0 until 100).map(i => (s"k$i", 2)))
+      // hot key with DIFFERING payloads — the normal hot-join shape the
+      // content-hash salt spreads (bit-identical full rows collapse to
+      // one salt by design; they'd co-locate under any scheme)
+      val big = ((0 until 5000).map(i => ("hot", i)) ++ (0 until 100).map(i => (s"k$i", 2)))
         .toDF("bk", "bv").repartition(8)
       val small = (Seq(("hot", "H")) ++ (0 until 100).map(i => (s"k$i", "C")))
         .toDF("sk", "sv")
       val joined = SkewOps.saltedJoin(big, small, "bk", "sk", salts = 8)
       joined.count() shouldBe 5100L // every big row joins exactly once
-      // phase-one spread: the hot key's rows carry many distinct salts
-      val spread = big.sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
-        .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8L)))
+      // phase-one spread: the hot key's rows carry every salt
+      val spread = big
+        .withColumn("_salt", pmod(xxhash64(col("bk"), col("bv")), lit(8L)))
         .filter(col("bk") === "hot").select("_salt").distinct().count()
-      spread should be >= 4L
+      spread shouldBe 8L
     }
 
     it("splits a hot key with one constant value across most salts") {
