@@ -58,6 +58,48 @@ object TimePartitioner {
       .sorted
   }
 
+  /** Small-file compaction for one or all dt=… partitions — the other
+    * half of the layout's lifecycle (write → prune → expire →
+    * COMPACT). Streaming ingest and incremental backfills leave many
+    * small files per partition; each costs a task + footer read +
+    * catalog entry, and at 100 TB the metadata tax outruns the data.
+    * Rewrites each selected partition's files into
+    * `ceil(bytes / targetBytes)` files via a per-partition coalesce,
+    * atomically-ish: writes to a `_compact_tmp` sibling, then swaps
+    * directories (Hadoop FileSystem rename — same API as [[expire]],
+    * so object-store URIs behave). Returns (partition, filesBefore,
+    * filesAfter) for each rewritten partition; partitions already at
+    * or under one target file per `targetBytes` are left untouched. */
+  def compact(
+      spark: SparkSession, dir: String, targetBytes: Long): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+      .flatMap { part =>
+        val files = fs.listStatus(part.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (files.size <= want) None
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
+            s"_compact_tmp_${part.getPath.getName}")
+          spark.read.parquet(part.getPath.toString)
+            .coalesce(want)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val rewritten = fs.listStatus(tmp).count(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+          fs.delete(part.getPath, true)
+          fs.rename(tmp, part.getPath)
+          Some((part.getPath.getName, files.size, rewritten))
+        }
+      }
+      .sortBy(_._1)
+  }
+
   /** Read back with partition pruning for a time window: the dt/hr
     * predicates bind to partition directories (PartitionFilters in the
     * scan), the start_us predicate refines within surviving files. */

@@ -338,6 +338,49 @@ object RelationalQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
         |ORDER BY o_custkey""".stripMargin),
 
+    // C12c: INTERSECT — customers active in both 1995 and 1998
+    "q_intersect" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select("o_custkey").distinct()
+          .intersect(
+            o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+              .select("o_custkey").distinct())
+          .orderBy("o_custkey")
+      },
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY o_custkey""".stripMargin),
+
+    // C19b: UNPIVOT — wide per-row metric columns melted to (metric,
+    // value) rows; the inverse of q_pivot, used to normalize wide
+    // exports back into long form. Expand is row-local (no shuffle
+    // beyond the final agg).
+    "q_unpivot" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dec("l_extendedprice").as("extendedprice"),
+            dec("l_discount").as("discount"), dec("l_tax").as("tax"))
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("extendedprice"), col("discount"), col("tax")),
+            "metric", "val")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"), asDec2(sum(col("val"))).as("total"))
+          .orderBy("metric"),
+      s"""SELECT metric, COUNT(*) AS n,
+         |  CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         |FROM (
+         |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+         |             ${d("l_extendedprice")} AS extendedprice,
+         |             ${d("l_discount")} AS discount, ${d("l_tax")} AS tax
+         |           FROM lineitem)
+         |  ON extendedprice, discount, tax
+         |  INTO NAME metric VALUE val)
+         |GROUP BY metric ORDER BY metric""".stripMargin),
+
     // C15b: CUBE — all grouping-set combinations over two dims
     "q_cube" -> QueryDef.sql(
       (s, dir) =>

@@ -56,5 +56,32 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
       remaining.filter(org.apache.spark.sql.functions.col("start_us") < cutoff - DayUs)
         .count() shouldBe 0L
     }
+
+    it("compact merges small files per partition without changing the data") {
+      import org.apache.spark.sql.functions.sum
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_compact").toString
+      // fragment the layout: 8 writers per partition = 8 small files
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)).repartition(8),
+        dir, hourly = false)
+      val before = spark.read.parquet(dir)
+      val beforeRows = before.count()
+      val beforeSum = before.agg(sum("span_id")).head().getLong(0)
+      val filesBefore = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("dt=")).map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+
+      val report = TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+      report should not be empty
+      report.foreach { case (_, b, a) => a should be < b }
+
+      val after = spark.read.parquet(dir)
+      after.count() shouldBe beforeRows
+      after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
+      val filesAfter = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("dt=")).map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      filesAfter should be < filesBefore
+      // idempotent: a second pass finds nothing to do
+      TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024) shouldBe empty
+    }
   }
 }
