@@ -154,7 +154,11 @@ object Bench {
     // timing is warmup noise anyway) with a note saying how many were
     // cut. Full precision for everything is always on the total_detail
     // line. Never emit queries:{} while anything fits.
-    val byValueDesc = mins.filter(_._2 >= 0).sortBy(-_._2) ++ mins.filter(_._2 < 0)
+    // error sentinels (-1) lead so dropRight removes them LAST — a
+    // failed query must stay visible in the map as long as anything
+    // does (the whole point of the -1 invariant), and the note's
+    // "fastest entries omitted" stays literally true
+    val byValueDesc = mins.filter(_._2 < 0) ++ mins.filter(_._2 >= 0).sortBy(-_._2)
     val candidates =
       Iterator(3, 2, 1).map(sig => compactLine(mins, sig, "")) ++
         Iterator.range(1, mins.size).map { drop =>

@@ -57,23 +57,36 @@ object SkewOps {
     * row meets each matching small row exactly once (the copy carrying
     * its salt) — which is what the q_salted_join oracle checks.
     *
-    * Salts are a CONTENT hash of the whole row (`xxhash64` over every
-    * column) — deterministic across task retries by construction
-    * (SPARK-23207 needs no sort mitigation here), row-local, and free
-    * of the full-row sortWithinPartitions the position-derived scheme
-    * pays (measured 10.5 s at the 60M-row sf10 pack). Unlike
-    * [[saltedAggregate]] — where a constant-VALUE hot key must still
-    * fan out, forcing position salts — a join only collapses salts for
-    * rows that are bit-identical in EVERY column, and such duplicates
-    * land on one reducer whether salted or not; differing payload
-    * columns (the normal hot-key join case) hash uniformly. Columns of
-    * `big` and `small` must be disjoint; pre-alias as needed. */
+    * Two salt schemes, picked by `positionSalts`:
+    *
+    *  - DEFAULT (false): a CONTENT hash of the whole row (`xxhash64`
+    *    over every column) — deterministic across task retries by
+    *    construction (SPARK-23207 needs no mitigation), row-local, and
+    *    free of the full-row sortWithinPartitions the position scheme
+    *    pays (that sort measured 10.5 s of the join at the 60M-row
+    *    sf10 pack). Limitation: rows BIT-IDENTICAL in every column
+    *    share one salt, and a low-entropy payload spreads over at most
+    *    |distinct rows| salts — fine for typical fact tables, wrong
+    *    for degenerate duplicate-row hot keys.
+    *  - positionSalts = true: salts from the row's position after a
+    *    content-stable local sort (the [[saltedAggregate]] scheme) —
+    *    spreads even bit-identical duplicate rows (constant heartbeat
+    *    spans) at the cost of sorting the big side's partitions.
+    *
+    * Columns of `big` and `small` must be disjoint; pre-alias as
+    * needed. */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
-      bigKey: String, smallKey: String, salts: Int): DataFrame = {
+      bigKey: String, smallKey: String, salts: Int,
+      positionSalts: Boolean = false): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val saltedBig = big
-      .withColumn("_salt", pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+    val saltedBig =
+      if (positionSalts)
+        big.sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
+          .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      else
+        big.withColumn("_salt",
+          pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = small
       .withColumn("_salt", explode(lit((0L until salts.toLong).toArray)))
     saltedBig

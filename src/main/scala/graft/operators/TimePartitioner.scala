@@ -76,28 +76,55 @@ object TimePartitioner {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    // a crashed prior run may have stranded tmp dirs (underscore prefix
+    // hides them from readers) — clear them before planning
     fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val dtDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
-      .flatMap { part =>
-        val files = fs.listStatus(part.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        val bytes = files.map(_.getLen).sum
-        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        if (files.size <= want) None
-        else {
-          val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
-            s"_compact_tmp_${part.getPath.getName}")
-          spark.read.parquet(part.getPath.toString)
-            .coalesce(want)
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val rewritten = fs.listStatus(tmp).count(f =>
-            f.isFile && f.getPath.getName.endsWith(".parquet"))
-          fs.delete(part.getPath, true)
-          fs.rename(tmp, part.getPath)
-          Some((part.getPath.getName, files.size, rewritten))
-        }
+    // leaf partitions hold the files: dt=… directly for the dt-only
+    // layout, dt=…/hr=… for the hourly one — compact whichever level
+    // the files actually live at
+    val leaves = dtDirs.flatMap { d =>
+      val hrs = fs.listStatus(d.getPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("hr="))
+      if (hrs.nonEmpty) hrs else Seq(d)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // independent per-partition rewrites run as concurrent Spark jobs —
+    // a serial loop leaves the cluster idle between hundreds of small
+    // jobs at the stated 100 TB posture
+    val rewrites = leaves.map { part => Future {
+      val files = fs.listStatus(part.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.size <= want) None
+      else {
+        val rel = fs.makeQualified(part.getPath).toString
+          .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"_compact_tmp_${rel.replace('/', '_')}")
+        spark.read.parquet(part.getPath.toString)
+          .coalesce(want)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val rewritten = fs.listStatus(tmp).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        // the swap must be loud on failure: a false return here means
+        // duplicate data (old dir survived) or a hidden partition (data
+        // stranded under the underscore tmp name) — never report either
+        // as success (expire() checks delete's return the same way)
+        if (!fs.delete(part.getPath, true))
+          throw new java.io.IOException(s"compact: failed to remove ${part.getPath}")
+        if (!fs.rename(tmp, part.getPath))
+          throw new java.io.IOException(s"compact: failed to swap $tmp into ${part.getPath}")
+        Some((rel, files.size, rewritten))
       }
-      .sortBy(_._1)
+    } }
+    Await.result(Future.sequence(rewrites), Duration.Inf).flatten.sortBy(_._1)
   }
 
   /** Read back with partition pruning for a time window: the dt/hr

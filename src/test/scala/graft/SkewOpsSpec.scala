@@ -64,6 +64,22 @@ class SkewOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       spread shouldBe 8L
     }
 
+    it("positionSalts spreads even bit-identical duplicate hot rows") {
+      import spark.implicits._
+      // the degenerate case content-hash salts can't spread: the hot
+      // key's rows are IDENTICAL in every column
+      val big = (Seq.fill(5000)(("hot", 1)) ++ (0 until 100).map(i => (s"k$i", 2)))
+        .toDF("bk", "bv").repartition(8)
+      val small = (Seq(("hot", "H")) ++ (0 until 100).map(i => (s"k$i", "C")))
+        .toDF("sk", "sv")
+      val joined = SkewOps.saltedJoin(big, small, "bk", "sk", salts = 8, positionSalts = true)
+      joined.count() shouldBe 5100L
+      val spread = big.sortWithinPartitions("bk", "bv")
+        .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8L)))
+        .filter(col("bk") === "hot").select("_salt").distinct().count()
+      spread should be >= 4L
+    }
+
     it("splits a hot key with one constant value across most salts") {
       import spark.implicits._
       // the case that defeats value-derived salting: every row of the

@@ -83,5 +83,20 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
       // idempotent: a second pass finds nothing to do
       TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024) shouldBe empty
     }
+
+    it("compact reaches the hourly layout's hr= leaves") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_compact_hr").toString
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)).repartition(6),
+        dir, hourly = true)
+      val beforeRows = spark.read.parquet(dir).count()
+      val report = TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+      report should not be empty
+      report.foreach { case (name, b, a) =>
+        name should include("hr=") // leaves, not the dt= level
+        a should be < b
+      }
+      spark.read.parquet(dir).count() shouldBe beforeRows
+    }
   }
 }
