@@ -34,7 +34,13 @@ object BloomJoin {
     * join semantics, bloom-pruned probe side. `expectedItems <= 0`
     * auto-sizes from a count of the build side (one cheap extra job) —
     * an undersized filter silently saturates past its fpp and the
-    * prefilter stops dropping anything at larger scale factors. */
+    * prefilter stops dropping anything at larger scale factors.
+    *
+    * Column hygiene: the internal `__bloom_key` alias lives only on a
+    * projection of the BUILD side and the semi join returns `big`'s
+    * columns untouched, so unlike [[SkewOps.saltedJoin]]'s reserved
+    * `_salt` there is no name `big` or `small` may not carry — both
+    * join-side references are frame-qualified and can't go ambiguous. */
   def semiJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {

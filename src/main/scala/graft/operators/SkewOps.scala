@@ -34,7 +34,10 @@ object SkewOps {
     * freely because any permutation yields the same (k, v, salt)
     * multiset — either way the map output is deterministic across
     * retries. Same mitigation Spark itself applies to round-robin
-    * repartition (spark.sql.execution.sortBeforeRepartition). */
+    * repartition (spark.sql.execution.sortBeforeRepartition). This
+    * assumes each task re-reads the same input rows on retry — true
+    * for scans and deterministic lineage; feed a nondeterministic
+    * frame through [[saltedJoin]]'s checkpointed path instead. */
   def saltedAggregate(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame =
     df.select(key.as("k"), valueCol.as("v"))
       .sortWithinPartitions("k", "v")
@@ -71,19 +74,36 @@ object SkewOps {
     *  - positionSalts = true: salts from the row's position after a
     *    content-stable local sort (the [[saltedAggregate]] scheme) —
     *    spreads even bit-identical duplicate rows (constant heartbeat
-    *    spans) at the cost of sorting the big side's partitions.
+    *    spans) at the cost of sorting the big side's partitions. The
+    *    local sort only stabilizes salts if each task re-reads the SAME
+    *    input rows on retry; if `big`'s own lineage is nondeterministic
+    *    (an unsorted round-robin repartition, a sampled subquery), a
+    *    recomputed map task re-salts different rows than reducers
+    *    already fetched — the SPARK-23207 silent-corruption class. To
+    *    close that hole the salted big side is MATERIALIZED
+    *    (`localCheckpoint`, eager) before the join: retries refetch the
+    *    stored blocks instead of recomputing, so salts can never drift.
+    *    Tradeoff: the checkpoint spends one pass + storage, and losing
+    *    an executor fails the job loudly (blocks are not recoverable)
+    *    instead of silently recomputing — the correct failure mode for
+    *    a correctness-critical shuffle input.
     *
     * Columns of `big` and `small` must be disjoint; pre-alias as
-    * needed. */
+    * needed. `_salt` is a RESERVED internal name: inputs carrying a
+    * `_salt` column are rejected (withColumn would silently replace
+    * the caller's column and the final drop would eat it). */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int,
       positionSalts: Boolean = false): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the internal column name _salt; rename or drop it on the input")
     val saltedBig =
       if (positionSalts)
         big.sortWithinPartitions(big.columns.map(col).toIndexedSeq: _*)
           .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+          .localCheckpoint() // pin salts against retry recomputation (see scaladoc)
       else
         big.withColumn("_salt",
           pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))

@@ -76,13 +76,30 @@ object TimePartitioner {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    // a crashed prior run may have stranded tmp dirs (underscore prefix
-    // hides them from readers) — clear them before planning
-    fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
-      .foreach(st => fs.delete(st.getPath, true))
+    // A crashed prior run may have stranded tmp dirs (underscore prefix
+    // hides them from readers). The crash window between delete(target)
+    // and rename(tmp, target) leaves the tmp dir holding the ONLY copy
+    // of that partition — so recovery must FINISH an interrupted swap
+    // (target missing → rename tmp into place), and may only discard a
+    // tmp whose target still exists (crash before the swap started, so
+    // the tmp is an unreferenced spare copy). Tmp dirs live NEXT TO
+    // their target (same parent, name = "_compact_tmp_" + target name)
+    // precisely so the target is recoverable from the tmp path alone.
+    def sweepTmp(parent: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(parent).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
+        .foreach { st =>
+          val target = new org.apache.hadoop.fs.Path(
+            parent, st.getPath.getName.stripPrefix("_compact_tmp_"))
+          if (fs.exists(target)) fs.delete(st.getPath, true)
+          else if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"compact: failed to recover interrupted swap ${st.getPath} -> $target")
+        }
+    sweepTmp(root)
     val dtDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+    dtDirs.foreach(d => sweepTmp(d.getPath))
     // leaf partitions hold the files: dt=… directly for the dt-only
     // layout, dt=…/hr=… for the hourly one — compact whichever level
     // the files actually live at
@@ -106,8 +123,10 @@ object TimePartitioner {
       else {
         val rel = fs.makeQualified(part.getPath).toString
           .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
-        val tmp = new org.apache.hadoop.fs.Path(root,
-          s"_compact_tmp_${rel.replace('/', '_')}")
+        // sibling of the target, target name recoverable by stripping
+        // the prefix — the startup sweep depends on this invariant
+        val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
+          s"_compact_tmp_${part.getPath.getName}")
         spark.read.parquet(part.getPath.toString)
           .coalesce(want)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -60,10 +60,17 @@ object StreamingQueries {
     val eventsPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val isDir = eventsPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
       .getFileStatus(eventsPath).isDirectory
+    // Every oracle in this file encodes the single-data-batch replay
+    // model (see object doc). Pin it mechanically: with the file cap at
+    // Int.MaxValue, AvailableNow cannot split a multi-file backlog into
+    // several batches (which would advance the watermark mid-replay and
+    // silently drop late rows). awaitSingleDataBatch() then ASSERTS the
+    // model held.
+    val reader = ss.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
     val eventsStream =
-      if (isDir) ss.readStream.schema(batchSchema).parquet(eventsPath.toString)
-      else ss.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (isDir) reader.parquet(eventsPath.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     // at ingest time parents are unknown (the reference's indexer also
     // sees bare spans) — no lag window here, streams can't sort history
     TraceDataset.toSpanDataset(eventsStream.select(
@@ -79,6 +86,19 @@ object StreamingQueries {
       round(col("value") * 1000, 0).cast("long").as("duration_us"),
       lit("").as("kind"),
       col("props").as("tags")))
+  }
+
+  /** Await completion AND verify the single-data-batch replay the
+    * oracles assume actually happened: exactly zero or one batch with
+    * input rows (trailing no-data watermark batches don't count). A
+    * split backlog would make the hash mismatch with no hint why —
+    * fail here with the cause named instead. */
+  private def awaitSingleDataBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"oracle model requires the backlog to replay as ONE micro-batch, saw $dataBatches " +
+        "data batches — the source split the files (check maxFilesPerTrigger)")
   }
 
   /** Copy a (small) memory-sink result out of the CLONED session and
@@ -110,7 +130,7 @@ object StreamingQueries {
       .option("path", s"$base/out")
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitSingleDataBatch(q)
     // A stream that commits zero batches never creates the sink path —
     // mirror the old memory-sink behavior and hand back an empty table
     // with the stream's schema instead of an AnalysisException.
@@ -193,7 +213,7 @@ object StreamingQueries {
       .groupBy("service").count()
       .writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitSingleDataBatch(q)
     drainSink(s, ss, sink).orderBy("service")
   }
 
@@ -284,7 +304,7 @@ object StreamingQueries {
     val sink = s"stream_enrich_${System.nanoTime()}"
     val q = enriched.writeStream.format("memory").queryName(sink)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    awaitSingleDataBatch(q)
     drainSink(s, ss, sink).orderBy("service", "within_slo")
   }
 

@@ -84,6 +84,37 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
       TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024) shouldBe empty
     }
 
+    it("compact recovers a crash between delete and rename without losing data") {
+      import org.apache.spark.sql.functions.sum
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_crash").toString
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)).repartition(8),
+        dir, hourly = false)
+      val before = spark.read.parquet(dir)
+      val beforeRows = before.count()
+      val beforeSum = before.agg(sum("span_id")).head().getLong(0)
+      // simulate the worst crash window: target partition already
+      // deleted, tmp dir (the ONLY copy) not yet renamed into place
+      val victim = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("dt=")).minBy(_.getName)
+      val tmp = new java.io.File(dir, s"_compact_tmp_${victim.getName}")
+      victim.renameTo(tmp) shouldBe true
+      // and the other crash flavor: tmp copy stranded BEFORE the swap
+      // started (target still present) — must be discarded, not merged
+      val spare = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("dt=")).maxBy(_.getName)
+      val spareTmp = new java.io.File(dir, s"_compact_tmp_${spare.getName}")
+      spareTmp.mkdir() shouldBe true
+      new java.io.File(spareTmp, "stale.parquet").createNewFile() shouldBe true
+
+      TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("_compact_tmp_")) shouldBe 0
+      val after = spark.read.parquet(dir)
+      after.count() shouldBe beforeRows // interrupted swap completed, no rows lost
+      after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
+    }
+
     it("compact reaches the hourly layout's hr= leaves") {
       val dir = java.nio.file.Files.createTempDirectory("graft_tp_compact_hr").toString
       TimePartitioner.writePartitioned(
