@@ -354,6 +354,127 @@ object RelationalQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY o_custkey""".stripMargin),
 
+    // C31: FULL OUTER join — unmatched rows survive from BOTH sides
+    // (segment customers with no urgent orders; urgent-order customers
+    // outside the segment), null-extended and flagged. Shuffle join on
+    // custkey; AQE handles any skew — full-outer can't broadcast.
+    "q_fullouter" -> QueryDef.sql(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+        cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "full_outer")
+          .select(
+            coalesce(cust("c_custkey"), urgent("o_custkey")).as("custkey"),
+            cust("c_custkey").isNotNull.cast("long").as("in_segment"),
+            coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+          .orderBy("custkey")
+      },
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  CAST(c.c_custkey IS NOT NULL AS BIGINT) AS in_segment,
+        |  CAST(COALESCE(o.n_urgent, 0) AS BIGINT) AS n_urgent
+        |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        |                 WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin),
+
+    // C32: deterministic grouped string aggregation (LISTAGG) — per
+    // region, the alphabetical comma-joined nation list. Sorted INSIDE
+    // the group on both engines, so the strings are reproducible under
+    // any partitioning (an unsorted collect_list would hash-diverge).
+    "q_stringagg" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.nation(s, dir)
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name"),
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // C33: arg-max per group (MAX_BY) — richest customer per nation.
+    // The ordering key is a STRUCT (acctbal, name) so ties break
+    // deterministically; a bare max_by(name, acctbal) picks an
+    // arbitrary winner under equal balances and can't be oracled. The
+    // oracle spells the same selection as a ranked window since
+    // DuckDB's arg_max-by-struct support isn't guaranteed.
+    "q_maxby" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            max_by(col("c_name"), struct(col("c_acctbal"), col("c_name"))).as("top_customer"),
+            max(col("c_acctbal")).as("best_bal"))
+          .orderBy("n_name"),
+      """WITH r AS (
+        |  SELECT n_name, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_name DESC) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, c_name AS top_customer, c_acctbal AS best_bal
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin),
+
+    // C34: ordinal explode (POSEXPLODE) — the position-aware lateral
+    // that plain explode loses; DuckDB spells it as a lateral UNNEST
+    // over range(1, len+1) subscripting the list. Row-local expansion,
+    // no shuffle before the final sort.
+    "q_posexplode" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_partkey") <= 200)
+          .select(col("p_partkey"), posexplode(split(col("p_type"), " ")))
+          .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("word"))
+          .orderBy("p_partkey", "pos"),
+      """WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS l
+        |           FROM part WHERE p_partkey <= 200)
+        |SELECT p_partkey, CAST(x.i AS BIGINT) - 1 AS pos, l[x.i] AS word
+        |FROM t, UNNEST(range(1, len(l) + 1)) AS x(i)
+        |ORDER BY p_partkey, pos""".stripMargin),
+
+    // C35: RANGE-frame window over event time — per priority class,
+    // orders in the trailing 7 days. Epoch seconds derived by integer
+    // floor-division of micros on BOTH engines (DuckDB's double→int
+    // CAST rounds; Spark's truncates — floor-div sidesteps both). Tie
+    // rows are frame PEERS under RANGE, so the count is
+    // order-independent and deterministic.
+    "q_window_range" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the
+            // TIMESTAMP cast an identity relabeling
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("od_s"))
+          .withColumn("n_7d", count(lit(1)).over(
+            Window.partitionBy("o_orderpriority").orderBy(col("od_s"))
+              .rangeBetween(-7L * 86400, 0)))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("n_7d"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_orderpriority,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY epoch_us(o_orderdate) // 1000000
+        |                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // C36: histogram binning — fixed-width value buckets. FLOOR first,
+    // cast after: the division is one correctly-rounded IEEE op on
+    // identical input bits, so both engines land every boundary value
+    // in the same bucket.
+    "q_histogram" -> QueryDef.sql(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // C19b: UNPIVOT — wide per-row metric columns melted to (metric,
     // value) rows; the inverse of q_pivot, used to normalize wide
     // exports back into long form. Expand is row-local (no shuffle

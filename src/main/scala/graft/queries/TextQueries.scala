@@ -351,6 +351,43 @@ object TextQueries {
     // dedup inside array_distinct, counts partial-agg map-side, and the
     // global top-k is TakeOrderedAndProject — no full sort of the term
     // dictionary at 100 TB. Ties break on the term itself.
+    // B-block: TF-IDF — each document's most distinctive term. The
+    // idf is the RATIONAL form tf·(N/df), not log(N/df): one exact
+    // int64 product and one correctly-rounded IEEE division give
+    // bit-identical doubles on both engines, where ln() could differ
+    // in the last ulp and flip a ranking. Monotone in df like log-idf,
+    // so per-document ranking semantics are standard. Scale shape: tf
+    // is one shuffle on (doc, term); df reuses tf (one more shuffle on
+    // term — hot stopword keys hit the AGGREGATE partial-combine, not
+    // a join fan-out); the doc-count joins in as a 1-row broadcast;
+    // the final argmax is a per-doc window, partitioned on doc_id.
+    "text_tfidf" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"), col("score"))
+          .orderBy("doc_id")
+      },
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+        |           FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |      FROM scored)
+        |SELECT doc_id, term AS top_term, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
     "text_top_terms" -> QueryDef.sql(
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
@@ -361,6 +398,28 @@ object TextQueries {
         |FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |      FROM documents)
         |GROUP BY term ORDER BY n_docs DESC, term LIMIT 25""".stripMargin),
+
+    // Sketch family #4 (alongside bloom / HLL / t-digest): COUNT-MIN
+    // term frequencies — fixed-memory mergeable counting for when only
+    // point estimates of candidate terms are needed at corpus scale.
+    // Built by Spark's treeAggregate sketch (stat.countMinSketch,
+    // fixed seed → deterministic); probed with the exact top-20 terms.
+    // Rows-only by the sketch contract (not SQL-expressible);
+    // CountMinSpec bounds the overestimate at eps·total and proves
+    // CMS can never undercount.
+    "text_top_terms_approx" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Tables.documents(s, dir)
+          .select(explode(toks(col("text"))).as("term"))
+        val sketch = terms.stat.countMinSketch("term", eps = 0.001, confidence = 0.99, seed = 42)
+        val bc = s.sparkContext.broadcast(sketch)
+        val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+        top.as[(String, Long)].map { case (t, n) => (t, n, bc.value.estimateCount(t)) }
+          .toDF("term", "n_exact", "n_est")
+          .orderBy(col("n_exact").desc, col("term"))
+      }),
 
     // B9: quality scoring — length / alpha / digit / stopword ratios
     "text_quality" -> QueryDef.sql(

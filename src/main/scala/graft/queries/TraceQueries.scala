@@ -341,6 +341,67 @@ object TraceQueries {
              |FROM spans WHERE service = 'error' AND start_us BETWEEN $T0 AND $T1
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // C37: dense time-series gap-fill — hourly counts per service with
+    // explicit zero rows for silent hours (the dashboard shape: a
+    // missing bucket must read 0, not be absent). The dense grid is
+    // services × sequence(min_hour, max_hour), built distributed with
+    // explode(sequence()) — no driver loop — and both join sides are
+    // grid-bounded (services × hours), so the left join broadcasts no
+    // matter how big the underlying span table is.
+    "trace_gapfill" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val hours = sp.select(expr(s"start_us div $HourUs").as("hb"))
+          .agg(min("hb").as("lo"), max("hb").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        val services = sp.select(col("service")).distinct()
+        val counts = sp
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        services.crossJoin(hours)
+          .join(counts, Seq("service", "bucket"), "left_outer")
+          .select(col("service"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("service", "bucket")
+      },
+      cte(s"""
+        |, b AS (SELECT min(start_us // $HourUs) AS lo, max(start_us // $HourUs) AS hi FROM spans),
+        |grid AS (SELECT sv.service, CAST(u.x AS BIGINT) AS bucket
+        |         FROM (SELECT DISTINCT service FROM spans) sv, b, UNNEST(range(lo, hi + 1)) AS u(x)),
+        |c AS (SELECT service, start_us // $HourUs AS bucket, COUNT(*) AS n FROM spans GROUP BY 1, 2)
+        |SELECT g.service, g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN c ON g.service = c.service AND g.bucket = c.bucket
+        |ORDER BY g.service, g.bucket""".stripMargin)),
+
+    // C38: staged event funnel — traces that did view → click →
+    // purchase in time order, each stage's first hit at-or-after the
+    // previous stage's first hit. Three keyed joins on trace_id with
+    // partial min aggregation — the standard distributed funnel; no
+    // per-trace collection, no window over the whole table.
+    "trace_funnel" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val s1 = sp.filter(col("service") === "view")
+          .groupBy("trace_id").agg(min("start_us").as("t1"))
+        val s2 = sp.filter(col("service") === "click")
+          .join(s1, "trace_id").filter(col("start_us") >= col("t1"))
+          .groupBy("trace_id").agg(min("start_us").as("t2"))
+        val s3 = sp.filter(col("service") === "purchase")
+          .join(s2, "trace_id").filter(col("start_us") >= col("t2"))
+          .groupBy("trace_id").agg(min("start_us").as("t3"))
+        s1.agg(count(lit(1)).as("viewed"))
+          .crossJoin(s2.agg(count(lit(1)).as("clicked")))
+          .crossJoin(s3.agg(count(lit(1)).as("purchased")))
+      },
+      cte("""
+        |, s1 AS (SELECT trace_id, min(start_us) AS t1 FROM spans WHERE service = 'view' GROUP BY 1),
+        |s2 AS (SELECT s.trace_id, min(s.start_us) AS t2 FROM spans s JOIN s1 ON s.trace_id = s1.trace_id
+        |       WHERE s.service = 'click' AND s.start_us >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT s.trace_id, min(s.start_us) AS t3 FROM spans s JOIN s2 ON s.trace_id = s2.trace_id
+        |       WHERE s.service = 'purchase' AND s.start_us >= s2.t2 GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS viewed,
+        |       (SELECT COUNT(*) FROM s2) AS clicked,
+        |       (SELECT COUNT(*) FROM s3) AS purchased""".stripMargin)),
+
     // Custom whole-operator tier (SURVEY §2 preference (c)): native
     // AS-OF join (graft.plans.AsOfJoinExec — co-partitioned merge scan)
     // — for each error span, the latest purchase span of the same trace
