@@ -354,6 +354,31 @@ object RelationalQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY o_custkey""".stripMargin),
 
+    // C39: correlated LATERAL join — top-2 orders PER customer, the
+    // per-row dependent subquery a plain join can't express (and a
+    // window-over-everything materializes globally). Spark
+    // decorrelates the LIMIT'd lateral into a partitioned rank —
+    // exactly the distributed plan you'd hand-write — so SQL-surface
+    // users get the operator without knowing the rewrite.
+    "q_lateral" -> QueryDef.sql(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey, o.price
+          FROM (SELECT c_custkey FROM customer_v WHERE c_custkey <= 100) c,
+          LATERAL (SELECT o_orderkey, o_totalprice AS price
+                   FROM orders_v WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          ORDER BY c.c_custkey, o.o_orderkey""")
+      },
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 100) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice AS price
+        |         FROM orders WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin),
+
     // C31: FULL OUTER join — unmatched rows survive from BOTH sides
     // (segment customers with no urgent orders; urgent-order customers
     // outside the segment), null-extended and flagged. Shuffle join on

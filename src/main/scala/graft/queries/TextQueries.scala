@@ -699,6 +699,54 @@ object TextQueries {
         |WHERE bucket < 20
         |ORDER BY doc_id""".stripMargin),
 
+    // B15c: target-proportion corpus mixing — the step BEFORE
+    // stratified sampling: given target language SHARES (en 40%, four
+    // others 15%, in per-10k integer weights), compute the largest
+    // feasible downsample-only total T = min_l(count_l·10000 div w_l),
+    // per-language target counts k_l = T·w_l div 10000, and keep each
+    // doc iff u·count_l < k_l·100000 for its md5-uniform u — ALL
+    // integer arithmetic, so both engines agree bit-for-bit with no
+    // double thresholds. The keep decision is row-local against a
+    // broadcast 5-row rate table (no per-language global rank — a
+    // rank-based exact cut would funnel each language through one
+    // reducer at 100 TB; the rate cut trades ±binomial-noise counts
+    // for full scan-parallelism). Output: per language, corpus count,
+    // target count, and docs actually kept.
+    "corpus_mix" -> QueryDef.sql(
+      (s, dir) => {
+        val weights = Seq("en" -> 4000L, "de" -> 1500L, "es" -> 1500L, "fr" -> 1500L,
+          "zh" -> 1500L)
+        val wCol = weights.foldRight(lit(null).cast("long")) { case ((l, w), acc) =>
+          when(col("lang") === l, lit(w)).otherwise(acc)
+        }
+        val docs = Tables.documents(s, dir)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+          .withColumn("w", wCol).filter(col("w").isNotNull)
+        val t = counts.agg(min(expr("c * 10000 div w")).as("t"))
+        val rates = counts.crossJoin(broadcast(t))
+          .withColumn("k", expr("(t * w) div 10000"))
+          .select("lang", "c", "k")
+        val u = pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+          lit(100000L))
+        docs.select(col("doc_id"), col("lang"), u.as("u"))
+          .join(broadcast(rates), "lang")
+          .groupBy("lang")
+          .agg(max("c").as("n_docs"), max("k").as("target_k"),
+            sum((col("u") * col("c") < col("k") * lit(100000L)).cast("long")).as("n_kept"))
+          .orderBy("lang")
+      },
+      """WITH w(lang, w) AS (VALUES ('en', 4000), ('de', 1500), ('es', 1500), ('fr', 1500), ('zh', 1500)),
+        |c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        |cw AS (SELECT c.lang, c.c, w.w FROM c JOIN w ON c.lang = w.lang),
+        |t AS (SELECT min(c * 10000 // w) AS t FROM cw),
+        |r AS (SELECT cw.lang, cw.c, (t.t * cw.w) // 10000 AS k FROM cw, t),
+        |d AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100000 AS u
+        |      FROM documents)
+        |SELECT d.lang, CAST(MAX(r.c) AS BIGINT) AS n_docs, CAST(MAX(r.k) AS BIGINT) AS target_k,
+        |       CAST(SUM(CASE WHEN d.u * r.c < r.k * 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d JOIN r ON d.lang = r.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+
     // B15b: stratified deterministic sampling — per-language keep
     // rates over the same md5 bucket (downsample the dominant
     // language, keep the rare ones whole: the language-rebalancing
