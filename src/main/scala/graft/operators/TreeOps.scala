@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed tree algorithms over the span parent-edge relation.
+  *
+  * The reference materializes each trace's span tree on one node
+  * (reader TraceReader.buildTree / transformers walking parent links);
+  * that caps trace size at single-process memory. Here ancestor
+  * traversal is pointer doubling (a.k.a. pointer jumping): every span
+  * carries a cursor `(anc, dist)` — a known ancestor and the hop count
+  * to it — and each round replaces the cursor with the *ancestor's*
+  * cursor, doubling the distance covered. Depth-D trees finish in
+  * ceil(log2 D) self-joins instead of D level-synchronous ones, so a
+  * pathological 10k-deep trace costs 14 shuffles, not 10k. Lineage is
+  * truncated per round with localCheckpoint (the
+  * GraphOps.connectedComponents pattern) so the plan stays O(1).
+  */
+object TreeOps {
+
+  /** Depth (edge count from the root) of every span.
+    *
+    * Input must carry `span_id` (globally unique), `parent_span_id`
+    * (null at roots; dangling parents are treated as roots' parents —
+    * i.e. a span whose parent id never appears gets the depth of its
+    * known ancestors only). Output: (trace_id, span_id, depth).
+    *
+    * @param maxRounds hard cap on doubling rounds — covers depth up to
+    *                  2^maxRounds; loud failure beyond it rather than a
+    *                  silent wrong answer.
+    */
+  def spanDepths(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val sess = spans.sparkSession
+    // Cursor init: one hop to the parent, or done (anc null, dist 0).
+    var state = spans.select(
+      col("trace_id"), col("span_id"),
+      col("parent_span_id").as("anc"),
+      when(col("parent_span_id").isNull, 0L).otherwise(1L).as("dist"))
+      .localCheckpoint()
+
+    var rounds = 0
+    var active = !state.filter(col("anc").isNotNull).isEmpty
+    while (active && rounds < maxRounds) {
+      val hop = state.select(
+        col("span_id").as("h_id"), col("anc").as("h_anc"), col("dist").as("h_dist"))
+      // Done rows (anc null) never match the left join and pass through
+      // unchanged; active rows jump to their ancestor's cursor. A
+      // dangling anc (parent id absent from the input) also misses the
+      // join and resolves to done-at-current-dist.
+      val next = state.join(hop, col("anc") === col("h_id"), "left_outer")
+        .select(
+          col("trace_id"), col("span_id"),
+          col("h_anc").as("anc"),
+          (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
+        .localCheckpoint()
+      state.unpersist()
+      state = next
+      rounds += 1
+      active = !state.filter(col("anc").isNotNull).isEmpty
+    }
+    require(!active, s"spanDepths did not converge in $maxRounds doubling rounds " +
+      s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
+    state.select(col("trace_id"), col("span_id"), col("dist").as("depth"))
+  }
+}

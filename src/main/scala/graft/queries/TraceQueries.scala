@@ -779,6 +779,88 @@ object TraceQueries {
         .filter(col("media_type") === "image")
         .select(col("media_id"), col("width"), col("height"),
           length(col("payload")).cast("long").as("n_bytes"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Span-tree depth by pointer doubling (graft.operators.TreeOps):
+    // ceil(log2 depth) self-join rounds instead of the reference's
+    // single-node tree walk (TraceReader.buildTree) or a depth-count
+    // of level-synchronous joins — a 10k-deep trace costs 14 shuffles.
+    // The oracle is a genuine recursive traversal (WITH RECURSIVE over
+    // the parent edges), so the hash match proves the doubling cursor
+    // arithmetic lands on the true edge distance for every span.
+    "trace_depth" -> QueryDef.sql(
+      (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir))
+        .orderBy("span_id"),
+      // RECURSIVE must be declared on the whole WITH list in DuckDB,
+      // so this oracle rewrites the shared spans prefix instead of
+      // using cte().
+      cte("""
+        |, d AS (
+        |  SELECT trace_id, span_id, 0 AS depth FROM spans WHERE parent_span_id IS NULL
+        |  UNION ALL
+        |  SELECT s.trace_id, s.span_id, d.depth + 1
+        |  FROM spans s JOIN d ON s.parent_span_id = d.span_id)
+        |SELECT trace_id, span_id, CAST(depth AS BIGINT) AS depth
+        |FROM d ORDER BY span_id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
+    // Reader-style "slowest traces per service" leaderboard: trace
+    // wall durations once per trace (one keyed agg), service
+    // participation via DISTINCT projection, dense top-3 by window
+    // rank. Both joins ride the trace_id partitioning; the window
+    // shuffles on service (5 keys here, modest at scale since input is
+    // already one row per (service, trace)).
+    "trace_top_slowest" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val durations = sp.groupBy("trace_id").agg(
+          (max(col("start_us") + col("duration_us")) - min(col("start_us")))
+            .as("trace_dur_us"))
+        val participation = sp.select("service", "trace_id").distinct()
+        val w = Window.partitionBy("service")
+          .orderBy(col("trace_dur_us").desc, col("trace_id"))
+        participation.join(durations, "trace_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("service"), col("rk").cast("long").as("rk"),
+            col("trace_id"), col("trace_dur_us"))
+          .orderBy("service", "rk")
+      },
+      cte("""
+        |, dur AS (SELECT trace_id,
+        |            MAX(start_us + duration_us) - MIN(start_us) AS trace_dur_us
+        |          FROM spans GROUP BY 1),
+        |p AS (SELECT DISTINCT service, trace_id FROM spans),
+        |r AS (SELECT p.service, p.trace_id, dur.trace_dur_us,
+        |        row_number() OVER (PARTITION BY p.service
+        |                           ORDER BY dur.trace_dur_us DESC, p.trace_id) AS rk
+        |      FROM p JOIN dur ON p.trace_id = dur.trace_id)
+        |SELECT service, CAST(rk AS BIGINT) AS rk, trace_id, trace_dur_us
+        |FROM r WHERE rk <= 3 ORDER BY service, rk""".stripMargin)),
+
+    // Error-rate trend — the service-health dashboard rollup: per day,
+    // how many traces ran and what fraction touched an error span.
+    // One trace-grain agg (conditional max flag rides the same shuffle
+    // as the time bounds), then a day-grain partial agg. err_rate is a
+    // single int/int division — deterministic double on both engines.
+    "trace_error_rate" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .groupBy("trace_id")
+        .agg(min(col("start_us")).as("t_start"),
+          max(when(col("service") === "error", 1L).otherwise(0L)).as("has_err"))
+        .groupBy(expr(s"(t_start - $T0) div $DayUs").as("day_bucket"))
+        .agg(count(lit(1)).as("n_traces"), sum("has_err").as("n_err_traces"))
+        .withColumn("err_rate",
+          round(col("n_err_traces").cast("double") / col("n_traces"), 6))
+        .orderBy("day_bucket"),
+      cte(s"""
+        |, tr AS (SELECT trace_id, MIN(start_us) AS t_start,
+        |           MAX(CASE WHEN service = 'error' THEN 1 ELSE 0 END) AS has_err
+        |         FROM spans GROUP BY 1)
+        |SELECT CAST((t_start - $T0) // $DayUs AS BIGINT) AS day_bucket,
+        |  COUNT(*) AS n_traces,
+        |  CAST(SUM(has_err) AS BIGINT) AS n_err_traces,
+        |  ROUND(CAST(SUM(has_err) AS DOUBLE) / COUNT(*), 6) AS err_rate
+        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

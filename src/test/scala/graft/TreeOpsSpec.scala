@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.TreeOps
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  /** (span_id, parent_span_id) edges, one trace "t". */
+  private def depths(edges: (Long, Option[Long])*): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df = edges.toSeq
+      .map { case (id, p) => ("t", id, p) }
+      .toDF("trace_id", "span_id", "parent_span_id")
+    TreeOps.spanDepths(df).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+  }
+
+  describe("spanDepths") {
+    it("computes depth on a branching tree with multiple roots") {
+      //   1            10
+      //  / \            |
+      // 2   3          11
+      //     |
+      //     4
+      val out = depths(
+        1L -> None, 2L -> Some(1L), 3L -> Some(1L), 4L -> Some(3L),
+        10L -> None, 11L -> Some(10L))
+      out shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 10L -> 0L, 11L -> 1L)
+    }
+
+    it("resolves a 300-deep chain within the log2 doubling bound") {
+      val chain: Seq[(Long, Option[Long])] =
+        (0L until 300L).map(i => i -> (if (i == 0) None else Some(i - 1)))
+      // depth 299 < 2^9: must converge given only 9 doubling rounds
+      val s = spark
+      import s.implicits._
+      val df = chain.map { case (id, p) => ("t", id, p) }
+        .toDF("trace_id", "span_id", "parent_span_id")
+      val out = TreeOps.spanDepths(df, maxRounds = 9).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      out(0L) shouldBe 0L
+      out(299L) shouldBe 299L
+      out(150L) shouldBe 150L
+    }
+
+    it("treats a dangling parent as the traversal boundary") {
+      // 7's parent 99 never appears: 7 counts only its known hop
+      val out = depths(7L -> Some(99L), 8L -> Some(7L))
+      out shouldBe Map(7L -> 1L, 8L -> 2L)
+    }
+
+    it("fails loudly on a parent cycle instead of spinning") {
+      val s = spark
+      import s.implicits._
+      val df = Seq(("t", 1L, Some(2L)), ("t", 2L, Some(1L)))
+        .toDF("trace_id", "span_id", "parent_span_id")
+      val ex = intercept[IllegalArgumentException] {
+        TreeOps.spanDepths(df, maxRounds = 5).collect()
+      }
+      ex.getMessage should include("did not converge")
+    }
+  }
+}
