@@ -672,6 +672,161 @@ object RelationalQueries {
       """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
         |  unnest(embedding) AS val
         |FROM embeddings WHERE vec_id < 20
-        |ORDER BY vec_id, pos""".stripMargin)
+        |ORDER BY vec_id, pos""".stripMargin),
+
+    // C39: statistical aggregates — stddev, correlation, regression
+    // slope. Engine-native CORR/STDDEV accumulate doubles in partition
+    // order, so their low bits are not reproducible across engines (or
+    // even runs); instead both sides compute the five exact DECIMAL
+    // power sums (map-side combinable, one shuffle — the same shape a
+    // native partial aggregate uses) and evaluate the identical
+    // closed-form IEEE expression tree on them.
+    "q_stats_agg" -> QueryDef.sql(
+      (s, dir) => {
+        val q = dec("l_quantity")
+        val p = dec("l_extendedprice")
+        val base = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).cast(DecimalType(38, 2)).as("sx"),
+            sum(p).cast(DecimalType(38, 2)).as("sy"),
+            sum(q * q).cast(DecimalType(38, 4)).as("sxx"),
+            sum(p * p).cast(DecimalType(38, 4)).as("syy"),
+            sum(q * p).cast(DecimalType(38, 4)).as("sxy"))
+        val n = col("n").cast("double")
+        val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+        base.select(
+          col("l_returnflag"), col("n"),
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 6).as("sd_qty"),
+          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .as("corr_qty_price"),
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope_price_qty"))
+          .orderBy("l_returnflag")
+      },
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    CAST(CAST(SUM(${d("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(${d("l_extendedprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(${d("l_quantity")} * ${d("l_quantity")}) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(${d("l_extendedprice")} * ${d("l_extendedprice")}) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+         |    CAST(CAST(SUM(${d("l_quantity")} * ${d("l_extendedprice")}) AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ROUND(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS sd_qty,
+         |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |        sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+         |    AS corr_qty_price,
+         |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+         |    AS slope_price_qty
+         |FROM sums ORDER BY l_returnflag""".stripMargin),
+
+    // C40: distribution ranks — ntile quartiles, percent_rank,
+    // cume_dist over per-customer spend. Spend is an exact decimal sum
+    // (identical doubles on both engines) so the shared (spend desc,
+    // custkey) order — and therefore every rank — is deterministic.
+    "q_ntile" -> QueryDef.sql(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(asDec2(sum(dec("o_totalprice"))).as("spend"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+        spend.select(
+          col("o_custkey"), col("spend"), col("n_orders"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_custkey")
+      },
+      s"""WITH spend AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST(SUM(${d("o_totalprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS spend,
+         |    COUNT(*) AS n_orders
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_custkey, spend, n_orders,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ROUND(percent_rank() OVER w, 6) AS pr,
+         |  ROUND(cume_dist() OVER w, 6) AS cd
+         |FROM spend
+         |WINDOW w AS (ORDER BY spend DESC, o_custkey)
+         |ORDER BY o_custkey""".stripMargin),
+
+    // C41: first/last/nth window values — each customer's first,
+    // latest, and second order over an explicit unbounded ROWS frame
+    // (last_value defaults to CURRENT ROW otherwise, a classic trap;
+    // pinned identically on both engines).
+    "q_first_last" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wn = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+          row_number().over(wn).as("rn"))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin),
+
+    // C42: null-aware NOT IN — customers with no urgent order, where a
+    // negative account balance nulls the probe key and SQL's NOT IN
+    // three-valued logic must silently drop the row (a plain anti join
+    // would keep it). Spark plans this as NullAwareAntiJoin; expressed
+    // through SQL because the DataFrame API has no NOT IN form.
+    "q_notin_null" -> QueryDef.sql(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("q_notin_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("q_notin_orders")
+        s.sql("""
+          |SELECT c_custkey, c_name
+          |FROM (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k,
+          |             c_custkey, c_name
+          |      FROM q_notin_customer)
+          |WHERE k NOT IN (SELECT o_custkey FROM q_notin_orders
+          |                WHERE o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+      },
+      """SELECT c_custkey, c_name
+        |FROM (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k,
+        |             c_custkey, c_name
+        |      FROM customer)
+        |WHERE k NOT IN (SELECT o_custkey FROM orders
+        |                WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // C43: multi-distinct aggregation — three COUNT(DISTINCT)s with
+    // different keys in one pass (Catalyst plans the Expand +
+    // double-agg rewrite; one logical scan, no self-joins).
+    "q_multi_distinct" -> QueryDef.sql(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(when(col("l_discount") > 0.05, col("l_partkey"))).as("d_part_hidisc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supp,
+        |  CAST(COUNT(DISTINCT CASE WHEN l_discount > 0.05 THEN l_partkey END) AS BIGINT) AS d_part_hidisc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }
