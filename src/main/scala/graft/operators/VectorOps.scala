@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity operators (SURVEY.md §2 B5–B7).
   *
@@ -29,6 +30,40 @@ object VectorOps {
   def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+
+  /** Per-(label, position) element sums and counts, accumulated in
+    * exact DECIMAL so the value is independent of partition order —
+    * the reproducible form of a per-class centroid. One posexplode +
+    * one map-combinable shuffle on (label, pos): n·d rows in flight but
+    * each partial partition collapses to ≤ labels·d rows before the
+    * exchange, so the shuffle is tiny at any corpus size. */
+  def labelCentroidSums(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(col("x").cast(DecimalType(18, 9))).cast(DecimalType(38, 9)).as("sdec"),
+        count(lit(1)).as("n"))
+
+  /** Each vector's cosine to its label's centroid — the class-outlier
+    * score. cos(v, S/n) = cos(v, S), so the mean never needs a lossy
+    * division: the exact sum vector S (pos-ordered double array) is
+    * broadcast and every distance is one ordered fold over the scan.
+    */
+  def centroidCosine(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroidSums(embeddings)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sdec").cast("double").as("sv")))),
+        t => t.getField("sv")).as("cv"))
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .filter(norm(col("v")) > 0)
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6)
+          .as("cos_centroid"))
+  }
 
   /** Brute-force cosine top-k: broadcast the query set, scan the corpus
     * once, per-query top-k via window rank on the rounded score. */

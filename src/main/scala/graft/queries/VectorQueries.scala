@@ -180,7 +180,50 @@ object VectorQueries {
     "ann_topk_ivf_kmeans" -> QueryDef.sql(
       (s, dir) => VectorOps.annTopKIvf(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
         nCentroids = 16, nProbe = 4, kmeansIters = 2),
-      kmeansIvfOracleSql(nCentroids = 16, iters = 2, nProbe = 4, k = 5, nQueries = 10))
+      kmeansIvfOracleSql(nCentroids = 16, iters = 2, nProbe = 4, k = 5, nQueries = 10)),
+
+    // Per-label centroids in long (label, pos, c) form — never an
+    // array column in query output (driver canon). Element sums
+    // accumulate in exact DECIMAL (partition-order independent); the
+    // mean is one exact-operand double division, rounded.
+    "embed_centroids" -> QueryDef.sql(
+      (s, dir) => VectorOps.labelCentroidSums(Tables.embeddings(s, dir))
+        .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"),
+          round(col("sdec").cast("double") / col("n"), 6).as("c"))
+        .orderBy("label", "pos"),
+      """SELECT CAST(label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS pos,
+        |  ROUND(CAST(CAST(SUM(CAST(embedding[CAST(t.i AS INT) + 1] AS DECIMAL(18,9)))
+        |                  AS DECIMAL(38,9)) AS DOUBLE) / COUNT(*), 6) AS c
+        |FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        |GROUP BY label, t.i ORDER BY label, pos""".stripMargin),
+
+    // Class-outlier scoring: cosine of every vector to its label's
+    // centroid (exact sum vector S — cos(v, S/n) = cos(v, S), so no
+    // lossy mean), 20 least-typical vectors. Ordering happens on the
+    // ROUNDED score + vec_id on both engines, so the cut line is
+    // identical even where raw fold order differs in the last ulp.
+    "embed_outliers" -> QueryDef.sql(
+      (s, dir) => VectorOps.centroidCosine(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("cos_centroid"))
+        .orderBy(col("cos_centroid").asc, col("vec_id"))
+        .limit(20),
+      """WITH sums AS (
+        |  SELECT label, t.i AS pos,
+        |    CAST(CAST(SUM(CAST(embedding[CAST(t.i AS INT) + 1] AS DECIMAL(18,9)))
+        |              AS DECIMAL(38,9)) AS DOUBLE) AS sv
+        |  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        |  GROUP BY label, t.i),
+        |cent AS (SELECT label, list(sv ORDER BY pos) AS cv FROM sums GROUP BY label),
+        |e AS (SELECT vec_id, e.label, embedding::DOUBLE[] AS v
+        |      FROM embeddings e
+        |      WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        |sc AS (SELECT vec_id, CAST(e.label AS BIGINT) AS label,
+        |         ROUND(list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+        |           AS cos_centroid
+        |       FROM e JOIN cent ON e.label = cent.label)
+        |SELECT vec_id, label, cos_centroid FROM sc
+        |ORDER BY cos_centroid ASC, vec_id LIMIT 20""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's
