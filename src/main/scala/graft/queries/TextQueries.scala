@@ -816,6 +816,79 @@ object TextQueries {
            |  WHERE canon.cluster_id IS NULL OR canon.cluster_id = c.doc_id)
            |SELECT doc_id, lang, n_chars, alpha_ratio FROM scored
            |WHERE lang <> 'unk' AND n_chars >= 50 AND alpha_ratio >= 0.5
-           |ORDER BY doc_id""".stripMargin)
+           |ORDER BY doc_id""".stripMargin),
+
+    // Word-frequency entropy per document — the vocabulary-diversity
+    // quality signal (low entropy = repetitive/templated text). Two
+    // map-combinable aggs riding one doc_id partitioning; H = ln n −
+    // Σ c·ln c / n from integer counts, ROUND(..,6) absorbing the
+    // reduce-order and libm last-ulp drift on the Σ c·ln c term.
+    "text_entropy" -> QueryDef.sql(
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(log(col("n_tokens").cast("double")) -
+              col("clc") / col("n_tokens").cast("double"), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Zipf rank-frequency slope of the corpus — the log-log regression
+    // over the top-100 terms that a natural corpus keeps near −1
+    // (synthetic/templated corpora drift off it). Term counts shuffle
+    // once; the 100-point regression reuses q_stats_agg's closed-form
+    // power-sum formula.
+    "text_zipf_slope" -> QueryDef.sql(
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(toks(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val ranked = counts
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))))
+          .filter(col("r") <= 100)
+          .select(log(col("r").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
+        val sums = ranked.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        sums.select(
+          col("n").cast("long").as("n_terms"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+            .as("intercept"))
+      },
+      """WITH counts AS (
+        |  SELECT term, COUNT(*) AS f
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) AS x,
+        |         ln(CAST(f AS DOUBLE)) AS y
+        |  FROM counts QUALIFY row_number() OVER (ORDER BY f DESC, term) <= 100),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM ranked)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM sums""".stripMargin)
   )
 }
