@@ -204,6 +204,28 @@ object StreamingQueries {
     * redelivery case): every span arrives twice, the watermarked
     * dropDuplicates must emit each exactly once — the per-service
     * counts then equal the batch DISTINCT, which is the oracle. */
+  /** Streaming leaderboard: watermark-evicted per-(window, service)
+    * counts land in the parquet sink; the top-3 rank runs as a batch
+    * read over the landed windows — rank is not incrementally
+    * maintainable, so the production split is exactly this
+    * stream-aggregates / serving-layer-ranks pair. */
+  private def runTopK(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val windowed = spanStream(ss, dir, richOps = false)
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$GapSeconds seconds")
+      .groupBy(window(col("event_time"), s"$GapSeconds seconds"), col("service"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("service"), col("n"))
+    val landed = runToParquet(s, windowed, "topk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_us").orderBy(col("n").desc, col("service"))
+    landed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("window_start_us", "rk")
+  }
+
   private def runDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val spans = spanStream(ss, dir, richOps = false)
@@ -441,6 +463,21 @@ object StreamingQueries {
          |SELECT trace_id, err_span_id, CAST(p_span_id AS BIGINT),
          |       CAST(lag_us AS BIGINT) FROM unmatched
          |ORDER BY err_span_id, p_span_id""".stripMargin),
+
+    // windowed leaderboard: evicted windows equal the batch windowed
+    // counts (index-docs eviction model); rank over closed windows
+    "streaming_topk" -> QueryDef.sql(runTopK,
+      s"""WITH s AS (SELECT epoch_us(ts) AS start_us, event_type AS service FROM events),
+         |g AS (SELECT (max(start_us) // 1000 - ${GapSeconds * 1000}) * 1000 AS wm_us FROM s),
+         |w AS (SELECT start_us - start_us % ${GapSeconds * 1000000} AS window_start_us, service FROM s),
+         |c AS (SELECT window_start_us, service, COUNT(*) AS n
+         |      FROM w, g GROUP BY window_start_us, service, wm_us
+         |      HAVING window_start_us + ${GapSeconds * 1000000} <= wm_us)
+         |SELECT window_start_us, service, n,
+         |  CAST(row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, service) AS BIGINT) AS rk
+         |FROM c
+         |QUALIFY row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, service) <= 3
+         |ORDER BY window_start_us, rk""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,
