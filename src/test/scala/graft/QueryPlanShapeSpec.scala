@@ -49,5 +49,35 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("BroadcastHashJoin")
       p should not include "SortMergeJoin"
     }
+
+    it("q_notin_null plans NOT IN as a null-aware broadcast anti join") {
+      val p = plan("q_notin_null")
+      // BroadcastHashJoin ... LeftAnti, BuildRight, true — the trailing
+      // flag is isNullAwareAntiJoin; a plain anti join would get the
+      // three-valued NULL semantics wrong
+      p should include regex """BroadcastHashJoin .*LeftAnti, BuildRight, true"""
+    }
+
+    it("q_stats_agg computes all five power sums in one map-combinable pass") {
+      val p = plan("q_stats_agg")
+      // one partial+final pair, one exchange on the group key — the
+      // closed-form stats must never become per-statistic passes
+      "Exchange hashpartitioning\\(l_returnflag".r.findAllIn(p).size shouldBe 1
+      p should include("partial_sum")
+    }
+
+    it("embed_outliers broadcasts the centroid vectors against the corpus scan") {
+      val p = plan("embed_outliers")
+      // labels·dim rows: the centroid side must broadcast; a label-keyed
+      // sort-merge join would shuffle the whole corpus by a 10-value key
+      p should include("BroadcastHashJoin")
+      p should not include "SortMergeJoin"
+    }
+
+    it("q_multi_distinct plans the three distincts via Expand, not self-joins") {
+      val p = plan("q_multi_distinct")
+      p should include("Expand")
+      p should not include "Join"
+    }
   }
 }
