@@ -827,6 +827,62 @@ object RelationalQueries {
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supp,
         |  CAST(COUNT(DISTINCT CASE WHEN l_discount > 0.05 THEN l_partkey END) AS BIGINT) AS d_part_hidisc,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // C44: calendar rollup — month / quarter extraction feeding a
+    // two-level time hierarchy (the report-dashboard scan shape; both
+    // date parts computed once in the scan projection)
+    "q_datetrunc" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"), dec("o_totalprice").as("p"))
+        .groupBy("month", "qtr")
+        .agg(count(lit(1)).as("n_orders"), asDec2(sum(col("p"))).as("revenue"))
+        .orderBy("month"),
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         |  COUNT(*) AS n_orders,
+         |  CAST(CAST(SUM(${d("o_totalprice")}) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+         |FROM orders GROUP BY month, qtr ORDER BY month""".stripMargin),
+
+    // C45: string function family — edit distance, padding, translate,
+    // split indexing — aggregated so the compare covers every row
+    "q_string_fns" -> QueryDef.sql(
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_brand"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
+          length(translate(col("p_type"), "aeiou", "")).cast("long").as("consonants"),
+          length(lpad(col("p_brand"), 12, "#")).cast("long").as("padded_len"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("lev").as("sum_lev"), min("lev").as("min_lev"), max("lev").as("max_lev"),
+          sum("consonants").as("sum_consonants"), max("padded_len").as("padded_len"))
+        .orderBy("p_brand"),
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(levenshtein(p_name, p_type)) AS BIGINT) AS sum_lev,
+        |  CAST(MIN(levenshtein(p_name, p_type)) AS BIGINT) AS min_lev,
+        |  CAST(MAX(levenshtein(p_name, p_type)) AS BIGINT) AS max_lev,
+        |  CAST(SUM(length(replace(replace(replace(replace(replace(p_type,
+        |       'a',''),'e',''),'i',''),'o',''),'u',''))) AS BIGINT) AS sum_consonants,
+        |  CAST(MAX(length(lpad(p_brand, 12, '#'))) AS BIGINT) AS padded_len
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // C46: bitwise / boolean aggregates — OR/AND-folded key masks and
+    // any/every flags per nation (index-bitmap building blocks)
+    "q_bitagg" -> QueryDef.sql(
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(
+          bit_or(col("c_custkey") % 256).as("or_mask"),
+          bit_and(col("c_custkey") % 256).as("and_mask"),
+          max(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("any_negative"),
+          min(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("all_building"))
+        .orderBy("c_nationkey"),
+      """SELECT c_nationkey,
+        |  CAST(bit_or(c_custkey % 256) AS BIGINT) AS or_mask,
+        |  CAST(bit_and(c_custkey % 256) AS BIGINT) AS and_mask,
+        |  CAST(MAX(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_negative,
+        |  CAST(MIN(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS all_building
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   )
 }
