@@ -883,6 +883,28 @@ object RelationalQueries {
         |  CAST(bit_and(c_custkey % 256) AS BIGINT) AS and_mask,
         |  CAST(MAX(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_negative,
         |  CAST(MIN(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS all_building
-        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // C47: exact percentiles — discrete p50/p95 (an actual data value,
+    // so bit-identical across engines by construction) plus the
+    // interpolated median (midpoint of two exact stored doubles — one
+    // add, one divide, deterministic). Exact percentiles need a
+    // per-group sort; the approx t-digest surfaces
+    // (trace_latency_quantiles_approx) are the mergeable scale path.
+    "q_percentiles" -> QueryDef.sql(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("q_pct_lineitem")
+        s.sql("""
+          |SELECT l_returnflag,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_disc,
+          |  median(l_extendedprice) AS med
+          |FROM q_pct_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95_disc,
+        |  median(l_extendedprice) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

@@ -861,6 +861,36 @@ object TraceQueries {
         |  COUNT(*) AS n_traces,
         |  CAST(SUM(has_err) AS BIGINT) AS n_err_traces,
         |  ROUND(CAST(SUM(has_err) AS DOUBLE) / COUNT(*), 6) AS err_rate
-        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental rollup maintenance — the materialized-view merge: a
+    // persisted per-(service, day) aggregate for history plus a
+    // fresh-day delta, merged by RE-AGGREGATING the two partial states
+    // (count and sum are mergeable; avg derives at read time, never
+    // stored). The hash match against the full recompute proves the
+    // merge is lossless — the property that lets a 100 TB deployment
+    // shuffle only the new day instead of rescanning history.
+    "trace_rollup_merge" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val cutoff = T0 + 25 * DayUs
+        def rollup(df: DataFrame): DataFrame = df
+          .groupBy(col("service"), expr(s"start_us div $DayUs").as("day_bucket"))
+          .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"))
+        val history = rollup(sp.filter(col("start_us") < cutoff)) // stands in for the stored table
+        val delta = rollup(sp.filter(col("start_us") >= cutoff))
+        history.unionByName(delta)
+          .groupBy("service", "day_bucket")
+          .agg(sum("n_spans").as("n_spans"), sum("total_dur_us").as("total_dur_us"))
+          .withColumn("avg_dur_us",
+            round(col("total_dur_us").cast("double") / col("n_spans"), 6))
+          .orderBy("service", "day_bucket")
+      },
+      cte(s"""SELECT service, start_us // $DayUs AS day_bucket,
+             |  COUNT(*) AS n_spans,
+             |  CAST(SUM(duration_us) AS BIGINT) AS total_dur_us,
+             |  ROUND(CAST(SUM(duration_us) AS DOUBLE) / COUNT(*), 6) AS avg_dur_us
+             |FROM spans GROUP BY service, day_bucket
+             |ORDER BY service, day_bucket""".stripMargin))
   )
 }
