@@ -223,7 +223,59 @@ object VectorQueries {
         |           AS cos_centroid
         |       FROM e JOIN cent ON e.label = cent.label)
         |SELECT vec_id, label, cos_centroid FROM sc
-        |ORDER BY cos_centroid ASC, vec_id LIMIT 20""".stripMargin)
+        |ORDER BY cos_centroid ASC, vec_id LIMIT 20""".stripMargin),
+
+    // The LSH tradeoff as a MEASURED surface: candidate-pair count,
+    // surviving near-dup pairs, and recall vs the exact quadratic
+    // path, in one row. On this synthetic corpus the 0.4 threshold
+    // sits only ~3σ above random-pair cosine (≈N(0, 1/√64)), the
+    // hardest regime for sign-bit LSH — 4-bit × 8-band banding buys
+    // 0.79 recall for 0.41 of the pair comparisons. Real near-dup
+    // thresholds (≥0.9) collapse candidate_frac by orders of
+    // magnitude; this row keeps the engine honest about the curve's
+    // hard end rather than demoing the easy one.
+    "neardup_lsh_stats" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = VectorOps.cosineNearDupPairs(emb, 300, 0.4)
+        val cand = VectorOps.cosineNearDupCandidatesLshBanded(emb, 300, 64, bitsPerBand = 4, bands = 8)
+        val lsh = VectorOps.cosineNearDupPairsLshBanded(emb, 300, 0.4, 64, bitsPerBand = 4, bands = 8)
+        val allPairs = 300L * 299L / 2L
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .select(col("n_exact"), col("n_candidates"), col("n_lsh"),
+            round(col("n_candidates").cast("double") / allPairs, 6).as("candidate_frac"),
+            round(col("n_lsh").cast("double") / col("n_exact"), 6).as("recall"))
+      },
+      {
+        val bandCols = (0 until 8)
+          .map(j => s"${VectorOps.lshBandSql(64, 4, 8, j)} AS b$j").mkString(",\n         |        ")
+        val candUnion = (0 until 8)
+          .map(j => s"SELECT a.vec_id AS d1, b.vec_id AS d2 FROM n a JOIN n b ON a.b$j = b.b$j AND a.vec_id < b.vec_id")
+          .mkString("\n         |  UNION\n         |  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+           |        $bandCols
+           |      FROM e),
+           |cand AS (
+           |  $candUnion
+           |),
+           |lsh AS (
+           |  SELECT c.d1, c.d2
+           |  FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2
+           |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4),
+           |exact AS (
+           |  SELECT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+           |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+           |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           |  ROUND(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) / ${300L * 299L / 2L}, 6) AS candidate_frac,
+           |  ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE) /
+           |        (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
+      })
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's
