@@ -17,6 +17,27 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
   }
 
   describe("time-partitioned layout") {
+    it("dynamic partition pruning fires when a filtered dim joins on dt") {
+      // The runtime analogue of the static range prune: dt values come
+      // from a FILTERED small side at execution time, so the big scan's
+      // partition list must carry a dynamicpruning subquery — at 100 TB
+      // this is the difference between reading 3 directories and 700.
+      val s = spark
+      import s.implicits._
+      val store = s.read.parquet(outDir)
+      // the dim must be a real scan with a live Filter node — a local
+      // Seq constant-folds into a LocalTableScan and the pruning rule
+      // sees no selective predicate to piggyback on
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+      Seq(("2024-01-01", 0), ("2024-01-02", 0), ("2024-01-03", 1))
+        .toDF("dt", "quarantined").write.mode("overwrite").parquet(dimDir)
+      val wanted = s.read.parquet(dimDir).filter($"quarantined" === 0)
+      val joined = store.join(wanted,
+        store("dt") === org.apache.spark.sql.functions.to_date(wanted("dt")))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("dynamicpruning")
+    }
+
     it("round-trips the same rows a plain time filter selects") {
       val spans = SpanOps.spansFromEvents(Tables.events(spark, sfDir))
       val expected = spans
