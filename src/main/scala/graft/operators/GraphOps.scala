@@ -83,4 +83,42 @@ object GraphOps {
           "(component diameter exceeds the bound); raise maxIter")
     labels
   }
+
+  /** Weighted PageRank over an edge list, a FIXED number of power
+    * iterations (deterministic by construction — no float convergence
+    * test). Each round is one keyed join + one map-combinable agg, so
+    * at scale the cost is iters × (join shuffle on src + agg shuffle
+    * on dst); lineage truncates per round like connectedComponents.
+    *
+    * Dangling nodes (no out-edges) leak their mass — acceptable for
+    * relative-importance ranking; callers needing a stochastic matrix
+    * should add self-loops first.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    // transition probability: exact-int division, identical on any engine
+    val ew = e.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("p"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("infl"))
+      val next = nodes.join(inflow, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("infl"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
 }

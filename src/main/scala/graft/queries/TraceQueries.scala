@@ -891,6 +891,51 @@ object TraceQueries {
              |  CAST(SUM(duration_us) AS BIGINT) AS total_dur_us,
              |  ROUND(CAST(SUM(duration_us) AS DOUBLE) / COUNT(*), 6) AS avg_dur_us
              |FROM spans GROUP BY service, day_bucket
-             |ORDER BY service, day_bucket""".stripMargin))
+             |ORDER BY service, day_bucket""".stripMargin)),
+
+    // Service-importance PageRank over the call graph
+    // (GraphOps.pageRank, 3 fixed power iterations — deterministic by
+    // construction, no float convergence test). Call edges =
+    // parent→child service pairs weighted by call count; the oracle
+    // unrolls the same three iterations as CTEs with the identical
+    // IEEE expression tree, so only reduce-order ulps differ under the
+    // final ROUND.
+    "trace_service_rank" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val child = sp.select(col("parent_span_id"), col("service").as("dst"))
+        val parent = sp.select(col("span_id"), col("service").as("src"))
+        val edges = child.join(parent, col("parent_span_id") === col("span_id"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3)
+          .select(col("node").as("service"), round(col("rank"), 6).as("rank"))
+          .orderBy("service")
+      },
+      {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(s.infl, 0.0) AS rank
+             |  FROM nodes CROSS JOIN nn
+             |  LEFT JOIN (SELECT ew.dst, SUM($prev.rank * ew.p) AS infl
+             |             FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY ew.dst) s
+             |    ON nodes.node = s.dst)""".stripMargin
+        cte(s"""
+           |, edges AS (
+           |  SELECT p.service AS src, c.service AS dst, COUNT(*) AS w
+           |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+           |ew AS (SELECT edges.src, edges.dst,
+           |         CAST(edges.w AS DOUBLE) / CAST(outw.ow AS DOUBLE) AS p
+           |       FROM edges JOIN outw ON edges.src = outw.src),
+           |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node AS service, ROUND(rank, 6) AS rank
+           |FROM r3 ORDER BY service""".stripMargin)
+      })
   )
 }

@@ -36,4 +36,41 @@ class GraphOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out shouldBe Map(1L -> 1L, 3L -> 1L, 5L -> 1L)
     }
   }
+
+  describe("pageRank") {
+    it("concentrates mass on the a<->b cycle and conserves the total") {
+      val s = spark
+      import s.implicits._
+      // a, c, d all point at b; b returns to a. The a<->b 2-cycle makes
+      // even/odd iterations trade which of the two leads (genuine
+      // power-iteration behavior on a near-bipartite graph), so the
+      // iteration-robust claims are: both cycle members beat the
+      // spokes, spokes tie exactly, and with no dangling nodes the
+      // total mass stays 1 (up to reduce-order ulps).
+      val edges = Seq(
+        ("a", "b", 3L), ("c", "b", 1L), ("d", "b", 1L), ("b", "a", 2L))
+        .toDF("src", "dst", "w")
+      val ranks = GraphOps.pageRank(edges, "src", "dst", "w", iters = 10)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ranks.keySet shouldBe Set("a", "b", "c", "d")
+      ranks("a") should be > ranks("c")
+      ranks("b") should be > ranks("c")
+      ranks("c") shouldBe ranks("d") // symmetric spokes tie exactly
+      ranks.values.sum shouldBe 1.0 +- 1e-9
+    }
+
+    it("splits outflow by edge weight") {
+      val s = spark
+      import s.implicits._
+      // x sends 3/4 of its mass to h, 1/4 to l; one iteration isolates
+      // the transition probabilities
+      val edges = Seq(("x", "h", 3L), ("x", "l", 1L), ("h", "x", 1L), ("l", "x", 1L))
+        .toDF("src", "dst", "w")
+      val r = GraphOps.pageRank(edges, "src", "dst", "w", iters = 1)
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      val base = 0.15 / 3
+      r("h") shouldBe base + 0.85 * (1.0 / 3) * 0.75 +- 1e-12
+      r("l") shouldBe base + 0.85 * (1.0 / 3) * 0.25 +- 1e-12
+    }
+  }
 }
