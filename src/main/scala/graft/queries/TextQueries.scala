@@ -889,6 +889,40 @@ object TextQueries {
         |SELECT CAST(n AS BIGINT) AS n_terms,
         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
         |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
-        |FROM sums""".stripMargin)
+        |FROM sums""".stripMargin),
+
+    // Inverted-index shard build — the retrieval-side artifact: for
+    // mid-frequency terms (rare terms are noise, stopwords are
+    // scan-everything), the sorted posting list per term. Postings
+    // emit as a joined string (never an array column in query output);
+    // the doc_id sort makes the list deterministic and delta-encodable
+    // — at corpus scale each term's postings build map-side and merge
+    // in one term-keyed shuffle.
+    "text_inverted_index" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        docs
+          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+          .crossJoin(broadcast(nd))
+          // mid-frequency band as a corpus FRACTION so the cut tracks
+          // corpus growth (int/int division — same doubles both engines)
+          .filter(col("df").cast("double") / col("nd") >= 0.05 &&
+            col("df").cast("double") / col("nd") <= 0.9)
+          .select(col("term"), col("df"), col("postings"))
+          .orderBy("term")
+      },
+      """WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |p AS (SELECT term, COUNT(*) AS df,
+        |        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |      FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |            FROM documents)
+        |      GROUP BY term)
+        |SELECT term, df, postings FROM p, nd
+        |WHERE CAST(df AS DOUBLE) / nd >= 0.05 AND CAST(df AS DOUBLE) / nd <= 0.9
+        |ORDER BY term""".stripMargin)
   )
 }

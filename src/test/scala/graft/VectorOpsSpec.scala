@@ -257,4 +257,36 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       candidates should be < (nTotal * (nTotal - 1) / 2 / 5)
     }
   }
+
+  describe("labelCentroidSums") {
+    it("is bit-identical under any partitioning (the exact-DECIMAL claim)") {
+      // float sums drift with reduce order; the decimal accumulation
+      // must not — 1 partition vs 32 shuffled partitions, same bits
+      def sums(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), java.math.BigDecimal] =
+        VectorOps.labelCentroidSums(df).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+      val one = sums(emb.repartition(1))
+      val many = sums(emb.repartition(32, col("vec_id")))
+      many shouldBe one
+    }
+
+    it("matches a driver-side BigDecimal fold exactly") {
+      val rows = emb.select(col("label"), col("embedding")).collect()
+      val expected = rows
+        .flatMap { r =>
+          val l = r.getInt(0)
+          r.getSeq[Float](1).zipWithIndex.map { case (x, i) => (l, i) -> x }
+        }
+        .groupBy(_._1)
+        .map { case (k, xs) =>
+          k -> xs.map { case (_, x) =>
+            new java.math.BigDecimal(x.toDouble).setScale(9, java.math.RoundingMode.HALF_UP)
+          }.reduce(_.add(_)).setScale(9)
+        }
+      val got = VectorOps.labelCentroidSums(emb).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).setScale(9)).toMap
+      got.keySet shouldBe expected.keySet
+      got.foreach { case (k, v) => v.compareTo(expected(k)) shouldBe 0 }
+    }
+  }
 }
