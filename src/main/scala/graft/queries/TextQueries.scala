@@ -923,6 +923,39 @@ object TextQueries {
         |      GROUP BY term)
         |SELECT term, df, postings FROM p, nd
         |WHERE CAST(df AS DOUBLE) / nd >= 0.05 AND CAST(df AS DOUBLE) / nd <= 0.9
-        |ORDER BY term""".stripMargin)
+        |ORDER BY term""".stripMargin),
+
+    // Per-language token-budget selection — the corpus-assembly op:
+    // biggest documents first until each language's token budget is
+    // spent (running-sum window with an explicit ROWS frame, one
+    // lang-keyed shuffle; the cumulative cut INCLUDES the document
+    // that crosses the line, matching greedy packing). At 100 TB the
+    // ordering cost is the per-language sort the window needs — no
+    // driver loop, no global sort.
+    "corpus_token_budget" -> QueryDef.sql(
+      (s, dir) => {
+        val budget = 5000L
+        val w = Window.partitionBy("lang")
+          .orderBy(col("tok_cnt").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            size(toks(col("text"))).cast("long").as("tok_cnt"))
+          .withColumn("cum_toks", sum("tok_cnt").over(w))
+          .filter(col("cum_toks") - col("tok_cnt") < budget)
+          .orderBy("lang", "cum_toks")
+      },
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, tok_cnt,
+        |    SUM(tok_cnt) OVER (PARTITION BY lang ORDER BY tok_cnt DESC, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |  FROM t)
+        |SELECT lang, doc_id, tok_cnt, CAST(cum_toks AS BIGINT) AS cum_toks
+        |FROM c WHERE cum_toks - tok_cnt < 5000
+        |ORDER BY lang, cum_toks""".stripMargin)
   )
 }

@@ -936,6 +936,43 @@ object TraceQueries {
            |${iter("r2", "r3")}
            |SELECT node AS service, ROUND(rank, 6) AS rank
            |FROM r3 ORDER BY service""".stripMargin)
-      })
+      }),
+
+    // Gaps-and-islands: the longest CONSECUTIVE run of slow spans per
+    // service (consecutive in start order — an SLO breach streak, not
+    // a time-gap session). The rn − rn_slow difference is constant
+    // within a streak, so streaks group without self-joins; both
+    // window passes ride one service-keyed shuffle.
+    "trace_breach_runs" -> QueryDef.sql(
+      (s, dir) => {
+        val thresholdUs = 100000L
+        val w = Window.partitionBy("service").orderBy("start_us", "span_id")
+        val ws = Window.partitionBy("service", "is_slow").orderBy("start_us", "span_id")
+        spans(s, dir)
+          .withColumn("is_slow", (col("duration_us") > thresholdUs).cast("int"))
+          .withColumn("grp", row_number().over(w) - row_number().over(ws))
+          .filter(col("is_slow") === 1)
+          .groupBy("service", "grp")
+          .agg(count(lit(1)).as("run_len"), min("start_us").as("run_start_us"))
+          .groupBy("service")
+          .agg(max("run_len").as("max_run"),
+            count(lit(1)).as("n_runs"),
+            min("run_start_us").as("first_run_start_us"))
+          .orderBy("service")
+      },
+      cte(s"""
+        |, flagged AS (
+        |  SELECT service, span_id, start_us,
+        |    CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END AS is_slow,
+        |    row_number() OVER (PARTITION BY service ORDER BY start_us, span_id)
+        |      - row_number() OVER (PARTITION BY service, CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END
+        |                           ORDER BY start_us, span_id) AS grp
+        |  FROM spans),
+        |runs AS (
+        |  SELECT service, grp, COUNT(*) AS run_len, MIN(start_us) AS run_start_us
+        |  FROM flagged WHERE is_slow = 1 GROUP BY service, grp)
+        |SELECT service, MAX(run_len) AS max_run, COUNT(*) AS n_runs,
+        |  MIN(run_start_us) AS first_run_start_us
+        |FROM runs GROUP BY service ORDER BY service""".stripMargin))
   )
 }
