@@ -226,6 +226,22 @@ object StreamingQueries {
       .orderBy("window_start_us", "rk")
   }
 
+  /** Stateless alert stream: threshold breaches pass straight through
+    * — no watermark, no state store, pure per-row filter+project at
+    * ingest rate (the latency-critical alerting path; every stateful
+    * surface above pays the state-store floor, this one proves the
+    * engine ALSO has the zero-state fast path). Output equals the
+    * batch filter by construction. */
+  private def runAlerts(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val alerts = spanStream(ss, dir, richOps = false)
+      .filter(col("durationUs") > 300000L)
+      .select(col("traceId").as("trace_id"), col("spanId").cast("long").as("span_id"),
+        col("service"), col("startUs").as("start_us"),
+        col("durationUs").as("duration_us"))
+    runToParquet(s, alerts, "alerts").orderBy("span_id")
+  }
+
   private def runDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val spans = spanStream(ss, dir, richOps = false)
@@ -478,6 +494,16 @@ object StreamingQueries {
          |FROM c
          |QUALIFY row_number() OVER (PARTITION BY window_start_us ORDER BY n DESC, service) <= 3
          |ORDER BY window_start_us, rk""".stripMargin),
+
+    // stateless pass-through: alerts equal the batch filter (no
+    // watermark, no state — nothing to model)
+    "streaming_alerts" -> QueryDef.sql(runAlerts,
+      """SELECT CAST(user_id AS VARCHAR) AS trace_id, event_id AS span_id,
+        |  event_type AS service, epoch_us(ts) AS start_us,
+        |  CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |FROM events
+        |WHERE CAST(ROUND(value * 1000, 0) AS BIGINT) > 300000
+        |ORDER BY span_id""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,

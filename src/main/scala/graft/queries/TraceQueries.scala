@@ -973,6 +973,31 @@ object TraceQueries {
         |  FROM flagged WHERE is_slow = 1 GROUP BY service, grp)
         |SELECT service, MAX(run_len) AS max_run, COUNT(*) AS n_runs,
         |  MIN(run_start_us) AS first_run_start_us
-        |FROM runs GROUP BY service ORDER BY service""".stripMargin))
+        |FROM runs GROUP BY service ORDER BY service""".stripMargin)),
+
+    // Tail-based trace sampling — the collector policy: keep EVERY
+    // trace that touched an error, plus a deterministic 10% of healthy
+    // traces (md5 of trace_id, the same partition-independent keep
+    // rule as corpus_sample_split — resampling a backfill reproduces
+    // the identical keep set). One trace-grain agg; the keep decision
+    // is row-local after it.
+    "trace_sampled" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .groupBy("trace_id")
+        .agg(count(lit(1)).as("span_count"),
+          max(when(col("service") === "error", 1L).otherwise(0L)).as("has_err"))
+        .filter(col("has_err") === 1 ||
+          pmod(conv(substring(md5(col("trace_id")), 1, 8), 16, 10).cast("long"), lit(100L)) < 10)
+        .select(col("trace_id"), col("span_count"), col("has_err"))
+        .orderBy("trace_id"),
+      cte("""
+        |, tr AS (SELECT trace_id, COUNT(*) AS span_count,
+        |           MAX(CASE WHEN service = 'error' THEN 1 ELSE 0 END) AS has_err
+        |         FROM spans GROUP BY 1)
+        |SELECT trace_id, span_count, CAST(has_err AS BIGINT) AS has_err
+        |FROM tr
+        |WHERE has_err = 1
+        |   OR CAST(('0x' || substr(md5(trace_id), 1, 8)) AS BIGINT) % 100 < 10
+        |ORDER BY trace_id""".stripMargin))
   )
 }
