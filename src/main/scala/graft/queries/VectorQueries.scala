@@ -225,6 +225,56 @@ object VectorQueries {
         |SELECT vec_id, label, cos_centroid FROM sc
         |ORDER BY cos_centroid ASC, vec_id LIMIT 20""".stripMargin),
 
+    // ANN recall@5 as a MEASURED surface: the IVF path's top-5 overlap
+    // with brute-force ground truth, one row. Both pipelines are
+    // deterministic (rounded-score ranking), so recall is a stable
+    // number, not a distribution — the cell-probe cost/recall tradeoff
+    // on the record next to the operators themselves.
+    "ann_recall_ivf" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ivf = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 5,
+          nCentroids = 16, nProbe = 4)
+          .select(col("q_id"), col("neighbor_id"))
+        val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5)
+          .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+        val hits = ivf.join(brute,
+          col("q_id") === col("bq") && col("neighbor_id") === col("bn"))
+          .agg(count(lit(1)).as("n_hits"))
+        hits.crossJoin(brute.agg(count(lit(1)).as("n_truth")))
+          .select(col("n_hits"), col("n_truth"),
+            round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall_at_5"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |            ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk
+        |        FROM n CROSS JOIN c),
+        |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id AS cell
+        |           FROM aff WHERE crnk <= 4 AND vec_id < 10),
+        |sc AS (SELECT q_id, a.vec_id AS neighbor_id,
+        |         ROUND(list_dot_product(a.v, qv) / (a.nrm * qnrm), 6) AS score
+        |       FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+        |ivf AS (SELECT q_id, neighbor_id FROM (
+        |          SELECT q_id, neighbor_id,
+        |            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rnk
+        |          FROM sc) WHERE rnk <= 5),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |bsc AS (SELECT q_id, vec_id AS neighbor_id,
+        |          ROUND(list_dot_product(v, qv) / (nrm * qnrm), 6) AS score
+        |        FROM n CROSS JOIN q WHERE vec_id <> q_id),
+        |brute AS (SELECT q_id, neighbor_id FROM (
+        |            SELECT q_id, neighbor_id,
+        |              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id) AS rnk
+        |            FROM bsc) WHERE rnk <= 5)
+        |SELECT (SELECT COUNT(*) FROM ivf JOIN brute USING (q_id, neighbor_id)) AS n_hits,
+        |  (SELECT COUNT(*) FROM brute) AS n_truth,
+        |  ROUND(CAST((SELECT COUNT(*) FROM ivf JOIN brute USING (q_id, neighbor_id)) AS DOUBLE) /
+        |        (SELECT COUNT(*) FROM brute), 6) AS recall_at_5""".stripMargin),
+
     // The LSH tradeoff as a MEASURED surface: candidate-pair count,
     // surviving near-dup pairs, and recall vs the exact quadratic
     // path, in one row. On this synthetic corpus the 0.4 threshold
