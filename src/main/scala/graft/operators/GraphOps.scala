@@ -119,6 +119,10 @@ object GraphOps {
       ranks.unpersist()
       ranks = next
     }
+    // release the setup checkpoints — the returned ranks frame is its
+    // own materialized checkpoint, so nothing downstream needs these
+    // (the kmeansCentroids lesson: leaked blocks accumulate per call)
+    e.unpersist(); nodes.unpersist(); ew.unpersist()
     ranks
   }
 }

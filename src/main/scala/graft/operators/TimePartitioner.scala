@@ -83,16 +83,42 @@ object TimePartitioner {
     // (target missing → rename tmp into place), and may only discard a
     // tmp whose target still exists (crash before the swap started, so
     // the tmp is an unreferenced spare copy). Tmp dirs live NEXT TO
-    // their target (same parent, name = "_compact_tmp_" + target name)
+    // their target (same parent, name = "_compact_tmp_" + =-encoded target name)
     // precisely so the target is recoverable from the tmp path alone.
+    // Spark's hidden-path filter keeps underscore names that CONTAIN
+    // "=" (shouldFilterOut is `startsWith("_") && !contains("=")`), so
+    // a working name like "_compact_tmp_dt=X" is NOT reader-hidden —
+    // partition discovery would infer a bogus "_compact_tmp_dt" column
+    // for any reader that lists mid-compact. Working names therefore
+    // encode "=" as "~" ("_compact_tmp_dt~2024-01-01"); the sweep
+    // decodes both that and the legacy literal-"=" form.
+    def encode(name: String): String = name.replace("=", "~")
+    def decode(name: String): String = name.replace("~", "=")
+    // Only names the CURRENT writer produces may be auto-renamed into
+    // place: "dt=yyyy-MM-dd" at the root, "hr=HH" inside a dt dir. A
+    // stranded tmp whose decoded name doesn't parse (e.g. a
+    // legacy-format "_compact_tmp_dt=X_hr=05" parked at the root) must
+    // NOT become a bogus partition dir that corrupts the layout for
+    // every reader — and must not be deleted either, since it may hold
+    // the only copy. It is quarantined under a reader-hidden orphan
+    // name for manual recovery.
+    def validTarget(parent: org.apache.hadoop.fs.Path, name: String): Boolean =
+      if (parent == root) name.matches("dt=\\d{4}-\\d{2}-\\d{2}")
+      else name.matches("hr=\\d{2}")
     def sweepTmp(parent: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(parent).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
         .foreach { st =>
-          val target = new org.apache.hadoop.fs.Path(
-            parent, st.getPath.getName.stripPrefix("_compact_tmp_"))
+          val name = decode(st.getPath.getName.stripPrefix("_compact_tmp_"))
+          val target = new org.apache.hadoop.fs.Path(parent, name)
           if (fs.exists(target)) fs.delete(st.getPath, true)
-          else if (!fs.rename(st.getPath, target))
+          else if (!validTarget(parent, name)) {
+            val orphan = new org.apache.hadoop.fs.Path(
+              parent, s"_compact_orphan_${encode(name)}")
+            if (!fs.exists(orphan) && !fs.rename(st.getPath, orphan))
+              throw new java.io.IOException(
+                s"compact: failed to quarantine unrecognized tmp ${st.getPath}")
+          } else if (!fs.rename(st.getPath, target))
             throw new java.io.IOException(
               s"compact: failed to recover interrupted swap ${st.getPath} -> $target")
         }
@@ -123,10 +149,10 @@ object TimePartitioner {
       else {
         val rel = fs.makeQualified(part.getPath).toString
           .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
-        // sibling of the target, target name recoverable by stripping
+        // sibling of the target, target name recoverable by stripping + decoding
         // the prefix — the startup sweep depends on this invariant
         val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
-          s"_compact_tmp_${part.getPath.getName}")
+          s"_compact_tmp_${encode(part.getPath.getName)}")
         spark.read.parquet(part.getPath.toString)
           .coalesce(want)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -354,7 +354,7 @@ object RelationalQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY o_custkey""".stripMargin),
 
-    // C39: correlated LATERAL join — top-2 orders PER customer, the
+    // C48: correlated LATERAL join — top-2 orders PER customer, the
     // per-row dependent subquery a plain join can't express (and a
     // window-over-everything materializes globally). Spark
     // decorrelates the LIMIT'd lateral into a partitioned rank —

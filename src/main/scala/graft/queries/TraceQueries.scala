@@ -794,9 +794,20 @@ object TraceQueries {
       // RECURSIVE must be declared on the whole WITH list in DuckDB,
       // so this oracle rewrites the shared spans prefix instead of
       // using cte().
+      // anchors mirror spanDepths' boundary semantics exactly: roots
+      // (null parent) at depth 0 AND orphans (parent id absent from
+      // the input — routine when spans are dropped/sampled) at depth 1,
+      // so the oracle stays faithful even if a future data round
+      // breaks the generator's every-parent-exists invariant. (Cycles
+      // remain out of scope for both: spanDepths throws, the CTE would
+      // not terminate.)
       cte("""
         |, d AS (
         |  SELECT trace_id, span_id, 0 AS depth FROM spans WHERE parent_span_id IS NULL
+        |  UNION ALL
+        |  SELECT trace_id, span_id, 1 AS depth FROM spans s
+        |  WHERE parent_span_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM spans p WHERE p.span_id = s.parent_span_id)
         |  UNION ALL
         |  SELECT s.trace_id, s.span_id, d.depth + 1
         |  FROM spans s JOIN d ON s.parent_span_id = d.span_id)
@@ -912,9 +923,13 @@ object TraceQueries {
           .orderBy("service")
       },
       {
+        // the teleport numerator is written (1 - 0.85), NOT 0.15:
+        // GraphOps computes lit((1 - damping) / n) and 1 - 0.85 =
+        // 0.15000000000000002 ≠ 0.15 — the literal must replay the
+        // same IEEE subtraction or the base term is one ulp off
         def iter(prev: String, cur: String): String =
           s"""$cur AS (
-             |  SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(s.infl, 0.0) AS rank
+             |  SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * COALESCE(s.infl, 0.0) AS rank
              |  FROM nodes CROSS JOIN nn
              |  LEFT JOIN (SELECT ew.dst, SUM($prev.rank * ew.p) AS infl
              |             FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY ew.dst) s

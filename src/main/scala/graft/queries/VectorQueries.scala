@@ -236,8 +236,12 @@ object VectorQueries {
         val ivf = VectorOps.annTopKIvf(emb, col("vec_id") < 10, 5,
           nCentroids = 16, nProbe = 4)
           .select(col("q_id"), col("neighbor_id"))
+        // materialize the ground truth once — it feeds both the hit
+        // join and the denominator, and the corpus scan behind it is
+        // the dominant cost of this surface
         val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5)
           .select(col("q_id").as("bq"), col("neighbor_id").as("bn"))
+          .localCheckpoint()
         val hits = ivf.join(brute,
           col("q_id") === col("bq") && col("neighbor_id") === col("bn"))
           .agg(count(lit(1)).as("n_hits"))

@@ -29,7 +29,7 @@ class StreamRestartSpec extends AnyFunSpec with Matchers with SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
     val (srcDir, ckpt, outDir) = (s"$base/src", s"$base/ckpt", s"$base/out")
 
-    def addFile(name: String, spans: Seq[Span]): Unit =
+    def addFile(spans: Seq[Span]): Unit =
       s.createDataset(spans).repartition(1).write.mode(SaveMode.Append).parquet(srcDir)
 
     def runOnce(): Unit = {
@@ -52,21 +52,21 @@ class StreamRestartSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
 
     // run 1: A has two spans, B one; nobody has been quiet long enough
-    addFile("f1", Seq(sp("A", "a1", T0), sp("A", "a2", T0 + 1000000L), sp("B", "b1", T0)))
+    addFile(Seq(sp("A", "a1", T0), sp("A", "a2", T0 + 1000000L), sp("B", "b1", T0)))
     runOnce()
     sealedNow() shouldBe Map.empty // watermark still below every deadline
 
     // run 2 (new incarnation): B gets a late-burst span, C appears.
     // The watermark reaching T0+140s must fire A's T0+61s deadline —
     // state and deadline both set by the PREVIOUS incarnation.
-    addFile("f2", Seq(sp("B", "b2", T0 + 200000000L), sp("C", "c1", T0 + 200000000L)))
+    addFile(Seq(sp("B", "b2", T0 + 200000000L), sp("C", "c1", T0 + 200000000L)))
     runOnce()
     sealedNow() shouldBe Map("A" -> 2)
 
     // run 3: D advances the watermark to T0+340s, sealing B (both its
     // spans in ONE buffer — accumulation survived the restart, so the
     // burst merged instead of starting a fresh buffer) and C.
-    addFile("f3", Seq(sp("D", "d1", T0 + 400000000L)))
+    addFile(Seq(sp("D", "d1", T0 + 400000000L)))
     runOnce()
     sealedNow() shouldBe Map("A" -> 2, "B" -> 2, "C" -> 1)
   }

@@ -136,6 +136,36 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
       after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
     }
 
+    it("compact quarantines a tmp whose name is not a valid sibling partition") {
+      import org.apache.spark.sql.functions.sum
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_orphan").toString
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)), dir, hourly = false)
+      val before = spark.read.parquet(dir)
+      val (beforeRows, beforeSum) =
+        (before.count(), before.agg(sum("span_id")).head().getLong(0))
+      // a legacy-format stranded tmp ("/" flattened to "_", parked at
+      // the root): completing its "swap" would create a bogus
+      // root-level dt=..._hr=05 dir and corrupt the layout for every
+      // reader — it must be quarantined instead, and never deleted
+      // (it could hold the only copy of its partition)
+      val legacy = new java.io.File(dir, "_compact_tmp_dt=2024-01-01_hr=05")
+      legacy.mkdir() shouldBe true
+      new java.io.File(legacy, "maybe-only-copy.parquet").createNewFile() shouldBe true
+
+      TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+      names should contain("_compact_orphan_dt~2024-01-01_hr~05")
+      names.count(_.startsWith("_compact_tmp_")) shouldBe 0
+      names.count(_ == "dt=2024-01-01_hr=05") shouldBe 0 // no bogus partition
+      new java.io.File(dir, "_compact_orphan_dt~2024-01-01_hr~05/maybe-only-copy.parquet")
+        .exists() shouldBe true // data preserved for manual recovery
+      val after = spark.read.parquet(dir) // underscore prefix keeps readers blind
+      after.count() shouldBe beforeRows
+      after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
+    }
+
     it("compact reaches the hourly layout's hr= leaves") {
       val dir = java.nio.file.Files.createTempDirectory("graft_tp_compact_hr").toString
       TimePartitioner.writePartitioned(
