@@ -105,7 +105,11 @@ object Bench {
     } catch { case NonFatal(_) => }
 
     // batch queries first, streaming last (state-store contamination)
+    // dev-only subset filter (the driver never sets it): comma-joined
+    // names for scale probes where the full pack would take hours
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val (streamingNames, batchNames) = names.partition(_.startsWith("streaming_"))
     val results = (batchNames ++ streamingNames).map(n => n -> measured(n))
 
