@@ -31,10 +31,13 @@ object TreeOps {
     *                  silent wrong answer.
     */
   def spanDepths(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
-    val sess = spans.sparkSession
+    // The iterated state carries ONLY (span_id, anc, dist): every round
+    // materializes the whole state (localCheckpoint), so each extra
+    // column pays its width × rounds — trace_id (a 16-byte id in
+    // production) rides along zero times and rejoins once at the end.
     // Cursor init: one hop to the parent, or done (anc null, dist 0).
     var state = spans.select(
-      col("trace_id"), col("span_id"),
+      col("span_id"),
       col("parent_span_id").as("anc"),
       when(col("parent_span_id").isNull, 0L).otherwise(1L).as("dist"))
       .localCheckpoint()
@@ -50,7 +53,7 @@ object TreeOps {
       // join and resolves to done-at-current-dist.
       val next = state.join(hop, col("anc") === col("h_id"), "left_outer")
         .select(
-          col("trace_id"), col("span_id"),
+          col("span_id"),
           col("h_anc").as("anc"),
           (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
         .localCheckpoint()
@@ -61,6 +64,11 @@ object TreeOps {
     }
     require(!active, s"spanDepths did not converge in $maxRounds doubling rounds " +
       s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
-    state.select(col("trace_id"), col("span_id"), col("dist").as("depth"))
+    // NOTE: the final state checkpoint stays live — the returned frame
+    // reads from it (same contract as GraphOps.connectedComponents:
+    // the caller may unpersist after consuming).
+    spans.select(col("trace_id"), col("span_id"))
+      .join(state.select(col("span_id"), col("dist").as("depth")), "span_id")
+      .select(col("trace_id"), col("span_id"), col("depth"))
   }
 }
