@@ -111,7 +111,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val (streamingNames, batchNames) = names.partition(_.startsWith("streaming_"))
-    val results = (batchNames ++ streamingNames).map(n => n -> measured(n))
+    val batchResults = batchNames.map(n => n -> measured(n))
+    // the warm-pass caches exist for the batch block; carried into the
+    // streaming block they only squeeze state-store memory (measured
+    // 110 s vs 6.5 s on streaming_index_docs at the sf10 pack) — drop
+    // them so streaming entries time the streams
+    spark.catalog.clearCache()
+    val results = batchResults ++ streamingNames.map(n => n -> measured(n))
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
