@@ -956,6 +956,23 @@ object TextQueries {
         |  FROM t)
         |SELECT lang, doc_id, tok_cnt, CAST(cum_toks AS BIGINT) AS cum_toks
         |FROM c WHERE cum_toks - tok_cnt < 5000
-        |ORDER BY lang, cum_toks""".stripMargin)
+        |ORDER BY lang, cum_toks""".stripMargin),
+
+    // Character-trigram profile — the raw material of n-gram language
+    // ID and contamination fingerprints. The trigram array generates
+    // INLINE inside explode (a materialized upstream projection would
+    // hit the CollapseProject re-evaluation trap, SURVEY §4); counts
+    // collapse map-side before the one term shuffle.
+    "text_char_ngrams" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20),
+      """SELECT substr(text, CAST(t.i AS INT), 3) AS trigram, COUNT(*) AS n
+        |FROM documents, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS t(i)
+        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin)
   )
 }

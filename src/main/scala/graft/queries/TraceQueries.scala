@@ -1013,6 +1013,41 @@ object TraceQueries {
         |FROM tr
         |WHERE has_err = 1
         |   OR CAST(('0x' || substr(md5(trace_id), 1, 8)) AS BIGINT) % 100 < 10
-        |ORDER BY trace_id""".stripMargin))
+        |ORDER BY trace_id""".stripMargin)),
+
+    // Peak concurrency per service — the capacity-planning number: how
+    // many spans were in flight at once. Classic sweep line: every
+    // span contributes (+1 at start, −1 at end) events, a running sum
+    // ordered by time walks the profile, MAX is the peak. One
+    // service-keyed shuffle carries both the sort and the agg; ties
+    // break (time, delta asc) so an end and a start at the same
+    // microsecond close before they open — the conservative
+    // non-overlapping reading on both engines.
+    "trace_concurrency" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val events = sp.select(col("service"), col("start_us").as("t"), lit(1L).as("delta"))
+          .unionByName(sp.select(col("service"),
+            (col("start_us") + col("duration_us")).as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy("service").orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events.withColumn("load", sum("delta").over(w))
+          .groupBy("service")
+          .agg(max("load").as("peak_concurrency"), count(lit(1)).as("n_events"))
+          .orderBy("service")
+      },
+      cte("""
+        |, ev AS (
+        |  SELECT service, start_us AS t, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT service, start_us + duration_us AS t, -1 AS delta FROM spans),
+        |prof AS (
+        |  SELECT service,
+        |    SUM(delta) OVER (PARTITION BY service ORDER BY t, delta
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        |  FROM ev)
+        |SELECT service, CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+        |  COUNT(*) AS n_events
+        |FROM prof GROUP BY service ORDER BY service""".stripMargin))
   )
 }
