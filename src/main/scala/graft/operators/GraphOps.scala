@@ -96,6 +96,10 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       iters: Int, damping: Double = 0.85): DataFrame = {
+    // iters = 0 would return a lazy projection over the `nodes`
+    // checkpoint that the cleanup below unpersists — at least one
+    // round guarantees the returned frame is its OWN checkpoint
+    require(iters >= 1, s"pageRank needs at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).as("w")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))

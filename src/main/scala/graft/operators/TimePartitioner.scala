@@ -115,7 +115,14 @@ object TimePartitioner {
           else if (!validTarget(parent, name)) {
             val orphan = new org.apache.hadoop.fs.Path(
               parent, s"_compact_orphan_${encode(name)}")
-            if (!fs.exists(orphan) && !fs.rename(st.getPath, orphan))
+            // loud on ANY failure to move it aside — silently leaving
+            // an "="-named tmp in place poisons partition discovery
+            // for every reader (it is NOT hidden, see encode above)
+            if (fs.exists(orphan))
+              throw new java.io.IOException(
+                s"compact: quarantine destination $orphan already exists; " +
+                  s"resolve it manually so ${st.getPath} can be moved aside")
+            if (!fs.rename(st.getPath, orphan))
               throw new java.io.IOException(
                 s"compact: failed to quarantine unrecognized tmp ${st.getPath}")
           } else if (!fs.rename(st.getPath, target))

@@ -964,9 +964,14 @@ object TextQueries {
     // hit the CollapseProject re-evaluation trap, SURVEY §4); counts
     // collapse map-side before the one term shuffle.
     "text_char_ngrams" -> QueryDef.sql(
+      // docs shorter than 3 chars are filtered BEFORE the sequence:
+      // sequence(1, 0) in Spark steps DOWNWARD ([1, 0] — step defaults
+      // to -1 when start > stop) and would fabricate grams the oracle's
+      // empty range(1, 1) never emits
       (s, dir) => Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
         .select(explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("trigram"))
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))

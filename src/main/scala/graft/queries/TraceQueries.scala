@@ -923,13 +923,15 @@ object TraceQueries {
           .orderBy("service")
       },
       {
-        // the teleport numerator is written (1 - 0.85), NOT 0.15:
-        // GraphOps computes lit((1 - damping) / n) and 1 - 0.85 =
-        // 0.15000000000000002 ≠ 0.15 — the literal must replay the
-        // same IEEE subtraction or the base term is one ulp off
+        // the teleport numerator must replay Spark's DOUBLE subtraction
+        // (1 - 0.85 = 0.15000000000000002): DuckDB parses bare 0.85 as
+        // DECIMAL, whose exact (1 - 0.85) is 0.15 — one ulp off — so
+        // both operands are cast to DOUBLE before subtracting
         def iter(prev: String, cur: String): String =
           s"""$cur AS (
-             |  SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * COALESCE(s.infl, 0.0) AS rank
+             |  SELECT nodes.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |      + 0.85 * COALESCE(s.infl, 0.0) AS rank
              |  FROM nodes CROSS JOIN nn
              |  LEFT JOIN (SELECT ew.dst, SUM($prev.rank * ew.p) AS infl
              |             FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY ew.dst) s
