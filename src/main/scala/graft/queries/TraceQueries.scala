@@ -1050,6 +1050,41 @@ object TraceQueries {
         |  FROM ev)
         |SELECT service, CAST(MAX(load) AS BIGINT) AS peak_concurrency,
         |  COUNT(*) AS n_events
-        |FROM prof GROUP BY service ORDER BY service""".stripMargin))
+        |FROM prof GROUP BY service ORDER BY service""".stripMargin)),
+
+    // Cohort retention matrix — users grouped by first-seen week, the
+    // fraction still active k weeks later. Two aggregates and one
+    // user-keyed join (the cohort table re-joins activity on the SAME
+    // user_id partitioning); rates are single int/int divisions.
+    "trace_cohort_retention" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val weeks = sp.select(col("trace_id"),
+          expr(s"(start_us - $T0) div ${7 * DayUs}").as("week"))
+        val activity = weeks.distinct()
+        val cohorts = weeks.groupBy("trace_id").agg(min("week").as("cohort_week"))
+        val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        activity.join(cohorts, "trace_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      cte(s"""
+        |, weeks AS (SELECT DISTINCT trace_id,
+        |              (start_us - $T0) // ${7 * DayUs} AS week FROM spans),
+        |cohorts AS (SELECT trace_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+        |m AS (SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |        COUNT(*) AS n_active
+        |      FROM weeks w JOIN cohorts c ON w.trace_id = c.trace_id
+        |      GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+        |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
+        |ORDER BY m.cohort_week, week_offset""".stripMargin))
   )
 }
