@@ -51,6 +51,32 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out shouldBe Map(7L -> 1L, 8L -> 2L)
     }
 
+    it("matches a driver-side traversal on seeded random forests") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(42)
+      for (trial <- 1 to 3) {
+        val n = 200 + trial * 100
+        // random forest: node i's parent is a random earlier node (or
+        // a root with p≈0.1) — guarantees acyclicity by construction
+        val parents: Map[Long, Option[Long]] =
+          (0L until n).map { i =>
+            i -> (if (i == 0 || rng.nextDouble() < 0.1) None
+                  else Some(rng.nextLong(i)))
+          }.toMap
+        def refDepth(i: Long): Long = parents(i) match {
+          case None => 0L
+          case Some(p) => refDepth(p) + 1L
+        }
+        val df = parents.toSeq.map { case (id, p) => ("t", id, p) }
+          .toDF("trace_id", "span_id", "parent_span_id")
+        val got = TreeOps.spanDepths(df).collect()
+          .map(r => r.getLong(1) -> r.getLong(2)).toMap
+        got.keySet shouldBe parents.keySet
+        got.foreach { case (id, d) => d shouldBe refDepth(id) }
+      }
+    }
+
     it("fails loudly on a parent cycle instead of spinning") {
       val s = spark
       import s.implicits._
