@@ -89,6 +89,20 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
       t1.head.spans.map(_.spanId).toSet shouldBe Set("a", "b")
     }
 
+    it("merges an out-of-order span that arrives above the watermark") {
+      // batch 2 delivers a span OLDER than anything in batch 1 but
+      // still above the watermark (t0+10s − 60s): it must merge into
+      // the open buffer, not start a new one or be dropped
+      val sealed_ = runBatches(gapSeconds = 60, maxSpans = 100)(
+        Seq(span("t1", "late-ref", t0 + 10000000L)),
+        Seq(span("t1", "early", t0)),
+        Seq(span("t2", "x", t0 + 600000000L)), // advance watermark past t1's deadline
+        Seq(span("t2", "y", t0 + 601000000L))) // extra batch so the timeout fires
+      val t1 = sealed_.filter(_.traceId == "t1")
+      t1 should have size 1
+      t1.head.spans.map(_.spanId).toSet shouldBe Set("late-ref", "early")
+    }
+
     it("keeps quiet-but-young traces open") {
       val sealed_ = runBatches(gapSeconds = 3600, maxSpans = 100)(
         Seq(span("t1", "a", t0)),
