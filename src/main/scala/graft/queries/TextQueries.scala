@@ -672,6 +672,31 @@ object TextQueries {
            |$ccSql
            |SELECT doc_id, cluster_id FROM canon ORDER BY doc_id""".stripMargin),
 
+    // Cluster-size profile of the near-dup graph — the dedup REPORT a
+    // pipeline emits before dropping anything: how many clusters of
+    // each size, and what fraction of the corpus is redundant
+    // (size−1 removable per cluster). Two tiny aggs over the
+    // same component output; dup_fraction is one int/int division.
+    "dedup_cluster_stats" -> QueryDef.sql(
+      (s, dir) => {
+        val comp = graft.operators.GraphOps.connectedComponents(
+          minhashPairs(s, dir, 300, doubled = true), "d1", "d2")
+        val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        sizes.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+          .withColumn("n_removable", (col("cluster_size") - 1) * col("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      minhashPairsSql(300, doubled = true).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        s""",
+           |$ccSql,
+           |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM canon GROUP BY 1)
+           |SELECT cluster_size, COUNT(*) AS n_clusters,
+           |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+           |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+
     // Deterministic CONTENT-hash sampling + train/val split: bucket =
     // md5(text) prefix mod 100, sample keeps buckets < 20, split is
     // 90/10 within the sample. Content-hashed (not rand/TABLESAMPLE,
