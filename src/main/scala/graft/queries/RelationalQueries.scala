@@ -905,6 +905,46 @@ object RelationalQueries {
         |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
         |  quantile_disc(l_extendedprice, 0.95) AS p95_disc,
         |  median(l_extendedprice) AS med
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // C49b: regexp extraction — pull the numeric id out of the entity
+    // name and prove it round-trips to the key (Java and DuckDB regex
+    // agree on these simple patterns, same as the langid lexicons)
+    "q_regexp" -> QueryDef.sql(
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_mktsegment"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).cast("long").as("extracted"),
+          col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("extracted") === col("c_custkey"), 1L).otherwise(0L))
+            .as("n_roundtrip"),
+          sum("extracted").as("sum_extracted"))
+        .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) = c_custkey
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+        |  CAST(SUM(CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_extracted
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // C49c: date arithmetic — ship delay in whole days (datediff is
+    // exact int math; the mean divides two exact ints)
+    "q_ship_delay" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min("delay_days").as("min_delay"), max("delay_days").as("max_delay"),
+          round(sum("delay_days").cast("double") / count(lit(1)), 6).as("avg_delay"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_delay,
+        |  CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay,
+        |  ROUND(CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_delay
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }
