@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed prefix sums (SURVEY.md §4): running
+  * sum / row_number over a LOW-CARDINALITY partition key without
+  * collapsing each key onto one task.
+  *
+  * `Window.partitionBy(lang).orderBy(...)` is correct but its
+  * parallelism equals the number of distinct langs/services — at
+  * 100 TB the whole biggest key sorts in ONE task. The classic fix is
+  * the distributed scan (Blelloch two-phase prefix sum):
+  *
+  *   1. sub-shard each key with a caller-chosen chunk column that is
+  *      monotone non-decreasing along the intended order (e.g.
+  *      `doc_id div 64`, `start_us div 1h`, `-(tok_cnt div 32)` for a
+  *      descending order) — parallelism becomes #(key, shard);
+  *   2. run the window INSIDE each (key, shard) sub-shard;
+  *   3. aggregate one total per sub-shard (tiny — partial map-side
+  *      combine, rows = #sub-shards), prefix-sum those totals per key
+  *      into EXCLUSIVE offsets, and broadcast them back;
+  *   4. add offset + local running value — identical answers, because
+  *      shard boundaries respect the total order.
+  *
+  * Cost: one extra scan of the input for the totals pass (itself a
+  * partial agg) and a broadcast join, in exchange for parallelism
+  * bounded by data size instead of key cardinality. Monotonicity of
+  * the shard column along the order is the caller's contract — rows
+  * that tie on the order columns must land in the same shard (true
+  * whenever the shard is a pure function of a prefix of the order
+  * key, as in all uses here).
+  */
+object ShardedWindow {
+
+  private val Reserved = Seq("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
+
+  private def checkReserved(df: DataFrame): Unit =
+    require(
+      !df.columns.exists(Reserved.contains),
+      s"input must not contain reserved columns ${Reserved.mkString(", ")}")
+
+  /** Running `sum(value)` over each `keys` partition in `order`
+    * (inclusive ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), equal to
+    * `sum(value).over(Window.partitionBy(keys).orderBy(order))` but
+    * with per-(key, shard) parallelism. `shard` must be monotone
+    * non-decreasing along `order` within every key. */
+  def runningSum(
+      df: DataFrame,
+      keys: Seq[String],
+      shard: Column,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    checkReserved(df)
+    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    val localW = Window
+      .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged.withColumn("_sw_local", sum(col("_sw_v")).over(localW))
+    // One row per (key, shard): driver-scale however big the data is.
+    val totals = tagged
+      .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .agg(sum(col("_sw_v")).as("_sw_total"))
+    val offW = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_sw_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("_sw_off", sum(col("_sw_total")).over(offW) - col("_sw_total"))
+      .select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off")): _*)
+    local
+      .join(broadcast(offsets), keys :+ "_sw_shard")
+      .withColumn(out, col("_sw_local") + col("_sw_off"))
+      .drop("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
+  }
+
+  /** `row_number()` over each `keys` partition in `order` (a running
+    * COUNT(1)), sharded the same way; `order` must totally order rows
+    * within each key for the numbering to be deterministic. Returns
+    * LongType (a running sum), where `row_number()` returns int. */
+  def rowNumber(
+      df: DataFrame,
+      keys: Seq[String],
+      shard: Column,
+      order: Seq[Column],
+      out: String): DataFrame =
+    runningSum(df, keys, shard, order, lit(1L), out)
+}

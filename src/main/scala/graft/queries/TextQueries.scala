@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftExtensions, Tables}
-import graft.operators.TextOps
+import graft.operators.{ShardedWindow, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -286,18 +286,31 @@ object TextQueries {
     // Quality-quantile gate: keep the best 60% of docs per language by
     // alpha ratio — curation by RELATIVE quality (a fixed threshold
     // over- or under-prunes languages with different score
-    // distributions). percent_rank is (rank-1)/(n-1) on both engines;
-    // the (quality desc, doc_id) order makes ranks — and therefore the
-    // cut — deterministic. One shuffle by lang; the window and filter
-    // ride it.
+    // distributions). percent_rank is (rank-1)/(n-1) on both engines,
+    // and the (quality desc, doc_id) order is TOTAL (doc_id unique),
+    // so rank == row_number and the formula is computed explicitly
+    // from a ShardedWindow row number: parallelism = #(lang, q-band)
+    // sub-shards, not #langs (5 at any scale). The shard is a pure
+    // function of the leading order key (q desc → -(q*20) ascending),
+    // so ties stay in one shard and the numbering is exact; n per
+    // lang joins in as a broadcast aggregate.
     "corpus_quality_gate" -> QueryDef.sql(
       (s, dir) => {
         val q = round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
           length(col("text")), 6)
-        val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
-        Tables.documents(s, dir)
+        val scored = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), q.as("q"))
-          .withColumn("pr", percent_rank().over(w))
+        val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        val ranked = ShardedWindow.rowNumber(
+          scored,
+          keys = Seq("lang"),
+          shard = -floor(col("q") * 20),
+          order = Seq(col("q").desc, col("doc_id")),
+          out = "rn")
+        ranked.join(broadcast(n), "lang")
+          // n == 1 → percent_rank defines 0.0 (not 0/0 = NaN)
+          .withColumn("pr", when(col("n") === 1, 0.0).otherwise(
+            (col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))
           .filter(col("pr") <= 0.6)
           .select("doc_id", "lang", "q")
           .orderBy("doc_id")
@@ -318,16 +331,23 @@ object TextQueries {
     // shuffling. The assignment is bin = floor(tokens_before / budget)
     // (a doc straddling a boundary starts in its bin — bounded
     // overflow, the standard streaming-pack tradeoff), which unlike
-    // greedy first-fit is a pure window cumsum: deterministic,
-    // partition-parallel by shard key, no sequential driver loop.
+    // greedy first-fit is a pure cumsum — here the ShardedWindow
+    // two-phase form (sub-shard on doc_id div 64, local cumsum,
+    // broadcast exclusive offsets), so parallelism is #(lang, chunk)
+    // sub-shards instead of #langs: at 100 TB a language no longer
+    // sorts in one task.
     "corpus_pack" -> QueryDef.sql(
       (s, dir) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             size(toks(col("text"))).cast("long").as("n_tokens"))
-          .withColumn("cum", sum("n_tokens").over(w))
+        ShardedWindow.runningSum(
+          docs,
+          keys = Seq("lang"),
+          shard = expr("doc_id div 64"),
+          order = Seq(col("doc_id")),
+          value = col("n_tokens"),
+          out = "cum")
           .withColumn("bin", floor((col("cum") - col("n_tokens")) / 512L))
           .groupBy("lang", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
@@ -952,21 +972,26 @@ object TextQueries {
 
     // Per-language token-budget selection — the corpus-assembly op:
     // biggest documents first until each language's token budget is
-    // spent (running-sum window with an explicit ROWS frame, one
-    // lang-keyed shuffle; the cumulative cut INCLUDES the document
-    // that crosses the line, matching greedy packing). At 100 TB the
-    // ordering cost is the per-language sort the window needs — no
-    // driver loop, no global sort.
+    // spent (the cumulative cut INCLUDES the document that crosses the
+    // line, matching greedy packing). The running sum is the
+    // ShardedWindow two-phase form over a DESCENDING order: the shard
+    // -(tok_cnt div 32) ascends as tok_cnt descends and is a pure
+    // function of the leading order key, so shard ranges are
+    // contiguous in the order and the distributed cumsum is exact —
+    // parallelism #(lang, size-band), not #langs.
     "corpus_token_budget" -> QueryDef.sql(
       (s, dir) => {
         val budget = 5000L
-        val w = Window.partitionBy("lang")
-          .orderBy(col("tok_cnt").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir)
           .select(col("lang"), col("doc_id"),
             size(toks(col("text"))).cast("long").as("tok_cnt"))
-          .withColumn("cum_toks", sum("tok_cnt").over(w))
+        ShardedWindow.runningSum(
+          docs,
+          keys = Seq("lang"),
+          shard = -expr("tok_cnt div 32"),
+          order = Seq(col("tok_cnt").desc, col("doc_id")),
+          value = col("tok_cnt"),
+          out = "cum_toks")
           .filter(col("cum_toks") - col("tok_cnt") < budget)
           .orderBy("lang", "cum_toks")
       },

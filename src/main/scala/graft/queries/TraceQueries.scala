@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{SpanOps, TimePartitioner, TraceSearch, WhitelistIndex}
+import graft.operators.{ShardedWindow, SpanOps, TimePartitioner, TraceSearch, WhitelistIndex}
 import graft.operators.WhitelistIndex.WhitelistField
 import graft.trace.TraceDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -963,11 +963,21 @@ object TraceQueries {
     "trace_breach_runs" -> QueryDef.sql(
       (s, dir) => {
         val thresholdUs = 100000L
-        val w = Window.partitionBy("service").orderBy("start_us", "span_id")
-        val ws = Window.partitionBy("service", "is_slow").orderBy("start_us", "span_id")
-        spans(s, dir)
+        // Both row_numbers are ShardedWindow two-phase counts sub-
+        // sharded on the hour of start_us (monotone in the (start_us,
+        // span_id) order for both partitionings), so a hot service
+        // numbers in #(service, hour) tasks, not one. The difference
+        // of two exact row numbers is unchanged.
+        val flagged = spans(s, dir)
           .withColumn("is_slow", (col("duration_us") > thresholdUs).cast("int"))
-          .withColumn("grp", row_number().over(w) - row_number().over(ws))
+        val hourShard = expr(s"start_us div $HourUs")
+        val ord = Seq(col("start_us"), col("span_id"))
+        val rnAll = ShardedWindow.rowNumber(
+          flagged, Seq("service"), hourShard, ord, "rn_all")
+        val rnSlow = ShardedWindow.rowNumber(
+          rnAll, Seq("service", "is_slow"), hourShard, ord, "rn_slow")
+        rnSlow
+          .withColumn("grp", col("rn_all") - col("rn_slow"))
           .filter(col("is_slow") === 1)
           .groupBy("service", "grp")
           .agg(count(lit(1)).as("run_len"), min("start_us").as("run_start_us"))
@@ -1031,9 +1041,18 @@ object TraceQueries {
         val events = sp.select(col("service"), col("start_us").as("t"), lit(1L).as("delta"))
           .unionByName(sp.select(col("service"),
             (col("start_us") + col("duration_us")).as("t"), lit(-1L).as("delta")))
-        val w = Window.partitionBy("service").orderBy(col("t"), col("delta"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        events.withColumn("load", sum("delta").over(w))
+        // The prefix sum is the ShardedWindow two-phase form sub-
+        // sharded on the hour of t: a service's sweep runs in
+        // #(service, hour) tasks instead of one. The hour is a pure
+        // function of the leading order key t, so (t, delta) ties
+        // stay in one shard and the distributed sum is exact.
+        ShardedWindow.runningSum(
+          events,
+          keys = Seq("service"),
+          shard = expr(s"t div $HourUs"),
+          order = Seq(col("t"), col("delta")),
+          value = col("delta"),
+          out = "load")
           .groupBy("service")
           .agg(max("load").as("peak_concurrency"), count(lit(1)).as("n_events"))
           .orderBy("service")
