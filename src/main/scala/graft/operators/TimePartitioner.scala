@@ -90,10 +90,19 @@ object TimePartitioner {
     // a working name like "_compact_tmp_dt=X" is NOT reader-hidden —
     // partition discovery would infer a bogus "_compact_tmp_dt" column
     // for any reader that lists mid-compact. Working names therefore
-    // encode "=" as "~" ("_compact_tmp_dt~2024-01-01"); the sweep
-    // decodes both that and the legacy literal-"=" form.
-    def encode(name: String): String = name.replace("=", "~")
-    def decode(name: String): String = name.replace("~", "=")
+    // escape reversibly: '~'→"~t" then '='→"~e"
+    // ("_compact_tmp_dt~e2024-01-01") — injective on ANY name, where a
+    // blanket '='↔'~' swap destroys the distinction for names that
+    // already contain '~'. decode() inverts a fully valid new-style
+    // name (every '~' followed by t/e); anything else falls back to
+    // the legacy blanket form (legacy-encoded partition names put a
+    // digit after '~', never t/e, so the grammars don't collide).
+    def encode(name: String): String =
+      name.replace("~", "~t").replace("=", "~e")
+    def decode(name: String): String =
+      if (name.contains("~") && !name.matches(".*~(?![te]).*"))
+        name.replace("~e", "=").replace("~t", "~")
+      else name.replace("~", "=")
     // Only names the CURRENT writer produces may be auto-renamed into
     // place: "dt=yyyy-MM-dd" at the root, "hr=HH" inside a dt dir. A
     // stranded tmp whose decoded name doesn't parse (e.g. a
@@ -109,12 +118,16 @@ object TimePartitioner {
       fs.listStatus(parent).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("_compact_tmp_"))
         .foreach { st =>
-          val name = decode(st.getPath.getName.stripPrefix("_compact_tmp_"))
+          val rawSuffix = st.getPath.getName.stripPrefix("_compact_tmp_")
+          val name = decode(rawSuffix)
           val target = new org.apache.hadoop.fs.Path(parent, name)
           if (fs.exists(target)) fs.delete(st.getPath, true)
           else if (!validTarget(parent, name)) {
+            // quarantine under the encoded RAW suffix — encode is
+            // injective, so the original tmp name (not a lossy
+            // decode of it) is recoverable for manual repair
             val orphan = new org.apache.hadoop.fs.Path(
-              parent, s"_compact_orphan_${encode(name)}")
+              parent, s"_compact_orphan_${encode(rawSuffix)}")
             // loud on ANY failure to move it aside — silently leaving
             // an "="-named tmp in place poisons partition discovery
             // for every reader (it is NOT hidden, see encode above)

@@ -59,7 +59,12 @@ object VectorOps {
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .filter(norm(col("v")) > 0)
+    // guard the CENTROID norm too: a label whose element sums are all
+    // exactly zero would divide to NULL, and NULL ordering differs
+    // between Spark (first ASC) and DuckDB (last) — degenerate labels
+    // are excluded instead of emitted (mirrored in the oracle)
     e.join(broadcast(cent), "label")
+      .filter(norm(col("cv")) > 0)
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))), 6)
           .as("cos_centroid"))

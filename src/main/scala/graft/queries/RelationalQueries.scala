@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.ShardedWindow
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -727,18 +728,38 @@ object RelationalQueries {
     // cume_dist over per-customer spend. Spend is an exact decimal sum
     // (identical doubles on both engines) so the shared (spend desc,
     // custkey) order — and therefore every rank — is deterministic.
+    // The unpartitioned Window.orderBy would sort the WHOLE customer
+    // set in one task; the order is total (custkey unique), so all
+    // three ranks derive from a ShardedWindow global row number
+    // (sub-sharded on a spend band, exclusive offsets broadcast) plus
+    // the broadcast total count: rank == rn, percent_rank = (rn-1)/
+    // (n-1), cume_dist = rn/n, and ntile(4) is its closed form (the
+    // first n mod 4 buckets take one extra row).
     "q_ntile" -> QueryDef.sql(
       (s, dir) => {
         val spend = Tables.orders(s, dir)
           .groupBy("o_custkey")
           .agg(asDec2(sum(dec("o_totalprice"))).as("spend"),
             count(lit(1)).as("n_orders"))
-        val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-        spend.select(
-          col("o_custkey"), col("spend"), col("n_orders"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+        val ranked = ShardedWindow.rowNumber(
+          spend,
+          keys = Seq.empty,
+          shard = -floor(col("spend") / 10000),
+          order = Seq(col("spend").desc, col("o_custkey")),
+          out = "rn")
+        val total = spend.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("q4", expr("n div 4")) // exact long division throughout —
+          .withColumn("r4", col("n") % 4)    // `/` on longs would go double
+          .withColumn("big", (col("q4") + 1) * col("r4"))
+          .select(
+            col("o_custkey"), col("spend"), col("n_orders"),
+            when(col("rn") <= col("big"), expr("(rn - 1) div (q4 + 1) + 1"))
+              .otherwise(expr("r4 + (rn - big - 1) div q4 + 1"))
+              .cast("long").as("quartile"),
+            round((col("rn") - 1).cast("double") / (col("n") - 1).cast("double"), 6)
+              .as("pr"),
+            round(col("rn").cast("double") / col("n").cast("double"), 6).as("cd"))
           .orderBy("o_custkey")
       },
       s"""WITH spend AS (
@@ -921,10 +942,16 @@ object RelationalQueries {
             .as("n_roundtrip"),
           sum("extracted").as("sum_extracted"))
         .orderBy("c_mktsegment"),
+      // TRY_CAST, not CAST: on a non-matching name DuckDB's
+      // regexp_extract returns '' and CAST('' AS BIGINT) ERRORS, while
+      // Spark's .cast("long") yields null — TRY_CAST mirrors the
+      // null-on-failure semantics so a data round without the
+      // every-name-matches invariant mismatches instead of breaking
+      // the verify run.
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) = c_custkey
+        |  CAST(SUM(CASE WHEN TRY_CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) = c_custkey
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
-        |  CAST(SUM(CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_extracted
+        |  CAST(SUM(TRY_CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_extracted
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
     // C49c: date arithmetic — ship delay in whole days (datediff is

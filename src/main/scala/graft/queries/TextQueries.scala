@@ -895,17 +895,19 @@ object TextQueries {
     // Zipf rank-frequency slope of the corpus — the log-log regression
     // over the top-100 terms that a natural corpus keeps near −1
     // (synthetic/templated corpora drift off it). Term counts shuffle
-    // once; the 100-point regression reuses q_stats_agg's closed-form
-    // power-sum formula.
+    // once; the top-100 cut is orderBy+limit (TakeOrderedAndProject —
+    // per-partition heaps, never a single-task global sort of the term
+    // dictionary), so the only window runs over the 100 survivors; the
+    // regression reuses q_stats_agg's closed-form power-sum formula.
     "text_zipf_slope" -> QueryDef.sql(
       (s, dir) => {
         val counts = Tables.documents(s, dir)
           .select(explode(toks(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
         val ranked = counts
+          .orderBy(col("f").desc, col("tok")).limit(100)
           .withColumn("r", row_number().over(
             Window.orderBy(col("f").desc, col("tok"))))
-          .filter(col("r") <= 100)
           .select(log(col("r").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
         val sums = ranked.agg(
           count(lit(1)).cast("double").as("n"),

@@ -213,29 +213,43 @@ object TraceQueries {
     // (commons/packer: "hytc" magic + metadata JSON + gzip/snappy/zstd
     // body). graft reproduces the frame byte-for-byte over Spark's own
     // codec jars (native pack_blob/unpack_blob expressions), so
-    // reference-written blobs unpack in a graft scan and vice versa.
-    // Rows-only: compression bytes aren't SQL-expressible — the wire
-    // format itself is proven against hand-built reference bytes in
-    // PackedBlobSpec.
-    "trace_store_blobs" -> QueryDef.rowsOnly(
+    // reference-written blobs unpack in a graft scan and vice versa
+    // (byte-level interop proven in PackedBlobSpec). The compression
+    // bytes themselves aren't SQL-expressible, but the ROUND TRIP is:
+    // per trace, serialize the span rows, pack under each codec,
+    // unpack, and re-emit the decoded SPAN ROWS — the DuckDB oracle is
+    // a plain SELECT of the same columns straight from spans, so the
+    // driver's own hash proves unpack(pack(x)) == x across the whole
+    // relation and all four codecs.
+    "trace_store_blobs" -> QueryDef.sql(
       (s, dir) => {
         graft.GraftExtensions.register(s)
-        val perTrace = spans(s, dir)
+        val spanStruct = struct(
+          col("span_id"), col("parent_span_id"), col("service"),
+          col("operation"), col("start_us"), col("duration_us"))
+        val packed = spans(s, dir)
           .groupBy("trace_id")
-          .agg(to_json(sort_array(collect_list(col("span_id")))).as("payload_json"))
-          .select(col("payload_json").cast("binary").as("payload"))
-        Seq("GZIP", "SNAPPY", "ZSTD", "NONE").map { c =>
-          perTrace.select(
-            lit(c).as("codec"),
-            (expr(s"unpack_blob(pack_blob(payload, '$c'))") === col("payload")).as("ok"),
-            length(expr(s"pack_blob(payload, '$c')")).cast("long").as("packed_len"))
+          .agg(to_json(sort_array(collect_list(spanStruct))).as("payload"))
+        val rtSchema = "array<struct<span_id:bigint,parent_span_id:bigint," +
+          "service:string,operation:string,start_us:bigint,duration_us:bigint>>"
+        Seq("GZIP", "NONE", "SNAPPY", "ZSTD").map { c =>
+          packed.select(
+            lit(c).as("codec"), col("trace_id"),
+            expr(s"cast(unpack_blob(pack_blob(cast(payload as binary), '$c')) as string)")
+              .as("rt"))
         }.reduce(_ unionAll _)
-          .groupBy("codec")
-          .agg(count(lit(1)).as("n_traces"),
-            sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
-            sum("packed_len").cast("long").as("total_packed_bytes"))
-          .orderBy("codec")
-      }),
+          .select(col("codec"), col("trace_id"),
+            explode(from_json(col("rt"), rtSchema, Map.empty[String, String])).as("sp"))
+          .select(col("codec"), col("trace_id"), col("sp.span_id"),
+            col("sp.parent_span_id"), col("sp.service"), col("sp.operation"),
+            col("sp.start_us"), col("sp.duration_us"))
+          .orderBy("codec", "trace_id", "span_id")
+      },
+      cte("""
+        |SELECT c.codec, trace_id, span_id, parent_span_id, service, operation,
+        |       start_us, duration_us
+        |FROM spans CROSS JOIN (VALUES ('GZIP'), ('NONE'), ('SNAPPY'), ('ZSTD')) c(codec)
+        |ORDER BY codec, trace_id, span_id""".stripMargin)),
 
     // A11: expression-tree search — AND of span-level groups (intersect)
     "trace_search_expr" -> QueryDef.sql(

@@ -221,7 +221,8 @@ object VectorQueries {
         |         ROUND(list_dot_product(v, cv) /
         |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
         |           AS cos_centroid
-        |       FROM e JOIN cent ON e.label = cent.label)
+        |       FROM e JOIN cent ON e.label = cent.label
+        |       WHERE sqrt(list_dot_product(cv, cv)) > 0)
         |SELECT vec_id, label, cos_centroid FROM sc
         |ORDER BY cos_centroid ASC, vec_id LIMIT 20""".stripMargin),
 

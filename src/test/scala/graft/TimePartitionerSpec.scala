@@ -155,13 +155,43 @@ class TimePartitionerSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
       TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
 
+      // orphan name = reversible escape ('='→"~e", '~'→"~t") of the
+      // RAW tmp suffix: decodes back to the exact original
+      // "dt=2024-01-01_hr=05" for manual repair, and contains no '='
+      // so it stays reader-hidden
       val names = new java.io.File(dir).listFiles().map(_.getName)
-      names should contain("_compact_orphan_dt~2024-01-01_hr~05")
+      names should contain("_compact_orphan_dt~e2024-01-01_hr~e05")
       names.count(_.startsWith("_compact_tmp_")) shouldBe 0
       names.count(_ == "dt=2024-01-01_hr=05") shouldBe 0 // no bogus partition
-      new java.io.File(dir, "_compact_orphan_dt~2024-01-01_hr~05/maybe-only-copy.parquet")
+      new java.io.File(dir, "_compact_orphan_dt~e2024-01-01_hr~e05/maybe-only-copy.parquet")
         .exists() shouldBe true // data preserved for manual recovery
       val after = spark.read.parquet(dir) // underscore prefix keeps readers blind
+      after.count() shouldBe beforeRows
+      after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
+    }
+
+    it("compact recovers a new-style ~e-encoded interrupted swap") {
+      import org.apache.spark.sql.functions.sum
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp_newenc").toString
+      TimePartitioner.writePartitioned(
+        SpanOps.spansFromEvents(Tables.events(spark, sfDir)), dir, hourly = false)
+      val before = spark.read.parquet(dir)
+      val (beforeRows, beforeSum) =
+        (before.count(), before.agg(sum("span_id")).head().getLong(0))
+      // simulate a crash mid-swap with the CURRENT writer's encoding:
+      // target deleted, tmp (holding the only copy) left behind
+      val victim = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("dt=")).minBy(_.getName)
+      val tmp = new java.io.File(dir,
+        s"_compact_tmp_${victim.getName.replace("~", "~t").replace("=", "~e")}")
+      victim.renameTo(tmp) shouldBe true
+
+      TimePartitioner.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+      names should contain(victim.getName) // swap completed
+      names.count(_.startsWith("_compact_tmp_")) shouldBe 0
+      val after = spark.read.parquet(dir)
       after.count() shouldBe beforeRows
       after.agg(sum("span_id")).head().getLong(0) shouldBe beforeSum
     }
