@@ -8,18 +8,86 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads + typed metadata, processed in
   * partition-local batches.
   *
-  * The actual codecs are NOT in this offline image, so the decode step
-  * is a clearly-marked deterministic stub ([[stubDecode]]); everything
-  * around it — schema, batching, partition-local iteration, output
-  * shape — is the real production plumbing. Swapping the stub for a
-  * JNI/codec call (or moving the stage to `mapInPandas` in a PySpark
-  * deployment with PIL/ffmpeg) changes one function.
+  * IMAGES decode for real: the JDK's java.desktop module ships PNG and
+  * JPEG ImageIO readers/writers and they work headless in this image
+  * (verified — the earlier "codecs absent" declaration only holds for
+  * audio/video, where ffmpeg-class decoders genuinely are missing and
+  * [[stubDecode]] remains the clearly-marked deterministic stand-in).
+  * Everything around the codec — schema, batching, partition-local
+  * iteration, output shape — is the real production plumbing either
+  * way; swapping the remaining stubs for a JNI/codec call (or moving
+  * the stage to `mapInPandas` in a PySpark deployment with ffmpeg)
+  * changes one function.
   *
   * Scale: payloads never shuffle — decode/feature-extract run in the
   * scan's own partitions (`mapPartitions`), so the expensive bytes move
   * zero times; only the small feature rows flow downstream.
   */
 object MultimodalOps {
+
+  /** Real image decode via the JDK codec (PNG/JPEG/GIF/BMP). None for
+    * bytes no installed reader accepts — callers fall back to the
+    * stub so non-image payloads still flow through the pipeline. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Real PNG encode of a solid-color image — the deterministic
+    * generator behind [[syntheticImages]] and the codec specs. */
+  def renderPng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real-PNG media row. */
+  final case class ImageRow(media_id: Long, payload: Array[Byte])
+
+  /** Real PNG payloads with dimensions/color that are pure arithmetic
+    * in doc_id — so an engine-external oracle can predict exactly what
+    * a real decode must return (the hash-green codec round trip in
+    * media_image_decode). Rendered partition-locally; payloads never
+    * shuffle. */
+  def syntheticImages(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((id * 7) % 32).toInt
+        val rgb = (((id % 256) << 16) | (((id * 3) % 256) << 8) | ((id * 7) % 256)).toInt
+        ImageRow(id, renderPng(w, h, rgb))
+      })
+      .toDF()
+  }
+
+  /** Decoded geometry + the top-left pixel's channels, one row per
+    * decodable image (real codec, no stub). */
+  final case class ImageStatsRow(
+      media_id: Long, width: Long, height: Long, r: Long, g: Long, b: Long)
+
+  /** Decode real image payloads and emit per-image stats — undecodable
+    * payloads are dropped (this is the strict-codec path; use
+    * [[decodeFeatures]] for the tolerant mixed-media one). */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeImage(payload).map { img =>
+          val px = img.getRGB(0, 0)
+          ImageStatsRow(id, img.getWidth.toLong, img.getHeight.toLong,
+            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }
+      })
+      .toDF()
+  }
 
   /** Typed media row: payload + metadata travelling together. */
   val mediaSchema: StructType = StructType(Seq(
@@ -68,7 +136,13 @@ object MultimodalOps {
     media.select("media_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mt, payload) =>
-        val (w, h, dur) = stubDecode(mt, payload)
+        // images decode for real when the bytes are a supported
+        // format; anything else (and audio/video, whose codecs the
+        // image lacks) takes the deterministic stub
+        val (w, h, dur) = (if (mt == "image") decodeImage(payload) else None) match {
+          case Some(img) => (img.getWidth, img.getHeight, 0.0)
+          case None => stubDecode(mt, payload)
+        }
         MediaFeatureRow(id, mt, payload.length.toLong, w, h, dur, byteEntropy(payload))
       })
       .toDF()
@@ -110,10 +184,13 @@ object MultimodalOps {
     * before feature extraction / training). Aspect ratio is PRESERVED:
     * both dims scale by min(1, maxW/w, maxH/h), like a real fit-resize
     * — clamping each dimension independently would squash non-square
-    * sources. The resample itself is the declared stub; the Spark
-    * plumbing is real: typed partition-local batches (payloads never
-    * shuffle), bounded output size per item, non-image rows and the
-    * source metadata pass through untouched. */
+    * sources. Decodable images go through a REAL resample
+    * (Graphics2D bilinear draw + PNG re-encode, all JDK); payloads no
+    * installed reader accepts keep the declared stub pair so mixed
+    * media still flows. The Spark plumbing is identical either way:
+    * typed partition-local batches (payloads never shuffle), bounded
+    * output size per item, non-image rows and the source metadata
+    * pass through untouched. */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -121,14 +198,30 @@ object MultimodalOps {
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions(_.map { case (id, mt, payload, source) =>
         if (mt != "image") ResizedRow(id, mt, -1, -1, payload, source)
-        else {
-          val (w, h, _) = stubDecode(mt, payload)
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // budget scales with the area ratio, floor 1 byte
-          val budget = math.max(1,
-            (payload.length.toDouble * (ow.toDouble * oh) / (w.toDouble * h)).toInt)
-          ResizedRow(id, mt, ow, oh, stubResize(payload, budget), source)
+        else decodeImage(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedRow(id, mt, ow, oh, bos.toByteArray, source)
+          case None =>
+            val (w, h, _) = stubDecode(mt, payload)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            // budget scales with the area ratio, floor 1 byte
+            val budget = math.max(1,
+              (payload.length.toDouble * (ow.toDouble * oh) / (w.toDouble * h)).toInt)
+            ResizedRow(id, mt, ow, oh, stubResize(payload, budget), source)
         }
       })
       .toDF()

@@ -118,4 +118,23 @@ object SpanOps {
     * (FieldValuesQueryGenerator). */
   def fieldValues(spans: DataFrame, field: String, filter: Column): DataFrame =
     spans.filter(filter).select(col(field).as("value")).distinct()
+
+  /** The (service, operation) catalog the ingest side maintains
+    * (reference indexer ServiceMetadataDocumentGenerator writes one
+    * metadata doc per service+operation): tiny — #services ×
+    * #operations rows however big the span relation is. Materialized
+    * once, it lets the reader answer serviceName/operationName
+    * field-values WITHOUT touching spans, the reference's
+    * ServiceMetadataQueryGenerator.scala:30 fast path. */
+  def serviceOperationCatalog(spans: DataFrame): DataFrame =
+    spans.groupBy("service", "operation").agg(
+      count(lit(1)).as("n_spans"),
+      min("start_us").as("first_seen_us"),
+      max("start_us").as("last_seen_us"))
+
+  /** Field-values served from the materialized catalog relation
+    * instead of a span scan — `field` must be one the catalog carries
+    * (service/operation); any filter is over catalog columns. */
+  def fieldValuesFromCatalog(catalog: DataFrame, field: String, filter: Column): DataFrame =
+    catalog.filter(filter).select(col(field).as("value")).distinct()
 }

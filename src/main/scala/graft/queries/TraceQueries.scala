@@ -33,6 +33,11 @@ object TraceQueries {
   private val zorderLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One materialized (service, operation) catalog per (JVM, sf dir) —
+    * see trace_field_values_meta. */
+  private val serviceCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def spans(s: SparkSession, dir: String): DataFrame =
     SpanOps.spansFromEvents(Tables.events(s, dir))
 
@@ -632,6 +637,30 @@ object TraceQueries {
       cte(s"""SELECT DISTINCT service AS value FROM spans
              |WHERE start_us BETWEEN $T0 AND ${T0 + 14 * DayUs} ORDER BY value""".stripMargin)),
 
+    // A14 fast path (reader ServiceMetadataQueryGenerator.scala:30):
+    // when the requested field is serviceName/operationName, the
+    // reference answers from the service-metadata index instead of
+    // searching spans. Spark analogue: the (service, operation)
+    // catalog is materialized ONCE (the ingest side maintains it —
+    // here written per (JVM, sf dir) like the z-order layout), and the
+    // query reads only that tiny relation — the plan never scans the
+    // span source (asserted in QueryPlanShapeSpec). Same answers as
+    // the span-scanning trace_field_values by construction.
+    "trace_field_values_meta" -> QueryDef.sql(
+      (s, dir) => {
+        val outDir = serviceCatalogs.computeIfAbsent(dir, _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft_svc_catalog_").toString
+          SpanOps.serviceOperationCatalog(spans(s, dir))
+            .coalesce(1).write.mode("overwrite").parquet(d)
+          d
+        })
+        SpanOps.fieldValuesFromCatalog(
+          s.read.parquet(outDir), "operation", col("service") === "purchase")
+          .orderBy("value")
+      },
+      cte("""SELECT DISTINCT operation AS value FROM spans
+            |WHERE service = 'purchase' ORDER BY value""".stripMargin)),
+
     // A16: per-trace validation (traceId/root/parent validators)
     "trace_validate" -> QueryDef.sql(
       (s, dir) => {
@@ -777,15 +806,35 @@ object TraceQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY k""".stripMargin),
 
-    // B12 surface: multimodal decode/feature plumbing (stub codec)
+    // B12 hash-green codec surface: render REAL PNGs whose geometry
+    // and fill color are pure arithmetic in doc_id, decode them with
+    // the real JDK ImageIO codec, and emit the decoded numbers — the
+    // DuckDB oracle computes the same numbers arithmetically, so the
+    // driver's hash proves decode(encode(img)) recovers exactly the
+    // planted dimensions and pixels (PNG is lossless) for every row.
+    "media_image_decode" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.decodeImageStats(
+        graft.operators.MultimodalOps.syntheticImages(Tables.documents(s, dir)))
+        .orderBy("media_id"),
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS r,
+        |  CAST((doc_id * 3) % 256 AS BIGINT) AS g,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS b
+        |FROM documents ORDER BY media_id""".stripMargin),
+
+    // B12 surface: multimodal decode/feature plumbing (real ImageIO
+    // for decodable images, declared stub for audio/video)
     "media_features" -> QueryDef.rowsOnly(
       (s, dir) => graft.operators.MultimodalOps.decodeFeatures(
         graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)))
         .orderBy("media_id")),
 
-    // B12 surface: aspect-preserving image resize (stub resample),
-    // emitting only the bounded metadata so the checker never sees
-    // binary payloads
+    // B12 surface: aspect-preserving image resize (real Graphics2D
+    // resample for decodable payloads; these synthetic text payloads
+    // take the declared stub path), emitting only the bounded
+    // metadata so the checker never sees binary payloads
     "media_resized" -> QueryDef.rowsOnly(
       (s, dir) => graft.operators.MultimodalOps.resizeImages(
         graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)),

@@ -32,6 +32,34 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val b = MultimodalOps.decodeFeatures(media).orderBy("media_id").collect()
       a.toSeq shouldBe b.toSeq
     }
+    it("decodes a real planted PNG to its true dimensions, not the stub's") {
+      import spark.implicits._
+      val png = MultimodalOps.renderPng(37, 23, 0x406080)
+      val df = Seq((9L, "image", png, "spec")).toDF("media_id", "media_type", "payload", "source")
+      val r = MultimodalOps.decodeFeatures(df).head()
+      (r.getAs[Int]("width"), r.getAs[Int]("height")) shouldBe (37, 23)
+    }
+  }
+
+  describe("real ImageIO codec (java.desktop, headless)") {
+    it("round-trips every planted synthetic PNG to its arithmetic geometry and color") {
+      val docs = Tables.documents(spark, sfDir)
+      val stats = MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(docs))
+        .collect()
+      stats.length shouldBe docs.count()
+      stats.foreach { r =>
+        val id = r.getAs[Long]("media_id")
+        r.getAs[Long]("width") shouldBe 16 + id % 32
+        r.getAs[Long]("height") shouldBe 16 + (id * 7) % 32
+        r.getAs[Long]("r") shouldBe id % 256
+        r.getAs[Long]("g") shouldBe (id * 3) % 256
+        r.getAs[Long]("b") shouldBe (id * 7) % 256
+      }
+    }
+    it("returns None for undecodable bytes instead of throwing") {
+      MultimodalOps.decodeImage("not a png".getBytes) shouldBe None
+      MultimodalOps.decodeImage(Array.empty[Byte]) shouldBe None
+    }
   }
 
   describe("sampleFrames") {
@@ -67,6 +95,22 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       val after = resized.filter(col("media_type") === "image")
         .select(sum(org.apache.spark.sql.functions.length(col("payload")))).head().getLong(0)
       after should be < before
+    }
+
+    it("really resamples decodable PNGs: output re-decodes to the computed fit dims") {
+      import spark.implicits._
+      // plant a real 200x100 solid-red PNG; fit into 64x64 must give
+      // 64x32 (aspect preserved), and the output must itself be a
+      // decodable PNG of exactly those dims with the planted color
+      val png = MultimodalOps.renderPng(200, 100, 0xcc2010)
+      val df = Seq((1L, "image", png, "spec")).toDF("media_id", "media_type", "payload", "source")
+      val out = MultimodalOps.resizeImages(df, 64, 64).head()
+      out.getAs[Int]("width") shouldBe 64
+      out.getAs[Int]("height") shouldBe 32
+      val img = MultimodalOps.decodeImage(out.getAs[Array[Byte]]("payload")).get
+      (img.getWidth, img.getHeight) shouldBe (64, 32)
+      // solid fill survives a real bilinear resample exactly
+      img.getRGB(10, 10) & 0xffffff shouldBe 0xcc2010
     }
 
     it("passes non-image rows through untouched") {

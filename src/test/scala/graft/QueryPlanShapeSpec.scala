@@ -79,5 +79,14 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("Expand")
       p should not include "Join"
     }
+
+    it("trace_field_values_meta reads the catalog relation, never the span source") {
+      val p = plan("trace_field_values_meta")
+      // the ServiceMetadataQueryGenerator fast path: field values for
+      // service/operation come from the tiny materialized catalog —
+      // a plan that still scans the events/span source defeats it
+      p should include("graft_svc_catalog_")
+      p should not include "events.parquet"
+    }
   }
 }
