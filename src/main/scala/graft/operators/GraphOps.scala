@@ -90,12 +90,18 @@ object GraphOps {
     * at scale the cost is iters × (join shuffle on src + agg shuffle
     * on dst); lineage truncates per round like connectedComponents.
     *
-    * Dangling nodes (no out-edges) leak their mass — acceptable for
-    * relative-importance ranking; callers needing a stochastic matrix
-    * should add self-loops first.
+    * Dangling nodes (no out-edges) leak their mass by default —
+    * acceptable for relative-importance ranking. With
+    * `redistributeDangling = true` each round adds the dangling
+    * nodes' pooled rank back uniformly (the standard stochastic-fix:
+    * equivalent to a virtual all-nodes out-edge set), so the rank
+    * vector stays a proper distribution (sums to 1) on any graph.
+    * The pool is a 1-row broadcast aggregate per round — no driver
+    * collect, no extra shuffle of the rank vector.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     // iters = 0 would return a lazy projection over the `nodes`
     // checkpoint that the cleanup below unpersists — at least one
     // round guarantees the returned frame is its OWN checkpoint
@@ -111,22 +117,32 @@ object GraphOps {
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("ow").cast("double")).as("p"))
       .localCheckpoint()
+    val dangling = nodes
+      .join(ew.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val inflow = ew.join(ranks, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("infl"))
-      val next = nodes.join(inflow, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
+      val base = nodes.join(inflow, col("node") === col("dst"), "left_outer")
+      val next = (if (redistributeDangling) {
+        val pool = ranks.join(dangling, "node")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+        base.crossJoin(broadcast(pool))
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("infl"), lit(0.0)) + col("dm") / n)).as("rank"))
+      } else
+        base.select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("infl"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank"))).localCheckpoint()
       ranks.unpersist()
       ranks = next
     }
     // release the setup checkpoints — the returned ranks frame is its
     // own materialized checkpoint, so nothing downstream needs these
     // (the kmeansCentroids lesson: leaked blocks accumulate per call)
-    e.unpersist(); nodes.unpersist(); ew.unpersist()
+    e.unpersist(); nodes.unpersist(); ew.unpersist(); dangling.unpersist()
     ranks
   }
 }

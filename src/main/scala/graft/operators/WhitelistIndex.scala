@@ -123,4 +123,48 @@ object WhitelistIndex {
     * the FieldMetadata the reference attaches to each name. */
   def catalog(fields: Seq[WhitelistField]): Seq[(String, String, Boolean)] =
     normalize(fields).map(f => (f.name, f.fieldType, f.enableRangeQuery))
+
+  /** JSON-lines whitelist config → fields (one object per line:
+    * `{"name":…,"fieldType":…,"aliases":[…],"enableRangeQuery":…,
+    * "enabled":…}`; only `name` is required). Read through Spark's own
+    * JSON source so the wire shape matches the rest of the engine —
+    * the file is driver-tiny (#fields rows). */
+  def loadConfig(spark: org.apache.spark.sql.SparkSession, path: String): Seq[WhitelistField] = {
+    val schema = "name string, fieldType string, aliases array<string>, " +
+      "enableRangeQuery boolean, enabled boolean"
+    spark.read.schema(schema).json(path).collect().toSeq.map { r =>
+      require(!r.isNullAt(0), s"whitelist config $path: every field needs a name")
+      WhitelistField(
+        name = r.getString(0),
+        fieldType = if (r.isNullAt(1)) "string" else r.getString(1),
+        aliases = if (r.isNullAt(2)) Nil else r.getSeq[String](2),
+        enableRangeQuery = !r.isNullAt(3) && r.getBoolean(3),
+        enabled = r.isNullAt(4) || r.getBoolean(4))
+    }
+  }
+
+  /** Hot-reload loop (reference commons/config/reload/
+    * ConfigurationReloadElasticSearchProvider.scala:1 polling
+    * WhitelistIndexFieldConfiguration.scala into the live indexer):
+    * the Spark-native shape keeps PLAN-TIME config binding — no
+    * live-plan mutation — and re-reads the config between batches: a
+    * long-running driver calls [[Reloader.current]] before planning
+    * each batch, and a changed file takes effect on that next batch.
+    * Change detection is (mtime, length) so an unchanged file costs
+    * one FileSystem stat, not a read. */
+  final class Reloader(spark: org.apache.spark.sql.SparkSession, path: String) {
+    @volatile private var cachedKey: (Long, Long) = (Long.MinValue, Long.MinValue)
+    @volatile private var cachedFields: Seq[WhitelistField] = Nil
+    def current(): Seq[WhitelistField] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val key = (st.getModificationTime, st.getLen)
+      if (key != cachedKey) {
+        cachedFields = loadConfig(spark, path)
+        cachedKey = key
+      }
+      cachedFields
+    }
+  }
 }

@@ -969,11 +969,13 @@ object TraceQueries {
 
     // Service-importance PageRank over the call graph
     // (GraphOps.pageRank, 3 fixed power iterations — deterministic by
-    // construction, no float convergence test). Call edges =
-    // parent→child service pairs weighted by call count; the oracle
-    // unrolls the same three iterations as CTEs with the identical
-    // IEEE expression tree, so only reduce-order ulps differ under the
-    // final ROUND.
+    // construction, no float convergence test; dangling mass
+    // REDISTRIBUTED uniformly each round so the rank vector is a
+    // proper distribution even when a leaf service never calls out).
+    // Call edges = parent→child service pairs weighted by call count;
+    // the oracle unrolls the same three iterations as CTEs with the
+    // identical IEEE expression tree, so only reduce-order ulps differ
+    // under the final ROUND.
     "trace_service_rank" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir)
@@ -981,7 +983,8 @@ object TraceQueries {
         val parent = sp.select(col("span_id"), col("service").as("src"))
         val edges = child.join(parent, col("parent_span_id") === col("span_id"))
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3)
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3,
+          redistributeDangling = true)
           .select(col("node").as("service"), round(col("rank"), 6).as("rank"))
           .orderBy("service")
       },
@@ -994,8 +997,11 @@ object TraceQueries {
           s"""$cur AS (
              |  SELECT nodes.node,
              |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-             |      + 0.85 * COALESCE(s.infl, 0.0) AS rank
+             |      + 0.85 * (COALESCE(s.infl, 0.0) + dm.dm / nn.n) AS rank
              |  FROM nodes CROSS JOIN nn
+             |  CROSS JOIN (SELECT COALESCE(SUM($prev.rank), CAST(0 AS DOUBLE)) AS dm
+             |              FROM $prev LEFT JOIN outw ON $prev.node = outw.src
+             |              WHERE outw.src IS NULL) dm
              |  LEFT JOIN (SELECT ew.dst, SUM($prev.rank * ew.p) AS infl
              |             FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY ew.dst) s
              |    ON nodes.node = s.dst)""".stripMargin

@@ -72,5 +72,26 @@ class GraphOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       r("h") shouldBe base + 0.85 * (1.0 / 3) * 0.75 +- 1e-12
       r("l") shouldBe base + 0.85 * (1.0 / 3) * 0.25 +- 1e-12
     }
+
+    it("redistributeDangling keeps the rank vector a distribution on a dangling graph") {
+      val s = spark
+      import s.implicits._
+      // z has no out-edges: the default variant leaks its mass each
+      // round (sum < 1); the redistributing variant pools it back
+      // uniformly, so the total stays exactly 1 up to reduce ulps
+      val edges = Seq(("a", "b", 1L), ("b", "z", 1L), ("a", "z", 2L))
+        .toDF("src", "dst", "w")
+      val leaky = GraphOps.pageRank(edges, "src", "dst", "w", iters = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      leaky.values.sum should be < 0.999 // mass visibly lost
+      val fixed = GraphOps.pageRank(edges, "src", "dst", "w", iters = 8,
+        redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      fixed.values.sum shouldBe 1.0 +- 1e-9
+      // the dangling sink still dominates (both its in-edges), and
+      // every node keeps at least the teleport floor
+      fixed("z") should be > fixed("a")
+      fixed.values.foreach(_ should be >= 0.15 / 3 - 1e-12)
+    }
   }
 }

@@ -117,4 +117,59 @@ class WhitelistIndexSpec extends AnyFunSpec with Matchers with SparkTestBase {
         Seq(("a", "long", true), ("b", "string", false))
     }
   }
+
+  describe("Reloader (config hot-reload between batches)") {
+    def writeConfig(path: java.nio.file.Path, lines: String*): Unit =
+      java.nio.file.Files.write(path, lines.mkString("\n").getBytes)
+
+    it("a changed config file takes effect on the next batch") {
+      val f = java.nio.file.Files.createTempFile("graft_wl_", ".jsonl")
+      writeConfig(f, """{"name":"kval","fieldType":"long","aliases":["k"],"enableRangeQuery":true}""")
+      val reloader = new WhitelistIndex.Reloader(spark, f.toString)
+
+      // batch 1: plan binds to v1 — kval indexed, region unknown
+      val v1 = reloader.current()
+      v1.map(_.name) shouldBe Seq("kval")
+      val batch1 = WhitelistIndex.extractTags(tagged(1L -> """{"k": "7", "region": "eu"}"""), v1)
+      batch1.columns should contain("kval")
+      batch1.columns should not contain "region"
+
+      // config swap (longer content so (mtime, len) always differs,
+      // even on a coarse-mtime filesystem)
+      writeConfig(f,
+        """{"name":"region","fieldType":"string"}""",
+        """{"name":"kval","fieldType":"long","enabled":false}""")
+      val v2 = reloader.current()
+      v2.filter(_.enabled).map(_.name) shouldBe Seq("region")
+      // batch 2: the NEXT plan binds to v2 — the reference's reload
+      // semantics without live-plan mutation
+      val batch2 = WhitelistIndex.extractTags(tagged(1L -> """{"k": "7", "region": "eu"}"""), v2)
+      batch2.columns should contain("region")
+      batch2.columns should not contain "kval"
+
+      java.nio.file.Files.delete(f)
+    }
+
+    it("an unchanged file is not re-read (same cached instance)") {
+      val f = java.nio.file.Files.createTempFile("graft_wl_", ".jsonl")
+      writeConfig(f, """{"name":"kval","fieldType":"long"}""")
+      val reloader = new WhitelistIndex.Reloader(spark, f.toString)
+      val a = reloader.current()
+      val b = reloader.current()
+      (a eq b) shouldBe true
+      java.nio.file.Files.delete(f)
+    }
+
+    it("loadConfig applies defaults and rejects a missing name") {
+      val f = java.nio.file.Files.createTempFile("graft_wl_", ".jsonl")
+      writeConfig(f, """{"name":"x"}""")
+      val Seq(x) = WhitelistIndex.loadConfig(spark, f.toString)
+      (x.fieldType, x.aliases, x.enableRangeQuery, x.enabled) shouldBe
+        ("string", Nil, false, true)
+      writeConfig(f, """{"fieldType":"long"}""")
+      an[IllegalArgumentException] should be thrownBy
+        WhitelistIndex.loadConfig(spark, f.toString)
+      java.nio.file.Files.delete(f)
+    }
+  }
 }
