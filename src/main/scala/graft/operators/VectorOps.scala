@@ -431,6 +431,54 @@ object VectorOps {
       .filter(col("score") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
+    * the corpus into centroid cells, then drop every vector with a
+    * lower-id near-duplicate (cosine ≥ threshold) in its OWN cell —
+    * the cell bound is what makes semantic dedup tractable: the
+    * quadratic runs within cells, never corpus-wide. Returns per-cell
+    * (n_vecs, n_dropped, n_kept).
+    *
+    * Scale shape: cell assignment is the shuffle-free broadcast-array
+    * form shared with [[annTopKIvf]]; candidate pairs come from a
+    * SKINNY (vec_id, cell) self-join (two longs per pair on the wire),
+    * vectors rejoin by uniform vec_id only for the exact verify. The
+    * production dial is `nCentroids` ∝ √N (SemDeDup used 50k cells for
+    * LAION) so per-cell membership — and with it both the pair volume
+    * and the per-task work of the cell-keyed join — stays bounded as
+    * the corpus grows; kmeans-refined centroids drop in via
+    * [[kmeansCentroids]] unchanged. Zero-norm vectors are excluded up
+    * front (cosine undefined). */
+  def semDeDup(embeddings: DataFrame, nCentroids: Int, threshold: Double): DataFrame = {
+    val n = withNorms(embeddings).filter(col("nrm") > 0)
+    val cents = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = n.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("aff", affSorted)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"))
+      .filter(col("cell").isNotNull)
+    val skinny = assigned.select(col("vec_id"), col("cell"))
+    val candidates = skinny.select(col("vec_id").as("d1"), col("cell").as("c1"))
+      .join(skinny.select(col("vec_id").as("d2"), col("cell").as("c2")),
+        col("c1") === col("c2") && col("d1") < col("d2"))
+      .select(col("c1").as("cell"), col("d1"), col("d2"))
+    // greedy min-id canonicalization: d2 is dropped when ANY lower-id
+    // cell-mate is within threshold (the distinct collapses multiple
+    // witnesses); every vector lives in exactly one cell, so a drop
+    // decision is made once
+    val dropped = candidates
+      .join(assigned.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+      .join(assigned.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
+      .filter(round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6) >= threshold)
+      .select(col("cell"), col("d2")).distinct()
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped")), Seq("cell"), "left")
+      .select(col("cell").as("c_id"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("c_id")
+  }
+
   /** ANN via LSH buckets: shuffle on bucket key, local top-k per bucket,
     * then global top-k per query over surviving candidates. Recall vs
     * the brute path is checked in VectorOpsSpec. */

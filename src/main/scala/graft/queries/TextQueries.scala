@@ -1030,6 +1030,53 @@ object TextQueries {
         .limit(20),
       """SELECT substr(text, CAST(t.i AS INT), 3) AS trigram, COUNT(*) AS n
         |FROM documents, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS t(i)
-        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin)
+        |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin),
+
+    // Intra-document repetition scrub (C4-style cleaning): drop every
+    // repeat of a 10-token chunk WITHIN its document (first occurrence
+    // wins) and reassemble the cleaned text in order. Unlike
+    // dedup_chunks (corpus-wide chunk census) this rewrites the
+    // documents themselves — the pass that strips boilerplate headers
+    // and copy-pasted paragraphs before training. Everything is keyed
+    // by doc_id: the repeat window partitions on (doc_id, chunk), the
+    // reassembly groups on doc_id — one doc never spans tasks, so
+    // parallelism is #docs and per-task state is one document. The
+    // ordered rebuild sorts the (chunk_idx, chunk) structs row-locally
+    // (array_sort, not a shuffle sort) before joining.
+    "text_scrub_repeats" -> QueryDef.sql(
+      (s, dir) => {
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, CAST(floor((size(split(trim(text), '\\\\s+')) - 1) / 10) AS INT)), " +
+              "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * 10 + 1, 10)))"))
+            .as(Seq("chunk_idx", "chunk")))
+        val firsts = chunks.withColumn("rn",
+          row_number().over(Window.partitionBy("doc_id", "chunk").orderBy("chunk_idx")))
+        firsts
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("rn") === 1,
+                  struct(col("chunk_idx"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ").as("text_clean"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, s.i AS chunk_idx,
+        |         array_to_string(t[(s.i * 10 + 1):((s.i + 1) * 10)], ' ') AS chunk
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(floor((len(t) - 1) / 10) AS INT) + 1)) AS i
+        |        FROM toks) s(doc_id, t, i)),
+        |r AS (SELECT doc_id, chunk_idx, chunk,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY chunk_idx) AS rn
+        |      FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx) AS text_clean
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1173,6 +1173,103 @@ object TraceQueries {
         |SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
         |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
-        |ORDER BY m.cohort_week, week_offset""".stripMargin))
+        |ORDER BY m.cohort_week, week_offset""".stripMargin)),
+
+    // Exclusive (self) time attribution — where wall time actually
+    // goes: each span's duration minus the time covered by its direct
+    // children (clamped at 0 for children that outlive their parent),
+    // rolled up per service. The flame-graph "self time" column, the
+    // number capacity planning wants instead of inclusive duration
+    // (which multi-counts every nested call). Child durations collapse
+    // under a partial agg keyed by (trace_id, parent_span_id) BEFORE
+    // the join, so the self-join's build side is at most one row per
+    // parent span; both sides shuffle on the same composite key. All
+    // integer math until the final single division.
+    "trace_exclusive_time" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val childSum = sp.filter(col("parent_span_id").isNotNull)
+          .groupBy(col("trace_id").as("c_tid"), col("parent_span_id").as("c_pid"))
+          .agg(sum("duration_us").as("child_dur_us"))
+        sp.join(childSum,
+            sp("trace_id") === childSum("c_tid") && sp("span_id") === childSum("c_pid"),
+            "left")
+          .select(col("service"), col("duration_us"),
+            greatest(col("duration_us") - coalesce(col("child_dur_us"), lit(0L)), lit(0L))
+              .as("self_us"))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("duration_us").as("total_dur_us"),
+            sum("self_us").as("total_self_us"))
+          .withColumn("self_frac",
+            round(col("total_self_us").cast("double") / col("total_dur_us"), 6))
+          .orderBy("service")
+      },
+      cte("""
+        |, cs AS (SELECT trace_id, parent_span_id AS span_id,
+        |           SUM(duration_us) AS child_dur_us
+        |         FROM spans WHERE parent_span_id IS NOT NULL GROUP BY 1, 2),
+        |self AS (
+        |  SELECT s.service, s.duration_us,
+        |         GREATEST(s.duration_us - COALESCE(cs.child_dur_us, 0), 0) AS self_us
+        |  FROM spans s
+        |  LEFT JOIN cs ON s.trace_id = cs.trace_id AND s.span_id = cs.span_id)
+        |SELECT service, COUNT(*) AS n_spans,
+        |  CAST(SUM(duration_us) AS BIGINT) AS total_dur_us,
+        |  CAST(SUM(self_us) AS BIGINT) AS total_self_us,
+        |  ROUND(CAST(SUM(self_us) AS DOUBLE) / SUM(duration_us), 6) AS self_frac
+        |FROM self GROUP BY service ORDER BY service""".stripMargin)),
+
+    // Latency anomaly flags — robust outlier detection per service:
+    // median and MAD (median absolute deviation), flag spans beyond
+    // 4 MADs. Medians are percentile_disc — an ACTUAL stored long on
+    // both engines, so every comparison below is exact integer math
+    // and the hash cannot drift. Exact per-service medians need the
+    // per-group value set (ObjectHashAggregate buffers) — the known
+    // exact-percentile cost, same tradeoff as q_percentiles; the
+    // mergeable scale path at 100 TB is the t-digest surface
+    // (trace_latency_quantiles_approx). Two service-keyed aggs + one
+    // service-keyed broadcast-sized join back.
+    "trace_latency_anomaly" -> QueryDef.sql(
+      (s, dir) => {
+        spans(s, dir).createOrReplaceTempView("graft_anom_spans")
+        s.sql("""
+          |WITH med AS (
+          |  SELECT service,
+          |    percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_us) AS med_us
+          |  FROM graft_anom_spans GROUP BY service),
+          |dev AS (
+          |  SELECT s.service, abs(s.duration_us - m.med_us) AS adev, m.med_us
+          |  FROM graft_anom_spans s JOIN med m ON s.service = m.service),
+          |mad AS (
+          |  SELECT service,
+          |    percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_us
+          |  FROM dev GROUP BY service)
+          |SELECT d.service, COUNT(*) AS n_spans,
+          |  CAST(MAX(d.med_us) AS BIGINT) AS med_us,
+          |  CAST(MAX(mad.mad_us) AS BIGINT) AS mad_us,
+          |  CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_anomalies,
+          |  ROUND(CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS DOUBLE)
+          |        / COUNT(*), 6) AS anomaly_rate
+          |FROM dev d JOIN mad ON d.service = mad.service
+          |GROUP BY d.service ORDER BY d.service""".stripMargin)
+      },
+      cte("""
+        |, med AS (SELECT service, quantile_disc(duration_us, 0.5) AS med_us
+        |          FROM spans GROUP BY service),
+        |dev AS (SELECT s.service, abs(s.duration_us - m.med_us) AS adev, m.med_us
+        |        FROM spans s JOIN med m ON s.service = m.service),
+        |mad AS (SELECT service, quantile_disc(adev, 0.5) AS mad_us
+        |        FROM dev GROUP BY service)
+        |SELECT d.service, COUNT(*) AS n_spans,
+        |  CAST(MAX(d.med_us) AS BIGINT) AS med_us,
+        |  CAST(MAX(mad.mad_us) AS BIGINT) AS mad_us,
+        |  CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  ROUND(CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS anomaly_rate
+        |FROM dev d JOIN mad ON d.service = mad.service
+        |GROUP BY d.service ORDER BY d.service""".stripMargin))
   )
 }

@@ -330,7 +330,35 @@ object VectorQueries {
            |  ROUND(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) / ${300L * 299L / 2L}, 6) AS candidate_frac,
            |  ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE) /
            |        (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
-      })
+      }),
+
+    // SemDeDup semantic dedup, corpus-wide: centroid cells bound the
+    // quadratic, within-cell cosine ≥ 0.4 drops the higher id. Per-cell
+    // census output. The oracle replays assignment (argmax cosine over
+    // the 16 seed centroids, c_id tie-break — same margins as the
+    // hash-green ann_topk_ivf) and the greedy min-id drop rule.
+    "dedup_semantic" -> QueryDef.sql(
+      (s, dir) => VectorOps.semDeDup(Tables.embeddings(s, dir), nCentroids = 16, threshold = 0.4),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |      WHERE sqrt(list_dot_product(v, v)) > 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |          ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |            ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk
+        |        FROM n CROSS JOIN c),
+        |assigned AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crnk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.cell, b.vec_id AS d2
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+        |sizes AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+        |drops AS (SELECT cell, COUNT(*) AS n_dropped FROM dropped GROUP BY cell)
+        |SELECT s.cell AS c_id, s.n_vecs,
+        |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(s.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+        |FROM sizes s LEFT JOIN drops d ON s.cell = d.cell
+        |ORDER BY c_id""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's

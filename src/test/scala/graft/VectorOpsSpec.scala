@@ -289,4 +289,43 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       got.foreach { case (k, v) => v.compareTo(expected(k)) shouldBe 0 }
     }
   }
+
+  describe("semDeDup") {
+    it("census is consistent and covers every nonzero-norm vector exactly once") {
+      val res = VectorOps.semDeDup(emb, nCentroids = 8, threshold = 0.4).collect()
+      res.foreach { r =>
+        (r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")) shouldBe r.getAs[Long]("n_vecs")
+      }
+      val total = res.map(_.getAs[Long]("n_vecs")).sum
+      val nonzero = VectorOps.withNorms(emb).filter(col("nrm") > 0).count()
+      total shouldBe nonzero
+    }
+
+    it("drops a planted exact duplicate (and keeps its lower-id original)") {
+      import spark.implicits._
+      val base = emb.filter(col("vec_id") < 50)
+      // duplicate vec_id 20 under a fresh high id: identical vector ⇒
+      // same cell, cosine 1 ⇒ dropped by the min-id rule
+      val dup = base.filter(col("vec_id") === 20)
+        .withColumn("vec_id", lit(9999L))
+      val before = VectorOps.semDeDup(base, nCentroids = 8, threshold = 0.99)
+        .agg(sum("n_dropped")).as[Long].head()
+      val after = VectorOps.semDeDup(base.unionByName(dup), nCentroids = 8, threshold = 0.99)
+        .agg(sum("n_dropped")).as[Long].head()
+      after shouldBe (before + 1)
+    }
+
+    it("excludes zero-norm vectors rather than emitting null-cosine cells") {
+      import spark.implicits._
+      val base = emb.filter(col("vec_id") < 50)
+      val zero = base.filter(col("vec_id") === 20)
+        .withColumn("vec_id", lit(9999L))
+        .withColumn("embedding", expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+      val withZero = VectorOps.semDeDup(base.unionByName(zero), nCentroids = 8, threshold = 0.4)
+        .agg(sum("n_vecs")).as[Long].head()
+      val without = VectorOps.semDeDup(base, nCentroids = 8, threshold = 0.4)
+        .agg(sum("n_vecs")).as[Long].head()
+      withZero shouldBe without
+    }
+  }
 }

@@ -53,4 +53,19 @@ class VectorPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .findAllIn(plan).length should be >= 1
     }
   }
+
+  describe("semDeDup plan") {
+    lazy val plan = VectorOps.semDeDup(emb, nCentroids = 8, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+
+    it("assigns cells via a broadcast centroid array and never a corpus cross product") {
+      // the only acceptable nested-loop join is the 1-row centroid
+      // array attach (it appears once per reuse of the assigned
+      // subtree); candidate generation must be the cell-keyed
+      // EQUI-join — a CartesianProduct here is the corpus-wide
+      // quadratic the cells exist to prevent
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastNestedLoopJoin") // the 1-row attach
+    }
+  }
 }
