@@ -332,14 +332,22 @@ object VectorQueries {
            |        (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
       }),
 
-    // SemDeDup semantic dedup, corpus-wide: centroid cells bound the
-    // quadratic, within-cell cosine ≥ 0.4 drops the higher id. Per-cell
-    // census output. The oracle replays assignment (argmax cosine over
-    // the 16 seed centroids, c_id tie-break — same margins as the
-    // hash-green ann_topk_ivf) and the greedy min-id drop rule.
+    // SemDeDup semantic dedup: centroid cells bound the quadratic,
+    // within-cell cosine ≥ 0.4 drops the higher id. Per-cell census
+    // output. The oracle replays assignment (argmax cosine over the 16
+    // seed centroids, c_id tie-break — same margins as the hash-green
+    // ann_topk_ivf) and the greedy min-id drop rule. The demo corpus is
+    // capped at 2000 vectors (the full corpus at sf0.1) with cells
+    // pinned at 16 so the within-cell pair volume is fixed across scale
+    // factors — at production scale the dial is nCentroids ∝ √N (see
+    // semDeDup scaladoc), which keeps per-cell membership constant; an
+    // UNCAPPED run with pinned cells is quadratic in corpus size by
+    // construction (≈10^11 pairs at the 2M-vector sf100 pack).
     "dedup_semantic" -> QueryDef.sql(
-      (s, dir) => VectorOps.semDeDup(Tables.embeddings(s, dir), nCentroids = 16, threshold = 0.4),
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      (s, dir) => VectorOps.semDeDup(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+        nCentroids = 16, threshold = 0.4),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
         |      WHERE sqrt(list_dot_product(v, v)) > 0),
         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
