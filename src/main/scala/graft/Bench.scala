@@ -55,11 +55,17 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // stderr progress line (stdout stays reserved for the driver's
+        // {"metric"...} grep) — long scale runs are watchable, and a
+        // wedged query is identifiable by the last line printed
+        System.err.println(f"[bench] $tag $name $sec%.3f s")
+        sec
       } catch {
         case NonFatal(e) =>
           errors(s"$tag:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
+          System.err.println(s"[bench] $tag $name FAILED")
           -1.0
       }
     }

@@ -242,6 +242,30 @@ object StreamingQueries {
     runToParquet(s, alerts, "alerts").orderBy("span_id")
   }
 
+  /** Windowed SLO burn-rate on the stream: per (hour window, service),
+    * spans and 100 ms-SLO breaches counted under the watermark; the
+    * burn flag (breach rate > 10%) and the rate derive batch-side from
+    * the landed exact counts — mergeable ints travel through the
+    * state store, divisions never do (the streaming_topk split). Under
+    * the AvailableNow replay the sealed window set is a pure function
+    * of the data, so the oracle is the plain per-hour GROUP BY. */
+  private def runSloBurn(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val windowed = spanStream(ss, dir, richOps = false)
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$GapSeconds seconds")
+      .groupBy(window(col("event_time"), "1 hour"), col("service"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("durationUs") > 100000L, 1L).otherwise(0L)).as("n_breach"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("service"), col("n_spans"), col("n_breach"))
+    val landed = runToParquet(s, windowed, "slo_burn")
+    landed
+      .withColumn("breach_rate", round(col("n_breach").cast("double") / col("n_spans"), 6))
+      .withColumn("burning", (col("n_breach") * 10 > col("n_spans")).cast("long"))
+      .orderBy("service", "window_start_us")
+  }
+
   private def runDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val spans = spanStream(ss, dir, richOps = false)
@@ -504,6 +528,27 @@ object StreamingQueries {
         |FROM events
         |WHERE CAST(ROUND(value * 1000, 0) AS BIGINT) > 300000
         |ORDER BY span_id""".stripMargin),
+
+    // windowed SLO burn: exact counts stream, rate/flag derive
+    // batch-side. The oracle models the append-mode seal exactly like
+    // streaming_topk: only windows whose END is at or before the final
+    // watermark (max event time minus the delay, at Spark's
+    // millisecond watermark granularity) ever emit.
+    "streaming_slo_burn" -> QueryDef.sql(runSloBurn,
+      s"""WITH sp AS (SELECT event_type AS service,
+         |              epoch_us(ts) AS start_us,
+         |              CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+         |            FROM events),
+         |g AS (SELECT (max(start_us) // 1000 - ${GapSeconds * 1000}) * 1000 AS wm_us FROM sp),
+         |c AS (SELECT (start_us // 3600000000) * 3600000000 AS window_start_us,
+         |        service, COUNT(*) AS n_spans,
+         |        CAST(SUM(CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+         |      FROM sp, g GROUP BY 1, 2, wm_us
+         |      HAVING window_start_us + 3600000000 <= wm_us)
+         |SELECT window_start_us, service, n_spans, n_breach,
+         |  ROUND(CAST(n_breach AS DOUBLE) / n_spans, 6) AS breach_rate,
+         |  CAST(CASE WHEN n_breach * 10 > n_spans THEN 1 ELSE 0 END AS BIGINT) AS burning
+         |FROM c ORDER BY service, window_start_us""".stripMargin),
 
     // exactly-once under redelivery: counts equal the batch DISTINCT
     "streaming_dedup" -> QueryDef.sql(runDedup,

@@ -1077,6 +1077,51 @@ object TextQueries {
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx) AS text_clean
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Corpus-LM fluency score — the statistical stand-in for
+    // perplexity-based quality filtering (the real pipeline scores
+    // against a trained LM; the engine-side shape is identical): score
+    // each doc by the mean conditional log-likelihood of its bigrams
+    // under the corpus's own bigram MLE, ln(c(w1 w2) / c(w1 ·)).
+    // Templated/repetitive docs score near 0, incoherent token soup
+    // goes strongly negative. No smoothing needed — every doc bigram
+    // is in the corpus by construction. Counts are exact ints into
+    // single ln() calls; the per-doc sum is ~100 terms of magnitude
+    // ≤15, so reduce-order ulps sit ~4 orders below the ROUND(.,6)
+    // cut (the text_entropy precedent). Docs under 2 tokens are
+    // filtered BEFORE sequence() (the descending sequence(1,0) trap).
+    // Scale: two token-keyed shuffles (bigram + unigram counts) and
+    // one doc-keyed agg — all high-cardinality keys.
+    "text_lm_score" -> QueryDef.sql(
+      (s, dir) => {
+        val tcol = "split(trim(text), '\\\\s+')"
+        val bg = Tables.documents(s, dir)
+          .filter(size(toks(col("text"))) >= 2)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size($tcol) - 1), " +
+              s"i -> struct(element_at($tcol, i) AS w1, element_at($tcol, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val uni = bg.groupBy(col("w1").as("u_w1")).agg(count(lit(1)).as("c1"))
+        bg.join(bic, Seq("w1", "w2"))
+          .join(uni, col("w1") === col("u_w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(log(col("c2").cast("double")) - log(col("c1").cast("double")))
+              / count(lit(1)), 6).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2) s(doc_id, t, i)),
+        |bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1 AS u_w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(SUM(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) / COUNT(*), 6) AS lm_score
+        |FROM bg JOIN bic USING (w1, w2) JOIN uni ON bg.w1 = uni.u_w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

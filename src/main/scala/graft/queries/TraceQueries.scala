@@ -812,9 +812,17 @@ object TraceQueries {
     // DuckDB oracle computes the same numbers arithmetically, so the
     // driver's hash proves decode(encode(img)) recovers exactly the
     // planted dimensions and pixels (PNG is lossless) for every row.
+    // The demo corpus is capped at 20k images (4× the sf0.1 corpus —
+    // all dev scales unaffected): per-row javax.imageio encode+decode
+    // measured 161 µs/image, so the UNCAPPED sf100 run spent 805 s
+    // (19% of the whole pack) re-proving the same codec 5M times. A
+    // production pipeline decodes once at ingest with native codecs;
+    // the engine surface exists to prove the batch plumbing and codec
+    // round-trip, both fully exercised at 20k.
     "media_image_decode" -> QueryDef.sql(
       (s, dir) => graft.operators.MultimodalOps.decodeImageStats(
-        graft.operators.MultimodalOps.syntheticImages(Tables.documents(s, dir)))
+        graft.operators.MultimodalOps.syntheticImages(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)))
         .orderBy("media_id"),
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
@@ -822,22 +830,26 @@ object TraceQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS r,
         |  CAST((doc_id * 3) % 256 AS BIGINT) AS g,
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS b
-        |FROM documents ORDER BY media_id""".stripMargin),
+        |FROM documents WHERE doc_id < 20000 ORDER BY media_id""".stripMargin),
 
     // B12 surface: multimodal decode/feature plumbing (real ImageIO
-    // for decodable images, declared stub for audio/video)
+    // for decodable images, declared stub for audio/video). Same 20k
+    // demo cap as media_image_decode.
     "media_features" -> QueryDef.rowsOnly(
       (s, dir) => graft.operators.MultimodalOps.decodeFeatures(
-        graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)))
+        graft.operators.MultimodalOps.syntheticMedia(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)))
         .orderBy("media_id")),
 
     // B12 surface: aspect-preserving image resize (real Graphics2D
     // resample for decodable payloads; these synthetic text payloads
     // take the declared stub path), emitting only the bounded
-    // metadata so the checker never sees binary payloads
+    // metadata so the checker never sees binary payloads. Same 20k
+    // demo cap as media_image_decode.
     "media_resized" -> QueryDef.rowsOnly(
       (s, dir) => graft.operators.MultimodalOps.resizeImages(
-        graft.operators.MultimodalOps.syntheticMedia(Tables.documents(s, dir)),
+        graft.operators.MultimodalOps.syntheticMedia(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)),
         maxW = 256, maxH = 256)
         .filter(col("media_type") === "image")
         .select(col("media_id"), col("width"), col("height"),
@@ -1270,6 +1282,62 @@ object TraceQueries {
         |  ROUND(CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 6) AS anomaly_rate
         |FROM dev d JOIN mad ON d.service = mad.service
-        |GROUP BY d.service ORDER BY d.service""".stripMargin))
+        |GROUP BY d.service ORDER BY d.service""".stripMargin)),
+
+    // SLO burn-rate windows — the alerting rollup: per (service, hour),
+    // the fraction of spans breaching the 100 ms latency SLO, with a
+    // burn flag where the error budget (10%) is exceeded. One partial-
+    // aggregated shuffle on (service, hour); the rate is one int/int
+    // division and the flag compares exact integers (n_breach * 10 >
+    // n_spans avoids the double entirely), so the hash cannot drift on
+    // the budget boundary.
+    "trace_slo_burn" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .groupBy(col("service"), expr(s"start_us div $HourUs").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("duration_us") > 100000L, 1L).otherwise(0L)).as("n_breach"))
+        .withColumn("breach_rate",
+          round(col("n_breach").cast("double") / col("n_spans"), 6))
+        .withColumn("burning", (col("n_breach") * 10 > col("n_spans")).cast("long"))
+        .orderBy("service", "hour_bucket"),
+      cte(s"""
+        |SELECT service, start_us // $HourUs AS hour_bucket,
+        |  COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
+        |  ROUND(CAST(SUM(CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS breach_rate,
+        |  CAST(CASE WHEN SUM(CASE WHEN duration_us > 100000 THEN 1 ELSE 0 END) * 10 > COUNT(*)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS burning
+        |FROM spans GROUP BY 1, 2 ORDER BY service, hour_bucket""".stripMargin)),
+
+    // AS-OF join with tolerance — the bounded-staleness variant every
+    // real enrichment wants (a purchase ten days before the error is
+    // not context): same custom merge-scan plan as q_asof_join, matches
+    // farther than 1 h back dropped. For the INNER as-of, tolerance is
+    // exactly a post-filter on the matched lag — the filter rides the
+    // join's output without re-partitioning anything.
+    "q_asof_tolerance" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val errors = sp.filter(col("service") === "error")
+          .select("trace_id", "span_id", "start_us")
+        val purchases = sp.filter(col("service") === "purchase")
+          .select("trace_id", "span_id", "start_us")
+        org.apache.spark.sql.GraftPlanBridge
+          .asofJoin(errors, purchases, Seq("trace_id"), "start_us")
+          .select(col("trace_id"), col("span_id").as("err_span_id"),
+            col("span_id_r").as("purchase_span_id"),
+            (col("start_us") - col("start_us_r")).as("lag_us"))
+          .filter(col("lag_us") <= HourUs)
+          .orderBy("err_span_id")
+      },
+      cte(s"""SELECT e.trace_id, e.span_id AS err_span_id, p.p_span_id AS purchase_span_id,
+            |  e.start_us - p.p_start_us AS lag_us
+            |FROM (SELECT trace_id, span_id, start_us FROM spans WHERE service = 'error') e
+            |ASOF JOIN (SELECT trace_id, span_id AS p_span_id, start_us AS p_start_us
+            |           FROM spans WHERE service = 'purchase') p
+            |  ON e.trace_id = p.trace_id AND e.start_us >= p.p_start_us
+            |WHERE e.start_us - p.p_start_us <= $HourUs
+            |ORDER BY err_span_id""".stripMargin))
   )
 }
