@@ -217,17 +217,22 @@ object TextQueries {
     // many of its chunks it owns. One explode + one window shuffle on
     // the chunk hash — the chunk text itself never re-shuffles (md5
     // rides the exchange), which is what keeps this viable when chunks
-    // are kilobytes. Chunks are sliced from the inline tokenize
-    // (CollapseProject re-splits a projected array per element — the
-    // 25× trap).
+    // are kilobytes. Chunking explodes the chunk INDICES through a
+    // Generate and slices each chunk from the token-array attribute
+    // ABOVE it: the split runs once per doc in the generator's child,
+    // and slice-of-attribute is O(chunk). (An inline split inside a
+    // transform() lambda — or a projected alias that CollapseProject
+    // inlines into one — re-runs the regex per element: O(n^2/10) per
+    // doc, the 25× trap this shape previously carried.)
     "dedup_chunks" -> QueryDef.sql(
       (s, dir) => {
         val chunks = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, CAST(floor((size(split(trim(text), '\\\\s+')) - 1) / 10) AS INT)), " +
-              "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * 10 + 1, 10)))"))
-            .as(Seq("chunk_idx", "chunk")))
-          .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), posexplode(expr(
+            "sequence(0, CAST(floor((size(t) - 1) / 10) AS INT))"))
+            .as(Seq("ord", "chunk_idx")))
+          .select(col("doc_id"), col("chunk_idx"),
+            md5(concat_ws(" ", slice(col("t"), col("chunk_idx") * 10 + 1, lit(10)))).as("h"))
         val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
         chunks
           .withColumn("rn", row_number().over(w))
@@ -1045,11 +1050,15 @@ object TextQueries {
     // (array_sort, not a shuffle sort) before joining.
     "text_scrub_repeats" -> QueryDef.sql(
       (s, dir) => {
+        // Same Generate-the-indices chunking as dedup_chunks: split
+        // once per doc, slice each chunk from the array attribute.
         val chunks = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, CAST(floor((size(split(trim(text), '\\\\s+')) - 1) / 10) AS INT)), " +
-              "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * 10 + 1, 10)))"))
-            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), posexplode(expr(
+            "sequence(0, CAST(floor((size(t) - 1) / 10) AS INT))"))
+            .as(Seq("ord", "chunk_idx")))
+          .select(col("doc_id"), col("chunk_idx"),
+            concat_ws(" ", slice(col("t"), col("chunk_idx") * 10 + 1, lit(10))).as("chunk"))
         val firsts = chunks.withColumn("rn",
           row_number().over(Window.partitionBy("doc_id", "chunk").orderBy("chunk_idx")))
         firsts
@@ -1091,26 +1100,39 @@ object TextQueries {
     // ≤15, so reduce-order ulps sit ~4 orders below the ROUND(.,6)
     // cut (the text_entropy precedent). Docs under 2 tokens are
     // filtered BEFORE sequence() (the descending sequence(1,0) trap).
-    // Scale: two token-keyed shuffles (bigram + unigram counts) and
-    // one doc-keyed agg — all high-cardinality keys.
+    // Scale: the token array is materialized as a column BEFORE the
+    // transform lambda — higher-order functions are interpreted, so an
+    // inlined split() inside the lambda re-runs the regex per element
+    // (O(n^2) per doc; measured 639 s at sf100 before this fix, 9 s
+    // after). The instance stream is collapsed to per-doc bigram
+    // counts (doc_id, w1, w2, k) FIRST; corpus bigram counts derive
+    // from that, unigram counts derive from bigram counts (no second
+    // pass over the corpus), and the final join is count-table vs
+    // count-table on the bigram key — both sides shuffle on (w1, w2),
+    // so the exchange is planned once and reused. All keys stay
+    // high-cardinality (bigram / doc), no broadcast of vocabulary.
     "text_lm_score" -> QueryDef.sql(
       (s, dir) => {
-        val tcol = "split(trim(text), '\\\\s+')"
-        val bg = Tables.documents(s, dir)
-          .filter(size(toks(col("text"))) >= 2)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val bg = docs
           .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, size($tcol) - 1), " +
-              s"i -> struct(element_at($tcol, i) AS w1, element_at($tcol, i + 1) AS w2))"))
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
             .as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val uni = bg.groupBy(col("w1").as("u_w1")).agg(count(lit(1)).as("c1"))
-        bg.join(bic, Seq("w1", "w2"))
-          .join(uni, col("w1") === col("u_w1"))
+        val bgc = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+        val bic = bgc.groupBy("w1", "w2").agg(sum("k").as("c2"))
+        val uni = bic.groupBy(col("w1").as("u_w1")).agg(sum("c2").as("c1"))
+        val scored = bic.join(uni, col("w1") === col("u_w1"))
+          .select(col("w1"), col("w2"),
+            (log(col("c2").cast("double")) - log(col("c1").cast("double"))).as("ll"))
+        bgc.join(scored, Seq("w1", "w2"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(log(col("c2").cast("double")) - log(col("c1").cast("double")))
-              / count(lit(1)), 6).as("lm_score"))
+          .agg(sum("k").as("n_bigrams"),
+            round(sum(col("k").cast("double") * col("ll")) / sum("k").cast("double"), 6)
+              .as("lm_score"))
           .orderBy("doc_id")
       },
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
