@@ -1144,6 +1144,65 @@ object TextQueries {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(SUM(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) / COUNT(*), 6) AS lm_score
         |FROM bg JOIN bic USING (w1, w2) JOIN uni ON bg.w1 = uni.u_w1
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // B27: corpus snapshot drift — see corpusDrift below for the
+    // semantics and the determinism/scale notes.
+    "corpus_drift" -> QueryDef.sql(
+      (s, dir) => corpusDrift(Tables.documents(s, dir)),
+      """WITH cnt AS (
+        |  SELECT lang, w,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM (SELECT lang, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang AS t_lang,
+        |         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |         COUNT(*) AS v
+        |  FROM cnt GROUP BY 1)
+        |SELECT lang, CAST(v AS BIGINT) AS n_terms,
+        |  ROUND(SUM(
+        |    (ca + 1.0) / CAST(na + v AS DOUBLE) *
+        |    (ln(ca + 1.0) - ln(CAST(na + v AS DOUBLE)) -
+        |     ln(cb + 1.0) + ln(CAST(nb + v AS DOUBLE)))), 6) AS kl_ab
+        |FROM cnt JOIN tot ON lang = t_lang
+        |GROUP BY lang, v
+        |ORDER BY lang""".stripMargin)
   )
+
+  /** B27: distribution drift between corpus snapshots — the check a
+    * training pipeline runs before accepting a new crawl (did the
+    * token mix shift?). Halves are deterministic (doc_id parity, the
+    * corpus_sample_split convention); drift = add-one-smoothed
+    * KL(A‖B) per lang over the union vocabulary.
+    *
+    * Determinism: counts are exact longs; every ln() argument is an
+    * exact integer (c+1, N+V), so per-term values agree across engines
+    * bit-for-bit (the text_entropy precedent) and the final sum hides
+    * reduce-order ulps far below the ROUND(.,6) cut. Scale: one
+    * token-keyed shuffle for the counts (high-cardinality key, partial
+    * agg), per-lang totals are a tiny broadcast join back, and the
+    * final per-lang sum is map-side combined — no windows, no
+    * low-cardinality sorts. */
+  private[queries] def corpusDrift(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("lang", "w")
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy(col("lang").as("t_lang"))
+      .agg(sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("v"))
+    cnt.join(broadcast(tot), col("lang") === col("t_lang"))
+      .groupBy("lang", "v")
+      .agg(round(sum(
+        (col("ca") + lit(1.0)) / (col("na") + col("v")).cast("double") *
+          (log(col("ca") + lit(1.0)) - log((col("na") + col("v")).cast("double")) -
+            log(col("cb") + lit(1.0)) + log((col("nb") + col("v")).cast("double")))),
+        6).as("kl_ab"))
+      .select(col("lang"), col("v").cast("long").as("n_terms"), col("kl_ab"))
+      .orderBy("lang")
+  }
 }

@@ -890,6 +890,43 @@ object TraceQueries {
         |FROM d ORDER BY span_id""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // Critical path per trace (TraceDataset.criticalPathHeap): from the
+    // root, descend to the child with the latest end time until a leaf
+    // — the chain that determines trace wall time. Both sides impose
+    // the same heap-shaped tree (pos = start order, parent = pos / 2)
+    // since the demo spans are chains; the oracle re-derives the walk
+    // with a recursive CTE over the best-ranked child per parent slot,
+    // so the hash match proves ordering, tie-breaks, and the walk
+    // itself. Scale: one traceId shuffle, then row-local (bounded
+    // trace sizes — the TraceDataset contract).
+    "trace_critical_path" -> QueryDef.sql(
+      (s, dir) => TraceDataset.criticalPathHeap(
+        TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit(""))))
+        .orderBy("trace_id", "step"),
+      cte("""
+        |, posd AS (
+        |  SELECT trace_id, span_id, service, duration_us,
+        |         start_us + duration_us AS end_us,
+        |         row_number() OVER (PARTITION BY trace_id ORDER BY start_us, span_id) AS pos
+        |  FROM spans),
+        |ranked AS (
+        |  SELECT trace_id, pos, span_id, service, duration_us,
+        |         row_number() OVER (PARTITION BY trace_id, pos // 2
+        |                            ORDER BY end_us DESC, span_id) AS rn
+        |  FROM posd WHERE pos >= 2),
+        |walk AS (
+        |  SELECT trace_id, pos, span_id, service, duration_us, 1 AS step
+        |  FROM posd WHERE pos = 1
+        |  UNION ALL
+        |  SELECT r.trace_id, r.pos, r.span_id, r.service, r.duration_us, w.step + 1
+        |  FROM walk w JOIN ranked r
+        |    ON r.trace_id = w.trace_id
+        |   AND (r.pos = w.pos * 2 OR r.pos = w.pos * 2 + 1)
+        |   AND r.rn = 1)
+        |SELECT trace_id, CAST(step AS BIGINT) AS step, span_id, service, duration_us
+        |FROM walk ORDER BY trace_id, step""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // Reader-style "slowest traces per service" leaderboard: trace
     // wall durations once per trace (one keyed agg), service
     // participation via DISTINCT projection, dense top-3 by window

@@ -59,6 +59,51 @@ object TraceDataset {
     spans.groupByKey(_.traceId).mapGroups((id, it) => TraceTransforms.validate(id, it.toSeq))
   }
 
+  /** Critical path per trace: starting at the root, repeatedly descend
+    * to the child whose END time is latest (ties → smaller span id) —
+    * the chain of spans that determines the trace's wall time, the
+    * analysis the reference UI layers over its per-trace tree
+    * (reader TraceReader.buildTree is the same walk's substrate).
+    *
+    * The demo span relation is chain-shaped (parent = previous event),
+    * where the walk is degenerate, so the operator imposes the same
+    * deterministic heap-shaped tree the oracle derives: pos = rank by
+    * (start, span id) within the trace, parent(pos) = pos / 2 — real
+    * branching without touching the generator (the trace_call_graph
+    * imposed-kind precedent).
+    *
+    * Scale shape: per-trace logic is row-local after the one traceId
+    * shuffle (the TraceDataset contract); trace sizes are bounded by
+    * the ingest cap, so group memory is bounded and the walk is at
+    * most log2(n) steps over an in-memory array. */
+  def criticalPathHeap(spans: Dataset[Span]): DataFrame = {
+    val s = spans.sparkSession
+    import s.implicits._
+    spans.groupByKey(_.traceId)
+      .flatMapGroups { (id, it) =>
+        val ordered = it.toArray.sortBy(sp => (sp.startUs, sp.spanId.toLong))
+        val n = ordered.length
+        val out = Seq.newBuilder[(String, Long, Long, String, Long)]
+        var pos = 1
+        var step = 1L
+        while (pos >= 1) {
+          val sp = ordered(pos - 1)
+          out += ((id, step, sp.spanId.toLong, sp.service, sp.durationUs))
+          val cands = Seq(2 * pos, 2 * pos + 1).filter(_ <= n)
+          if (cands.isEmpty) pos = -1
+          else {
+            pos = cands.maxBy { c =>
+              val x = ordered(c - 1)
+              (x.startUs + x.durationUs, -x.spanId.toLong)
+            }
+            step += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("trace_id", "step", "span_id", "service", "duration_us")
+  }
+
   /** Call-graph edges across all traces (TraceReader.getTraceCallGraph,
     * lifted from one-trace-per-rpc to a whole-corpus operator). */
   def callGraphEdges(spans: Dataset[Span]): DataFrame = {
