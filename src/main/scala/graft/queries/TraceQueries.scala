@@ -900,8 +900,7 @@ object TraceQueries {
     // itself. Scale: one traceId shuffle, then row-local (bounded
     // trace sizes — the TraceDataset contract).
     "trace_critical_path" -> QueryDef.sql(
-      (s, dir) => TraceDataset.criticalPathHeap(
-        TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit(""))))
+      (s, dir) => TraceDataset.criticalPathHeap(spans(s, dir))
         .orderBy("trace_id", "step"),
       cte("""
         |, posd AS (
