@@ -1169,7 +1169,81 @@ object TextQueries {
         |     ln(cb + 1.0) + ln(CAST(nb + v AS DOUBLE)))), 6) AS kl_ab
         |FROM cnt JOIN tot ON lang = t_lang
         |GROUP BY lang, v
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin),
+
+    // B28: temperature-weighted mix planning — the alpha-power
+    // language-balancing rule multilingual training runs use
+    // (target share ∝ n^alpha, alpha = 0.5 here): low-resource
+    // languages are boosted, high-resource ones damped. Pure
+    // aggregate math over the 5-row per-lang count table (the data
+    // pass is ONE partial-aggregated count; everything after is
+    // broadcast-scalar arithmetic, nothing to shard at 100 TB).
+    // Determinism: sqrt is correctly rounded per IEEE so per-lang
+    // terms are bit-identical across engines; the 5-term z sum's
+    // reduce-order ulps sit ~7 orders below the ROUND(.,6) cut.
+    "corpus_mix_temperature" -> QueryDef.sql(
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(
+          sum("n_docs").as("n_total"),
+          sum(sqrt(col("n_docs").cast("double"))).as("z"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            round(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("share_alpha"),
+            round(sqrt(col("n_docs").cast("double")) / col("z") *
+              col("n_total").cast("double") / col("n_docs").cast("double"), 6).as("boost"))
+          .orderBy("lang")
+      },
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM c)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS share_alpha,
+        |  ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z * CAST(n_total AS DOUBLE)
+        |        / CAST(n_docs AS DOUBLE), 6) AS boost
+        |FROM c, t ORDER BY lang""".stripMargin),
+
+    // B29: per-doc n-gram novelty — the fraction of a doc's trigram
+    // instances whose trigram FIRST appears (min doc_id corpus-wide)
+    // in that doc: "how much new content does each doc add", the
+    // instance-level complement of chunk dedup. Trigrams come from
+    // the materialized token array (the lm_score lesson — never
+    // split() inside the lambda); counts collapse to per-doc trigram
+    // rows before the trigram-keyed shuffle, the first-occurrence min
+    // partial-aggregates on the same key, and the join back reuses
+    // that exchange. Final ratio is one division of exact ints.
+    "text_ngram_novelty" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+        val tri = docs
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+              "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))")).as("tri"))
+          .groupBy("doc_id", "tri").agg(count(lit(1)).as("k"))
+        val first = tri.groupBy("tri").agg(min("doc_id").as("first_doc"))
+        tri.join(first, "tri")
+          .groupBy("doc_id")
+          .agg(sum("k").as("n_trigrams"),
+            sum(when(col("first_doc") === col("doc_id"), col("k")).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_trigrams").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tri0 AS (SELECT doc_id,
+        |           t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS tri
+        |         FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |               FROM toks WHERE len(t) >= 3)),
+        |cnt AS (SELECT doc_id, tri, COUNT(*) AS k FROM tri0 GROUP BY 1, 2),
+        |firsts AS (SELECT tri, MIN(doc_id) AS first_doc FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN k ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN k ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(k) AS DOUBLE), 6) AS novelty
+        |FROM cnt JOIN firsts USING (tri)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a
