@@ -1260,7 +1260,7 @@ object TextQueries {
     * agg), per-lang totals are a tiny broadcast join back, and the
     * final per-lang sum is map-side combined — no windows, no
     * low-cardinality sorts. */
-  private[queries] def corpusDrift(docs: DataFrame): DataFrame = {
+  private[graft] def corpusDrift(docs: DataFrame): DataFrame = {
     val cnt = docs
       .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy("lang", "w")
