@@ -1217,12 +1217,22 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), toks(col("text")).as("t"))
           .filter(size(col("t")) >= 3)
-        val tri = docs
+        // ONE trigram explode, ONE exchange: the raw instance stream
+        // repartitions on tri, and everything downstream rides that
+        // partitioning — hashpartitioning(tri) satisfies the
+        // (doc_id, tri) clustering as a key subset, so the per-doc
+        // counts, the first-occurrence min, AND their join all plan
+        // exchange-free on top (asserted in QueryPlanShapeSpec).
+        // Without the explicit repartition Catalyst re-derives the
+        // min branch from a second full Generate over the corpus —
+        // two tokenize+explode passes of every document.
+        val inst = docs
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
               "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))")).as("tri"))
-          .groupBy("doc_id", "tri").agg(count(lit(1)).as("k"))
-        val first = tri.groupBy("tri").agg(min("doc_id").as("first_doc"))
+          .repartition(col("tri"))
+        val tri = inst.groupBy("doc_id", "tri").agg(count(lit(1)).as("k"))
+        val first = inst.groupBy("tri").agg(min("doc_id").as("first_doc"))
         tri.join(first, "tri")
           .groupBy("doc_id")
           .agg(sum("k").as("n_trigrams"),
