@@ -1253,7 +1253,140 @@ object TextQueries {
         |  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN k ELSE 0 END) AS DOUBLE)
         |        / CAST(SUM(k) AS DOUBLE), 6) AS novelty
         |FROM cnt JOIN firsts USING (tri)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // B30: per-provenance mix report — doc/token/char totals and the
+    // exact token share (parts-per-million) for every (source, lang)
+    // cell. The first question a data-mix review asks of a corpus:
+    // what did each crawl/provider contribute, per language? One
+    // partial-aggregated count pass (map-side combine collapses to
+    // #source×#lang rows before the shuffle), then a broadcast of the
+    // single-row total — the corpus_mix_temperature shape. share_ppm
+    // is exact integer arithmetic: the token count is widened to
+    // DECIMAL(38,0) (HUGEINT in the oracle) before the ×1e6 so the
+    // product can't overflow a long even at 100 TB corpus sizes.
+    "corpus_source_mix" -> QueryDef.sql(
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            size(toks(col("text"))).cast("long").as("ntok"), col("n_chars"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            sum("n_chars").as("sum_chars"))
+        val tot = g.agg(sum("n_tokens").as("tot"))
+        g.crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            col("sum_chars"),
+            expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div tot").as("share_ppm"))
+          .orderBy("source", "lang")
+      },
+      """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(n_tokens) AS tot FROM g)
+        |SELECT source, lang, n_docs, n_tokens, sum_chars,
+        |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin),
+
+    // B31: corpus-wide boilerplate strip (the CCNet shape): a 10-token
+    // chunk that appears in >= 3 DISTINCT documents is boilerplate
+    // (site headers, license blocks, navigation text); every instance
+    // of it is dropped and each document is reassembled from its
+    // surviving chunks in order. Complements text_scrub_repeats
+    // (within-doc repeats) and dedup_chunks (first-occurrence census)
+    // with the count-threshold semantic.
+    //
+    // Scale design — document text NEVER shuffles: pass 1 exchanges
+    // only (doc_id, md5) pairs for the document-frequency count; the
+    // flagged hashes collapse to ONE array row (bounded by
+    // corpus-redundancy/K — at a real 100 TB this set is the point of
+    // the operator and stays broadcastable; were it not, the fallback
+    // is a left_anti join of chunks against the flagged hashes) that
+    // broadcasts back, and pass 2 rebuilds each doc row-locally inside
+    // its scan stage: chunk, md5-probe the broadcast set
+    // (array_contains over a small set), reassemble. Both passes use
+    // Generate-the-indices chunking / slice-from-attribute so the
+    // tokenizer regex runs once per doc (the O(n^2/10) inline-split
+    // trap, SURVEY §4); the pass-2 transform sits ABOVE the crossJoin
+    // so CollapseProject cannot inline the split into the lambda
+    // (plan-asserted: exactly two split calls in the whole plan).
+    // text_clean is NULL (not '') when every chunk is boilerplate,
+    // matching string_agg-over-no-rows in the oracle.
+    "text_strip_boilerplate" -> QueryDef.sql(
+      (s, dir) => {
+        val hashed = Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), posexplode(expr(
+            "sequence(0, CAST(floor((size(t) - 1) / 10) AS INT))"))
+            .as(Seq("ord", "chunk_idx")))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(col("t"), col("chunk_idx") * 10 + 1, lit(10)))).as("h"))
+        val bset = hashed.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+          .agg(sort_array(collect_list(col("h"))).as("bset"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .crossJoin(broadcast(bset))
+          .select(col("doc_id"), expr(
+            "transform(sequence(0, CAST(floor((size(t) - 1) / 10) AS INT)), " +
+              "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))").as("chunks"), col("bset"))
+          .select(col("doc_id"),
+            size(col("chunks")).cast("long").as("n_chunks"),
+            (size(col("chunks")) -
+              size(expr("filter(chunks, c -> NOT array_contains(bset, md5(c)))")))
+              .cast("long").as("n_boiler"),
+            nullif(array_join(
+              expr("filter(chunks, c -> NOT array_contains(bset, md5(c)))"), " "),
+              lit("")).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, s.i AS chunk_idx,
+        |         array_to_string(t[(s.i * 10 + 1):((s.i + 1) * 10)], ' ') AS chunk
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(floor((len(t) - 1) / 10) AS INT) + 1)) AS i
+        |        FROM toks) s(doc_id, t, i)),
+        |boiler AS (SELECT md5(chunk) AS h FROM chunks
+        |           GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN md5(chunk) IN (SELECT h FROM boiler) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  string_agg(CASE WHEN md5(chunk) NOT IN (SELECT h FROM boiler) THEN chunk END,
+        |             ' ' ORDER BY chunk_idx) AS text_clean
+        |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // B32: contamination SCORE — the grading complement of the binary
+    // corpus_decontaminate gate: per document, what fraction of its
+    // 3-gram instances hit the benchmark probe set (pipelines rank by
+    // overlap and cut at a threshold rather than dropping on any hit).
+    // The hit test is row-local (literal probe set, no shuffle); the
+    // only exchange is the per-doc count roll-up, map-side combined to
+    // ~1 row per doc. contam_pm is exact integer arithmetic
+    // (hits × 10000 div instances) — no double division to diverge.
+    "corpus_contamination_score" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+            "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))")).as("sh"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("sh").isin(ProbeShingles: _*).cast("long")).as("n_hits"))
+        .withColumn("contam_pm", expr("n_hits * 10000 div n_shingles"))
+        .orderBy("doc_id"),
+      s"""WITH d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |w AS (SELECT doc_id, lang,
+         |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS sh
+         |      FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i
+         |            FROM d WHERE len(t) >= 3))
+         |SELECT doc_id, lang, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN sh IN (${ProbeShingles.map(p => s"'$p'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN sh IN (${ProbeShingles.map(p => s"'$p'").mkString(", ")}) THEN 1 ELSE 0 END) * 10000
+         |       // COUNT(*) AS BIGINT) AS contam_pm
+         |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a

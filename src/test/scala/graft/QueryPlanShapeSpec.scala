@@ -104,5 +104,17 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
         "Generate explode".r.findAllIn(p).length shouldBe 1
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
+
+    it("text_strip_boilerplate tokenizes each pass once and rebuilds row-locally") {
+      // pass 1 (hash census) and pass 2 (rebuild) each split the text
+      // exactly once: the pass-2 chunk transform sits ABOVE the
+      // broadcast crossJoin, so CollapseProject cannot inline the
+      // tokenizer into the lambda (the O(n^2/10) re-split trap). The
+      // rebuild side carries no exchange of its own — document text
+      // never shuffles; only (doc_id, md5) pairs do, in pass 1.
+      val p = plan("text_strip_boilerplate")
+      "split\\(".r.findAllIn(p).length shouldBe 2
+      p should include("BroadcastNestedLoopJoin")
+    }
   }
 }
