@@ -46,6 +46,34 @@ class BloomJoinSpec extends AnyFunSpec with Matchers with SparkTestBase {
       kept should be < 600L
     }
 
+    it("sizes the filter past the runtime-filter conf clamp") {
+      // Spark 4's stat.bloomFilter clamps numBits at
+      // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26):
+      // sized for 21M keys @1% that clamp silently yields a 76%-fpp
+      // filter (measured at sf100 — 476M of 600M probe rows passed
+      // instead of 90M). BloomJoin.build passes explicit literals, so
+      // the requested sizing must survive unclamped.
+      val s = spark
+      import s.implicits._
+      val tiny = (0 until 10).map(_.toLong).toDF("k")
+      val bloom = BloomJoin.build(tiny, "k", expectedItems = 50000000L, fpp = 0.01)
+      val want = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(50000000L, 0.01)
+      // allocation rounds to the implementation's word granularity —
+      // assert it is the optimal size's neighborhood, far past the clamp
+      bloom.bitSize() should be >= (want - 64)
+      bloom.bitSize() should be > 67108864L
+      (0 until 10).foreach(i => bloom.mightContainLong(i.toLong) shouldBe true)
+    }
+
+    it("returns an all-absent filter for an empty build side") {
+      val s = spark
+      import s.implicits._
+      val big = (0 until 100).map(_.toLong).toDF("k")
+      val none = spark.emptyDataFrame.withColumn("k2", lit(1L)).filter(lit(false))
+        .select("k2")
+      BloomJoin.semiJoin(big, none, "k", "k2").count() shouldBe 0L
+    }
+
     it("probes inside the scan stage as a codegen'd filter") {
       val li = Tables.lineitem(spark, sfDir)
       val urgent = Tables.orders(spark, sfDir)
