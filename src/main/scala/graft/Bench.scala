@@ -54,7 +54,15 @@ object Bench {
     def once(name: String, tag: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // noop write, NOT count(): under count() Catalyst prunes every
+        // output column the count doesn't need — an aggregate's payload
+        // expressions, a per-doc score projection — so count() times a
+        // skeleton of the query (measured: trace_tag_extract 0.45 s
+        // counted vs 43 s with its JSON extraction actually computed at
+        // sf100). The noop sink materializes every output column
+        // without writing bytes — the standard full-computation action.
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
         val sec = (System.nanoTime() - t0) / 1e9
         // stderr progress line (stdout stays reserved for the driver's
         // {"metric"...} grep) — long scale runs are watchable, and a
