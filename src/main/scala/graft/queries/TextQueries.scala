@@ -1386,7 +1386,33 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN sh IN (${ProbeShingles.map(p => s"'$p'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(SUM(CASE WHEN sh IN (${ProbeShingles.map(p => s"'$p'").mkString(", ")}) THEN 1 ELSE 0 END) * 10000
          |       // COUNT(*) AS BIGINT) AS contam_pm
-         |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
+         |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+
+    // B33: language-ID confusion matrix — the classifier-eval report a
+    // pipeline publishes alongside its langid pass: per (labeled lang,
+    // predicted lang) doc counts plus the per-label recall in exact
+    // parts-per-myriad. Row-local scoring (the langPredicted argmax
+    // shared with text_langid / corpus_select), one map-combined
+    // roll-up to ≤ #langs² cells, broadcast of the per-label totals.
+    "text_langid_confusion" -> QueryDef.sql(
+      (s, dir) => {
+        val cells = Tables.documents(s, dir)
+          .select(col("lang"), langPredicted(col("text")).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        val tot = cells.groupBy(col("lang").as("t_lang")).agg(sum("n_docs").as("n_lang"))
+        cells.join(broadcast(tot), col("lang") === col("t_lang"))
+          .select(col("lang"), col("lang_pred"), col("n_docs"),
+            expr("n_docs * 10000 div n_lang").as("cell_pm"))
+          .orderBy("lang", "lang_pred")
+      },
+      s"""WITH cells AS (
+         |  SELECT lang, ${langPredictedSql("text")} AS lang_pred, COUNT(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT lang AS t_lang, SUM(n_docs) AS n_lang FROM cells GROUP BY 1)
+         |SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_docs * 10000 // n_lang AS BIGINT) AS cell_pm
+         |FROM cells JOIN tot ON lang = t_lang
+         |ORDER BY lang, lang_pred""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a
