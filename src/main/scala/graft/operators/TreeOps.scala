@@ -32,43 +32,60 @@ object TreeOps {
     */
   def spanDepths(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
     // The iterated state carries ONLY (span_id, anc, dist): every round
-    // materializes the whole state (localCheckpoint), so each extra
+    // materializes its frontier (localCheckpoint), so each extra
     // column pays its width × rounds — trace_id (a 16-byte id in
     // production) rides along zero times and rejoins once at the end.
     // Cursor init: one hop to the parent, or done (anc null, dist 0).
-    var state = spans.select(
+    //
+    // FRONTIER SPLIT: after r rounds every span at depth ≤ 2^r is
+    // resolved, so on realistic traces (depth ~10, log-rounds ~4) the
+    // unresolved set collapses geometrically while total rounds are
+    // bounded by the deepest trace. Iterating the full state anyway
+    // re-joins and re-materializes ~N rows × rounds (the dominant cost
+    // at 100 M spans); instead only UNRESOLVED cursors iterate, and
+    // resolved rows retire into per-round checkpointed frames that
+    // still serve as jump targets (an active cursor may point at a
+    // resolved ancestor — the jump-source union covers both). Per-round
+    // materialization is O(|frontier|), join left side shrinks with it.
+    val init = spans.select(
       col("span_id"),
       col("parent_span_id").as("anc"),
       when(col("parent_span_id").isNull, 0L).otherwise(1L).as("dist"))
       .localCheckpoint()
+    var frontier = init.filter(col("anc").isNotNull).localCheckpoint()
+    var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
+    init.unpersist()
 
     var rounds = 0
-    var active = !state.filter(col("anc").isNotNull).isEmpty
+    var active = !frontier.isEmpty
     while (active && rounds < maxRounds) {
-      val hop = state.select(
-        col("span_id").as("h_id"), col("anc").as("h_anc"), col("dist").as("h_dist"))
-      // Done rows (anc null) never match the left join and pass through
-      // unchanged; active rows jump to their ancestor's cursor. A
-      // dangling anc (parent id absent from the input) also misses the
-      // join and resolves to done-at-current-dist.
-      val next = state.join(hop, col("anc") === col("h_id"), "left_outer")
+      val hop = (frontier :: doneFrames).map(_.select(
+        col("span_id").as("h_id"), col("anc").as("h_anc"), col("dist").as("h_dist")))
+        .reduce(_ unionAll _)
+      // Active rows jump to their ancestor's cursor. A dangling anc
+      // (parent id absent from the input) misses the join and resolves
+      // to done-at-current-dist.
+      val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
         .select(
           col("span_id"),
           col("h_anc").as("anc"),
           (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
         .localCheckpoint()
-      state.unpersist()
-      state = next
+      frontier.unpersist()
+      doneFrames = next.filter(col("anc").isNull) :: doneFrames
+      frontier = next.filter(col("anc").isNotNull)
       rounds += 1
-      active = !state.filter(col("anc").isNotNull).isEmpty
+      active = !frontier.isEmpty
     }
     require(!active, s"spanDepths did not converge in $maxRounds doubling rounds " +
       s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
-    // NOTE: the final state checkpoint stays live — the returned frame
-    // reads from it (same contract as GraphOps.connectedComponents:
+    // NOTE: the round checkpoints stay live — the returned frame reads
+    // the done frames (same contract as GraphOps.connectedComponents:
     // the caller may unpersist after consuming).
+    val depths = doneFrames.map(_.select(col("span_id"), col("dist").as("depth")))
+      .reduce(_ unionAll _)
     spans.select(col("trace_id"), col("span_id"))
-      .join(state.select(col("span_id"), col("dist").as("depth")), "span_id")
+      .join(depths, "span_id")
       .select(col("trace_id"), col("span_id"), col("depth"))
   }
 }
