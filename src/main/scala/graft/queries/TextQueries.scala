@@ -19,6 +19,15 @@ object TextQueries {
   /** Tokens of a document, as both engines see them. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Token COUNT without materializing the array: #separator-runs + 1
+    * on the trimmed text ≡ size(toks(c)) for every input (incl. empty:
+    * split("") is [""], count 1 = 0 + 1), but skips the ~n_tokens
+    * UTF8String allocations per document — at 5 M docs the difference
+    * is most of a corpus pass. Use wherever only the count is needed;
+    * oracles keep computing len(regexp_split_to_array(...)). */
+  private def tokCount(c: Column): Column =
+    (regexp_count(trim(c), lit("\\s+")) + 1).cast("long")
+
   // language stopword lexicons — single source for text_langid and
   // corpus_select on both engines
   private val LangRegex = Seq(
@@ -202,7 +211,7 @@ object TextQueries {
     "text_tokens" -> QueryDef.sql(
       (s, dir) => Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          size(toks(col("text"))).cast("long").as("ws_tokens"),
+          tokCount(col("text")).as("ws_tokens"),
           regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("bpe_ish_tokens"))
         .orderBy("doc_id"),
       """SELECT doc_id,
@@ -345,7 +354,7 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
-            size(toks(col("text"))).cast("long").as("n_tokens"))
+            tokCount(col("text")).as("n_tokens"))
         ShardedWindow.runningSum(
           docs,
           keys = Seq("lang"),
@@ -456,7 +465,7 @@ object TextQueries {
           round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text")), 6)
             .as("digit_ratio"),
           round(regexp_count(col("text"), lit("\\b(the|and|of|to|a|in)\\b")).cast("double") /
-            size(toks(col("text"))), 6).as("stopword_ratio"))
+            tokCount(col("text")), 6).as("stopword_ratio"))
         .orderBy("doc_id"),
       """SELECT doc_id,
         |  length(text) AS n_chars,
@@ -991,7 +1000,7 @@ object TextQueries {
         val budget = 5000L
         val docs = Tables.documents(s, dir)
           .select(col("lang"), col("doc_id"),
-            size(toks(col("text"))).cast("long").as("tok_cnt"))
+            tokCount(col("text")).as("tok_cnt"))
         ShardedWindow.runningSum(
           docs,
           keys = Seq("lang"),
@@ -1269,7 +1278,7 @@ object TextQueries {
       (s, dir) => {
         val g = Tables.documents(s, dir)
           .select(col("source"), col("lang"),
-            size(toks(col("text"))).cast("long").as("ntok"), col("n_chars"))
+            tokCount(col("text")).as("ntok"), col("n_chars"))
           .groupBy("source", "lang")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
             sum("n_chars").as("sum_chars"))
