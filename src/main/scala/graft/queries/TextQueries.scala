@@ -88,6 +88,12 @@ object TextQueries {
   private val ProbeShingles = Seq(
     "part filter scan", "row column sort", "stream table hash", "window fast query")
 
+  /** Query terms for the BM25 retrieval demo (B34) — fixed stand-ins
+    * for a user query. `dup` is the one rare term in the synthetic
+    * vocabulary (df ≈ 5% vs ≈ 78% for the rest), so the idf weighting
+    * is visible in the ranking: docs containing it dominate the top. */
+  private val Bm25Terms = Seq("dup", "stream", "filter", "window")
+
   /** Per-language keep rates (percent buckets of 100) for the
     * stratified sampling demo (B15b) — downsample the dominant
     * language, keep the rest whole. Built with foldRight below so the
@@ -1421,7 +1427,139 @@ object TextQueries {
          |SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(n_docs * 10000 // n_lang AS BIGINT) AS cell_pm
          |FROM cells JOIN tot ON lang = t_lang
-         |ORDER BY lang, lang_pred""".stripMargin)
+         |ORDER BY lang, lang_pred""".stripMargin),
+
+    // B34: BM25 retrieval — score every document against a fixed query
+    // term set (k1=1.2, b=0.75, Lucene's nonnegative idf
+    // ln(1 + (N-df+0.5)/(df+0.5))) and return the top 20. The
+    // inverted-index complement: where text_inverted_index BUILDS
+    // postings, this RANKS with them. The explode is filtered to query
+    // terms in the scan stage, so only matching (doc, term) rows ever
+    // shuffle (|terms| × docs worst case, not the token stream);
+    // corpus stats (N, total tokens) ride in as one broadcast row; df
+    // per term is a ≤|terms|-row aggregate. Per-term scores are
+    // ROUNDed to 6 then summed as DECIMAL so the per-doc total is
+    // partition-order-independent; the (score desc, doc_id) cut is a
+    // TakeOrdered.
+    "text_bm25" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"),
+            tokCount(col("text")).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+          .filter(col("term").isin(Bm25Terms: _*))
+          // one explicit exchange both the tf and df branches hash to
+          // byte-identically → ReusedExchange: ONE corpus tokenize +
+          // explode pass, not two (the text_ngram_novelty lesson; the
+          // (doc_id, term) clustering satisfies the (doc_id, dl, term)
+          // grouping as a key subset)
+          .repartition(col("doc_id"), col("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+        val denom = col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            ((col("dl") * col("n_docs")).cast("double") / col("tot_tokens")))
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        tf.join(broadcast(dfreq), col("term") === col("df_term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("sc",
+            round(idf * (lit(2.2) * col("tf") / denom), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .groupBy("doc_id")
+          .agg(sum("sc").cast("double").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+         |             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+         |           FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM d),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(ROUND(
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |    (2.2 * tf.tf / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |       (CAST(dl * n_docs AS DOUBLE) / tot_tokens)))), 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS score
+         |FROM tf JOIN dfreq USING (term), stats
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // B35: Gopher-style rule gate — the named-heuristic quality filter
+    // (word count bounds, mean word length bounds, stopword presence)
+    // every pretraining pipeline runs before model-based scoring. Each
+    // rule is an integer-exact row-local flag (chars-per-token uses
+    // integer myriad arithmetic — no double division to drift), the
+    // verdict is their conjunction, and the output is the per-doc rule
+    // ledger an auditor wants, not just the surviving rows. Pure scan-
+    // stage work: no shuffle at any scale.
+    "corpus_gopher_rules" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), tokCount(col("text")).as("n_tokens"),
+          length(trim(col("text"))).cast("long").as("n_chars"),
+          (langPredicted(col("text")) =!= "unk").as("has_stopwords"))
+        .withColumn("cpt_pm", expr("n_chars * 10000 div n_tokens"))
+        .withColumn("ok_len", col("n_tokens").between(20L, 90L))
+        .withColumn("ok_word_len", col("cpt_pm").between(48000L, 60000L))
+        .withColumn("keep", col("ok_len") && col("ok_word_len") && col("has_stopwords"))
+        .drop("n_chars")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, n_tokens, cpt_pm, has_stopwords,
+         |  n_tokens BETWEEN 20 AND 90 AS ok_len,
+         |  cpt_pm BETWEEN 48000 AND 60000 AS ok_word_len,
+         |  (n_tokens BETWEEN 20 AND 90) AND (cpt_pm BETWEEN 48000 AND 60000)
+         |    AND has_stopwords AS keep
+         |FROM (SELECT doc_id,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |        length(trim(text)) * 10000 // len(regexp_split_to_array(trim(text), '\\s+')) AS cpt_pm,
+         |        ${langPredictedSql("text")} <> 'unk' AS has_stopwords
+         |      FROM documents) t
+         |ORDER BY doc_id""".stripMargin),
+
+    // B36: per-source quality prior blend — RefinedWeb-style curation
+    // where a document's keep score mixes its own quality with its
+    // source's reputation (mean quality of the source), catching good
+    // docs from bad mirrors and vice versa. Per-doc q is the rounded
+    // alpha ratio (the corpus_quality_gate scorer); the prior is an
+    // exact DECIMAL sum over the source divided once (order-
+    // independent), broadcast back (≤ #sources rows); the blend is one
+    // fixed double expression. Scan + one tiny aggregate — the corpus
+    // itself never shuffles.
+    "corpus_domain_prior" -> QueryDef.sql(
+      (s, dir) => {
+        val q = round(length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")), 6)
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), q.as("q"))
+        val prior = scored.groupBy(col("source").as("p_source"))
+          .agg(round(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("prior"))
+        scored.join(broadcast(prior), col("source") === col("p_source"))
+          .withColumn("blended", round(lit(0.7) * col("q") + lit(0.3) * col("prior"), 6))
+          .select(col("doc_id"), col("source"), col("q"), col("prior"),
+            col("blended"), (col("blended") >= 0.822).as("keep"))
+          .orderBy("doc_id")
+      },
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text), 6) AS q
+        |  FROM documents),
+        |prior AS (SELECT source,
+        |            ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |              AS prior
+        |          FROM scored GROUP BY 1)
+        |SELECT doc_id, source, q, prior,
+        |  ROUND(0.7 * q + 0.3 * prior, 6) AS blended,
+        |  ROUND(0.7 * q + 0.3 * prior, 6) >= 0.822 AS keep
+        |FROM scored JOIN prior USING (source)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a

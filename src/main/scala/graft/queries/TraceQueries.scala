@@ -1383,6 +1383,95 @@ object TraceQueries {
             |           FROM spans WHERE service = 'purchase') p
             |  ON e.trace_id = p.trace_id AND e.start_us >= p.p_start_us
             |WHERE e.start_us - p.p_start_us <= $HourUs
-            |ORDER BY err_span_id""".stripMargin))
+            |ORDER BY err_span_id""".stripMargin)),
+
+    // Error root-cause attribution: the error spans that STARTED a
+    // failure (their parent is absent or healthy), blamed on the
+    // calling service — the triage view a tracing UI opens with, and
+    // the complement of trace_error_rate's per-day tally. One
+    // composite-key shuffle join (err.parent_span_id = parent.span_id
+    // within the trace); the error filter runs in the scan stage so
+    // only the error slice shuffles, and the aggregate output is
+    // ≤ #services × #operations.
+    "trace_error_roots" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val errs = sp.filter(col("service") === "error")
+          .select("trace_id", "span_id", "parent_span_id", "operation")
+        val parents = sp.select(col("trace_id").as("p_trace_id"),
+          col("span_id").as("p_span_id"), col("service").as("p_service"))
+        errs.join(parents,
+            col("trace_id") === col("p_trace_id") &&
+              col("parent_span_id") === col("p_span_id"), "left")
+          .filter(col("p_span_id").isNull || col("p_service") =!= "error")
+          .groupBy(coalesce(col("p_service"), lit("<root>")).as("caller"),
+            col("operation"))
+          .agg(count(lit(1)).as("n_root_errors"))
+          .orderBy("caller", "operation")
+      },
+      cte("""SELECT COALESCE(p.service, '<root>') AS caller, e.operation,
+            |  COUNT(*) AS n_root_errors
+            |FROM (SELECT trace_id, span_id, parent_span_id, operation
+            |      FROM spans WHERE service = 'error') e
+            |LEFT JOIN (SELECT trace_id, span_id, service FROM spans) p
+            |  ON e.trace_id = p.trace_id AND e.parent_span_id = p.span_id
+            |WHERE p.span_id IS NULL OR p.service <> 'error'
+            |GROUP BY 1, 2 ORDER BY caller, operation""".stripMargin)),
+
+    // Inter-span wait profile: the idle gap between a span's start and
+    // its predecessor's end within the trace (queue/network wait; a
+    // negative gap is overlap, i.e. async execution), rolled up by the
+    // waiting span's service. The APM "where do requests sit idle"
+    // view. One trace-keyed window (high-cardinality partition key —
+    // parallelism is #traces, not #services) feeding a map-combined
+    // ≤ #services aggregate; avg is one division of exact integer
+    // partials, so no double accumulation order to drift.
+    "trace_span_gap" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        spans(s, dir)
+          .withColumn("prev_end",
+            lag(col("start_us") + col("duration_us"), 1).over(w))
+          .filter(col("prev_end").isNotNull)
+          .withColumn("gap_us", col("start_us") - col("prev_end"))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_waits"),
+            min("gap_us").as("min_gap_us"),
+            max("gap_us").as("max_gap_us"),
+            sum("gap_us").as("total_gap_us"))
+          // exact integer mean (both engines truncate toward zero) —
+          // ROUND(double, 6) at this magnitude (~4e10 µs) is below the
+          // double's ulp, where the engines' rounding diverges
+          .withColumn("avg_gap_us", expr("total_gap_us div n_waits"))
+          .orderBy("service")
+      },
+      cte("""
+        |, g AS (SELECT service, start_us -
+        |          lag(start_us + duration_us) OVER
+        |            (PARTITION BY trace_id ORDER BY start_us, span_id) AS gap_us
+        |        FROM spans)
+        |SELECT service, COUNT(*) AS n_waits,
+        |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) // COUNT(*) AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY service ORDER BY service""".stripMargin)),
+
+    // Duration heatmap: (hour, log2-duration-bucket) span counts — the
+    // latency heatmap a tracing UI renders over time. The log2 bucket
+    // is the BINARY DIGIT COUNT of the duration (length of the base-2
+    // rendering: integer-exact on both engines, no floating log2 at
+    // power-of-two edges). Pure map-side-combined aggregate; output is
+    // #hours × ~40 buckets regardless of input scale.
+    "trace_duration_heatmap" -> QueryDef.sql(
+      (s, dir) => spans(s, dir)
+        .groupBy(expr(s"(start_us - $T0) div $HourUs").as("hour_bucket"),
+          length(conv(col("duration_us"), 10, 2)).cast("long").as("dur_bits"))
+        .agg(count(lit(1)).as("n_spans"))
+        .orderBy("hour_bucket", "dur_bits"),
+      cte(s"""SELECT CAST((start_us - $T0) // $HourUs AS BIGINT) AS hour_bucket,
+            |  CAST(length(bin(duration_us)) AS BIGINT) AS dur_bits,
+            |  COUNT(*) AS n_spans
+            |FROM spans GROUP BY 1, 2 ORDER BY hour_bucket, dur_bits""".stripMargin))
   )
 }

@@ -117,4 +117,59 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("BroadcastNestedLoopJoin")
     }
   }
+
+  describe("round-7 plan shapes") {
+    it("text_bm25 tokenizes the corpus once — tf and df share one exchange") {
+      // the df branch re-aggregates the tf exchange, not a second
+      // corpus explode (the text_ngram_novelty lesson: explicit
+      // repartition(doc_id, term) makes both subtrees byte-identical
+      // below the exchange); df and corpus stats join in as broadcasts
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val p = plan("text_bm25")
+        p should include("ReusedExchange")
+        "Generate explode".r.findAllIn(p).length shouldBe 1
+        p should include("BroadcastHashJoin")
+        p should not include "SortMergeJoin"
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
+    it("trace_duration_heatmap partial-aggregates before its only data exchange") {
+      // map-side combine collapses the span stream to ≤ #hours × ~40
+      // bucket cells per task before anything shuffles — the shuffle
+      // payload is the heatmap size, not the span count
+      val p = plan("trace_duration_heatmap")
+      p should include("partial_count")
+      p should not include "SortMergeJoin"
+      "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    }
+
+    it("corpus_gopher_rules is pure scan-stage work — no data shuffle at all") {
+      // every rule flag is row-local; the only exchange in the plan is
+      // the cosmetic output ordering's range partitioning
+      val p = plan("corpus_gopher_rules")
+      "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 0
+      p should not include "Window"
+      p should not include "Join"
+    }
+
+    it("trace_span_gap windows on the high-cardinality trace key") {
+      // the lag window partitions by trace (millions of keys at scale),
+      // never by service — parallelism is #traces, and the per-service
+      // roll-up partial-aggregates before its tiny exchange
+      val p = plan("trace_span_gap")
+      p should include("windowspecdefinition(trace_id")
+      p should include("partial_count")
+    }
+
+    it("corpus_domain_prior broadcasts the per-source prior back") {
+      // the prior is a ≤ #sources aggregate; the corpus-side blend must
+      // stay row-local against a broadcast, never a source-keyed
+      // shuffle of every document
+      val p = plan("corpus_domain_prior")
+      p should include("BroadcastHashJoin")
+      p should not include "SortMergeJoin"
+    }
+  }
 }
