@@ -37,6 +37,26 @@ object Bench {
     "q1_agg", "q6_filter", "q3_join", "q_factjoin",
     "trace_search", "dedup_exact", "text_quality", "ann_topk_brute")
 
+  private[graft] def jq(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  /** Error map for the COMPACT line: first [[maxShown]] entries with
+    * 40-char messages, plus an `n_errors` key carrying the TRUE count.
+    * The query map degrades under the tail budget by dropping entries,
+    * but r7 proved the error map must too — 54 analysis failures
+    * emitted whole pushed the line past the window and the driver
+    * recorded `parsed:null`, losing the errors AND the timings. Full
+    * error text always lives on the total_detail line. */
+  private[graft] def compactErrJson(errors: collection.Seq[(String, String)], maxShown: Int = 5): String = {
+    val shown = errors.take(maxShown).map { case (k, v) => s"${jq(k)}: ${jq(v.take(40))}" }
+    (shown :+ s""""n_errors": ${errors.size}""").mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,13 +160,6 @@ object Bench {
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def jq(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
     val errJson = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     val mins = results.map { case (k, (mn, _)) => k -> mn }
     val medians = results.map { case (k, (_, md)) => k -> md }
@@ -165,11 +178,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${sig}g", Double.box(v))
     def jmapSig(kvs: Seq[(String, Double)], sig: Int): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmtSig(v, sig) }.mkString("{", ",", "}")
-    // errors in the compact line carry only the first 40 chars per
-    // message — full text lives on the detail line; a handful of long
-    // failures must not push the line head out of the tail window
-    val errCompact = errors.map { case (k, v) => s"${jq(k)}: ${jq(v.take(40))}" }
-      .mkString("{", ",", "}")
+    // errors in the compact line are capped (first 5 + true count) so
+    // even a mass failure leaves the line parseable — see compactErrJson
+    val errCompact = compactErrJson(errors.toSeq)
     def compactLine(kvs: Seq[(String, Double)], sig: Int, note: String): String = {
       val noteJson = if (note.isEmpty) "" else s""","note":${jq(note)}"""
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(kvs, sig)},"errors":$errCompact,"sf":"$sfDir"$noteJson}"""

@@ -81,8 +81,9 @@ object ScaleUp {
     write(replicate(documents, Seq("doc_id" -> stride(documents, "doc_id"))), "documents")
     val embeddings = Tables.embeddings(spark, srcDir)
     write(replicate(embeddings, Seq("vec_id" -> stride(embeddings, "vec_id"))), "embeddings")
-    // events: nanosAsLong read turns ts into a plain long column, which
-    // round-trips fine for every consumer (they all read it via div)
+    // events: ts round-trips in its loaded form (timestamp[us] today,
+    // nanos-long legacy) — consumers derive micros via Tables.eventTimeUs,
+    // which dispatches on whichever dtype comes back
     val events = Tables.events(spark, srcDir)
     write(replicate(events,
       Seq("event_id" -> stride(events, "event_id"), "user_id" -> stride(events, "user_id"))),

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -17,14 +19,29 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as a nanos-since-epoch long (matches DuckDB's
-    * ns-precision view of the same column; downstream code derives
-    * microseconds with `ts div 1000`, the same truncation DuckDB's
-    * epoch_us applies). */
+  /** The driver has shipped `events.ts` under two physical parquet
+    * encodings across regenerations: TIMESTAMP(MICROS) (current — loads
+    * as timestamp/timestamp_ntz) and TIMESTAMP(NANOS) (legacy — Spark
+    * has no nanos type; the conf below reads it as a nanos long).
+    * Consumers must not assume either: derive epoch-micros via
+    * [[eventTimeUs]], which dispatches on the loaded dtype. The conf is
+    * a no-op on micros files, so setting it unconditionally is safe. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, dir, "events")
+  }
+
+  /** Micros-since-epoch for `events.ts`, whatever the file encoding:
+    * timestamp/timestamp_ntz → `unix_micros` (NTZ casts through the
+    * UTC session zone, instant-preserving — every graft session pins
+    * spark.sql.session.timeZone=UTC); legacy nanos-long → `div 1000`.
+    * Both match DuckDB's `epoch_us(ts)` on the same file, which is what
+    * every trace-domain oracle uses. */
+  def eventTimeUs(events: DataFrame): Column = events.schema("ts").dataType match {
+    case TimestampType | TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case LongType                         => expr("ts div 1000")
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported type $other (expected timestamp[us/ns] or long nanos)")
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

@@ -27,7 +27,7 @@ object SpanOps {
       lag("event_id", 1).over(w).as("parent_span_id"),
       col("event_type").as("service"),
       concat(lit("op_"), (get_json_object(col("props"), "$.k").cast("int") % 5).cast("string")).as("operation"),
-      expr("ts div 1000").as("start_us"),
+      graft.Tables.eventTimeUs(events).as("start_us"),
       round(col("value") * 1000, 0).cast("long").as("duration_us"),
       col("props").as("tags"))
   }

@@ -1559,7 +1559,66 @@ object TextQueries {
         |  ROUND(0.7 * q + 0.3 * prior, 6) AS blended,
         |  ROUND(0.7 * q + 0.3 * prior, 6) >= 0.822 AS keep
         |FROM scored JOIN prior USING (source)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // B37: DSIR-style importance weights — data selection by importance
+    // resampling (Xie et al. 2023): score every raw document by how
+    // much more likely its tokens are under a TARGET distribution
+    // (here the English slice — the formal-domain stand-in) than under
+    // the RAW corpus distribution, both add-one-smoothed unigram LMs
+    // over the shared vocabulary. A pipeline resamples raw data with
+    // probability ∝ exp(weight) to steer the mix toward the target
+    // domain without a trained classifier.
+    //
+    // Determinism: the per-token log-ratio's ln() arguments are all
+    // exact integers (c+1, N+V — the corpus_drift precedent), so
+    // per-token values are bit-identical across engines; the per-doc
+    // mean hides reduce-order ulps below the ROUND(.,6) cut (the
+    // text_lm_score precedent). Scale: ONE token-keyed count shuffle
+    // for both distributions (conditional sums in the same partial
+    // agg), totals broadcast back as a single row, and the per-doc
+    // token counts join the ratio table on the token key — the
+    // corpus_drift shuffle class end to end; nothing quadratic,
+    // no windows.
+    "corpus_dsir_weights" -> QueryDef.sql(
+      (s, dir) => {
+        val inst = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+        val cnt = inst.groupBy("w").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"), count(lit(1)).as("v"))
+        val lr = cnt.crossJoin(broadcast(tot))
+          .select(col("w").as("r_w"),
+            (log(col("ct") + lit(1.0)) - log((col("nt") + col("v")).cast("double")) -
+              log(col("cr") + lit(1.0)) + log((col("nr") + col("v")).cast("double")))
+              .as("lr"))
+        val dtc = inst.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+        dtc.join(lr, col("w") === col("r_w"))
+          .groupBy("doc_id")
+          .agg(sum("k").as("n_tokens"),
+            round(sum(col("k").cast("double") * col("lr")) / sum("k").cast("double"), 6)
+              .as("dsir_logratio"))
+          .orderBy("doc_id")
+      },
+      """WITH inst AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |          COUNT(*) AS cr
+        |        FROM inst GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+        |               COUNT(*) AS v
+        |        FROM cnt),
+        |lr AS (SELECT w, ln(ct + 1.0) - ln(CAST(nt + v AS DOUBLE))
+        |              - ln(cr + 1.0) + ln(CAST(nr + v AS DOUBLE)) AS lr
+        |       FROM cnt CROSS JOIN tot),
+        |dtc AS (SELECT doc_id, w, COUNT(*) AS k FROM inst GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(k * lr) / SUM(k), 6) AS dsir_logratio
+        |FROM dtc JOIN lr USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a

@@ -49,7 +49,7 @@ class TraceStoreWriterSpec extends AnyFunSpec with Matchers with SparkTestBase {
           col("event_id").cast("string").as("span_id"),
           lit("").as("parent_span_id"),
           col("event_type").as("service"), lit("op").as("operation"),
-          expr("ts div 1000").as("start_us"),
+          Tables.eventTimeUs(Tables.events(s, sfDir)).as("start_us"),
           round(col("value") * 1000, 0).cast("long").as("duration_us"),
           lit("").as("kind"), map().cast("map<string,string>").as("tags"))
       val buffers = graft.streaming.SpanBufferStream.assemble(
