@@ -1312,20 +1312,25 @@ object TextQueries {
     // (within-doc repeats) and dedup_chunks (first-occurrence census)
     // with the count-threshold semantic.
     //
-    // Scale design — document text NEVER shuffles: pass 1 exchanges
-    // only (doc_id, md5) pairs for the document-frequency count; the
-    // flagged hashes collapse to ONE array row (bounded by
-    // corpus-redundancy/K — at a real 100 TB this set is the point of
-    // the operator and stays broadcastable; were it not, the fallback
-    // is a left_anti join of chunks against the flagged hashes) that
-    // broadcasts back, and pass 2 rebuilds each doc row-locally inside
-    // its scan stage: chunk, md5-probe the broadcast set
-    // (array_contains over a small set), reassemble. Both passes use
-    // Generate-the-indices chunking / slice-from-attribute so the
-    // tokenizer regex runs once per doc (the O(n^2/10) inline-split
-    // trap, SURVEY §4); the pass-2 transform sits ABOVE the crossJoin
-    // so CollapseProject cannot inline the split into the lambda
-    // (plan-asserted: exactly two split calls in the whole plan).
+    // Scale design — pass 1 exchanges only (doc_id, chunk_idx, md5)
+    // triples for the document-frequency count; flagged hashes stay a
+    // RELATION and meet the triples in an equi-join on the hash (the
+    // planner broadcasts it when small, shuffles when not — never a
+    // per-row scan); each doc's DROPPED CHUNK INDICES collapse to one
+    // small int array that joins back on doc_id, and the rebuild is
+    // row-local index filtering over the doc's own chunk array. The
+    // r8 sf1 pack killed the previous broadcast-array design: probing
+    // a collect_list of every flagged hash via array_contains inside
+    // a lambda is #chunks × |flagged| work per doc — 147 s at sf1
+    // (replication flags every chunk) vs linear everywhere under the
+    // join form. All passes use Generate-the-indices chunking /
+    // slice-from-attribute so the tokenizer regex runs once per doc
+    // (the O(n^2/10) inline-split trap, SURVEY §4); the rebuild
+    // transform sits ABOVE the drop join so CollapseProject cannot
+    // inline the split into the lambda (plan-asserted: three linear
+    // split passes, no BroadcastNestedLoopJoin). The final doc_id join
+    // exchanges the documents relation once when drops don't
+    // broadcast — a doc_id-bucketed store makes it exchange-free.
     // text_clean is NULL (not '') when every chunk is boilerplate,
     // matching string_agg-over-no-rows in the oracle.
     "text_strip_boilerplate" -> QueryDef.sql(
@@ -1335,25 +1340,35 @@ object TextQueries {
           .select(col("doc_id"), col("t"), posexplode(expr(
             "sequence(0, CAST(floor((size(t) - 1) / 10) AS INT))"))
             .as(Seq("ord", "chunk_idx")))
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("chunk_idx"),
             md5(concat_ws(" ", slice(col("t"), col("chunk_idx") * 10 + 1, lit(10)))).as("h"))
-        val bset = hashed.groupBy("h")
+        // the census and the drops join each scan-tokenize the corpus
+        // once (a text_ngram_novelty-style shared exchange is NOT
+        // reachable here: the census prunes chunk_idx and the drops
+        // branch carries a pushed isnotnull(doc_id), so the two
+        // exchange subtrees can never be byte-identical) — two linear
+        // pipelined passes, the skew-safe trade for a map-combined
+        // census instead of an h-windowed count that a hot boilerplate
+        // hash would serialize
+        val flagged = hashed.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= 3)
-          .agg(sort_array(collect_list(col("h"))).as("bset"))
+          .select("h")
+        val drops = hashed.join(flagged, "h")
+          .groupBy("doc_id")
+          .agg(collect_list(col("chunk_idx")).as("drop"))
         Tables.documents(s, dir)
           .select(col("doc_id"), toks(col("text")).as("t"))
-          .crossJoin(broadcast(bset))
+          .join(drops, Seq("doc_id"), "left")
           .select(col("doc_id"), expr(
             "transform(sequence(0, CAST(floor((size(t) - 1) / 10) AS INT)), " +
-              "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))").as("chunks"), col("bset"))
+              "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))").as("chunks"),
+            coalesce(col("drop"), array().cast("array<int>")).as("drop"))
           .select(col("doc_id"),
             size(col("chunks")).cast("long").as("n_chunks"),
-            (size(col("chunks")) -
-              size(expr("filter(chunks, c -> NOT array_contains(bset, md5(c)))")))
-              .cast("long").as("n_boiler"),
+            size(col("drop")).cast("long").as("n_boiler"),
             nullif(array_join(
-              expr("filter(chunks, c -> NOT array_contains(bset, md5(c)))"), " "),
+              expr("filter(chunks, (c, i) -> NOT array_contains(drop, i))"), " "),
               lit("")).as("text_clean"))
           .orderBy("doc_id")
       },

@@ -105,16 +105,21 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
 
-    it("text_strip_boilerplate tokenizes each pass once and rebuilds row-locally") {
-      // pass 1 (hash census) and pass 2 (rebuild) each split the text
-      // exactly once: the pass-2 chunk transform sits ABOVE the
-      // broadcast crossJoin, so CollapseProject cannot inline the
-      // tokenizer into the lambda (the O(n^2/10) re-split trap). The
-      // rebuild side carries no exchange of its own — document text
-      // never shuffles; only (doc_id, md5) pairs do, in pass 1.
+    it("text_strip_boilerplate probes flagged hashes by equi-join, never a per-row array scan") {
+      // Three scan-stage tokenizer passes, each linear and pipelined:
+      // hash census, flagged-occurrence scan, rebuild — every chunk
+      // transform sits ABOVE its join so CollapseProject cannot inline
+      // the tokenizer into a lambda (the O(n^2/10) re-split trap).
+      // Flagged hashes meet the chunk triples in an EQUI-join (hash
+      // key), never a broadcast array scanned per row — the r8 sf1
+      // pack measured the array_contains-over-collect_list form at
+      // #chunks × |flagged| per doc (147 s where the join form runs
+      // 1.8 s). A shared census/drops exchange is unreachable (column
+      // pruning + pushed isnotnull specialize the subtrees apart), so
+      // the duplicate tokenize is the deliberate skew-safe trade.
       val p = plan("text_strip_boilerplate")
-      "split\\(".r.findAllIn(p).length shouldBe 2
-      p should include("BroadcastNestedLoopJoin")
+      "split\\(".r.findAllIn(p).length shouldBe 3
+      p should not include "BroadcastNestedLoopJoin"
     }
   }
 
