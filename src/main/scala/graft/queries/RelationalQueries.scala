@@ -910,19 +910,27 @@ object RelationalQueries {
     // C47: exact percentiles — discrete p50/p95 (an actual data value,
     // so bit-identical across engines by construction) plus the
     // interpolated median (midpoint of two exact stored doubles — one
-    // add, one divide, deterministic). Exact percentiles need a
-    // per-group sort; the approx t-digest surfaces
-    // (trace_latency_quantiles_approx) are the mergeable scale path.
+    // add, one divide, deterministic).
+    //
+    // NOT percentile_disc/median aggregates: those buffer a per-group
+    // value->count map in ONE reducer per group (the r8 sf10 pack
+    // measured 124 s, the pack's third pole) and at 100 TB a 3-group
+    // percentile would hold a third of the corpus's distinct values in
+    // one task. operators/ExactQuantiles computes the same numbers via
+    // map-combined (flag, value) counts + sharded prefix sums + rank
+    // selection in long arithmetic (and Spark Percentile's own double
+    // formula for the interpolated median, so the hash can't drift).
     "q_percentiles" -> QueryDef.sql(
-      (s, dir) => {
-        Tables.lineitem(s, dir).createOrReplaceTempView("q_pct_lineitem")
-        s.sql("""
-          |SELECT l_returnflag,
-          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
-          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_disc,
-          |  median(l_extendedprice) AS med
-          |FROM q_pct_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
-      },
+      (s, dir) => graft.operators.ExactQuantiles.percentiles(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), value = col("l_extendedprice"),
+          shardWidth = 512.0,
+          pcts = Seq(
+            graft.operators.ExactQuantiles.Disc("p50_disc", 1, 2),
+            graft.operators.ExactQuantiles.Disc("p95_disc", 19, 20),
+            graft.operators.ExactQuantiles.Cont("med", 1, 2)))
+        .select("l_returnflag", "p50_disc", "p95_disc", "med")
+        .orderBy("l_returnflag"),
       """SELECT l_returnflag,
         |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
         |  quantile_disc(l_extendedprice, 0.95) AS p95_disc,
@@ -973,6 +981,41 @@ object RelationalQueries {
         |  ROUND(CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*), 6)
         |    AS avg_delay
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // C54: WEIGHTED percentiles — price median/p95 weighted by units
+    // sold, i.e. the per-unit price distribution without expanding each
+    // line into `quantity` rows. No Spark builtin takes a weight
+    // directly at the DataFrame layer; operators/ExactQuantiles does
+    // (Σweight replaces counts in the same counts→prefix-sums→rank
+    // pipeline — discrete selection stays exact long arithmetic). The
+    // oracle spells out the identical cumulative-weight definition as
+    // window SQL, so both engines compute from first principles.
+    "q_weighted_median" -> QueryDef.sql(
+      (s, dir) => graft.operators.ExactQuantiles.percentiles(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), value = col("l_extendedprice"),
+          shardWidth = 512.0,
+          pcts = Seq(
+            graft.operators.ExactQuantiles.Disc("wmed", 1, 2),
+            graft.operators.ExactQuantiles.Disc("wp95", 19, 20)),
+          weight = col("l_quantity").cast("long"),
+          countOut = Some("total_weight"))
+        .select("l_returnflag", "wmed", "wp95", "total_weight")
+        .orderBy("l_returnflag"),
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM vc)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 2 >= n THEN v END) AS wmed,
+        |  MIN(CASE WHEN cum * 20 >= n * 19 THEN v END) AS wp95,
+        |  CAST(MAX(n) AS BIGINT) AS total_weight
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

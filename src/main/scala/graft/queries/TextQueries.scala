@@ -1633,7 +1633,87 @@ object TextQueries {
         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
         |  ROUND(SUM(k * lr) / SUM(k), 6) AS dsir_logratio
         |FROM dtc JOIN lr USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // B38: cross-doc duplicated-SPAN removal ranges — the
+    // exact-substring dedup shape (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better") at trigram granularity:
+    // find every 3-token window whose trigram occurs in >= 2 distinct
+    // docs, merge OVERLAPPING flagged windows per doc into maximal
+    // removal intervals (gaps-and-islands on the window start), and
+    // report per doc how many intervals and tokens a surgical dedup
+    // pass would cut. Scale: the trigram generator is the inline
+    // expression (the 25x explode lesson); the dup set comes from a
+    // distinct (trigram, doc) pair count — one token-keyed partial-agg
+    // shuffle — and probes back by EQUI-JOIN, never a broadcast array
+    // (the text_strip_boilerplate lesson); interval merging is a
+    // per-doc window — parallelism = #docs, rows per task bounded by
+    // doc length.
+    "text_dup_spans" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+        val win = base.select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+          .as(Seq("pos0", "g")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+        val dup = win.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("g")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val isl = win.join(dup, "g")
+          .withColumn("new_isl",
+            when(col("pos") - lag("pos", 1).over(w) > 2, 1L).otherwise(0L))
+          .withColumn("island", sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val perDoc = isl.groupBy("doc_id", "island")
+          .agg(min("pos").as("s"), (max("pos") + 2).as("e"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("dup_tokens"))
+        base.select(col("doc_id"), size(col("t")).cast("long").as("total_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("total_tokens"),
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("total_tokens"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH toksrc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tt AS (SELECT doc_id, len(t) AS total_tokens FROM toksrc WHERE len(t) >= 3),
+        |w AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        |      FROM toksrc WHERE len(t) >= 3),
+        |gr AS (SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+        |       FROM w a
+        |       JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+        |                       FROM gr GROUP BY g) WHERE nd >= 2),
+        |f AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN pos - lag_pos > 2 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM (SELECT doc_id, pos,
+        |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+        |              FROM f)),
+        |iv AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 2 AS e
+        |       FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+        |               SUM(e - s + 1) AS dup_tokens
+        |        FROM iv GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / t.total_tokens, 6)
+        |    AS dup_frac
+        |FROM tt t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a

@@ -23,6 +23,13 @@ object TraceQueries {
   private val T1 = 1706745600000000L // 2024-02-01
   private val DayUs = 86400000000L
 
+  /** Upper bound (exclusive) of the fixed incident-window workload in
+    * q_range_join: the driver's largest pack (sf0.1) has dense event
+    * ids 0..99999, and ScaleUp shifts replica ids past max+1, so this
+    * bound keeps the window COUNT constant as derived packs grow the
+    * probe side. TestdataContractSpec pins the dense-id assumption. */
+  private val WindowWorkloadMaxId = 100000L
+
   /** One partitioned-layout write per (JVM, sf dir) — see
     * trace_partitioned_scan. */
   private val partitionedLayouts =
@@ -565,10 +572,21 @@ object TraceQueries {
     // shuffle (or a broadcast of the window side) at any scale.
     // RangeJoinSpec asserts the pair set equals the naive theta join
     // and that the plan is hash/merge, not nested-loop.
+    //
+    // The window side is a FIXED incident workload: anchors come only
+    // from the base id range (span_id < WindowWorkloadMaxId = the
+    // driver's largest pack, sf0.1). ScaleUp replicas shift ids past
+    // that bound, so derived packs grow the PROBE side only — without
+    // the cap the sf10 pack derived 100× windows over the same time
+    // range and the pair OUTPUT went quadratic (430 M rows,
+    // BASELINE.md sf10 notes). At sf<=0.1 ids are dense 0..N-1 below
+    // the bound, so the cap is a no-op and the oracle hash unchanged.
     "q_range_join" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir).select("span_id", "service", "start_us")
-        val windows = sp.filter(col("span_id") % 199 === 0)
+        val windows = sp
+          .filter(col("span_id") % 199 === 0 &&
+            col("span_id") < WindowWorkloadMaxId)
           .select(col("span_id").as("w_id"), col("service"),
             col("start_us").as("w_start"),
             (col("start_us") + lit(2 * HourUs)).as("w_end"))
@@ -583,7 +601,8 @@ object TraceQueries {
              |FROM (SELECT span_id, service, start_us FROM spans) p
              |JOIN (SELECT span_id AS w_id, service, start_us AS w_start,
              |             start_us + ${2 * HourUs} AS w_end
-             |      FROM spans WHERE span_id % 199 = 0) w
+             |      FROM spans
+             |      WHERE span_id % 199 = 0 AND span_id < $WindowWorkloadMaxId) w
              |  ON p.service = w.service
              | AND p.start_us >= w.w_start AND p.start_us < w.w_end
              |ORDER BY w_id, span_id""".stripMargin)),
@@ -604,17 +623,26 @@ object TraceQueries {
           count(lit(1)).as("n_spans"))
         .orderBy("service")),
 
-    // Latency percentiles per service — the haystack-trends-style rollup
-    // served from the same span relation (exact linear-interpolated
-    // percentile on both engines; percentile_approx is the 100 TB path)
+    // Latency percentiles per service — the haystack-trends-style
+    // rollup served from the same span relation. Exact interpolated
+    // values, but NOT the buffering `percentile` aggregate: computed
+    // via operators/ExactQuantiles (map-combined (service, duration)
+    // counts + sharded prefix sums + rank selection), so no task ever
+    // holds a service's full duration set — the same numbers with the
+    // per-group buffer removed; percentile_approx (next surface) stays
+    // the sketch-based alternative.
     "trace_latency_quantiles" -> QueryDef.sql(
-      (s, dir) => spans(s, dir)
-        .groupBy("service")
-        .agg(
-          round(expr("percentile(duration_us, 0.5)"), 6).as("p50"),
-          round(expr("percentile(duration_us, 0.95)"), 6).as("p95"),
-          round(expr("percentile(duration_us, 0.99)"), 6).as("p99"),
-          count(lit(1)).as("n_spans"))
+      (s, dir) => graft.operators.ExactQuantiles.percentiles(
+          spans(s, dir), keys = Seq("service"), value = col("duration_us"),
+          shardWidth = 65536.0,
+          pcts = Seq(
+            graft.operators.ExactQuantiles.Cont("p50", 1, 2),
+            graft.operators.ExactQuantiles.Cont("p95", 19, 20),
+            graft.operators.ExactQuantiles.Cont("p99", 99, 100)),
+          countOut = Some("n_spans"))
+        .select(col("service"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+          round(col("p99"), 6).as("p99"), col("n_spans"))
         .orderBy("service"),
       cte("""SELECT service,
             |  ROUND(quantile_cont(duration_us, 0.5), 6) AS p50,
@@ -1119,26 +1147,35 @@ object TraceQueries {
     // projections of two columns + the join key, the pair agg is
     // map-side combined, and the edge set is #service² rows — tiny at
     // any corpus scale. p95 is percentile_disc (a stored long on both
-    // engines — exact integer compare, hash can't drift); the exact
-    // per-group value buffering is the known q_percentiles tradeoff,
-    // with t-digest (trace_latency_quantiles_approx) as the mergeable
-    // 100 TB path.
+    // engines — exact integer compare, hash can't drift), computed via
+    // operators/ExactQuantiles so a HOT edge (one service pair carrying
+    // a large share of all calls) never buffers its full duration set
+    // in one task; the scalar sums ride a separate map-combined agg
+    // over the same edge relation and join back on the tiny edge set.
     "trace_service_graph" -> QueryDef.sql(
       (s, dir) => {
-        spans(s, dir).createOrReplaceTempView("graft_svc_graph_spans")
-        s.sql("""
-          |SELECT p.service AS from_service, c.service AS to_service,
-          |  COUNT(*) AS calls,
-          |  CAST(SUM(CASE WHEN c.service = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS err_calls,
-          |  CAST(SUM(c.duration_us) AS BIGINT) AS total_dur_us,
-          |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c.duration_us) AS BIGINT)
-          |    AS p95_dur_us,
-          |  ROUND(CAST(SUM(c.duration_us) AS DOUBLE) / COUNT(*), 6) AS avg_dur_us
-          |FROM graft_svc_graph_spans c
-          |JOIN graft_svc_graph_spans p ON c.parent_span_id = p.span_id
-          |GROUP BY p.service, c.service
-          |ORDER BY from_service, to_service""".stripMargin)
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service",
+          "duration_us")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .select(col("p.service").as("from_service"),
+            col("c.service").as("to_service"),
+            col("c.duration_us").as("duration_us"))
+        val sums = edges.groupBy("from_service", "to_service")
+          .agg(count(lit(1)).as("calls"),
+            sum(when(col("to_service") === "error", 1L).otherwise(0L))
+              .as("err_calls"),
+            sum("duration_us").as("total_dur_us"))
+        val p95 = graft.operators.ExactQuantiles.percentiles(
+          edges, Seq("from_service", "to_service"), col("duration_us"),
+          shardWidth = 65536.0,
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("p95_dur_us", 19, 20)))
+        sums.join(p95, Seq("from_service", "to_service"))
+          .withColumn("avg_dur_us",
+            round(col("total_dur_us").cast("double") / col("calls"), 6))
+          .select("from_service", "to_service", "calls", "err_calls",
+            "total_dur_us", "p95_dur_us", "avg_dur_us")
+          .orderBy("from_service", "to_service")
       },
       cte("""
         |SELECT p.service AS from_service, c.service AS to_service,
@@ -1352,36 +1389,34 @@ object TraceQueries {
     // median and MAD (median absolute deviation), flag spans beyond
     // 4 MADs. Medians are percentile_disc — an ACTUAL stored long on
     // both engines, so every comparison below is exact integer math
-    // and the hash cannot drift. Exact per-service medians need the
-    // per-group value set (ObjectHashAggregate buffers) — the known
-    // exact-percentile cost, same tradeoff as q_percentiles; the
-    // mergeable scale path at 100 TB is the t-digest surface
-    // (trace_latency_quantiles_approx). Two service-keyed aggs + one
-    // service-keyed broadcast-sized join back.
+    // and the hash cannot drift. Both medians run through
+    // operators/ExactQuantiles (map-combined counts + sharded prefix
+    // sums) instead of the buffering percentile_disc aggregate, so no
+    // task ever holds a service's full duration set; med/mad are
+    // #service-row relations broadcast back onto the span stream.
     "trace_latency_anomaly" -> QueryDef.sql(
       (s, dir) => {
-        spans(s, dir).createOrReplaceTempView("graft_anom_spans")
-        s.sql("""
-          |WITH med AS (
-          |  SELECT service,
-          |    percentile_disc(0.5) WITHIN GROUP (ORDER BY duration_us) AS med_us
-          |  FROM graft_anom_spans GROUP BY service),
-          |dev AS (
-          |  SELECT s.service, abs(s.duration_us - m.med_us) AS adev, m.med_us
-          |  FROM graft_anom_spans s JOIN med m ON s.service = m.service),
-          |mad AS (
-          |  SELECT service,
-          |    percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_us
-          |  FROM dev GROUP BY service)
-          |SELECT d.service, COUNT(*) AS n_spans,
-          |  CAST(MAX(d.med_us) AS BIGINT) AS med_us,
-          |  CAST(MAX(mad.mad_us) AS BIGINT) AS mad_us,
-          |  CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS n_anomalies,
-          |  ROUND(CAST(SUM(CASE WHEN d.adev > 4 * mad.mad_us THEN 1 ELSE 0 END) AS DOUBLE)
-          |        / COUNT(*), 6) AS anomaly_rate
-          |FROM dev d JOIN mad ON d.service = mad.service
-          |GROUP BY d.service ORDER BY d.service""".stripMargin)
+        val sp = spans(s, dir).select("service", "duration_us")
+        val med = graft.operators.ExactQuantiles.percentiles(
+          sp, Seq("service"), col("duration_us"), shardWidth = 65536.0,
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("med_us", 1, 2)))
+        val dev = sp.join(broadcast(med), "service")
+          .withColumn("adev", abs(col("duration_us") - col("med_us")))
+        val mad = graft.operators.ExactQuantiles.percentiles(
+          dev, Seq("service"), col("adev"), shardWidth = 65536.0,
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("mad_us", 1, 2)))
+        dev.join(broadcast(mad), "service")
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            max("med_us").as("med_us"),
+            max("mad_us").as("mad_us"),
+            sum(when(col("adev") > col("mad_us") * 4, 1L).otherwise(0L))
+              .as("n_anomalies"))
+          .withColumn("anomaly_rate",
+            round(col("n_anomalies").cast("double") / col("n_spans"), 6))
+          .select("service", "n_spans", "med_us", "mad_us", "n_anomalies",
+            "anomaly_rate")
+          .orderBy("service")
       },
       cte("""
         |, med AS (SELECT service, quantile_disc(duration_us, 0.5) AS med_us

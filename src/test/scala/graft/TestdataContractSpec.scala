@@ -37,6 +37,17 @@ class TestdataContractSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getLong(2) < 9999999999999999L, s"start_us hi=${row.getLong(2)} not micros")
   }
 
+  test("event ids are dense from 0 (q_range_join's fixed-workload cap assumes it)") {
+    // q_range_join anchors its incident windows at span_id < 100000 ==
+    // "the base pack" — valid because driver packs use dense 0..N-1 ids
+    // and ScaleUp shifts replicas past max+1. If the driver ever
+    // switches to sparse/random ids this fails here, not at the bench.
+    val events = Tables.events(spark, sfDir)
+    val row = events.agg(min("event_id"), max("event_id"), count(lit(1))).head()
+    assert(row.getLong(0) === 0L, "event_id does not start at 0")
+    assert(row.getLong(1) === row.getLong(2) - 1L, "event_id range is not dense")
+  }
+
   test("eventTimeUs matches DuckDB epoch_us semantics on the current encoding") {
     // epoch_us(ts) on timestamp[us] is the stored micros value; the
     // Spark side must agree exactly or every trace oracle hash drifts
