@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT percentiles — the scale form of Spark's
@@ -57,6 +58,9 @@ object ExactQuantiles {
   def valueShard(value: Column, width: Double): Column =
     floor(value / lit(width))
 
+  /** Fully-sharded path: no task anywhere holds more than a value-range
+    * shard of one key. Use when distinct values per key are UNBOUNDED
+    * (raw doubles, computed ratios, prices at corpus scale). */
   def percentiles(
       df: DataFrame,
       keys: Seq[String],
@@ -65,12 +69,7 @@ object ExactQuantiles {
       pcts: Seq[Spec],
       weight: Column = lit(1L),
       countOut: Option[String] = None): DataFrame = {
-    require(pcts.nonEmpty, "at least one percentile spec")
-    val nCol = countOut.getOrElse("_eq_n_out")
-    val reserved = Seq("_eq_v", "_eq_w", "_eq_cnt", "_eq_cum", "_eq_n", nCol)
-    require(!df.columns.exists(reserved.contains),
-      s"input must not contain reserved columns ${reserved.mkString(", ")}")
-
+    val nCol = checkArgs(df, pcts, countOut)
     val vc = df
       .select((keys.map(col) :+ value.as("_eq_v") :+ weight.as("_eq_w")): _*)
       .filter(col("_eq_v").isNotNull)
@@ -80,10 +79,67 @@ object ExactQuantiles {
       vc, keys, valueShard(col("_eq_v"), shardWidth),
       order = Seq(col("_eq_v")), value = col("_eq_cnt"), out = "_eq_cum")
     val totals = vc.groupBy(keys.map(col): _*).agg(sum("_eq_cnt").as("_eq_n"))
+    selectRanks(cum.join(broadcast(totals), keys), keys, pcts, nCol, countOut)
+  }
 
-    // one pass of map-combined min(value WHERE rank reached) aggregates;
-    // n always rides along (frac for Cont derives from it)
-    val aggs = pcts.flatMap {
+  /** Compact path over a pre-aggregated `(keys, value) → weight`
+    * relation (repeat (keys, value) rows are fine — weights add): ONE
+    * per-key window + the selection agg, nothing else. Parallelism is
+    * one task per key, so this is for inputs whose rows per key are
+    * DISTINCT-BOUNDED — duration histograms, score buckets, any
+    * discretized domain where the count pre-agg (which the caller has
+    * already paid) collapsed the corpus to its value domain. The
+    * stage-count saving vs the sharded path is ~5 exchanges per call —
+    * decisive when the percentile sits inside a larger query graph
+    * (trace_latency_anomaly runs two of these back to back). */
+  /** `extraAggs` piggyback on the final selection aggregate (they may
+    * reference the input's own columns, which ride along) — a caller
+    * needing sums/counts NEXT TO the percentile gets them in the same
+    * single pass instead of a second aggregation over the counts
+    * relation (trace_service_graph's calls/err/total ride its p95). */
+  def percentilesFromCounts(
+      counts: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      weight: Column,
+      pcts: Seq[Spec],
+      countOut: Option[String] = None,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val nCol = checkArgs(counts, pcts, countOut)
+    val keyCols = keys.map(col)
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(col("_eq_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val j = counts
+      .withColumn("_eq_v", value)
+      .filter(col("_eq_v").isNotNull)
+      .withColumn("_eq_cnt", weight)
+      .withColumn("_eq_cum", sum("_eq_cnt").over(wCum))
+      .withColumn("_eq_n", sum("_eq_cnt").over(wAll))
+    selectRanks(j, keys, pcts, nCol, countOut, extraAggs)
+  }
+
+  private def checkArgs(
+      df: DataFrame, pcts: Seq[Spec], countOut: Option[String]): String = {
+    require(pcts.nonEmpty, "at least one percentile spec")
+    val nCol = countOut.getOrElse("_eq_n_out")
+    val reserved = Seq("_eq_v", "_eq_w", "_eq_cnt", "_eq_cum", "_eq_n", nCol)
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString(", ")}")
+    nCol
+  }
+
+  /** Rank selection over a relation carrying `(keys, _eq_v, _eq_cum,
+    * _eq_n)`: one pass of map-combined `min(value WHERE rank reached)`
+    * aggregates; n rides along (frac for Cont derives from it). */
+  private def selectRanks(
+      j: DataFrame,
+      keys: Seq[String],
+      pcts: Seq[Spec],
+      nCol: String,
+      countOut: Option[String],
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val aggs = extraAggs ++ pcts.flatMap {
       case Disc(out, num, den) =>
         Seq(min(when(col("_eq_cum") * den >= col("_eq_n") * num, col("_eq_v")))
           .as(out))
@@ -93,9 +149,7 @@ object ExactQuantiles {
           min(when(col("_eq_cum") >= floor(pos) + 1, col("_eq_v"))).as(s"_lo_$out"),
           min(when(col("_eq_cum") >= ceil(pos) + 1, col("_eq_v"))).as(s"_hi_$out"))
     } :+ max(col("_eq_n")).as(nCol)
-    val agged = cum.join(broadcast(totals), keys)
-      .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val agged = j.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     // continuous finals: Spark Percentile.getPercentile's exact double
     // expression — `lowerKey` when the position is integral, else the

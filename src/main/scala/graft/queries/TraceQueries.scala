@@ -625,16 +625,19 @@ object TraceQueries {
 
     // Latency percentiles per service — the haystack-trends-style
     // rollup served from the same span relation. Exact interpolated
-    // values, but NOT the buffering `percentile` aggregate: computed
-    // via operators/ExactQuantiles (map-combined (service, duration)
-    // counts + sharded prefix sums + rank selection), so no task ever
-    // holds a service's full duration set — the same numbers with the
-    // per-group buffer removed; percentile_approx (next surface) stays
-    // the sketch-based alternative.
+    // values, but NOT the buffering `percentile` aggregate:
+    // ExactQuantiles.percentilesFromCounts over the map-combined
+    // (service, duration)->count relation, so a task holds only a
+    // service's bounded distinct-duration histogram, never its full
+    // duration list — the same numbers with the per-group buffer
+    // removed; percentile_approx (next surface) stays the sketch-based
+    // alternative.
     "trace_latency_quantiles" -> QueryDef.sql(
-      (s, dir) => graft.operators.ExactQuantiles.percentiles(
-          spans(s, dir), keys = Seq("service"), value = col("duration_us"),
-          shardWidth = 65536.0,
+      (s, dir) => graft.operators.ExactQuantiles.percentilesFromCounts(
+          spans(s, dir).groupBy("service", "duration_us")
+            .agg(count(lit(1)).as("cnt")),
+          keys = Seq("service"), value = col("duration_us"),
+          weight = col("cnt"),
           pcts = Seq(
             graft.operators.ExactQuantiles.Cont("p50", 1, 2),
             graft.operators.ExactQuantiles.Cont("p95", 19, 20),
@@ -1148,10 +1151,9 @@ object TraceQueries {
     // map-side combined, and the edge set is #service² rows — tiny at
     // any corpus scale. p95 is percentile_disc (a stored long on both
     // engines — exact integer compare, hash can't drift), computed via
-    // operators/ExactQuantiles so a HOT edge (one service pair carrying
-    // a large share of all calls) never buffers its full duration set
-    // in one task; the scalar sums ride a separate map-combined agg
-    // over the same edge relation and join back on the tiny edge set.
+    // ExactQuantiles.percentilesFromCounts so a HOT edge (one service
+    // pair carrying a large share of all calls) holds only its
+    // distinct-duration histogram in a task, never its full call list.
     "trace_service_graph" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir).select("span_id", "parent_span_id", "service",
@@ -1161,16 +1163,22 @@ object TraceQueries {
           .select(col("p.service").as("from_service"),
             col("c.service").as("to_service"),
             col("c.duration_us").as("duration_us"))
-        val sums = edges.groupBy("from_service", "to_service")
-          .agg(count(lit(1)).as("calls"),
-            sum(when(col("to_service") === "error", 1L).otherwise(0L))
-              .as("err_calls"),
-            sum("duration_us").as("total_dur_us"))
-        val p95 = graft.operators.ExactQuantiles.percentiles(
-          edges, Seq("from_service", "to_service"), col("duration_us"),
-          shardWidth = 65536.0,
-          pcts = Seq(graft.operators.ExactQuantiles.Disc("p95_dur_us", 19, 20)))
-        sums.join(p95, Seq("from_service", "to_service"))
+        // ONE pass end to end: the (edge, duration)->count pre-agg
+        // collapses the self-join output to its distinct-duration
+        // histogram, and calls/total ride the p95 selection as extra
+        // aggregates (calls IS the total weight), so the join body
+        // executes exactly once
+        val vc = edges.groupBy("from_service", "to_service", "duration_us")
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.ExactQuantiles.percentilesFromCounts(
+            vc, Seq("from_service", "to_service"), col("duration_us"),
+            weight = col("cnt"),
+            pcts = Seq(graft.operators.ExactQuantiles.Disc("p95_dur_us", 19, 20)),
+            countOut = Some("calls"),
+            extraAggs = Seq(
+              sum(col("duration_us") * col("cnt")).as("total_dur_us")))
+          .withColumn("err_calls",
+            when(col("to_service") === "error", col("calls")).otherwise(0L))
           .withColumn("avg_dur_us",
             round(col("total_dur_us").cast("double") / col("calls"), 6))
           .select("from_service", "to_service", "calls", "err_calls",
@@ -1390,27 +1398,37 @@ object TraceQueries {
     // 4 MADs. Medians are percentile_disc — an ACTUAL stored long on
     // both engines, so every comparison below is exact integer math
     // and the hash cannot drift. Both medians run through
-    // operators/ExactQuantiles (map-combined counts + sharded prefix
-    // sums) instead of the buffering percentile_disc aggregate, so no
-    // task ever holds a service's full duration set; med/mad are
-    // #service-row relations broadcast back onto the span stream.
+    // ExactQuantiles.percentilesFromCounts over the (service,
+    // duration)->count pre-agg instead of the buffering
+    // percentile_disc aggregate: the only corpus-sized pass is the
+    // map-combined count shuffle, and every later stage is
+    // distinct-duration sized (micros durations repeat heavily, so
+    // that domain is bounded at any corpus scale); med/mad are
+    // #service-row relations broadcast back onto the count relation.
     "trace_latency_anomaly" -> QueryDef.sql(
       (s, dir) => {
-        val sp = spans(s, dir).select("service", "duration_us")
-        val med = graft.operators.ExactQuantiles.percentiles(
-          sp, Seq("service"), col("duration_us"), shardWidth = 65536.0,
+        // ONE full-data shuffle: (service, duration)->count with
+        // map-side combine; both medians run weighted over that
+        // distinct-value relation (its exchange is shared across the
+        // consumers), and the final rollup weighs counts instead of
+        // rescanning spans
+        val vc = spans(s, dir).groupBy("service", "duration_us")
+          .agg(count(lit(1)).as("cnt"))
+        val med = graft.operators.ExactQuantiles.percentilesFromCounts(
+          vc, Seq("service"), col("duration_us"), weight = col("cnt"),
           pcts = Seq(graft.operators.ExactQuantiles.Disc("med_us", 1, 2)))
-        val dev = sp.join(broadcast(med), "service")
-          .withColumn("adev", abs(col("duration_us") - col("med_us")))
-        val mad = graft.operators.ExactQuantiles.percentiles(
-          dev, Seq("service"), col("adev"), shardWidth = 65536.0,
+        val dev = vc.join(broadcast(med), "service")
+          .select(col("service"), col("cnt"), col("med_us"),
+            abs(col("duration_us") - col("med_us")).as("adev"))
+        val mad = graft.operators.ExactQuantiles.percentilesFromCounts(
+          dev, Seq("service"), col("adev"), weight = col("cnt"),
           pcts = Seq(graft.operators.ExactQuantiles.Disc("mad_us", 1, 2)))
         dev.join(broadcast(mad), "service")
           .groupBy("service")
-          .agg(count(lit(1)).as("n_spans"),
+          .agg(sum("cnt").as("n_spans"),
             max("med_us").as("med_us"),
             max("mad_us").as("mad_us"),
-            sum(when(col("adev") > col("mad_us") * 4, 1L).otherwise(0L))
+            sum(when(col("adev") > col("mad_us") * 4, col("cnt")).otherwise(0L))
               .as("n_anomalies"))
           .withColumn("anomaly_rate",
             round(col("n_anomalies").cast("double") / col("n_spans"), 6))

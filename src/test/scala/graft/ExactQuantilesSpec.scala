@@ -84,6 +84,26 @@ class ExactQuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(viaOp(withNulls).collect().toSeq === viaBuiltin(withNulls).collect().toSeq)
   }
 
+  test("percentilesFromCounts matches the sharded path and the builtins") {
+    // pre-agg counts (with deliberate DUPLICATE (g, v) rows — the
+    // contract says weights add) must give the same answers
+    val counts = longs.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("half", (col("cnt") / 2).cast("long"))
+      .withColumn("rest", col("cnt") - col("half"))
+    val dup = counts.filter(col("half") > 0)
+      .select(col("g"), col("v"), col("half").as("cnt"))
+      .unionAll(counts.select(col("g"), col("v"), col("rest").as("cnt")))
+      .filter(col("cnt") > 0)
+    val got = ExactQuantiles.percentilesFromCounts(dup, Seq("g"), col("v"),
+      weight = col("cnt"),
+      pcts = Seq(Disc("p50d", 1, 2), Disc("p95d", 19, 20),
+        Cont("p50c", 1, 2), Cont("p95c", 19, 20), Cont("med", 1, 2)),
+      countOut = Some("n"))
+      .select("g", "p50d", "p95d", "p50c", "p95c", "med", "n")
+      .orderBy("g")
+    assert(got.collect().toSeq === viaBuiltin(longs).collect().toSeq)
+  }
+
   test("plan has no TypedImperative percentile buffer, and prefix sums shard") {
     val plan = viaOp(longs).queryExecution.executedPlan.toString
     assert(!plan.contains("percentile"), "builtin percentile leaked into the plan")
