@@ -679,23 +679,53 @@ object RelationalQueries {
     // C39: statistical aggregates — stddev, correlation, regression
     // slope. Engine-native CORR/STDDEV accumulate doubles in partition
     // order, so their low bits are not reproducible across engines (or
-    // even runs); instead both sides compute the five exact DECIMAL
-    // power sums (map-side combinable, one shuffle — the same shape a
-    // native partial aggregate uses) and evaluate the identical
-    // closed-form IEEE expression tree on them.
+    // even runs); instead both sides compute the five exact power sums
+    // (map-side combinable, one shuffle — the same shape a native
+    // partial aggregate uses) and evaluate the identical closed-form
+    // IEEE expression tree on them.
+    //
+    // Exactness at LONG speed, not DECIMAL speed: the r8 sf10 pack
+    // measured the DECIMAL(38) sum path at 141 s (a top-3 pole —
+    // decimal aggregation is object math in every partial). The 2-dp
+    // money values are exact cent-integer longs; per-row products fit
+    // a long (price² ≤ 1e14 cents²), and each product sum runs as TWO
+    // long sums over its (div 2^32, mod 2^32) legs — overflow-safe to
+    // ~2e9 rows per group (beyond that, add a third leg) — recombined
+    // exactly in DECIMAL on the handful of group rows, where decimal
+    // cost is irrelevant. Same exact values, same final doubles.
     "q_stats_agg" -> QueryDef.sql(
       (s, dir) => {
-        val q = dec("l_quantity")
-        val p = dec("l_extendedprice")
-        val base = Tables.lineitem(s, dir)
-          .groupBy("l_returnflag")
+        val M = 4294967296L // 2^32
+        val rows = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qc"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("pc"))
+          .select(col("l_returnflag"), col("qc"), col("pc"),
+            (col("qc") * col("qc")).as("xqq"),
+            (col("pc") * col("pc")).as("xpp"),
+            (col("qc") * col("pc")).as("xqp"))
+        val sums = rows.groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            sum(q).cast(DecimalType(38, 2)).as("sx"),
-            sum(p).cast(DecimalType(38, 2)).as("sy"),
-            sum(q * q).cast(DecimalType(38, 4)).as("sxx"),
-            sum(p * p).cast(DecimalType(38, 4)).as("syy"),
-            sum(q * p).cast(DecimalType(38, 4)).as("sxy"))
+            sum("qc").as("sx_c"), sum("pc").as("sy_c"),
+            sum(col("xqq") % M).as("sxx_lo"), sum(expr(s"xqq div $M")).as("sxx_hi"),
+            sum(col("xpp") % M).as("syy_lo"), sum(expr(s"xpp div $M")).as("syy_hi"),
+            sum(col("xqp") % M).as("sxy_lo"), sum(expr(s"xqp div $M")).as("sxy_hi"))
+        // exact recombination on #group rows: hi·2^32 + lo in DECIMAL,
+        // then undo the cent scaling through the same DECIMAL(38,2/4)
+        // casts the direct decimal-sum formulation used, so the final
+        // doubles are bit-identical to that (oracle-matched) form
+        def comb(hi: String, lo: String): Column =
+          (col(hi).cast(DecimalType(38, 0)) * lit(M) + col(lo))
+            .cast(DecimalType(38, 0))
+        val base = sums.select(
+          col("l_returnflag"), col("n"),
+          (col("sx_c").cast(DecimalType(38, 0)) / lit(100))
+            .cast(DecimalType(38, 2)).as("sx"),
+          (col("sy_c").cast(DecimalType(38, 0)) / lit(100))
+            .cast(DecimalType(38, 2)).as("sy"),
+          (comb("sxx_hi", "sxx_lo") / lit(10000)).cast(DecimalType(38, 4)).as("sxx"),
+          (comb("syy_hi", "syy_lo") / lit(10000)).cast(DecimalType(38, 4)).as("syy"),
+          (comb("sxy_hi", "sxy_lo") / lit(10000)).cast(DecimalType(38, 4)).as("sxy"))
         val n = col("n").cast("double")
         val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
           col("sy").cast("double"), col("sxx").cast("double"),
