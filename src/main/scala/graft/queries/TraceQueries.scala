@@ -78,6 +78,27 @@ object TraceQueries {
   private val richSpanStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One JSON-lines copy of events per (JVM, sf dir) — see
+    * trace_span_ingest_json. */
+  private val jsonEventStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Spark's default JSON timestamp pattern is millisecond-precision —
+    * a silent 1000× granularity loss on micros data — so the wire
+    * format pins a micros pattern on BOTH serialize and parse. */
+  private[graft] val JsonTsOptions = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  private def jsonEvents(s: SparkSession, dir: String): DataFrame = {
+    val outDir = jsonEventStores.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_json_events_").toString
+      Tables.events(s, dir).write.mode("overwrite").options(JsonTsOptions).json(d)
+      d
+    })
+    s.read.text(outDir)
+  }
+
   private def richSpans(s: SparkSession, dir: String): DataFrame = {
     val outDir = richSpanStores.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_rich_spans_").toString
@@ -97,6 +118,34 @@ object TraceQueries {
     "trace_span_ingest" -> QueryDef.sql(
       (s, dir) => spans(s, dir).orderBy("span_id").limit(100),
       cte("SELECT * FROM spans ORDER BY span_id LIMIT 100")),
+
+    // A1b: ingest from a TEXT wire format — the push-collector shape
+    // (one JSON object per line, the haystack agent's span POST body
+    // re-expressed for this schema): parse with from_json against the
+    // typed schema inside the scan stage, derive the same span
+    // relation, and prove the whole pipeline equals the columnar path
+    // by hashing a per-service rollup against the parquet-derived
+    // oracle. The JSON copy is written once per (JVM, sf dir) — the
+    // query times parse+derive, not the generator (the richSpans
+    // precedent). Timestamps round-trip at micros through ISO strings;
+    // eventTimeUs dispatches on the parsed dtype like any other source.
+    "trace_span_ingest_json" -> QueryDef.sql(
+      (s, dir) => {
+        val parsed = jsonEvents(s, dir)
+          .select(from_json(col("value"), Tables.events(s, dir).schema,
+            JsonTsOptions).as("e"))
+          .select("e.*")
+        SpanOps.spansFromEvents(parsed)
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("duration_us").as("total_dur_us"),
+            min("start_us").as("first_us"), max("start_us").as("last_us"))
+          .orderBy("service")
+      },
+      cte("""SELECT service, COUNT(*) AS n_spans,
+            |  CAST(SUM(duration_us) AS BIGINT) AS total_dur_us,
+            |  MIN(start_us) AS first_us, MAX(start_us) AS last_us
+            |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
 
     // A2: span-buffer assembly summary (one traceId shuffle)
     "trace_span_buffer" -> QueryDef.sql(

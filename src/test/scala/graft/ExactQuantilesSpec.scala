@@ -104,6 +104,18 @@ class ExactQuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.collect().toSeq === viaBuiltin(longs).collect().toSeq)
   }
 
+  test("compact path plans one per-key sort, no sharding machinery") {
+    val counts = longs.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val p = ExactQuantiles.percentilesFromCounts(counts, Seq("g"), col("v"),
+        weight = col("cnt"), pcts = Seq(Disc("p50d", 1, 2)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("_sw_shard"), "sharded machinery leaked into compact path")
+    // both window frames (running cum + full-partition n) share the one
+    // per-key partitioning; anything above 2 Window nodes means a
+    // replan added exchanges
+    assert("\\bWindow".r.findAllIn(p).size <= 2, s"unexpected window count:\n$p")
+  }
+
   test("plan has no TypedImperative percentile buffer, and prefix sums shard") {
     val plan = viaOp(longs).queryExecution.executedPlan.toString
     assert(!plan.contains("percentile"), "builtin percentile leaked into the plan")
