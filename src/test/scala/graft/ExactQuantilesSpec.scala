@@ -104,6 +104,36 @@ class ExactQuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.collect().toSeq === viaBuiltin(longs).collect().toSeq)
   }
 
+  test("property: random rational percentiles match the builtin on both paths") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 50 + rnd.nextInt(200)
+      val data = (1 to n).map(i => ("g" + (i % 3), rnd.nextInt(40).toLong * 25))
+      val df = data.toDF("g", "v")
+      val ps = Seq.fill(3)(1 + rnd.nextInt(99))
+      val pcts = ps.zipWithIndex.flatMap { case (p, i) =>
+        Seq(Disc(s"d$i", p, 100), Cont(s"c$i", p, 100)) }
+      val outCols = "g" +: pcts.map(_.out)
+      val sharded = ExactQuantiles.percentiles(df, Seq("g"), col("v"),
+        shardWidth = 64.0, pcts = pcts)
+        .select(outCols.head, outCols.tail: _*).orderBy("g").collect().toSeq
+      val compact = ExactQuantiles.percentilesFromCounts(
+        df.groupBy("g", "v").agg(count(lit(1)).as("cnt")),
+        Seq("g"), col("v"), weight = col("cnt"), pcts = pcts)
+        .select(outCols.head, outCols.tail: _*).orderBy("g").collect().toSeq
+      df.createOrReplaceTempView("eq_prop_in")
+      val sqlCols = ps.zipWithIndex.flatMap { case (p, i) =>
+        val lit = p / 100.0 // same double the rational num/den reduces to
+        Seq(s"percentile_disc($lit) WITHIN GROUP (ORDER BY v) AS d$i",
+          s"percentile(v, $lit) AS c$i") }
+      val builtin = spark.sql(
+        s"SELECT g, ${sqlCols.mkString(", ")} FROM eq_prop_in GROUP BY g ORDER BY g")
+        .collect().toSeq
+      assert(sharded === builtin, s"sharded path diverged for ps=$ps")
+      assert(compact === builtin, s"compact path diverged for ps=$ps")
+    }
+  }
+
   test("compact path plans one per-key sort, no sharding machinery") {
     val counts = longs.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
     val p = ExactQuantiles.percentilesFromCounts(counts, Seq("g"), col("v"),
