@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, PackBlob, SimHash48, UnpackBlob}
+import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => PackBlob(exprs(0), exprs(1))))
     ext.injectFunction(
       (FunctionIdentifier("unpack_blob"), UnpackBlob.info, exprs => UnpackBlob(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("winnow_fps"), WinnowFps.info,
+        exprs => WinnowFps(exprs(0), exprs(1), exprs(2))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -54,5 +57,8 @@ object GraftExtensions {
       exprs => PackBlob(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("unpack_blob"), UnpackBlob.info, exprs => UnpackBlob(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fps"), WinnowFps.info,
+      exprs => WinnowFps(exprs(0), exprs(1), exprs(2)))
   }
 }

@@ -1127,29 +1127,7 @@ object TextQueries {
     // so the exchange is planned once and reused. All keys stay
     // high-cardinality (bigram / doc), no broadcast of vocabulary.
     "text_lm_score" -> QueryDef.sql(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), toks(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
-        val bg = docs
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(t) - 1), " +
-              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
-            .as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val bgc = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-        val bic = bgc.groupBy("w1", "w2").agg(sum("k").as("c2"))
-        val uni = bic.groupBy(col("w1").as("u_w1")).agg(sum("c2").as("c1"))
-        val scored = bic.join(uni, col("w1") === col("u_w1"))
-          .select(col("w1"), col("w2"),
-            (log(col("c2").cast("double")) - log(col("c1").cast("double"))).as("ll"))
-        bgc.join(scored, Seq("w1", "w2"))
-          .groupBy("doc_id")
-          .agg(sum("k").as("n_bigrams"),
-            round(sum(col("k").cast("double") * col("ll")) / sum("k").cast("double"), 6)
-              .as("lm_score"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => lmScores(Tables.documents(s, dir)).orderBy("doc_id"),
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
         |bg AS (SELECT doc_id, t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
@@ -1713,7 +1691,143 @@ object TextQueries {
         |  ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / t.total_tokens, 6)
         |    AS dup_frac
         |FROM tt t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY t.doc_id""".stripMargin)
+        |ORDER BY t.doc_id""".stripMargin),
+
+    // B39: winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    // 2003, the MOSS algorithm) — the local fingerprint-selection
+    // scheme copy-detection and plagiarism pipelines use: hash every
+    // char k-gram (k=6, polynomial base-31 mod 1000003 — exact long
+    // arithmetic, no float), slide a window of w=4 consecutive hashes,
+    // and select each window's MINIMUM hash (rightmost on ties). The
+    // guarantee: any shared substring of length >= k+w-1 yields at
+    // least one shared fingerprint, while only ~2/(w+1) of grams are
+    // kept. Output per doc: gram/fingerprint counts, density, and
+    // min/max/Σ(hash·pos) checksums that pin the SELECTED SET exactly.
+    //
+    // Scale: selection runs in the native codegen'd winnow_fps
+    // expression (TextOps.winnowNative — the SimHash48/LshBandKeys
+    // pattern): one O(L·w) pass per doc inside the scan stage, and
+    // only the selected ~2/(w+1)-density fingerprint stream reaches an
+    // exchange. The declarative TextOps.winnow build (w× offset explode
+    // + (doc, window-start) partial agg) is the spec'd reference the
+    // native path is pinned row-identical to (WinnowNativeSpec) — it
+    // measured 17.7 s at sf0.1 where the native form is sub-second.
+    // Determinism: pure integer hashing; tie-break is rightmost
+    // position on both engines.
+    "text_winnowing" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fp = TextOps.winnowNative(docs, "doc_id", "text") // k=6, w=4
+        val agg = fp.groupBy("doc_id").agg(
+          count(lit(1)).as("n_fingerprints"),
+          min("fp").as("fp_min"), max("fp").as("fp_max"),
+          sum(col("fp") * col("selpos")).as("fp_checksum"))
+        docs.filter(length(col("text")) >= 9)
+          .select(col("doc_id"), (length(col("text")) - 5).cast("long").as("n_grams"))
+          .join(agg, Seq("doc_id"))
+          .select(col("doc_id"), col("n_grams"), col("n_fingerprints"),
+            round(col("n_fingerprints").cast("double") / col("n_grams"), 6).as("density"),
+            col("fp_min"), col("fp_max"), col("fp_checksum"))
+          .orderBy("doc_id")
+      },
+      """WITH ch AS (SELECT doc_id, CAST(length(text) - 5 AS BIGINT) AS L,
+        |              string_split(text, '') AS c
+        |            FROM documents WHERE length(text) >= 9),
+        |hs AS (SELECT doc_id, L, CAST(s.i AS BIGINT) AS pos,
+        |         (CAST(ascii(c[CAST(s.i AS INT)]) AS BIGINT) * 28629151 +
+        |          ascii(c[CAST(s.i AS INT) + 1]) * 923521 +
+        |          ascii(c[CAST(s.i AS INT) + 2]) * 29791 +
+        |          ascii(c[CAST(s.i AS INT) + 3]) * 961 +
+        |          ascii(c[CAST(s.i AS INT) + 4]) * 31 +
+        |          ascii(c[CAST(s.i AS INT) + 5])) % 1000003 AS h
+        |       FROM (SELECT doc_id, L, c, unnest(range(1, len(c) - 4)) AS i
+        |             FROM ch) s(doc_id, L, c, i)),
+        |wexp AS (SELECT doc_id, pos - o.off AS ws, pos, h, L
+        |         FROM hs CROSS JOIN (VALUES (0), (1), (2), (3)) o(off)
+        |         WHERE pos - o.off >= 1 AND pos - o.off <= L - 3),
+        |wm AS (SELECT doc_id, ws, MIN(h) AS wmin FROM wexp GROUP BY 1, 2),
+        |sel AS (SELECT e.doc_id, e.ws, MAX(e.pos) AS selpos, MAX(m.wmin) AS fp
+        |        FROM wexp e JOIN wm m ON e.doc_id = m.doc_id AND e.ws = m.ws
+        |        WHERE e.h = m.wmin GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, selpos, fp FROM sel),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_fingerprints,
+        |               MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+        |               CAST(SUM(fp * selpos) AS BIGINT) AS fp_checksum
+        |        FROM fp GROUP BY doc_id)
+        |SELECT c.doc_id, c.L AS n_grams, a.n_fingerprints,
+        |  ROUND(CAST(a.n_fingerprints AS DOUBLE) / c.L, 6) AS density,
+        |  a.fp_min, a.fp_max, a.fp_checksum
+        |FROM ch c JOIN agg a ON c.doc_id = a.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
+
+    // B40: perplexity-bucket mix (the CCNet head/middle/tail split,
+    // Wenzek et al. 2020): bucket every scorable doc by its corpus-LM
+    // fluency score (lmScores — the text_lm_score surface's numbers)
+    // into per-LANGUAGE tertiles, the split CCNet uses to keep "head"
+    // (most fluent) data and downsample the tail. Cut points are EXACT
+    // percentile_disc values via ExactQuantiles' integer rank rule
+    // (3·cum >= n, 3·cum >= 2·n — stored doubles, no interpolation,
+    // so the hash cannot drift); the oracle spells the identical
+    // cumulative-count definition as window SQL rather than trusting
+    // another engine's quantile rounding. Scale: scores collapse to a
+    // (lang, score) count relation first (score is ROUND(.,6) —
+    // a distinct-bounded domain, the percentilesFromCounts contract);
+    // bucket totals are partial-agg sums over that same relation, and
+    // the 5-row cut table is a broadcast join back.
+    "corpus_lm_buckets" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.ExactQuantiles
+        val docs = Tables.documents(s, dir)
+        val sc = lmScores(docs, carry = Seq("lang"))
+        val counts = sc.groupBy("lang", "lm_score")
+          .agg(count(lit(1)).as("nd"), sum("n_bigrams").as("nb"))
+        val cuts = ExactQuantiles.percentilesFromCounts(
+          counts, Seq("lang"), col("lm_score"), col("nd"),
+          Seq(ExactQuantiles.Disc("cut_lo", 1, 3), ExactQuantiles.Disc("cut_hi", 2, 3)))
+        counts.join(broadcast(cuts), Seq("lang"))
+          .withColumn("bucket",
+            when(col("lm_score") <= col("cut_lo"), lit("tail"))
+              .when(col("lm_score") <= col("cut_hi"), lit("middle"))
+              .otherwise(lit("head")))
+          .groupBy("lang", "bucket")
+          .agg(sum("nd").as("n_docs"), sum("nb").as("n_bigrams"),
+            max("cut_lo").as("cut_lo"), max("cut_hi").as("cut_hi"))
+          .orderBy("lang", "bucket")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2) s(doc_id, t, i)),
+        |bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1 AS u_w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         ROUND(SUM(ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE))) / COUNT(*), 6)
+        |           AS lm_score
+        |       FROM bg JOIN bic USING (w1, w2) JOIN uni ON bg.w1 = uni.u_w1
+        |       GROUP BY doc_id),
+        |wl AS (SELECT sc.doc_id, sc.n_bigrams, sc.lm_score, d.lang
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |cnt AS (SELECT lang, lm_score, COUNT(*) AS nd,
+        |               CAST(SUM(n_bigrams) AS BIGINT) AS nb
+        |        FROM wl GROUP BY 1, 2),
+        |cw AS (SELECT lang, lm_score, nd, nb,
+        |         SUM(nd) OVER (PARTITION BY lang ORDER BY lm_score) AS cum,
+        |         SUM(nd) OVER (PARTITION BY lang) AS n
+        |       FROM cnt),
+        |cuts AS (SELECT lang,
+        |           MIN(CASE WHEN 3 * cum >= n THEN lm_score END) AS cut_lo,
+        |           MIN(CASE WHEN 3 * cum >= 2 * n THEN lm_score END) AS cut_hi
+        |         FROM cw GROUP BY 1)
+        |SELECT c.lang,
+        |  CASE WHEN c.lm_score <= u.cut_lo THEN 'tail'
+        |       WHEN c.lm_score <= u.cut_hi THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  CAST(SUM(c.nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(c.nb) AS BIGINT) AS n_bigrams,
+        |  MAX(u.cut_lo) AS cut_lo, MAX(u.cut_hi) AS cut_hi
+        |FROM cnt c JOIN cuts u USING (lang)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a
@@ -1730,6 +1844,38 @@ object TextQueries {
     * agg), per-lang totals are a tiny broadcast join back, and the
     * final per-lang sum is map-side combined — no windows, no
     * low-cardinality sorts. */
+  /** Per-doc corpus-LM fluency score (see the `text_lm_score` entry
+    * for semantics, determinism, and the interpreted-lambda scale
+    * lesson). Factored out so `corpus_lm_buckets` can bucket the same
+    * scores the scoring surface emits: (doc_id, [carry...], n_bigrams,
+    * lm_score), docs with ≥2 tokens only, lm_score rounded to 6
+    * places. `carry` columns ride the doc-keyed group-bys (they must
+    * be functions of doc_id — lang, source — so they add no group
+    * cardinality and save the caller a 1:1 self-join back). */
+  private[graft] def lmScores(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val docKeys = (col("doc_id") +: carry.map(col)).toSeq
+    val docs = documents
+      .select((docKeys :+ toks(col("text")).as("t")): _*)
+      .filter(size(col("t")) >= 2)
+    val bg = docs
+      .select((docKeys :+ explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b")): _*)
+      .select((docKeys :+ col("b.w1").as("w1") :+ col("b.w2").as("w2")): _*)
+    val bgc = bg.groupBy((docKeys :+ col("w1") :+ col("w2")): _*).agg(count(lit(1)).as("k"))
+    val bic = bgc.groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val uni = bic.groupBy(col("w1").as("u_w1")).agg(sum("c2").as("c1"))
+    val scored = bic.join(uni, col("w1") === col("u_w1"))
+      .select(col("w1"), col("w2"),
+        (log(col("c2").cast("double")) - log(col("c1").cast("double"))).as("ll"))
+    bgc.join(scored, Seq("w1", "w2"))
+      .groupBy(docKeys: _*)
+      .agg(sum("k").as("n_bigrams"),
+        round(sum(col("k").cast("double") * col("ll")) / sum("k").cast("double"), 6)
+          .as("lm_score"))
+  }
+
   private[graft] def corpusDrift(docs: DataFrame): DataFrame = {
     val cnt = docs
       .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("w"))

@@ -177,4 +177,24 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "SortMergeJoin"
     }
   }
+
+  describe("round-8 plan shapes") {
+    it("text_winnowing selects fingerprints in the scan stage, partial-aggs per doc") {
+      val p = plan("text_winnowing")
+      // selection happens inside the native expression BEFORE any
+      // exchange: only the selected fingerprint stream shuffles, and
+      // its per-doc rollup is map-side combined
+      p should include("winnow_fps")
+      p should include("partial_min")
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+
+    it("corpus_lm_buckets broadcasts the 5-row cut table back to the counts") {
+      val p = plan("corpus_lm_buckets")
+      // the tertile cut points are a per-lang scalar table; bucket
+      // assignment must stay row-local against a broadcast
+      p should include("BroadcastHashJoin")
+    }
+  }
 }
