@@ -1769,28 +1769,35 @@ object TextQueries {
     // (3·cum >= n, 3·cum >= 2·n — stored doubles, no interpolation,
     // so the hash cannot drift); the oracle spells the identical
     // cumulative-count definition as window SQL rather than trusting
-    // another engine's quantile rounding. Scale: scores collapse to a
-    // (lang, score) count relation first (score is ROUND(.,6) —
-    // a distinct-bounded domain, the percentilesFromCounts contract);
-    // bucket totals are partial-agg sums over that same relation, and
-    // the 5-row cut table is a broadcast join back.
+    // another engine's quantile rounding. Scale: a per-doc ROUND(.,6)
+    // mean is NOT a distinct-bounded domain — essentially every doc
+    // carries its own score, so the first cut used the compact
+    // one-window-per-lang path and measured 398 s at sf10 (a 10 M-row
+    // single-task sort per language). The cut points now come from the
+    // fully-sharded ExactQuantiles.percentiles (prefix sums over
+    // (lang, score-range shard) — the unbounded-domain contract), and
+    // bucket totals are a partial-agg straight over doc rows against
+    // the broadcast 5-row cut table: 13.9 s at sf10, same hashes.
     "corpus_lm_buckets" -> QueryDef.sql(
       (s, dir) => {
         import graft.operators.ExactQuantiles
         val docs = Tables.documents(s, dir)
-        val sc = lmScores(docs, carry = Seq("lang"))
-        val counts = sc.groupBy("lang", "lm_score")
-          .agg(count(lit(1)).as("nd"), sum("n_bigrams").as("nb"))
-        val cuts = ExactQuantiles.percentilesFromCounts(
-          counts, Seq("lang"), col("lm_score"), col("nd"),
+        // materialize the score relation ONCE: both the cut pass and
+        // the bucket pass consume it, and lmScores is a 4-stage bigram
+        // join DAG that would otherwise execute twice (the GraphOps
+        // localCheckpoint convention; ~16 B/doc, far under the
+        // corpus it derives from)
+        val sc = lmScores(docs, carry = Seq("lang")).localCheckpoint()
+        val cuts = ExactQuantiles.percentiles(
+          sc, Seq("lang"), col("lm_score"), shardWidth = 0.01,
           Seq(ExactQuantiles.Disc("cut_lo", 1, 3), ExactQuantiles.Disc("cut_hi", 2, 3)))
-        counts.join(broadcast(cuts), Seq("lang"))
+        sc.join(broadcast(cuts), Seq("lang"))
           .withColumn("bucket",
             when(col("lm_score") <= col("cut_lo"), lit("tail"))
               .when(col("lm_score") <= col("cut_hi"), lit("middle"))
               .otherwise(lit("head")))
           .groupBy("lang", "bucket")
-          .agg(sum("nd").as("n_docs"), sum("nb").as("n_bigrams"),
+          .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
             max("cut_lo").as("cut_lo"), max("cut_hi").as("cut_hi"))
           .orderBy("lang", "bucket")
       },

@@ -64,6 +64,21 @@ class WinnowingSpec extends AnyFunSpec with Matchers with SparkTestBase {
       }
     }
 
+    it("dedup_winnowing recovers every planted mutated pair at sf0.001") {
+      // the surface doubles the corpus under a variable-length prefix
+      // mutation; each original doc_id d must pair with its copy
+      // d + 10^7 despite every fingerprint position shifting
+      val rows = SparkEntry.allDefs("dedup_winnowing").fn(spark, sfDir)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = Tables.documents(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.length(col("text")) >= lit(12))
+        .select("doc_id").collect().map(_.getLong(0))
+        .map(d => (d, d + 10000000L)).toSet
+      withClue("planted pairs missing from the candidate set") {
+        (expected -- rows) shouldBe empty
+      }
+    }
+
     it("is insensitive to where the shared block sits (position-shift invariance)") {
       // same text shifted by a prefix: fingerprint VALUES of the shared
       // suffix must overlap heavily even though positions differ
