@@ -1866,16 +1866,30 @@ object TextQueries {
           concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
             col("text")).as("text"))
         val corpus = docs.select(col("doc_id"), col("text")).unionByName(mut)
-        val fp = TextOps.winnowNative(corpus, "doc_id", "text", k = 9, w = 4)
-          .select(col("doc_id"), col("fp")).distinct()
-        val posting = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 10).select("fp")
-        val fpk = fp.join(posting, "fp")
-        val pairs = fpk.as("x").join(fpk.as("y"), "fp")
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        // ONE fp-keyed shuffle builds the whole inverted index:
+        // collect_set dedups a doc's repeated fingerprints AND yields
+        // the posting list, so the previous distinct + df-count +
+        // join-back + fpk⋈fpk self-join (four full-volume exchanges,
+        // 225 s at sf10) collapses to a single exchange. Pairs are
+        // generated ROW-LOCALLY from each ≤10-element posting array
+        // (the df cap bounds the combination count at 45/fp) — the
+        // big-big self-join never exists. array_sort makes a < b by
+        // construction (collect_set order is nondeterministic).
+        val posting = TextOps.winnowNative(corpus, "doc_id", "text", k = 9, w = 4)
+          .groupBy("fp").agg(collect_set(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= 10)
+          .select(array_sort(col("ds")).as("ds"))
+        val sizes = posting.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+        // sequence(1, 0) counts DOWN in Spark — guard out singleton
+        // postings (they feed sizes but contribute no pairs)
+        val pairs = posting.filter(size(col("ds")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+              "transform(slice(ds, i + 1, size(ds) - i), y -> " +
+              "struct(ds[i - 1] AS a, y AS b))))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("shared"))
-        val sizes = fpk.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
         pairs
           .join(sizes.select(col("doc_id").as("a"), col("nfp").as("nfp_a")), "a")
           .join(sizes.select(col("doc_id").as("b"), col("nfp").as("nfp_b")), "b")
@@ -1926,7 +1940,117 @@ object TextQueries {
         |JOIN sizes sa ON p.a = sa.doc_id
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE p.shared * 2 >= LEAST(sa.nfp, sb.nfp)
-        |ORDER BY p.a, p.b""".stripMargin)
+        |ORDER BY p.a, p.b""".stripMargin),
+
+    // B42: INCREMENTAL snapshot dedup — the production ingest shape:
+    // an existing corpus is already indexed; only the NEW batch
+    // probes it, so candidates are new×old ONLY (never old×old — the
+    // full-corpus pair problem was solved when the index was built,
+    // and re-solving it per ingest is the classic accidental
+    // quadratic of naive dedup pipelines). Demo batch = prefix-mutated
+    // copies of every 10th doc (ids +10M): every probe's origin must
+    // be recovered by fingerprint VALUE overlap alone (all positions
+    // shifted). Match rule is CONTAINMENT — |fp_new ∩ fp_old_doc|
+    // relative to the NEW doc's fingerprint count (the asymmetric
+    // question "has this new content been seen?", not symmetric
+    // resemblance) — with integer compare overlap·2 ≥ n_fp, and the
+    // best old match picked by (max overlap, min old_id): two grouped
+    // aggs, no window. Scale: the old index is the build-once
+    // artifact (posting lists df≤10 — same stop-fingerprint bound as
+    // dedup_winnowing); per-ingest cost ∝ batch size × posting hits,
+    // independent of corpus size. Containment is measured over the
+    // probe's DISCRIMINATIVE fingerprints: fps whose old-corpus df
+    // exceeds the cap are dropped from BOTH sides (numerator and
+    // denominator) — on this template-generated corpus a median doc's
+    // fingerprints are ~70% boilerplate-shared, and counting them in
+    // the denominator while the cap excludes them from the numerator
+    // floors every ratio (measured: 1 of 50 planted probes survived).
+    // Novel fps (absent from old) stay in the denominator — unseen
+    // content is exactly what lowers containment.
+    "dedup_incremental" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val newBatch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
+              col("text")).as("text"))
+        // the build-once index: (old_id, fp) postings + per-fp df.
+        // localCheckpoint: the df agg AND the probe join both consume
+        // it, and the winnow+distinct subtree must not run twice.
+        val oldFp = TextOps.winnowNative(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 9, w = 4)
+          .select(col("doc_id").as("old_id"), col("fp")).distinct()
+          .localCheckpoint()
+        val stop = oldFp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 10).select("fp")
+        val newFp = TextOps.winnowNative(newBatch, "doc_id", "text", k = 9, w = 4)
+          .select(col("doc_id").as("new_id"), col("fp")).distinct()
+        // anti-join the stop list once; every surviving probe fp has
+        // old-df <= 10 (or is novel), so the posting join's fan-out is
+        // capped without ever materializing posting ARRAYS — a
+        // ubiquitous fp's full id list never exists anywhere.
+        val probeFp = newFp.join(stop, Seq("fp"), "left_anti").localCheckpoint()
+        val nfp = probeFp.groupBy("new_id").agg(count(lit(1)).as("n_fp"))
+        val ov = probeFp.join(oldFp, "fp")
+          .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
+        val best = ov.groupBy("new_id").agg(max("overlap").as("overlap"))
+          .join(ov, Seq("new_id", "overlap"))
+          .groupBy("new_id", "overlap").agg(min("old_id").as("old_id"))
+        best.join(nfp, "new_id")
+          .filter(col("overlap") * 2 >= col("n_fp"))
+          .select(col("new_id"), col("old_id"), col("overlap"), col("n_fp"),
+            round(col("overlap").cast("double") / col("n_fp"), 6).as("containment"))
+          .orderBy("new_id")
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         'pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ch AS (SELECT doc_id, CAST(length(text) - 8 AS BIGINT) AS L,
+        |              string_split(text, '') AS c
+        |            FROM corpus WHERE length(text) >= 12),
+        |hs AS (SELECT doc_id, L, CAST(s.i AS BIGINT) AS pos,
+        |         (CAST(ascii(c[CAST(s.i AS INT) + 0]) AS BIGINT) * 852891037441 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 1]) AS BIGINT) * 27512614111 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 2]) AS BIGINT) * 887503681 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 3]) AS BIGINT) * 28629151 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 4]) AS BIGINT) * 923521 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 5]) AS BIGINT) * 29791 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 6]) AS BIGINT) * 961 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 7]) AS BIGINT) * 31 +
+        |          CAST(ascii(c[CAST(s.i AS INT) + 8]) AS BIGINT)) % 1000003 AS h
+        |       FROM (SELECT doc_id, L, c, unnest(range(1, len(c) - 7)) AS i
+        |             FROM ch) s(doc_id, L, c, i)),
+        |wexp AS (SELECT doc_id, pos - o.off AS ws, pos, h, L
+        |         FROM hs CROSS JOIN (VALUES (0), (1), (2), (3)) o(off)
+        |         WHERE pos - o.off >= 1 AND pos - o.off <= L - 3),
+        |wm AS (SELECT doc_id, ws, MIN(h) AS wmin FROM wexp GROUP BY 1, 2),
+        |sel AS (SELECT e.doc_id, e.ws, MAX(e.pos) AS selpos, MAX(m.wmin) AS fpv
+        |        FROM wexp e JOIN wm m ON e.doc_id = m.doc_id AND e.ws = m.ws
+        |        WHERE e.h = m.wmin GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, fpv FROM sel),
+        |oldfp AS (SELECT doc_id AS old_id, fpv FROM fp WHERE doc_id < 10000000),
+        |df AS (SELECT fpv, COUNT(*) AS d FROM oldfp GROUP BY 1),
+        |newfp AS (SELECT doc_id AS new_id, fpv FROM fp WHERE doc_id >= 10000000),
+        |probe AS (SELECT n.new_id, n.fpv FROM newfp n
+        |          LEFT JOIN df ON n.fpv = df.fpv
+        |          WHERE COALESCE(df.d, 0) <= 10),
+        |nfp AS (SELECT new_id, COUNT(*) AS n_fp FROM probe GROUP BY 1),
+        |ov AS (SELECT p.new_id, o.old_id, COUNT(*) AS overlap
+        |       FROM probe p JOIN oldfp o USING (fpv)
+        |       GROUP BY 1, 2),
+        |best AS (SELECT new_id, MAX(overlap) AS overlap FROM ov GROUP BY 1),
+        |pick AS (SELECT b.new_id, b.overlap, MIN(o.old_id) AS old_id
+        |         FROM best b JOIN ov o ON o.new_id = b.new_id AND o.overlap = b.overlap
+        |         GROUP BY 1, 2)
+        |SELECT p.new_id, p.old_id, CAST(p.overlap AS BIGINT) AS overlap,
+        |  CAST(f.n_fp AS BIGINT) AS n_fp,
+        |  ROUND(CAST(p.overlap AS DOUBLE) / f.n_fp, 6) AS containment
+        |FROM pick p JOIN nfp f USING (new_id)
+        |WHERE p.overlap * 2 >= f.n_fp
+        |ORDER BY new_id""".stripMargin)
   )
 
   /** B27: distribution drift between corpus snapshots — the check a

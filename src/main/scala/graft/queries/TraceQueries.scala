@@ -1246,6 +1246,80 @@ object TraceQueries {
         |GROUP BY p.service, c.service
         |ORDER BY from_service, to_service""".stripMargin)),
 
+    // Service-graph DIFF between the two halves of the retention
+    // window — the trend question an operator asks the dependency
+    // view: which edges appeared, which disappeared, and which got
+    // slower (the reference ecosystem ships this as its trends
+    // component; here it is one relational pass over the same
+    // child→parent self-join as trace_service_graph). The window
+    // midpoint is (min+max) of the span-hour range div 2 — a 1-row
+    // broadcast, no data-dependent repartition; per-edge half totals
+    // are conditional sums in ONE map-combined agg (no second scan,
+    // no full-outer join of two half-aggregates); status/new/removed
+    // falls out of a zero count. avg/ratio doubles divide exact long
+    // totals in the same operand order on both engines.
+    "trace_graph_diff" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service",
+          "start_us", "duration_us")
+        val mid = sp.agg(min(expr(s"start_us div $HourUs")).as("lo"),
+            max(expr(s"start_us div $HourUs")).as("hi"))
+          .select(expr("(lo + hi) div 2").as("mid_hour"))
+        val half = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .select(col("p.service").as("from_service"),
+            col("c.service").as("to_service"),
+            col("c.start_us").as("start_us"),
+            col("c.duration_us").as("duration_us"))
+          .crossJoin(broadcast(mid))
+          .withColumn("in_a", expr(s"start_us div $HourUs") <= col("mid_hour"))
+        val agg = half.groupBy("from_service", "to_service")
+          .agg(
+            sum(when(col("in_a"), 1L).otherwise(0L)).as("calls_a"),
+            sum(when(!col("in_a"), 1L).otherwise(0L)).as("calls_b"),
+            sum(when(col("in_a"), col("duration_us")).otherwise(0L)).as("total_a"),
+            sum(when(!col("in_a"), col("duration_us")).otherwise(0L)).as("total_b"))
+        agg.select(col("from_service"), col("to_service"),
+            when(col("calls_a") === 0, lit("new"))
+              .when(col("calls_b") === 0, lit("removed"))
+              .otherwise(lit("kept")).as("status"),
+            col("calls_a"), col("calls_b"),
+            when(col("calls_a") > 0,
+              round(col("total_a").cast("double") / col("calls_a"), 6)).as("avg_a_us"),
+            when(col("calls_b") > 0,
+              round(col("total_b").cast("double") / col("calls_b"), 6)).as("avg_b_us"),
+            when(col("calls_a") > 0 && col("calls_b") > 0,
+              round((col("total_b").cast("double") / col("calls_b")) /
+                (col("total_a").cast("double") / col("calls_a")), 6)).as("lat_ratio"))
+          .orderBy("from_service", "to_service")
+      },
+      cte(s"""
+        |, mid AS (SELECT (MIN(start_us // $HourUs) + MAX(start_us // $HourUs)) // 2
+        |            AS mid_hour FROM spans),
+        |e AS (SELECT p.service AS from_service, c.service AS to_service,
+        |        c.start_us // $HourUs <= mid.mid_hour AS in_a, c.duration_us
+        |      FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+        |      CROSS JOIN mid)
+        |SELECT from_service, to_service,
+        |  CASE WHEN calls_a = 0 THEN 'new'
+        |       WHEN calls_b = 0 THEN 'removed'
+        |       ELSE 'kept' END AS status,
+        |  calls_a, calls_b,
+        |  CASE WHEN calls_a > 0
+        |       THEN ROUND(CAST(total_a AS DOUBLE) / calls_a, 6) END AS avg_a_us,
+        |  CASE WHEN calls_b > 0
+        |       THEN ROUND(CAST(total_b AS DOUBLE) / calls_b, 6) END AS avg_b_us,
+        |  CASE WHEN calls_a > 0 AND calls_b > 0
+        |       THEN ROUND((CAST(total_b AS DOUBLE) / calls_b)
+        |                  / (CAST(total_a AS DOUBLE) / calls_a), 6) END AS lat_ratio
+        |FROM (SELECT from_service, to_service,
+        |        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS calls_a,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS calls_b,
+        |        CAST(SUM(CASE WHEN in_a THEN duration_us ELSE 0 END) AS BIGINT) AS total_a,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE duration_us END) AS BIGINT) AS total_b
+        |      FROM e GROUP BY 1, 2) t
+        |ORDER BY from_service, to_service""".stripMargin)),
+
     // Gaps-and-islands: the longest CONSECUTIVE run of slow spans per
     // service (consecutive in start order — an SLO breach streak, not
     // a time-gap session). The rn − rn_slow difference is constant
