@@ -567,5 +567,52 @@ object StreamingQueries {
         |             epoch_us(ts) AS start_us, event_type
         |           FROM events)
         |SELECT event_type AS service, COUNT(*) AS count
-        |FROM d GROUP BY event_type ORDER BY service""".stripMargin))
+        |FROM d GROUP BY event_type ORDER BY service""".stripMargin),
+
+    // B42 as deployed: the old-corpus fingerprint index is a STATIC
+    // relation built once; the new snapshot arrives as a stream and
+    // every micro-batch probes the index in foreachBatch (the
+    // best-match argmax is multi-stage aggregation — batch logic per
+    // micro-batch, the standard Structured Streaming shape for it).
+    // Oracle-exact BY CONSTRUCTION, not by single-batch replay: each
+    // new doc's output row depends only on the fixed old index, so
+    // any micro-batch partitioning of the snapshot yields the same
+    // rows — this surface shares the batch dedup_incremental oracle
+    // verbatim and needs no watermark reasoning at all.
+    "streaming_dedup_incremental" -> QueryDef.sql(runIncrementalDedup,
+      TextQueries.IncrementalDedupOracleSql))
+
+  /** Stream-static incremental dedup: see the defs entry. The result
+    * lands in a parquet FILE sink (never memory — a large snapshot's
+    * matches would collect to the driver) and is read back for the
+    * caller. */
+  private def runIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val docs = Tables.documents(ss, dir)
+    val (oldFp, stop) = TextQueries.incrementalIndex(docs)
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val isDir = docsPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      .getFileStatus(docsPath).isDirectory
+    val reader = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+    val newStream = TextQueries.mutatedTenth(
+      if (isDir) reader.parquet(docsPath.toString)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_incr").toString
+    val q = newStream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextQueries.incrementalProbe(oldFp, stop, batch)
+          .write.mode("append").parquet(s"$base/out")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) s.read.parquet(s"$base/out").orderBy("new_id")
+    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq()))
+  }
 }

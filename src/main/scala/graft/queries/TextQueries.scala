@@ -1970,38 +1970,79 @@ object TextQueries {
     "dedup_incremental" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val newBatch = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-            concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
-              col("text")).as("text"))
-        // the build-once index: (old_id, fp) postings + per-fp df.
-        // localCheckpoint: the df agg AND the probe join both consume
-        // it, and the winnow+distinct subtree must not run twice.
-        val oldFp = TextOps.winnowNative(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 9, w = 4)
-          .select(col("doc_id").as("old_id"), col("fp")).distinct()
-          .localCheckpoint()
-        val stop = oldFp.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > 10).select("fp")
-        val newFp = TextOps.winnowNative(newBatch, "doc_id", "text", k = 9, w = 4)
-          .select(col("doc_id").as("new_id"), col("fp")).distinct()
-        // anti-join the stop list once; every surviving probe fp has
-        // old-df <= 10 (or is novel), so the posting join's fan-out is
-        // capped without ever materializing posting ARRAYS — a
-        // ubiquitous fp's full id list never exists anywhere.
-        val probeFp = newFp.join(stop, Seq("fp"), "left_anti").localCheckpoint()
-        val nfp = probeFp.groupBy("new_id").agg(count(lit(1)).as("n_fp"))
-        val ov = probeFp.join(oldFp, "fp")
-          .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
-        val best = ov.groupBy("new_id").agg(max("overlap").as("overlap"))
-          .join(ov, Seq("new_id", "overlap"))
-          .groupBy("new_id", "overlap").agg(min("old_id").as("old_id"))
-        best.join(nfp, "new_id")
-          .filter(col("overlap") * 2 >= col("n_fp"))
-          .select(col("new_id"), col("old_id"), col("overlap"), col("n_fp"),
-            round(col("overlap").cast("double") / col("n_fp"), 6).as("containment"))
-          .orderBy("new_id")
+        val (oldFp, stop) = incrementalIndex(docs)
+        incrementalProbe(oldFp, stop, mutatedTenth(docs)).orderBy("new_id")
       },
+      IncrementalDedupOracleSql)
+  )
+
+  /** Demo "new snapshot": prefix-mutated copies of every 10th doc
+    * (ids +10M) — every probe's origin must be recovered by
+    * fingerprint VALUE overlap alone, since the prefix shifts all
+    * positions. Shared by `dedup_incremental` and its streaming twin. */
+  private[graft] def mutatedTenth(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
+          col("text")).as("text"))
+
+  /** The build-once side of incremental dedup: (old_id, fp) postings
+    * plus the stop list of fps whose old-corpus df exceeds 10.
+    * localCheckpointed — the df agg and every probe batch consume the
+    * postings, and the winnow+distinct subtree must not re-run per
+    * consumer (in production both relations persist between ingests). */
+  private[graft] def incrementalIndex(docs: DataFrame): (DataFrame, DataFrame) = {
+    val oldFp = TextOps.winnowNative(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 9, w = 4)
+      .select(col("doc_id").as("old_id"), col("fp")).distinct()
+      .localCheckpoint()
+    val stop = oldFp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 10).select("fp").localCheckpoint()
+    (oldFp, stop)
+  }
+
+  /** Probe one batch of new docs against the index. Anti-join the
+    * stop list once; every surviving probe fp has old-df <= 10 (or is
+    * novel), so the posting join's fan-out is capped without ever
+    * materializing posting ARRAYS — a ubiquitous fp's full id list
+    * never exists anywhere. Best old match by (max overlap, min
+    * old_id) in two grouped aggs, no window. Batch-boundary-free:
+    * each new doc's row depends only on the FIXED old index, so any
+    * micro-batch partition of the snapshot yields identical rows. */
+  /** The raw (new_id, old_id, overlap) candidate relation — exposed
+    * separately so the argmax contract is spec-testable. */
+  private[graft] def incrementalOverlaps(oldFp: DataFrame, stop: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val newFp = TextOps.winnowNative(batch, "doc_id", "text", k = 9, w = 4)
+      .select(col("doc_id").as("new_id"), col("fp")).distinct()
+    val probeFp = newFp.join(stop, Seq("fp"), "left_anti")
+    probeFp.join(oldFp, "fp")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
+  }
+
+  private[graft] def incrementalProbe(oldFp: DataFrame, stop: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val newFp = TextOps.winnowNative(batch, "doc_id", "text", k = 9, w = 4)
+      .select(col("doc_id").as("new_id"), col("fp")).distinct()
+    val probeFp = newFp.join(stop, Seq("fp"), "left_anti").localCheckpoint()
+    val nfp = probeFp.groupBy("new_id").agg(count(lit(1)).as("n_fp"))
+    val ov = probeFp.join(oldFp, "fp")
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
+    val best = ov.groupBy("new_id").agg(max("overlap").as("overlap"))
+      .join(ov, Seq("new_id", "overlap"))
+      .groupBy("new_id", "overlap").agg(min("old_id").as("old_id"))
+    best.join(nfp, "new_id")
+      .filter(col("overlap") * 2 >= col("n_fp"))
+      .select(col("new_id"), col("old_id"), col("overlap"), col("n_fp"),
+        round(col("overlap").cast("double") / col("n_fp"), 6).as("containment"))
+  }
+
+  /** DuckDB oracle for incremental dedup — shared verbatim by the
+    * batch and streaming surfaces (the streaming run must land on the
+    * identical rows). Lazy: referenced from `defs`, which initializes
+    * earlier in the object body — an eager val here would still be
+    * null at that point. */
+  private[graft] lazy val IncrementalDedupOracleSql: String =
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -2050,8 +2091,7 @@ object TextQueries {
         |  ROUND(CAST(p.overlap AS DOUBLE) / f.n_fp, 6) AS containment
         |FROM pick p JOIN nfp f USING (new_id)
         |WHERE p.overlap * 2 >= f.n_fp
-        |ORDER BY new_id""".stripMargin)
-  )
+        |ORDER BY new_id""".stripMargin
 
   /** B27: distribution drift between corpus snapshots — the check a
     * training pipeline runs before accepting a new crawl (did the

@@ -24,13 +24,27 @@ class IncrementalDedupSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .select("new_id", "old_id", "containment").collect()
       // NO probe may be lost: one output row per planted mutation
       // (the filter drops sub-0.5 containment, so presence == recall)
-      val planted = Tables.documents(spark, sfDir)
-        .filter(col("doc_id") % 10 === 0).count()
+      val docs = Tables.documents(spark, sfDir)
+      val planted = docs.filter(col("doc_id") % 10 === 0).count()
       rows.length.toLong shouldBe planted
-      // every probe id is origin + 10M; the best match must be the origin
+      // The matched old doc must be at least as good as the planted
+      // origin (new_id − 10M). NOT `old_id == origin`: the corpus has
+      // its own template near-dups, so an earlier doc can TIE the
+      // origin's overlap and win the min-id tie-break — the argmax
+      // contract, not origin identity, is the invariant.
+      val (oldFp, stop) = graft.queries.TextQueries.incrementalIndex(docs)
+      val ovMap = graft.queries.TextQueries
+        .incrementalOverlaps(oldFp, stop, graft.queries.TextQueries.mutatedTenth(docs))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       rows.foreach { r =>
         val (newId, oldId) = (r.getLong(0), r.getLong(1))
-        oldId shouldBe (newId - 10000000L)
+        val originOverlap = ovMap.getOrElse((newId, newId - 10000000L), 0L)
+        val matchedOverlap = ovMap((newId, oldId))
+        matchedOverlap should be >= originOverlap
+        // equal overlap → the min-id rule must be why origin lost
+        if (oldId != newId - 10000000L && matchedOverlap == originOverlap)
+          oldId should be < (newId - 10000000L)
       }
     }
   }
