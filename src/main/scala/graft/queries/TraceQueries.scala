@@ -1320,6 +1320,46 @@ object TraceQueries {
         |      FROM e GROUP BY 1, 2) t
         |ORDER BY from_service, to_service""".stripMargin)),
 
+    // Per-service fan-out profile — how many children a span spawns,
+    // as a distribution (exact p50/p95/max): the structural question
+    // behind "is this service a scatter-gather hub or a chain link?".
+    // Children-per-parent is one map-combined agg on the child→parent
+    // self-join; the quantiles run on the (service, n_children) COUNT
+    // relation (distinct-bounded domain — fan-out values are small
+    // integers, so the compact one-window path is the right
+    // ExactQuantiles strategy) with n_parents/max/total riding the
+    // selection pass as extra aggregates.
+    "trace_fanout" -> QueryDef.sql(
+      (s, dir) => {
+        import graft.operators.ExactQuantiles
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
+        val ch = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .groupBy(col("p.service").as("service"), col("p.span_id").as("pid"))
+          .agg(count(lit(1)).as("n_children"))
+        val vc = ch.groupBy("service", "n_children").agg(count(lit(1)).as("cnt"))
+        ExactQuantiles.percentilesFromCounts(vc, Seq("service"),
+            col("n_children"), weight = col("cnt"),
+            pcts = Seq(ExactQuantiles.Disc("p50_children", 1, 2),
+              ExactQuantiles.Disc("p95_children", 19, 20)),
+            countOut = Some("n_parents"),
+            extraAggs = Seq(max("n_children").as("max_children"),
+              sum(col("n_children") * col("cnt")).as("total_children")))
+          .select("service", "n_parents", "p50_children", "p95_children",
+            "max_children", "total_children")
+          .orderBy("service")
+      },
+      cte("""
+        |, ch AS (SELECT p.service, p.span_id, COUNT(*) AS n_children
+        |         FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+        |         GROUP BY 1, 2)
+        |SELECT service, COUNT(*) AS n_parents,
+        |  CAST(quantile_disc(n_children, 0.5) AS BIGINT) AS p50_children,
+        |  CAST(quantile_disc(n_children, 0.95) AS BIGINT) AS p95_children,
+        |  MAX(n_children) AS max_children,
+        |  CAST(SUM(n_children) AS BIGINT) AS total_children
+        |FROM ch GROUP BY service ORDER BY service""".stripMargin)),
+
     // Gaps-and-islands: the longest CONSECUTIVE run of slow spans per
     // service (consecutive in start order — an SLO breach streak, not
     // a time-gap session). The rn − rn_slow difference is constant
