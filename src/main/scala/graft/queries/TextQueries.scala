@@ -1973,7 +1973,104 @@ object TextQueries {
         val (oldFp, stop) = incrementalIndex(docs)
         incrementalProbe(oldFp, stop, mutatedTenth(docs)).orderBy("new_id")
       },
-      IncrementalDedupOracleSql)
+      IncrementalDedupOracleSql),
+
+    // Heaps-law vocabulary growth: cumulative distinct-vocabulary vs
+    // cumulative token count at 10 corpus checkpoints (docs in doc_id
+    // order) — the "is the corpus still adding new words?" curve that
+    // sizes tokenizer vocabularies and detects template saturation.
+    // Distributed shape: a term's contribution to the curve is fully
+    // determined by its FIRST document (min doc_id) — one term-keyed
+    // shuffle with map-side combine, then both the new-vocab and
+    // token-count histograms collapse to 10 rows before the (tiny)
+    // cumulative window. No per-checkpoint rescan, no growing state.
+    "text_vocab_growth" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // checkpoint = decile of the doc_id range [0, max]
+        val mx = docs.agg(max("doc_id").as("mxd"))
+        val bucketed = docs.crossJoin(broadcast(mx))
+          .withColumn("ck", least(expr("(doc_id * 10) div (mxd + 1)"), lit(9L)))
+        val firstDoc = bucketed
+          .select(col("ck"), col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+          .groupBy("term").agg(min("ck").as("first_ck"))
+          .groupBy(col("first_ck").as("ck")).agg(count(lit(1)).as("new_terms"))
+        val tokensPer = bucketed
+          .groupBy("ck")
+          .agg(count(lit(1)).as("n_docs"), sum(tokCount(col("text"))).as("n_tokens"))
+        val w = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tokensPer.join(firstDoc, Seq("ck"), "left")
+          .na.fill(0L, Seq("new_terms"))
+          .select(col("ck"),
+            sum("n_docs").over(w).as("cum_docs"),
+            sum("n_tokens").over(w).as("cum_tokens"),
+            sum("new_terms").over(w).as("cum_vocab"))
+          .withColumn("heaps_ratio",
+            round(log(col("cum_vocab").cast("double")) / log(col("cum_tokens").cast("double")), 6))
+          .orderBy("ck")
+      },
+      """WITH mx AS (SELECT MAX(doc_id) AS mxd FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        LEAST((doc_id * 10) // (mxd + 1), 9) AS ck
+        |      FROM documents CROSS JOIN mx),
+        |fd AS (SELECT term, MIN(ck) AS first_ck
+        |       FROM (SELECT DISTINCT ck, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |             FROM b)
+        |       GROUP BY term),
+        |nv AS (SELECT first_ck AS ck, COUNT(*) AS new_terms FROM fd GROUP BY 1),
+        |tp AS (SELECT ck, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |       FROM b GROUP BY ck),
+        |c AS (SELECT tp.ck,
+        |        CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |        CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |        CAST(SUM(COALESCE(new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+        |      FROM tp LEFT JOIN nv ON tp.ck = nv.ck
+        |      WINDOW w AS (ORDER BY tp.ck ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT ck, cum_docs, cum_tokens, cum_vocab,
+        |  ROUND(ln(CAST(cum_vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_ratio
+        |FROM c ORDER BY ck""".stripMargin),
+
+    // Pairwise source-overlap: exact Jaccard of the VOCABULARIES of
+    // every source pair — which sources are textually redundant before
+    // any doc-level dedup runs (the corpus-composition question DSIR /
+    // temperature mixing take as input). Shape: the (source, term)
+    // distinct relation is one shuffle; each term then emits its
+    // source-PAIRS row-locally (sorted collect_set ≤ #sources, nested
+    // generators, no self-join of the term relation), and intersection
+    // counts map-combine to ≤ C(#sources,2) rows. Union sizes come
+    // from per-source vocab counts by inclusion-exclusion — the big
+    // relation is never joined to itself.
+    "corpus_source_overlap" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val st = docs
+          .select(col("source"), explode(array_distinct(toks(col("text")))).as("term"))
+          .distinct()
+        val vocab = st.groupBy("source").agg(count(lit(1)).as("n_terms"))
+        val inter = st.groupBy("term").agg(sort_array(collect_set("source")).as("ss"))
+          .select(posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))
+          .select(col("s1"), explode(expr("slice(ss, i + 2, size(ss) - i - 1)")).as("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+        inter
+          .join(vocab.withColumnRenamed("source", "s1").withColumnRenamed("n_terms", "n_terms_1"), "s1")
+          .join(vocab.withColumnRenamed("source", "s2").withColumnRenamed("n_terms", "n_terms_2"), "s2")
+          .withColumn("jaccard_ppm",
+            expr("(n_common * 1000000) div (n_terms_1 + n_terms_2 - n_common)"))
+          .select("s1", "s2", "n_common", "n_terms_1", "n_terms_2", "jaccard_ppm")
+          .orderBy(col("jaccard_ppm").desc, col("s1"), col("s2"))
+          .limit(30)
+      },
+      """WITH st AS (SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |v AS (SELECT source, COUNT(*) AS n_terms FROM st GROUP BY source),
+        |i AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+        |      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT s1, s2, n_common, v1.n_terms AS n_terms_1, v2.n_terms AS n_terms_2,
+        |  (n_common * 1000000) // (v1.n_terms + v2.n_terms - n_common) AS jaccard_ppm
+        |FROM i JOIN v v1 ON i.s1 = v1.source JOIN v v2 ON i.s2 = v2.source
+        |ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 30""".stripMargin)
   )
 
   /** Demo "new snapshot": prefix-mutated copies of every 10th doc

@@ -1759,6 +1759,51 @@ object TraceQueries {
       cte(s"""SELECT CAST((start_us - $T0) // $HourUs AS BIGINT) AS hour_bucket,
             |  CAST(length(bin(duration_us)) AS BIGINT) AS dur_bits,
             |  COUNT(*) AS n_spans
-            |FROM spans GROUP BY 1, 2 ORDER BY hour_bucket, dur_bits""".stripMargin))
+            |FROM spans GROUP BY 1, 2 ORDER BY hour_bucket, dur_bits""".stripMargin)),
+
+    // Orphan-rate health rollup: the reader refuses traces containing a
+    // span whose parentId resolves to no span of the trace (reference
+    // reader/.../validators/ParentIdValidator.scala:30-36); at corpus
+    // scale the operational question is the RATE of such spans per
+    // service when ingest is lossy. The synthesized chain tree is
+    // complete by construction, so the surface simulates the lossy
+    // ingest a production pipeline sees: a deterministic md5 bucket
+    // drops 1/16 of spans, and a surviving span is an orphan when its
+    // parent was among the dropped. Plan: the drop predicate is a
+    // scan-stage filter; orphanhood is ONE left join of the kept spans
+    // to the kept span-ids on (trace_id, parent=span) — span_ids are
+    // globally unique here but the trace-scoped join mirrors the
+    // validator's per-trace set semantics — then a map-combined
+    // ≤ #services aggregate. ppm by integer div: no double rounding to
+    // drift between engines.
+    "trace_orphan_rate" -> QueryDef.sql(
+      (s, dir) => {
+        val kept = spans(s, dir)
+          .filter(substring(md5(col("span_id").cast("string").cast("binary")), 1, 1) =!= "0")
+          .select("trace_id", "span_id", "parent_span_id", "service")
+        val parents = kept.select(col("trace_id"), col("span_id").as("pid"))
+        kept.join(parents,
+            kept("trace_id") === parents("trace_id") &&
+              kept("parent_span_id") === parents("pid"), "left")
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("parent_span_id").isNotNull && col("pid").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .withColumn("orphan_ppm", expr("(n_orphans * 1000000) div n_spans"))
+          .orderBy("service")
+      },
+      cte("""
+        |, kept AS (SELECT trace_id, span_id, parent_span_id, service
+        |           FROM spans
+        |           WHERE substr(md5(CAST(span_id AS VARCHAR)), 1, 1) <> '0'),
+        |j AS (SELECT k.service, k.parent_span_id, p.span_id AS pid
+        |      FROM kept k LEFT JOIN kept p
+        |        ON k.trace_id = p.trace_id AND k.parent_span_id = p.span_id)
+        |SELECT service, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN parent_span_id IS NOT NULL AND pid IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  (CAST(SUM(CASE WHEN parent_span_id IS NOT NULL AND pid IS NULL
+        |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS orphan_ppm
+        |FROM j GROUP BY service ORDER BY service""".stripMargin))
   )
 }

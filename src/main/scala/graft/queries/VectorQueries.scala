@@ -366,7 +366,55 @@ object VectorQueries {
         |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
         |  CAST(s.n_vecs - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
         |FROM sizes s LEFT JOIN drops d ON s.cell = d.cell
-        |ORDER BY c_id""".stripMargin)
+        |ORDER BY c_id""".stripMargin),
+
+    // Full d×d covariance of the embedding corpus — the PCA / whitening
+    // / anisotropy input, exactly (the top-eigenvector step is driver
+    // math on the 64×64 result; what needs the cluster is THIS moment
+    // matrix). Distributed shape: elements quantize to milli-unit
+    // integers in the scan stage (the q_stats_agg integer-leg lesson:
+    // exact long sums have no accumulation order to drift), each row
+    // emits its d(d+1)/2 upper-triangle products ROW-LOCALLY (nested
+    // generators — never a self-join of the element relation), and the
+    // hash aggregate map-combines to 2080 (i, j) keys per partition, so
+    // the shuffle is O(partitions · d²) regardless of corpus size. The
+    // final covariance is one double expression over exact integer
+    // sums, identical on both engines.
+    "embed_covariance" -> QueryDef.sql(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+        e.select(posexplode(col("q")).as(Seq("i0", "xi")), col("q"))
+          .select(col("i0"), col("xi"),
+            posexplode(expr("slice(q, i0 + 1, size(q) - i0)")).as(Seq("joff", "xj")))
+          .select((col("i0") + 1).as("i"), (col("i0") + col("joff") + 1).as("j"),
+            col("xi"), col("xj"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n_vecs"), sum("xi").as("sx"), sum("xj").as("sy"),
+            sum(col("xi") * col("xj")).as("sxy"))
+          .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n_vecs"),
+            round((col("sxy").cast("double") / col("n_vecs") -
+              (col("sx").cast("double") / col("n_vecs")) *
+                (col("sy").cast("double") / col("n_vecs"))) / 1000000.0, 6).as("cov"))
+          .orderBy("i", "j")
+      },
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |p AS (SELECT ii.i, jj.j, q[ii.i] AS xi, q[jj.j] AS xj
+        |      FROM e
+        |      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+        |      CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+        |      WHERE jj.j >= ii.i),
+        |a AS (SELECT i, j, COUNT(*) AS n_vecs,
+        |        CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(xj) AS BIGINT) AS sy,
+        |        CAST(SUM(xi * xj) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT i, j, n_vecs,
+        |  ROUND((CAST(sxy AS DOUBLE) / n_vecs -
+        |         (CAST(sx AS DOUBLE) / n_vecs) * (CAST(sy AS DOUBLE) / n_vecs)) / 1000000.0, 6) AS cov
+        |FROM a ORDER BY i, j""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's
