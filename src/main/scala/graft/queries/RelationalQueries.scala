@@ -1046,6 +1046,48 @@ object RelationalQueries {
         |  MIN(CASE WHEN cum * 2 >= n THEN v END) AS wmed,
         |  MIN(CASE WHEN cum * 20 >= n * 19 THEN v END) AS wp95,
         |  CAST(MAX(n) AS BIGINT) AS total_weight
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // C62: SCD type-2 dimension build — change-capture the order-status
+    // stream per customer into effective-dated rows (the standard
+    // warehouse merge: keep a row only where the status DIFFERS from the
+    // predecessor, then close each kept row with the next kept row's
+    // start date; open rows are current). Two windows over the SAME
+    // (custkey, date, key) partitioning — Catalyst plans one exchange +
+    // one sort, the second window reuses both. At 100 TB the dimension
+    // key is the partitioning key, so the build is shuffle-minimal and
+    // append-friendly.
+    "q_scd2" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val changes = Tables.orders(s, dir).filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate"),
+            lag("o_orderstatus", 1).over(w).as("prev_status"))
+          .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+        changes
+          .withColumn("effective_to", lead("o_orderdate", 1).over(w))
+          .withColumn("is_current", col("effective_to").isNull)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").as("effective_from"), col("effective_to"),
+            col("is_current"))
+          .orderBy("o_custkey", "effective_from", "o_orderstatus")
+      },
+      """WITH changes AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |  FROM orders WHERE o_custkey < 100),
+        |kept AS (
+        |  SELECT * FROM changes
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |  o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS effective_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM kept
+        |ORDER BY o_custkey, effective_from, o_orderstatus""".stripMargin)
   )
 }

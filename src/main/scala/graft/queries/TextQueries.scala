@@ -2070,7 +2070,39 @@ object TextQueries {
         |SELECT s1, s2, n_common, v1.n_terms AS n_terms_1, v2.n_terms AS n_terms_2,
         |  (n_common * 1000000) // (v1.n_terms + v2.n_terms - n_common) AS jaccard_ppm
         |FROM i JOIN v v1 ON i.s1 = v1.source JOIN v v2 ON i.s2 = v2.source
-        |ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 30""".stripMargin)
+        |ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 30""".stripMargin),
+
+    // B46: readability scoring — Flesch reading ease from three exact
+    // integer counts per document (sentence terminator runs, whitespace
+    // tokens, vowel-group "syllables"), the standard cheap proxy a
+    // curation pipeline gates on alongside text_quality's ratios. All
+    // three counts come from single regexp passes in the scan stage
+    // (codegen'd regexp_count — no token array materialization, the
+    // text_tokens lesson); the score divides exact longs in a fixed
+    // operand order so both engines produce bit-identical doubles.
+    "text_readability" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+            .as("n_sentences"),
+          tokCount(col("text")).as("n_words"),
+          greatest(regexp_count(col("text"), lit("[aeiouy]+")), lit(1)).cast("long")
+            .as("n_syllables"))
+        .withColumn("flesch",
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 4))
+        .orderBy("doc_id"),
+      """SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |FROM (SELECT doc_id,
+        |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |        CAST(greatest(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
   )
 
   /** Demo "new snapshot": prefix-mutated copies of every 10th doc

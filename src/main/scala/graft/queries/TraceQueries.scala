@@ -1804,6 +1804,117 @@ object TraceQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
         |  (CAST(SUM(CASE WHEN parent_span_id IS NOT NULL AND pid IS NULL
         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS orphan_ppm
-        |FROM j GROUP BY service ORDER BY service""".stripMargin))
+        |FROM j GROUP BY service ORDER BY service""".stripMargin)),
+
+    // C59: Apdex per service — the canonical user-satisfaction rollup
+    // over span latencies (satisfied ≤ T, tolerating ≤ 4T, frustrated
+    // beyond; T = 50 ms against this corpus's 10 µs–490 ms duration
+    // spread). One map-combined aggregate per service; the score is
+    // kept in exact per-mille integer arithmetic
+    // ((sat*1000 + tol*500) div n) so no double summation can drift
+    // between engines. At 100 TB this is a scan + one k-row shuffle.
+    "trace_apdex" -> QueryDef.sql(
+      (s, dir) => {
+        val T = 50000L
+        spans(s, dir)
+          .select(col("service"),
+            when(col("duration_us") <= T, 1L).otherwise(0L).as("sat"),
+            when(col("duration_us") > T && col("duration_us") <= 4 * T, 1L)
+              .otherwise(0L).as("tol"))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("sat").as("satisfied"),
+            sum("tol").as("tolerating"))
+          .withColumn("frustrated", col("n_spans") - col("satisfied") - col("tolerating"))
+          .withColumn("apdex_pm",
+            expr("(satisfied * 1000 + tolerating * 500) div n_spans"))
+          .orderBy("service")
+      },
+      cte("""
+        |SELECT service, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN duration_us <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+        |  CAST(SUM(CASE WHEN duration_us > 50000 AND duration_us <= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+        |  COUNT(*) - CAST(SUM(CASE WHEN duration_us <= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+        |           - CAST(SUM(CASE WHEN duration_us > 50000 AND duration_us <= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS frustrated,
+        |  (CAST(SUM(CASE WHEN duration_us <= 50000 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |   + CAST(SUM(CASE WHEN duration_us > 50000 AND duration_us <= 200000 THEN 1 ELSE 0 END) AS BIGINT) * 500)
+        |   // COUNT(*) AS apdex_pm
+        |FROM spans GROUP BY service ORDER BY service""".stripMargin)),
+
+    // C60: tail-based sampling decision — the policy an assembled-trace
+    // sampler applies before the store write: keep traces breaching the
+    // error BUDGET (error-span share > 25 % against this corpus's 20 %
+    // uniform baseline — an any-error rule would keep everything here),
+    // traces whose slowest span crosses the latency gate, and a
+    // deterministic 1/8 hash sample of the rest (md5 head nibble ∈
+    // {0,1} — the md5-bucket idiom trace_store_blobs samples by,
+    // reproducible in any engine). Reason precedence error > slow >
+    // sampled mirrors how samplers report WHY a trace survived. Shape:
+    // one map-combined groupBy(trace_id) carrying conditional flags —
+    // at 100 TB this is the span-buffer shuffle every assembler
+    // already pays, no extra pass.
+    "trace_tail_sampling" -> QueryDef.sql(
+      (s, dir) => {
+        val SlowUs = 485000L
+        spans(s, dir)
+          .groupBy("trace_id")
+          .agg(count(lit(1)).as("span_count"),
+            sum(when(col("service") === "error", 1L).otherwise(0L)).as("err_spans"),
+            max("duration_us").as("max_dur_us"))
+          .withColumn("sampled_in",
+            when(substring(md5(col("trace_id").cast("binary")), 1, 1).isin("0", "1"), 1L)
+              .otherwise(0L))
+          .withColumn("reason",
+            when(col("err_spans") * 1000L > col("span_count") * 250L, "error")
+              .when(col("max_dur_us") > SlowUs, "slow")
+              .when(col("sampled_in") === 1L, "sampled")
+              .otherwise("drop"))
+          .filter(col("reason") =!= "drop")
+          .select("trace_id", "span_count", "err_spans", "max_dur_us", "reason")
+          .orderBy("trace_id")
+      },
+      cte("""
+        |, t AS (SELECT trace_id, COUNT(*) AS span_count,
+        |         CAST(SUM(CASE WHEN service = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_spans,
+        |         MAX(duration_us) AS max_dur_us
+        |       FROM spans GROUP BY trace_id)
+        |SELECT trace_id, span_count, err_spans, max_dur_us,
+        |  CASE WHEN err_spans * 1000 > span_count * 250 THEN 'error'
+        |       WHEN max_dur_us > 485000 THEN 'slow'
+        |       ELSE 'sampled' END AS reason
+        |FROM t
+        |WHERE err_spans * 1000 > span_count * 250 OR max_dur_us > 485000
+        |   OR substr(md5(trace_id), 1, 1) IN ('0', '1')
+        |ORDER BY trace_id""".stripMargin)),
+
+    // C61: waterfall view — the per-span rows a trace-detail UI renders:
+    // start offset relative to the trace root's start, duration, and the
+    // start-order rank, for a pinned trace set (the getTrace access
+    // pattern). The trace predicate is applied to the RAW key column
+    // before span derivation — trace-granular filters commute with the
+    // per-trace lag window, and a filter on the bare long reaches the
+    // parquet scan as In(user_id, ...), where the string-cast trace_id
+    // form would not unwrap (plan-spec pinned). Then one partition-local
+    // window per trace — never a corpus-wide sort.
+    "trace_waterfall" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("trace_id")
+        val order = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        SpanOps.spansFromEvents(
+            Tables.events(s, dir).filter(col("user_id").isin(0L, 1L, 2L)))
+          .withColumn("offset_us", col("start_us") - min("start_us").over(w))
+          .withColumn("pos", row_number().over(order).cast("long"))
+          .select("trace_id", "pos", "span_id", "parent_span_id", "service",
+            "operation", "offset_us", "duration_us")
+          .orderBy("trace_id", "pos")
+      },
+      cte("""
+        |SELECT trace_id,
+        |  CAST(row_number() OVER (PARTITION BY trace_id ORDER BY start_us, span_id) AS BIGINT) AS pos,
+        |  span_id, parent_span_id, service, operation,
+        |  start_us - MIN(start_us) OVER (PARTITION BY trace_id) AS offset_us,
+        |  duration_us
+        |FROM spans WHERE trace_id IN ('0', '1', '2')
+        |ORDER BY trace_id, pos""".stripMargin))
   )
 }

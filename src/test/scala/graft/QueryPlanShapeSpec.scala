@@ -196,5 +196,34 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       // assignment must stay row-local against a broadcast
       p should include("BroadcastHashJoin")
     }
+
+    it("q_scd2 runs both change-capture windows on one exchange + one sort") {
+      val p = plan("q_scd2")
+      // lag (detect change) and lead (close the row) share the
+      // (custkey, date, key) partitioning and ordering; the filter
+      // between them preserves both, so Catalyst must not re-shuffle
+      // or re-sort for the second window
+      p.sliding("hashpartitioning(o_custkey".length)
+        .count(_ == "hashpartitioning(o_custkey") shouldBe 1
+      p should not include "SortMergeJoin"
+    }
+
+    it("trace_waterfall pushes the pinned-trace predicate into the scan") {
+      val p = plan("trace_waterfall")
+      // the getTrace access pattern: the trace_id IN-list must gate the
+      // parquet read (as a user_id filter), not run post-window
+      p should include("PushedFilters: [In(user_id")
+    }
+
+    it("trace_apdex and trace_tail_sampling are single map-combined aggregates") {
+      for (name <- Seq("trace_apdex", "trace_tail_sampling")) {
+        val p = plan(name)
+        withClue(name) {
+          p should include("partial_")   // map-side combine before the exchange
+          p should not include "SortMergeJoin"
+          p should not include "CartesianProduct"
+        }
+      }
+    }
   }
 }
