@@ -496,4 +496,85 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .orderBy("q_id", "rnk")
   }
+
+  /** Dominant principal component by power iteration, in EXACT integer
+    * arithmetic end to end so an independent engine reproduces it
+    * bit-for-bit (no float matvec to drift):
+    *
+    *  1. quantize to milli-units, center on integer-rounded means
+    *     (one d-row aggregate, inlined as literals);
+    *  2. exact centered second-moment matrix: row-local upper-triangle
+    *     products, ONE map-combined shuffle to d(d+1)/2 keys — the
+    *     embed_covariance shape, corpus-size-independent exchange;
+    *  3. `iters` rounds of BigInt matvec on the DRIVER (the matrix is
+    *     d×d — bounded by contract like kmeans centroids; at 100 TB the
+    *     expensive parts stay distributed and this stays 64×64), each
+    *     round renormalized to max-abs 1e6 by sign·(abs·1e6 div max) —
+    *     trunc==floor on the non-negative operand, so Spark BigInt and
+    *     any floor-division SQL engine agree;
+    *  4. sign-canonicalize (largest-|component|, ties to low index,
+    *     made positive), Rayleigh quotient as the eigenvalue estimate;
+    *  5. project the corpus onto the component — a scan with the
+    *     vector INLINED as literals (no join), top-`topK` by |proj|.
+    *
+    * Output rows (kind, idx, value), all-long values:
+    * ('lambda', 0, λ in milli-units²), ('load', i, v_i per-million),
+    * ('proj', vec_id, exact integer projection) — ordered by kind, idx.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    val d = 64
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+    // pass 1: per-dimension integer means (round-half-away-from-zero,
+    // via the sign/abs idiom shared with every engine)
+    val muRows = q.select(posexplode(col("q")).as(Seq("i0", "xi")))
+      .groupBy("i0").agg(sum("xi").as("sx"), count(lit(1)).as("n"))
+      .collect()
+    require(muRows.length == d, s"expected $d dims, got ${muRows.length}")
+    val mu = Array.ofDim[Long](d)
+    muRows.foreach { r =>
+      val (sx, n) = (r.getLong(1), r.getLong(2))
+      mu(r.getInt(0)) = math.signum(sx) * ((2L * math.abs(sx) + n) / (2L * n))
+    }
+    val muSql = mu.mkString("array(", ",", ")")
+    val qc = q.selectExpr("vec_id",
+      s"transform(q, (x, i) -> x - element_at(CAST($muSql AS ARRAY<BIGINT>), i + 1)) AS qc")
+    // pass 2: exact centered second-moment upper triangle
+    val covRows = qc
+      .select(posexplode(col("qc")).as(Seq("i0", "xi")), col("qc"))
+      .select(col("i0"), col("xi"),
+        posexplode(expr("slice(qc, i0 + 1, size(qc) - i0)")).as(Seq("joff", "xj")))
+      .select((col("i0") + 1).as("i"), (col("i0") + col("joff") + 1).as("j"),
+        (col("xi") * col("xj")).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("c"))
+      .collect()
+    val cov = Array.ofDim[BigInt](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, BigInt(r.getLong(2)))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // pass 3: BigInt power iteration
+    val Scale = BigInt(1000000)
+    var v = Array.fill[BigInt](d)(Scale)
+    (1 to iters).foreach { _ =>
+      val u = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val m = u.map(_.abs).max
+      v = u.map(ui => BigInt(ui.signum) * (ui.abs * Scale / m))
+    }
+    val pivot = (0 until d).maxBy(i => (v(i).abs, -i))
+    if (v(pivot) < 0) v = v.map(-_)
+    val lambda = ((0 until d).flatMap(i => (0 until d).map(j => cov(i)(j) * v(i) * v(j))).sum /
+      v.map(x => x * x).sum).toLong
+    // pass 4: projections — the component inlined, scan-local dot
+    val vSql = v.mkString("array(", ",", ")")
+    val proj = qc.selectExpr("vec_id",
+      s"aggregate(zip_with(qc, CAST($vSql AS ARRAY<BIGINT>), (x, y) -> x * y), 0L, (a, x) -> a + x) AS p")
+      .orderBy(abs(col("p")).desc, col("vec_id")).limit(topK)
+      .select(lit("proj").as("kind"), col("vec_id").as("idx"), col("p").as("value"))
+    val head = s.createDataFrame(
+      ("lambda", 0L, lambda) +: (0 until d).map(i => ("load", (i + 1).toLong, v(i).toLong)))
+      .toDF("kind", "idx", "value")
+    head.unionAll(proj).orderBy("kind", "idx")
+  }
 }

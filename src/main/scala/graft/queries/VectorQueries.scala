@@ -414,8 +414,68 @@ object VectorQueries {
         |SELECT i, j, n_vecs,
         |  ROUND((CAST(sxy AS DOUBLE) / n_vecs -
         |         (CAST(sx AS DOUBLE) / n_vecs) * (CAST(sy AS DOUBLE) / n_vecs)) / 1000000.0, 6) AS cov
-        |FROM a ORDER BY i, j""".stripMargin)
+        |FROM a ORDER BY i, j""".stripMargin),
+
+    // B47: dominant principal component (the PCA anisotropy/whitening
+    // direction) — exact-integer power iteration, reproducible
+    // bit-for-bit in any engine with floor division and 128-bit sums
+    // (see VectorOps.pcaTopComponent for the scale shape: distributed
+    // covariance + projection scans, bounded 64×64 driver eigen). The
+    // oracle unrolls the SAME 24 integer matvec rounds as CTEs (the
+    // kmeansIvfOracleSql precedent).
+    "embed_pca" -> QueryDef.sql(
+      (s, dir) => VectorOps.pcaTopComponent(Tables.embeddings(s, dir), 24, 20),
+      pcaOracleSql(24, 20))
   )
+
+  /** DuckDB SQL for [[VectorOps.pcaTopComponent]]: identical integer
+    * means, centered second-moment matrix, `iters` power-iteration
+    * rounds (HUGEINT matvec, max-abs renormalization via the sign/abs
+    * floor idiom), sign canonicalization, Rayleigh quotient, top-`topK`
+    * |projection|. */
+  private def pcaOracleSql(iters: Int, topK: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      // every per-round CTE is MATERIALIZED: u$k is referenced twice
+      // (max + renormalize) and contains v${k - 1} — left to DuckDB's
+      // default inlining the reference tree doubles per round (2^24
+      // plan nodes; observed as a planner hang)
+      s"""u$k AS MATERIALIZED (SELECT c.i, SUM(CAST(c.v AS HUGEINT) * p.x) AS ui
+         |      FROM covfull c JOIN $prev p ON c.j = p.i GROUP BY c.i),
+         |m$k AS (SELECT MAX(ABS(ui)) AS m FROM u$k),
+         |v$k AS MATERIALIZED (SELECT i, CAST(CAST(sign(ui) AS HUGEINT) * ((ABS(ui) * 1000000) // m) AS BIGINT) AS x
+         |      FROM u$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |        list_transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |mu0 AS (SELECT t.i, CAST(SUM(q.q[t.i]) AS BIGINT) AS sx, COUNT(*) AS n
+       |      FROM q CROSS JOIN generate_series(1, 64) t(i) GROUP BY t.i),
+       |mu AS (SELECT i, CAST(sign(sx) AS BIGINT) * ((2 * ABS(sx) + n) // (2 * n)) AS m FROM mu0),
+       |qc AS MATERIALIZED (SELECT q.vec_id, t.i, q.q[t.i] - mu.m AS x
+       |      FROM q CROSS JOIN generate_series(1, 64) t(i) JOIN mu ON mu.i = t.i),
+       |cov AS MATERIALIZED (SELECT a.i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS v
+       |      FROM qc a JOIN qc b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+       |covfull AS MATERIALIZED (SELECT i, j, v FROM cov
+       |            UNION ALL SELECT j, i, v FROM cov WHERE i <> j),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS i, CAST(1000000 AS BIGINT) AS x),
+       |$rounds,
+       |pk AS (SELECT i FROM v$iters ORDER BY ABS(x) DESC, i LIMIT 1),
+       |sgn AS (SELECT CASE WHEN (SELECT x FROM v$iters WHERE i = (SELECT i FROM pk)) < 0
+       |               THEN -1 ELSE 1 END AS sg),
+       |vf AS MATERIALIZED (SELECT i, x * sg AS x FROM v$iters, sgn),
+       |ray AS (SELECT CAST(
+       |        (SELECT SUM(CAST(c.v AS HUGEINT) * a.x * b.x)
+       |         FROM covfull c JOIN vf a ON c.i = a.i JOIN vf b ON c.j = b.i)
+       |        // (SELECT SUM(CAST(x AS HUGEINT) * x) FROM vf) AS BIGINT) AS l),
+       |pr AS (SELECT qc.vec_id, CAST(SUM(qc.x * vf.x) AS BIGINT) AS p
+       |      FROM qc JOIN vf ON vf.i = qc.i GROUP BY qc.vec_id),
+       |top AS (SELECT vec_id, p FROM pr ORDER BY ABS(p) DESC, vec_id LIMIT $topK)
+       |SELECT 'lambda' AS kind, CAST(0 AS BIGINT) AS idx, l AS value FROM ray
+       |UNION ALL SELECT 'load' AS kind, CAST(i AS BIGINT) AS idx, x AS value FROM vf
+       |UNION ALL SELECT 'proj' AS kind, CAST(vec_id AS BIGINT) AS idx, p AS value FROM top
+       |ORDER BY kind, idx""".stripMargin
+  }
 
   /** DuckDB SQL for [[VectorOps.annTopKIvf]] with `iters` Lloyd's
     * rounds: centroid refinement unrolled into per-round CTEs. */

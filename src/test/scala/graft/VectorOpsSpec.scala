@@ -328,4 +328,29 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       withZero shouldBe without
     }
   }
+
+  describe("pcaTopComponent") {
+    it("recovers a planted dominant direction and normalizes exactly") {
+      // corpus with variance concentrated on dim 3 (amplitude ±0.4),
+      // small independent spread on dim 10 (±0.04): PC1 must be dim 3
+      val rows = (0 until 200).map { i =>
+        val v = Array.fill(64)(0.0f)
+        v(2) = (if (i % 2 == 0) 0.4f else -0.4f) * (1 + (i % 5) / 10.0f)
+        v(9) = (if (i % 3 == 0) 0.04f else -0.04f)
+        (i.toLong, v.toSeq)
+      }
+      val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      val out = VectorOps.pcaTopComponent(df, iters = 24, topK = 10).collect()
+      val loads = out.filter(_.getString(0) == "load")
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      loads.size shouldBe 64
+      // max-abs component is exactly the 1e6 scale, on the planted dim,
+      // positive after canonicalization
+      loads(3L) shouldBe 1000000L
+      loads.filter(_._1 != 3L).values.foreach(v => math.abs(v) should be < 200000L)
+      // eigenvalue estimate positive and projections = topK
+      out.filter(_.getString(0) == "lambda").head.getLong(2) should be > 0L
+      out.count(_.getString(0) == "proj") shouldBe 10
+    }
+  }
 }
