@@ -2102,7 +2102,57 @@ object TextQueries {
         |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
         |        CAST(greatest(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
         |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // B48: PMI collocations — the corpus-level bigram association table
+    // (tokenizer-merge candidates / multi-word-expression mining). PMI
+    // decomposes as ln(c2)+2ln(N)−ln(B)−ln(c1)−ln(c1') with every ln
+    // taking an EXACT integer (the corpus_dsir_weights determinism
+    // idiom — never ln of a ratio, where the division would drift).
+    // Scale shape: row-local inline bigram generation (the lmScores
+    // pattern — no token array in an exchange), ONE map-combined
+    // bigram-keyed shuffle, the ≥5-count support filter BEFORE the two
+    // unigram joins so only surviving bigrams join, TakeOrdered top-50.
+    "text_collocations" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(toks(col("text")).as("t")).filter(size(col("t")) >= 2)
+        val bg = docs.select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val uni = docs.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val nTok = uni.agg(sum("c1").as("n"), lit(1).as("one"))
+        val nBig = c2.agg(sum("c2").as("b"), lit(1).as("one"))
+        c2.filter(col("c2") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+          .crossJoin(broadcast(nTok.join(nBig, "one")))
+          .select(col("w1"), col("w2"), col("c2"),
+            round(log(col("c2").cast("double")) + lit(2.0) * log(col("n").cast("double"))
+              - log(col("b").cast("double")) - log(col("c1a").cast("double"))
+              - log(col("c1b").cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bg AS (SELECT t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t) s(t, i)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT unnest(t) AS w FROM t),
+        |unic AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM unic) AS n,
+        |               (SELECT CAST(SUM(c2) AS BIGINT) FROM bgc) AS b)
+        |SELECT w1, w2, c2,
+        |  ROUND(ln(CAST(c2 AS DOUBLE)) + 2.0 * ln(CAST(n AS DOUBLE))
+        |    - ln(CAST(b AS DOUBLE)) - ln(CAST(a.c1 AS DOUBLE)) - ln(CAST(bb.c1 AS DOUBLE)), 6) AS pmi
+        |FROM bgc JOIN unic a ON bgc.w1 = a.w JOIN unic bb ON bgc.w2 = bb.w
+        |CROSS JOIN tot
+        |WHERE c2 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
   )
 
   /** Demo "new snapshot": prefix-mutated copies of every 10th doc
