@@ -145,4 +145,58 @@ object GraphOps {
     e.unpersist(); nodes.unpersist(); ew.unpersist(); dangling.unpersist()
     ranks
   }
+
+  /** All-pairs minimum-hop reachability (transitive closure annotated
+    * with shortest hop counts) over a directed edge list →
+    * (src, dst, hops), hops ≥ 1: BFS frontier expansion, where round
+    * h+1 joins ONLY the hop-h frontier against the edge list and
+    * anti-joins pairs already in the closure — so each pair is
+    * recorded exactly at its minimum hop and cycles terminate
+    * naturally (an exhausted frontier IS the fixpoint; no hop bound
+    * in the result semantics). Throws if `maxIter` rounds pass with a
+    * non-empty frontier (graph diameter exceeds the bound) rather
+    * than silently truncating the closure.
+    *
+    * Scale: the edge list is distinct-projected and checkpointed once
+    * before iterating; each round shuffles the CURRENT frontier (the
+    * newly discovered pairs only — never the accumulated closure)
+    * against the edges on dst=src plus one anti-join against the
+    * closure so far. No round rescans the raw input, and lineage is
+    * truncated per round like [[connectedComponents]]. For
+    * service-graph-sized node sets every per-round join broadcasts;
+    * at web-graph scale the identical plan shuffles on the same keys.
+    */
+  def reachability(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .distinct().localCheckpoint()
+    var closure = e.select(col("esrc").as("src"), col("edst").as("dst"),
+      lit(1L).as("hops")).localCheckpoint()
+    var frontier = closure
+    var iter = 1
+    var drained = frontier.isEmpty
+    while (!drained && iter < maxIter) {
+      val next = frontier.join(e, frontier("dst") === e("esrc"))
+        .select(frontier("src"), e("edst").as("dst"))
+        .distinct()
+        .join(closure, Seq("src", "dst"), "left_anti")
+        .withColumn("hops", lit(iter + 1L))
+        .localCheckpoint()
+      val merged = closure.union(next).localCheckpoint()
+      // old frontier/closure frames are superseded; merged and next are
+      // their own checkpoints, so the blocks can go immediately
+      if (!(frontier eq closure)) frontier.unpersist()
+      closure.unpersist()
+      closure = merged
+      frontier = next
+      drained = frontier.isEmpty
+      iter += 1
+    }
+    if (!drained)
+      throw new IllegalStateException(
+        s"reachability did not converge within $maxIter rounds " +
+          "(graph diameter exceeds the bound); raise maxIter")
+    frontier.unpersist(); e.unpersist()
+    closure
+  }
 }

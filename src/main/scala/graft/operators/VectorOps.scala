@@ -497,6 +497,84 @@ object VectorOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Product-quantization ANN — the billion-vector memory tier (64
+    * dims become `m` small codes; queries score against an m×`codes`
+    * lookup table instead of raw vectors) — in EXACT integer
+    * arithmetic end to end so the whole pipeline (codebook training
+    * included) is reproducible bit-for-bit by an independent engine:
+    *
+    *  1. milli-quantize, split each vector into `m` subvectors
+    *     row-locally;
+    *  2. codebook init = subvectors of the first `codes` vectors, then
+    *     `iters` Lloyd rounds: assignment = argmin exact squared
+    *     distance against the BROADCAST codebook (ties to the lowest
+    *     code id), centroid update = per-dimension integer mean
+    *     (round-half-away via sign·((2·abs+n) div 2n)), empty cells
+    *     keep their previous centroid. Per round: one corpus scan +
+    *     one map-combined argmin shuffle — the 100 TB k-means shape
+    *     (at real scale you train on a sample; the shape is the same);
+    *  3. ADC query scoring: the per-(query, subspace, code) distance
+    *     table is nq·m·`codes` rows — corpus codes join it BROADCAST
+    *     and sum `m` lookups per (query, vector). The corpus is
+    *     scanned, never shuffled wider than the (q_id, vec_id) rollup.
+    *
+    * Output: (q_id, neighbor_id, dist, rnk), dist the exact integer
+    * ADC distance, top-`k` per query by (dist, neighbor_id).
+    */
+  def annTopKPq(embeddings: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
+    val s = embeddings.sparkSession
+    val sub = 64 / m
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+    val sv = q.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> struct(CAST(mi AS BIGINT) AS m, slice(q, mi * $sub + 1, $sub) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    var cb: Array[(Long, Long, Array[Long])] = sv.filter(col("vec_id") < codes)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2).toArray))
+    def cbDf = broadcast(
+      s.createDataFrame(cb.toSeq.map { case (mm, cc, cv) => (mm, cc, cv.toSeq) })
+        .toDF("m", "code", "cv"))
+    val sqDist = expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    def assign = sv.join(cbDf, "m")
+      .withColumn("d", sqDist)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("bc"), first("sv").as("sv"))
+      .select(col("vec_id"), col("m"), col("bc.code").as("code"), col("sv"))
+    (1 to iters).foreach { _ =>
+      val upd = assign
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i0", "x")))
+        .groupBy("m", "code", "i0").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = upd.groupBy(r => (r.getLong(0), r.getLong(1)))
+      cb = cb.map { case (mm, cc, old) =>
+        byKey.get((mm, cc)).fold((mm, cc, old)) { rows =>
+          val cv = old.clone()
+          rows.foreach { r =>
+            val (i0, sx, n) = (r.getInt(2), r.getLong(3), r.getLong(4))
+            cv(i0) = math.signum(sx) * ((2L * math.abs(sx) + n) / (2L * n))
+          }
+          (mm, cc, cv)
+        }
+      }
+    }
+    val corpusCodes = assign.select("vec_id", "m", "code")
+    val queries = sv.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+    val qd = queries.join(cbDf, "m")
+      .withColumn("qd",
+        expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select("q_id", "m", "code", "qd")
+    val adc = corpusCodes.join(broadcast(qd), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd").as("dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("dist"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Dominant principal component by power iteration, in EXACT integer
     * arithmetic end to end so an independent engine reproduces it
     * bit-for-bit (no float matvec to drift):

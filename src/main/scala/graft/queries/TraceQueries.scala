@@ -1246,6 +1246,47 @@ object TraceQueries {
         |GROUP BY p.service, c.service
         |ORDER BY from_service, to_service""".stripMargin)),
 
+    // Transitive closure of the service graph with minimum hop counts
+    // (C63) — "which services can an incident in X propagate to, and
+    // how many call levels away": BFS frontier fixpoint over the
+    // distinct caller→callee edges (GraphOps.reachability — each round
+    // joins only the newly discovered pairs against the edge list, so
+    // cycles terminate and a pair lands at exactly its minimum hop).
+    // The oracle re-derives min-hops with a recursive CTE bounded by
+    // the node count (shortest paths never need more hops; MIN dedups
+    // the path enumeration). The edge distinct runs before iterating:
+    // the span self-join executes once, not once per round.
+    "trace_service_reachability" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .select(col("p.service").as("from_service"),
+            col("c.service").as("to_service"))
+        graft.operators.GraphOps.reachability(edges, "from_service", "to_service")
+          .select(col("src").as("src_service"), col("dst").as("dst_service"),
+            col("hops").as("min_hops"))
+          .orderBy("src_service", "dst_service")
+      },
+      cte("""
+        |, e AS (
+        |  SELECT DISTINCT p.service AS src, c.service AS dst
+        |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id),
+        |nn AS (
+        |  SELECT COUNT(*) AS cnt
+        |  FROM (SELECT src FROM e UNION SELECT dst FROM e) t),
+        |r AS (
+        |  SELECT src, dst, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1
+        |  FROM r JOIN e ON r.dst = e.src
+        |  WHERE r.hops < (SELECT cnt FROM nn))
+        |SELECT src AS src_service, dst AS dst_service,
+        |       CAST(MIN(hops) AS BIGINT) AS min_hops
+        |FROM r GROUP BY src, dst
+        |ORDER BY src_service, dst_service""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // Service-graph DIFF between the two halves of the retention
     // window — the trend question an operator asks the dependency
     // view: which edges appeared, which disappeared, and which got

@@ -416,6 +416,16 @@ object VectorQueries {
         |         (CAST(sx AS DOUBLE) / n_vecs) * (CAST(sy AS DOUBLE) / n_vecs)) / 1000000.0, 6) AS cov
         |FROM a ORDER BY i, j""".stripMargin),
 
+    // B49: product-quantization ANN — codebook training (integer
+    // Lloyd's per subspace), code assignment, and ADC lookup-join
+    // scoring, all exact integer (see VectorOps.annTopKPq). The oracle
+    // unrolls the same two training rounds; per-round CTEs
+    // MATERIALIZED (the embed_pca DuckDB-inlining lesson).
+    "ann_topk_pq" -> QueryDef.sql(
+      (s, dir) => VectorOps.annTopKPq(Tables.embeddings(s, dir),
+        col("vec_id") < 10, k = 5, m = 8, codes = 16, iters = 2),
+      pqOracleSql(k = 5, m = 8, codes = 16, iters = 2, nQueries = 10)),
+
     // B47: dominant principal component (the PCA anisotropy/whitening
     // direction) — exact-integer power iteration, reproducible
     // bit-for-bit in any engine with floor division and 128-bit sums
@@ -427,6 +437,61 @@ object VectorQueries {
       (s, dir) => VectorOps.pcaTopComponent(Tables.embeddings(s, dir), 24, 20),
       pcaOracleSql(24, 20))
   )
+
+  /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized
+    * subvectors, `iters` integer Lloyd rounds (argmin by (dist, code)
+    * row_number, round-half-away integer centroid means, empty cells
+    * keep the previous centroid), ADC lookup-table scoring. The
+    * squared distances are exact integer lambda sums on both engines.
+    */
+  private def pqOracleSql(k: Int, m: Int, codes: Int, iters: Int, nQueries: Int): String = {
+    val sub = 64 / m
+    def dist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, m, code, sv FROM (
+         |    SELECT vec_id, m, sv, code,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+         |    FROM (SELECT s.vec_id, s.m, s.sv, c.code, ${dist("s.sv", "c.cv")} AS d
+         |          FROM sv s JOIN c${r - 1} c ON s.m = c.m) dd) t
+         |  WHERE rn = 1),
+         |u$r AS (SELECT m, code, CAST(t.i AS INT) AS i,
+         |          CAST(SUM(sv[CAST(t.i AS INT)]) AS BIGINT) AS sx, COUNT(*) AS n
+         |        FROM a$r CROSS JOIN generate_series(1, $sub) t(i) GROUP BY 1, 2, 3),
+         |n$r AS (SELECT m, code,
+         |          list(CAST(sign(sx) AS BIGINT) * ((2 * ABS(sx) + n) // (2 * n)) ORDER BY i) AS cv
+         |        FROM u$r GROUP BY m, code),
+         |c$r AS MATERIALIZED (SELECT p.m, p.code, COALESCE(nn.cv, p.cv) AS cv
+         |        FROM c${r - 1} p LEFT JOIN n$r nn ON p.m = nn.m AND p.code = nn.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |      list_transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |sv AS MATERIALIZED (SELECT vec_id, CAST(t.mi AS BIGINT) AS m,
+       |      q.q[CAST(t.mi AS INT) * $sub + 1 : CAST(t.mi AS INT) * $sub + $sub] AS sv
+       |      FROM q CROSS JOIN generate_series(0, ${m - 1}) t(mi)),
+       |c0 AS (SELECT m, vec_id AS code, sv AS cv FROM sv WHERE vec_id < $codes),
+       |$rounds,
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${dist("s.sv", "c.cv")}, c.code) AS rn
+       |    FROM sv s JOIN c$iters c ON s.m = c.m) t
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sv WHERE vec_id < $nQueries),
+       |qd AS MATERIALIZED (SELECT q.q_id, q.m, c.code, ${dist("q.qsv", "c.cv")} AS qd
+       |      FROM qs q JOIN c$iters c ON q.m = c.m),
+       |adc AS (SELECT d.q_id, a.vec_id, CAST(SUM(d.qd) AS BIGINT) AS dist
+       |        FROM af a JOIN qd d ON a.m = d.m AND a.code = d.code
+       |        WHERE a.vec_id <> d.q_id GROUP BY 1, 2),
+       |r AS (SELECT q_id, vec_id AS neighbor_id, dist,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rnk
+       |      FROM adc)
+       |SELECT q_id, neighbor_id, dist, rnk FROM r WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** DuckDB SQL for [[VectorOps.pcaTopComponent]]: identical integer
     * means, centered second-moment matrix, `iters` power-iteration

@@ -37,6 +37,44 @@ class GraphOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  private def reach(edges: (String, String)*): Map[(String, String), Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.reachability(edges.toSeq.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  describe("reachability") {
+    it("walks a chain with exact min hops and no reverse pairs") {
+      val out = reach(("a", "b"), ("b", "c"), ("c", "d"))
+      out shouldBe Map(
+        ("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+        ("a", "c") -> 2L, ("b", "d") -> 2L, ("a", "d") -> 3L)
+    }
+
+    it("terminates on a cycle and records the self round-trip") {
+      val out = reach(("a", "b"), ("b", "c"), ("c", "a"))
+      out(("a", "a")) shouldBe 3L
+      out(("b", "b")) shouldBe 3L
+      out(("a", "c")) shouldBe 2L
+      out.size shouldBe 9 // 3x3 all-pairs on a 3-cycle
+    }
+
+    it("takes the shortest route when a shortcut exists and keeps self-loops at 1") {
+      val out = reach(("a", "b"), ("b", "c"), ("a", "c"), ("c", "c"))
+      out(("a", "c")) shouldBe 1L // shortcut beats the 2-hop path
+      out(("c", "c")) shouldBe 1L // self-loop edge
+    }
+
+    it("throws rather than silently truncating when maxIter is too small") {
+      val s = spark
+      import s.implicits._
+      val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+      an[IllegalStateException] should be thrownBy
+        GraphOps.reachability(chain, "src", "dst", maxIter = 3).collect()
+    }
+  }
+
   describe("pageRank") {
     it("concentrates mass on the a<->b cycle and conserves the total") {
       val s = spark

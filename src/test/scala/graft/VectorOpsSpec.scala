@@ -329,6 +329,29 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("annTopKPq") {
+    it("returns k ADC-ranked neighbors per query with exact integer distances") {
+      val res = VectorOps.annTopKPq(emb, col("vec_id") < 5, k = 5).collect()
+      res.length shouldBe 25
+      res.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+        val d = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("dist"))
+        d.toSeq shouldBe d.sorted.toSeq
+      }
+      res.foreach(r => r.getAs[Long]("q_id") should not be r.getAs[Long]("neighbor_id"))
+    }
+    it("reaches non-trivial recall vs brute-force cosine") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val pq = VectorOps.annTopKPq(emb, col("vec_id") < 10, k = 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      // 16 codes × 8 subspaces on a 500-vector corpus: coarse, but the
+      // ADC ordering must still agree with brute force well beyond
+      // chance (5 random picks of 500 would overlap ~1%)
+      val recall = (brute & pq).size.toDouble / brute.size
+      recall should be > 0.1
+    }
+  }
+
   describe("pcaTopComponent") {
     it("recovers a planted dominant direction and normalizes exactly") {
       // corpus with variance concentrated on dim 3 (amplitude ±0.4),
