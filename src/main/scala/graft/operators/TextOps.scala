@@ -179,4 +179,60 @@ object TextOps {
       .select(col(idCol), shiftright(col("pk"), 20).as("selpos"),
         col("pk").bitwiseAND(lit((1L << 20) - 1)).as("fp"))
   }
+
+  /** Byte-pair-encoding merge training over a corpus — the tokenizer
+    * step of a training-data pipeline, done the way production BPE
+    * trainers do it: the corpus is scanned ONCE into a (word, freq)
+    * relation, and every merge round runs over that vocab-sized
+    * relation (pair counting weights by word frequency), never over
+    * the raw text again. Words are lowercase `[a-z]+` runs, so merged
+    * symbols can live as single chars at codepoints 0x100+round
+    * without colliding with any input symbol; a pair is then always
+    * exactly two chars and `replace`'s left-to-right non-overlapping
+    * greedy application — identical in Spark and ANSI SQL — is the
+    * classic BPE merge.
+    *
+    * Per round: one map-combined pair-count aggregate over the vocab,
+    * a deterministic 1-ROW collect of the argmax pair (count DESC,
+    * pair ASC — the bounded-collect contract, same as
+    * kmeansCentroids' k rows: the driver must know the pair to plan
+    * the next round), then a row-local rewrite of the vocab.
+    * Lineage truncated per round. Returns (round, pair, cnt) — the
+    * learned merge table, `rounds` rows (fewer if the vocab runs out
+    * of repeated pairs).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    var wf = docs
+      .select(explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer[(Long, String, Long)]()
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      // sequence(1, len-1) needs the >=2 guard: Spark's sequence
+      // DESCENDS for start > stop (len 1 would yield positions [1,0])
+      val top = wf.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((r.toLong, pair, cnt))
+        val next = wf
+          .withColumn("w", replace(col("w"), lit(pair), lit((256 + r).toChar.toString)))
+          .localCheckpoint()
+        wf.unpersist()
+        wf = next
+        r += 1
+      }
+    }
+    wf.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("round", "pair", "cnt")
+  }
 }

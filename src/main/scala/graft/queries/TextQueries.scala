@@ -2152,8 +2152,102 @@ object TextQueries {
         |FROM bgc JOIN unic a ON bgc.w1 = a.w JOIN unic bb ON bgc.w2 = bb.w
         |CROSS JOIN tot
         |WHERE c2 >= 5
-        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin),
+
+    // B50: BPE merge training (TextOps.bpeMerges) — the tokenizer-
+    // training step: corpus scanned ONCE into the (word, freq) vocab,
+    // six merge rounds over that vocab relation (freq-weighted pair
+    // counts, argmax by (cnt DESC, pair), merge = two-char replace
+    // into a single 0x100+round symbol — left-to-right non-overlap
+    // greedy, identical semantics in Spark and SQL `replace`). The
+    // oracle unrolls the rounds; per-round CTEs MATERIALIZED (the
+    // embed_pca inlining lesson), and the dry-vocab guard coalesces a
+    // never-matching needle so an empty round can't NULL the vocab.
+    "text_bpe_merges" -> QueryDef.sql(
+      (s, dir) => graft.operators.TextOps
+        .bpeMerges(Tables.documents(s, dir), "text", rounds = 6)
+        .orderBy("round"),
+      bpeOracleSql(6)),
+
+    // B51: interpolated Kneser-Ney bigram probabilities (absolute
+    // discount D = 3/4) — the standard n-gram LM smoothing, emitted
+    // as an EXACT integer fraction so both engines agree bit-for-bit:
+    //   P(w2|w1) = max(c12 - D, 0)/c1 + D * N1+(w1.)/c1 * Ncont(w2)/NB
+    // over common denominator 4*c1*NB:
+    //   num = max(4*c12 - 3, 0)*NB + 3*N1w1*Ncont2,  den = 4*c1*NB
+    // (kn_p then divides the two exact longs in fixed operand order).
+    // Scale: ONE corpus bigram shuffle; every KN statistic (left
+    // totals, follower fan-out, continuation fan-in, the 1-row type
+    // total) derives from the bigram-TYPE relation, which is vocab^2-
+    // bounded — corpus-sized data never moves again. Top-30 by count
+    // via TakeOrdered, ties broken on (w1, w2).
+    "text_kn_lm" -> QueryDef.sql(
+      (s, dir) => {
+        val bg = Tables.documents(s, dir)
+          .select(split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bic = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val left = bic.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+        val cont = bic.groupBy(col("w2").as("c_w2"))
+          .agg(count(lit(1)).as("ncont"))
+        val nb = bic.agg(count(lit(1)).as("nb"))
+        bic.join(left, "w1").join(cont, col("w2") === col("c_w2"))
+          .crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"), col("c12"),
+            (greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("nb") +
+              lit(3L) * col("n1w1") * col("ncont")).as("kn_num"),
+            (lit(4L) * col("c1") * col("nb")).as("kn_den"))
+          .withColumn("kn_p",
+            col("kn_num").cast("double") / col("kn_den").cast("double"))
+          .orderBy(col("c12").desc, col("w1"), col("w2")).limit(30)
+      },
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bg AS (SELECT t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t) s(t, i)),
+        |bic AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1 AS l_w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |               CAST(COUNT(*) AS BIGINT) AS n1w1 FROM bic GROUP BY 1),
+        |cont AS (SELECT w2 AS c_w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM bic GROUP BY 1),
+        |nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bic)
+        |SELECT w1, w2, c12,
+        |  GREATEST(4 * c12 - 3, 0) * nb + 3 * n1w1 * ncont AS kn_num,
+        |  4 * c1 * nb AS kn_den,
+        |  CAST(GREATEST(4 * c12 - 3, 0) * nb + 3 * n1w1 * ncont AS DOUBLE)
+        |    / CAST(4 * c1 * nb AS DOUBLE) AS kn_p
+        |FROM bic JOIN lft ON w1 = l_w1 JOIN cont ON w2 = c_w2 CROSS JOIN nbt
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin)
   )
+
+  /** DuckDB SQL for [[graft.operators.TextOps.bpeMerges]]: identical
+    * word-frequency base, unrolled merge rounds, byte-identical merge
+    * symbols via chr(256+round). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT substr(w, CAST(s.i AS INT), 2) AS pair,
+         |          CAST(SUM(f) AS BIGINT) AS cnt
+         |        FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM w${r - 1}) s
+         |        GROUP BY 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT $r AS round, pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), chr(${256 + r})) AS w, f
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS f
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents) t
+       |  GROUP BY w),
+       |$steps
+       |SELECT CAST(round AS BIGINT) AS round, pair, cnt
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
 
   /** Demo "new snapshot": prefix-mutated copies of every 10th doc
     * (ids +10M) — every probe's origin must be recovered by

@@ -103,4 +103,35 @@ class TextOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       }
     }
   }
+
+  describe("bpeMerges") {
+    it("learns the classic hierarchy on a hand-traceable corpus") {
+      val s = spark
+      import s.implicits._
+      // "abab" x2 + "cd" x1: round 1 pairs are ab(4: 2 per word x freq
+      // 2), ba(2), cd(1) -> merge ab into chr(257); "abab" becomes two
+      // merged symbols, so round 2's argmax is that symbol pair (2);
+      // round 3 merges cd(1); round 4 finds no pair (every word is one
+      // symbol) -> training stops early with 3 rows
+      val docs = Seq("abab abab cd").toDF("text")
+      val out = TextOps.bpeMerges(docs, "text", rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      out.length shouldBe 3
+      out(0) shouldBe ((1L, "ab", 4L))
+      out(1) shouldBe ((2L, "" + 257.toChar + 257.toChar, 2L))
+      out(2) shouldBe ((3L, "cd", 1L))
+    }
+
+    it("breaks count ties by pair byte order and stops on a pairless vocab") {
+      val s = spark
+      import s.implicits._
+      // zz and aa tie at 1 -> aa wins lexicographically
+      val tied = TextOps.bpeMerges(Seq("zz aa").toDF("text"), "text", rounds = 1)
+        .collect().map(r => (r.getString(1), r.getLong(2)))
+      tied.toSeq shouldBe Seq(("aa", 1L))
+      // single-letter words only: nothing to merge, zero rows
+      TextOps.bpeMerges(Seq("a b c a").toDF("text"), "text", rounds = 3)
+        .count() shouldBe 0L
+    }
+  }
 }
