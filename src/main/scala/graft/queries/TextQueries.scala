@@ -19,6 +19,11 @@ object TextQueries {
   /** Tokens of a document, as both engines see them. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** The d=4 CMS hash rows (j, a_j, b_j) shared by the Spark build and
+    * the DuckDB oracle of `text_cms_topk`. Declared ahead of the query
+    * map that closes over it (object-init order). */
+  private val CmsHashes = Seq((0L, 3L, 7L), (1L, 5L, 11L), (2L, 17L, 23L), (3L, 29L, 41L))
+
   /** Token COUNT without materializing the array: #separator-runs + 1
     * on the trimmed text ≡ size(toks(c)) for every input (incl. empty:
     * split("") is [""], count 1 = 0 + 1), but skips the ~n_tokens
@@ -2220,8 +2225,69 @@ object TextQueries {
         |  CAST(GREATEST(4 * c12 - 3, 0) * nb + 3 * n1w1 * ncont AS DOUBLE)
         |    / CAST(4 * c1 * nb AS DOUBLE) AS kn_p
         |FROM bic JOIN lft ON w1 = l_w1 JOIN cont ON w2 = c_w2 CROSS JOIN nbt
-        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin)
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin),
+
+    // B52: DECLARATIVE count-min sketch, oracle-checked end to end —
+    // the companion to text_top_terms_approx (whose Spark-native
+    // treeAggregate sketch is rows-only by the murmur-hash contract):
+    // here the d=4 hash rows are arithmetic ((a_j*x + b_j) mod P mod
+    // W) over a portable Horner term hash, so DuckDB rebuilds the
+    // SAME 4x1024 counter table and the estimate (min over rows of
+    // the hashed bucket's counter) matches hash-exactly, proving the
+    // never-undercount inequality in-query (overcount = n_est -
+    // n_exact >= 0). Scale: the sketch is ONE map-combined (row,
+    // bucket) aggregate over the term scan - 4096 rows regardless of
+    // corpus size - and the probe side is the exact top-20 joined
+    // BROADCAST against it.
+    "text_cms_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val hx = "aggregate(sequence(1, length(term)), 0L, " +
+          "(acc, i) -> (acc * 31 + ascii(substring(term, i, 1))) % 1000003)"
+        val terms = Tables.documents(s, dir)
+          .select(explode(toks(col("text"))).as("term"))
+          .withColumn("x", expr(hx))
+        val hashArr = s"array(${CmsHashes.map { case (j, a, b) =>
+          s"struct(${j}L AS j, (($a * x + $b) % 1000003) % 1024 AS b)" }.mkString(", ")})"
+        val sketch = terms
+          .select(explode(expr(hashArr)).as("e"))
+          .groupBy(col("e.j").as("j"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = terms.groupBy("term")
+          .agg(count(lit(1)).as("n_exact"), first(col("x")).as("x"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+        val probes = top
+          .select(col("term"), col("n_exact"), explode(expr(hashArr)).as("e"))
+          .select(col("term"), col("n_exact"), col("e.j").as("j"), col("e.b").as("b"))
+        probes.join(sketch, Seq("j", "b"))
+          .groupBy("term", "n_exact")
+          .agg(min("cnt").as("n_est"))
+          .select(col("term"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      s"""WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |              FROM documents),
+         |tx AS (SELECT term, list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, length(term) + 1),
+         |             i -> CAST(ascii(substr(term, CAST(i AS INT), 1)) AS BIGINT))),
+         |         (a, b) -> (a * 31 + b) % 1000003) AS x
+         |       FROM terms),
+         |hashed AS (SELECT term, x, h.j,
+         |             ((h.a * x + h.b) % 1000003) % 1024 AS b
+         |           FROM tx CROSS JOIN (VALUES ${CmsHashes.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")}) h(j, a, b)),
+         |sketch AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM hashed GROUP BY 1, 2),
+         |top AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |        FROM terms GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 20),
+         |probe AS (SELECT DISTINCT t.term, t.n_exact, h.j, h.b
+         |          FROM top t JOIN hashed h ON t.term = h.term)
+         |SELECT term, n_exact, MIN(cnt) AS n_est, MIN(cnt) - n_exact AS overcount
+         |FROM probe JOIN sketch USING (j, b)
+         |GROUP BY term, n_exact
+         |ORDER BY n_exact DESC, term""".stripMargin)
   )
+
 
   /** DuckDB SQL for [[graft.operators.TextOps.bpeMerges]]: identical
     * word-frequency base, unrolled merge rounds, byte-identical merge
