@@ -381,6 +381,89 @@ object StreamingQueries {
     drainSink(s, ss, sink).orderBy("service", "within_slo")
   }
 
+  /** Watermark LATE-DATA accounting — the one semantics the
+    * single-batch replay model can't exercise (watermark stays 0 while
+    * the only data batch processes, so nothing is ever late). Here the
+    * backlog replays as FOUR deterministic micro-batches: the events
+    * are sliced by event_id MOD 4 into four single-file batches whose
+    * mtimes strictly increase in slice order, and the file source
+    * (maxFilesPerTrigger=1, oldest-first) replays them as four data
+    * batches. Each interleaved slice spans the whole timeline, so
+    * batches 1-3 carry genuinely late rows (~75% at the driver SFs —
+    * ids correlate ~1.0 with event time, which is also why contiguous
+    * id RANGES would never be late); the windowed count must drop a
+    * row when its window end has already been evicted (end <= the
+    * watermark set by the PRIOR batches' max event time − delay, ms
+    * floored) and must emit exactly the windows the final watermark
+    * passed. Every piece of that rule is plain SQL over (event_id
+    * div B) — the oracle reproduces kept counts AND emitted-window
+    * set, so the hash match proves the drop semantics end to end.
+    *
+    * Scale: the slice write is distributed (one coalesced file per
+    * batch — linear, executor-side); only filesystem renames touch the
+    * driver. One layout per (JVM, sf dir), like richSpans. */
+  private val lateLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val LateBatches = 4
+
+  private def lateDropsLayout(ss: SparkSession, dir: String): String = {
+    val ev = Tables.events(ss, dir)
+    lateLayouts.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_late").toString
+      val slim = ev.select(col("event_id"),
+        Tables.eventTimeUs(ev).as("start_us"),
+        col("event_type").as("service"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      (0 until LateBatches).foreach { k =>
+        val part = s"$root/part$k"
+        // slice by event_id MOD (not div): ids correlate ~1.0 with
+        // event time, so contiguous ranges would replay in time order
+        // and nothing would ever be late — interleaved slices make
+        // every batch span the whole timeline, so batches 1..3 are
+        // ~75% late against the watermark batch 0's max time set
+        slim.filter(col("event_id") % LateBatches === k)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val file = fs.globStatus(new org.apache.hadoop.fs.Path(s"$part/part-*.parquet"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$root/in/batch$k.parquet")
+        fs.mkdirs(dst.getParent)
+        fs.rename(file, dst)
+        // strictly increasing mtimes pin the replay order (the file
+        // source processes oldest-first)
+        fs.setTimes(dst, 1000000L + k * 10000L, -1)
+      }
+      root
+    })
+  }
+
+  private def runLateDrops(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val base = lateDropsLayout(ss, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("service", org.apache.spark.sql.types.StringType)))
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val windowed = stream
+      .withColumn("event_time", timestamp_micros(col("start_us")))
+      .withWatermark("event_time", s"$GapSeconds seconds")
+      .groupBy(window(col("event_time"), s"$GapSeconds seconds"), col("service"))
+      .agg(count(lit(1)).as("n_spans"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("service"), col("n_spans"))
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_late_out").toString
+    val q = windowed.writeStream.format("parquet")
+      .option("path", s"$out/out").option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == LateBatches,
+      s"late-drop oracle model requires $LateBatches data batches, saw $dataBatches")
+    s.read.parquet(s"$out/out").orderBy("window_start_us", "service")
+  }
+
   // Shared oracle scaffolding: the same span timeline DuckDB-side.
   private val SpanCte =
     """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
@@ -580,7 +663,45 @@ object StreamingQueries {
     // rows — this surface shares the batch dedup_incremental oracle
     // verbatim and needs no watermark reasoning at all.
     "streaming_dedup_incremental" -> QueryDef.sql(runIncrementalDedup,
-      TextQueries.IncrementalDedupOracleSql))
+      TextQueries.IncrementalDedupOracleSql),
+
+    // Watermark late-drop accounting over the 4-batch deterministic
+    // replay (see runLateDrops): a row is DROPPED when its window end
+    // has been evicted by the effective watermark (ms floor of the
+    // relevant batches' max event time − gap); a window EMITS when
+    // the final watermark passes its end. Measured contract of Spark
+    // 4.1.2's MicroBatchExecution, pinned empirically against the
+    // full 4-batch replay: the watermark EFFECTIVE in data batch k
+    // derives from batches ≤ k−2 (a batch's event-time stats fold
+    // into the watermark at the NEXT batch construction, so the
+    // late-filter of the batch right after still sees the older
+    // value — "2 PRECEDING" below; modeling k−1 keeps only 2502 of
+    // the 5001 rows Spark keeps). The trailing no-data batches DO
+    // advance it over all four batches before final eviction, so
+    // emission uses the global max. Both rules reproduced from
+    // (event_id % 4) batch assignment — the hash proves the drop
+    // semantics, not just the happy path.
+    "streaming_late_drops" -> QueryDef.sql(runLateDrops,
+      s"""WITH e AS (SELECT event_id % $LateBatches AS batch,
+         |             epoch_us(ts) AS start_us, event_type AS service
+         |      FROM events),
+         |bm AS (SELECT batch, MAX(start_us) AS mx FROM e GROUP BY 1),
+         |wm AS (SELECT batch,
+         |         MAX(mx) OVER (ORDER BY batch
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS prevmax
+         |       FROM bm),
+         |k AS (SELECT e.start_us - e.start_us % ${GapSeconds * 1000000} AS window_start_us,
+         |             e.service
+         |      FROM e JOIN wm ON e.batch = wm.batch
+         |      WHERE wm.prevmax IS NULL
+         |         OR e.start_us - e.start_us % ${GapSeconds * 1000000} + ${GapSeconds * 1000000}
+         |            > (wm.prevmax // 1000 - ${GapSeconds * 1000}) * 1000),
+         |f AS (SELECT ((SELECT MAX(start_us) FROM e) // 1000 - ${GapSeconds * 1000}) * 1000 AS final_wm)
+         |SELECT window_start_us, service, COUNT(*) AS n_spans
+         |FROM k, f
+         |WHERE window_start_us + ${GapSeconds * 1000000} <= final_wm
+         |GROUP BY window_start_us, service
+         |ORDER BY window_start_us, service""".stripMargin))
 
   /** Stream-static incremental dedup: see the defs entry. The result
     * lands in a parquet FILE sink (never memory — a large snapshot's
