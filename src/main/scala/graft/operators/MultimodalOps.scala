@@ -227,6 +227,107 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Decoded PCM clip. */
+  final case class WavClip(sampleRate: Int, samples: Array[Short])
+
+  /** Real RIFF/WAVE PCM16 mono encoder — the deterministic generator
+    * behind [[syntheticAudio]] and the codec specs (the audio
+    * counterpart of [[renderPng]]: a genuine wire format, not a stub
+    * — any WAV reader, including the JDK's javax.sound, accepts the
+    * output; AudioCodecSpec cross-validates exactly that). */
+  def renderWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE parse (PCM16 mono, the canonical 44-byte header).
+    * None for anything that isn't that — truncated payloads, wrong
+    * magics, compressed/stereo/other-width variants — so non-audio
+    * bytes flow to the caller's fallback exactly like
+    * [[decodeImage]]'s None path. */
+  def decodeWav(payload: Array[Byte]): Option[WavClip] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val m = new Array[Byte](4); bb.get(m); new String(m, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    bb.getInt // declared RIFF size; the data chunk length is authoritative
+    if (tag() != "WAVE" || tag() != "fmt ") return None
+    if (bb.getInt != 16) return None
+    if (bb.getShort != 1 || bb.getShort != 1) return None // PCM, mono
+    val rate = bb.getInt
+    bb.getInt; bb.getShort // byte rate, block align (redundant)
+    if (bb.getShort != 16) return None
+    if (tag() != "data") return None
+    val dataLen = bb.getInt
+    if (dataLen < 0 || dataLen % 2 != 0 || 44 + dataLen > payload.length) return None
+    val out = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort; i += 1 }
+    Some(WavClip(rate, out))
+  }
+
+  /** One real-WAV media row. */
+  final case class AudioRow(media_id: Long, payload: Array[Byte])
+
+  /** Real WAV payloads whose sample values are pure arithmetic in
+    * doc_id — 16 kHz mono PCM16, n = 4000 + id%1000 samples,
+    * s_i = (id·31 + i·7919) mod 65536 − 32768 — so an engine-external
+    * oracle predicts exactly what a real decode must return. Rendered
+    * partition-locally; payloads never shuffle. */
+  def syntheticAudio(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (4000 + id % 1000).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i * 7919L) % 65536 - 32768).toShort)
+        AudioRow(id, renderWav(16000, samples))
+      })
+      .toDF()
+  }
+
+  /** Decoded per-clip stats, all exact integers: duration in ms by
+    * floor division, energy as the exact Σs² long, peak = max |s|. */
+  final case class AudioStatsRow(
+      media_id: Long, n_samples: Long, sample_rate_hz: Long,
+      duration_ms: Long, sum_sq: Long, peak: Long)
+
+  /** Decode real WAV payloads and emit per-clip stats — undecodable
+    * payloads are dropped (strict-codec path, like
+    * [[decodeImageStats]]). */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload).map { clip =>
+          var sumSq = 0L
+          var peak = 0L
+          clip.samples.foreach { v =>
+            sumSq += v.toLong * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          }
+          AudioStatsRow(id, clip.samples.length.toLong, clip.sampleRate.toLong,
+            clip.samples.length.toLong * 1000L / clip.sampleRate, sumSq, peak)
+        }
+      })
+      .toDF()
+  }
+
   /** One sampled frame slice. */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

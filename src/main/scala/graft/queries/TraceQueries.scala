@@ -947,6 +947,33 @@ object TraceQueries {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS b
         |FROM documents WHERE doc_id < 20000 ORDER BY media_id""".stripMargin),
 
+    // B53: real audio decode — RIFF/WAVE PCM16 payloads generated by
+    // arithmetic in doc_id (MultimodalOps.renderWav — a genuine wire
+    // format any WAV reader accepts), parsed back by the strict codec
+    // (MultimodalOps.decodeWav) and rolled into exact integer clip
+    // stats. The oracle re-derives every stat from the generator
+    // formula, so the hash match proves the byte-level encode→decode
+    // round trip AND the stats arithmetic. Payloads are rendered and
+    // consumed partition-locally (never shuffled); same 20k demo cap
+    // as media_image_decode.
+    "media_audio_decode" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.decodeAudioStats(
+        graft.operators.MultimodalOps.syntheticAudio(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)))
+        .orderBy("media_id"),
+      """WITH d AS (SELECT doc_id, 4000 + doc_id % 1000 AS n
+        |           FROM documents WHERE doc_id < 20000),
+        |v AS (SELECT doc_id, n,
+        |        (doc_id * 31 + s.i * 7919) % 65536 - 32768 AS v
+        |      FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d) s(doc_id, n, i))
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate_hz,
+        |  CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
+
     // B12 surface: multimodal decode/feature plumbing (real ImageIO
     // for decodable images, declared stub for audio/video). Same 20k
     // demo cap as media_image_decode.
@@ -1286,6 +1313,57 @@ object TraceQueries {
         |FROM r GROUP BY src, dst
         |ORDER BY src_service, dst_service""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
+    // Mann-Kendall monotonic-trend statistic per service (C65) — "is
+    // this service getting slower over the month": S = Σ_{i<j}
+    // sign(mean_j − mean_i) over the hourly mean latencies, with the
+    // mean comparison done EXACTLY by cross-multiplication
+    // (sign(sum_j·n_i − sum_i·n_j) — two rational means never touch a
+    // double, so the pair ordering is bit-reproducible), plus
+    // Kendall's tau as the exact (S, n_pairs) fraction and a
+    // fixed-operand-order double. Scale: the corpus collapses to the
+    // (service, hour, Σdur, n) relation in ONE map-combined aggregate
+    // (≤ 744·|services| rows); the i<j pair join runs on that tiny
+    // relation and never touches span rows again. Leg overflow bound:
+    // hourly Σdur ≈ 1.3e5 rows · 5e5 us ≈ 7e10, cross-products ≈ 9e15
+    // at sf100 — inside long range; at larger hourly row counts the
+    // sums would move to the div/mod-2^32 leg split q_stats_agg uses.
+    "trace_latency_trend" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("hr"))
+          .agg(sum("duration_us").as("sd"), count(lit(1)).as("n"))
+        val pairs = hourly.as("a").join(hourly.as("b"),
+            col("a.service") === col("b.service") && col("a.hr") < col("b.hr"))
+          .select(col("a.service").as("service"),
+            {
+              // exact long sign — routing through signum(double) would
+              // lose the 2^53+ cross-products a big hour can produce
+              val d = col("b.sd") * col("a.n") - col("a.sd") * col("b.n")
+              when(d > 0L, 1L).when(d < 0L, -1L).otherwise(0L).as("sgn")
+            })
+        val nh = hourly.groupBy("service").agg(count(lit(1)).as("n_hours"))
+        pairs.groupBy("service")
+          .agg(sum("sgn").as("s_stat"), count(lit(1)).as("n_pairs"))
+          .join(nh, "service")
+          .select(col("service"), col("n_hours"), col("s_stat"), col("n_pairs"),
+            (col("s_stat").cast("double") / col("n_pairs").cast("double")).as("tau"))
+          .orderBy("service")
+      },
+      cte("""
+        |, h AS (SELECT service, start_us // 3600000000 AS hr,
+        |          CAST(SUM(duration_us) AS BIGINT) AS sd, COUNT(*) AS n
+        |        FROM spans GROUP BY 1, 2),
+        |p AS (SELECT a.service,
+        |        CAST(sign(b.sd * a.n - a.sd * b.n) AS BIGINT) AS sgn
+        |      FROM h a JOIN h b ON a.service = b.service AND a.hr < b.hr),
+        |nh AS (SELECT service AS n_service, COUNT(*) AS n_hours FROM h GROUP BY 1)
+        |SELECT service, n_hours, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |       COUNT(*) AS n_pairs,
+        |       CAST(SUM(sgn) AS DOUBLE) / COUNT(*) AS tau
+        |FROM p JOIN nh ON service = n_service
+        |GROUP BY service, n_hours
+        |ORDER BY service""".stripMargin)),
 
     // Service-graph DIFF between the two halves of the retention
     // window — the trend question an operator asks the dependency

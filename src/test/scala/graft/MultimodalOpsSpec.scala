@@ -124,4 +124,45 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       audioAfter shouldBe audioBefore
     }
   }
+
+  describe("real WAV codec (hand-rolled RIFF/PCM16)") {
+    it("round-trips samples exactly and rejects non-WAV bytes") {
+      val samples = Array.tabulate(333)(i => ((i * 7919) % 65536 - 32768).toShort)
+      val wav = MultimodalOps.renderWav(16000, samples)
+      wav.length shouldBe 44 + 666
+      val clip = MultimodalOps.decodeWav(wav).get
+      clip.sampleRate shouldBe 16000
+      clip.samples.toSeq shouldBe samples.toSeq
+      // PNG bytes, truncated WAV, and a corrupted magic must all refuse
+      MultimodalOps.decodeWav(MultimodalOps.renderPng(8, 8, 0x112233)) shouldBe None
+      MultimodalOps.decodeWav(wav.take(40)) shouldBe None
+      val bad = wav.clone(); bad(8) = 'X'.toByte
+      MultimodalOps.decodeWav(bad) shouldBe None
+    }
+
+    it("emits WAVs an independent reader (javax.sound) accepts with matching geometry") {
+      val samples = Array.tabulate(1600)(i => (i % 3000 - 1500).toShort)
+      val wav = MultimodalOps.renderWav(16000, samples)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      in.getFormat.getSampleRate shouldBe 16000.0f
+      in.getFormat.getChannels shouldBe 1
+      in.getFormat.getSampleSizeInBits shouldBe 16
+      in.getFrameLength shouldBe 1600L
+    }
+
+    it("decodeAudioStats matches a hand computation on the synthetic generator") {
+      val s = spark
+      import s.implicits._
+      val one = MultimodalOps.decodeAudioStats(
+        MultimodalOps.syntheticAudio(Seq(7L).toDF("doc_id")))
+        .collect().head
+      val n = 4000 + 7 % 1000
+      val vals = (0 until n).map(i => (7L * 31 + i * 7919L) % 65536 - 32768)
+      one.getAs[Long]("n_samples") shouldBe n.toLong
+      one.getAs[Long]("duration_ms") shouldBe n * 1000L / 16000
+      one.getAs[Long]("sum_sq") shouldBe vals.map(v => v * v).sum
+      one.getAs[Long]("peak") shouldBe vals.map(math.abs).max
+    }
+  }
 }
