@@ -1314,6 +1314,114 @@ object TraceQueries {
         |ORDER BY src_service, dst_service""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // Funnel analysis (C66) — the ordered-sequence conversion count
+    // product analytics runs on event streams: of the users who
+    // viewed, how many then clicked strictly AFTER their first view,
+    // and then purchased strictly after that first qualifying click.
+    // Strict sequential semantics (each step's anchor is the MIN
+    // qualifying time after the previous step's anchor) — not mere
+    // co-occurrence. Scale: each step is a service-filtered scan
+    // pre-aggregated per user BEFORE its join (the per-step relation
+    // shrinks monotonically down the funnel), so the corpus shuffles
+    // filtered subsets only; conversions divide exact longs in fixed
+    // operand order.
+    "trace_funnel" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("trace_id", "service", "start_us")
+        val v1 = sp.filter(col("service") === "view")
+          .groupBy("trace_id").agg(min("start_us").as("t1"))
+        val c2 = sp.filter(col("service") === "click").join(v1, "trace_id")
+          .filter(col("start_us") > col("t1"))
+          .groupBy("trace_id").agg(min("start_us").as("t2"))
+        val p3 = sp.filter(col("service") === "purchase").join(c2, "trace_id")
+          .filter(col("start_us") > col("t2"))
+          .groupBy("trace_id").agg(min("start_us").as("t3"))
+        val n1 = v1.agg(count(lit(1)).as("n1"))
+        val n2 = c2.agg(count(lit(1)).as("n2"))
+        val n3 = p3.agg(count(lit(1)).as("n3"))
+        n1.crossJoin(n2).crossJoin(n3)
+          .select(explode(array(
+            struct(lit(1L).as("step"), lit("view").as("step_name"),
+              col("n1").as("n_users"),
+              lit(1.0).as("conv_prev"), lit(1.0).as("conv_total")),
+            struct(lit(2L).as("step"), lit("click").as("step_name"),
+              col("n2").as("n_users"),
+              (col("n2").cast("double") / col("n1").cast("double")).as("conv_prev"),
+              (col("n2").cast("double") / col("n1").cast("double")).as("conv_total")),
+            struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+              col("n3").as("n_users"),
+              (col("n3").cast("double") / col("n2").cast("double")).as("conv_prev"),
+              (col("n3").cast("double") / col("n1").cast("double")).as("conv_total"))))
+            .as("r"))
+          .select("r.step", "r.step_name", "r.n_users", "r.conv_prev", "r.conv_total")
+          .orderBy("step")
+      },
+      cte("""
+        |, v1 AS (SELECT trace_id, MIN(start_us) AS t1 FROM spans
+        |         WHERE service = 'view' GROUP BY 1),
+        |c2 AS (SELECT s.trace_id, MIN(s.start_us) AS t2
+        |       FROM spans s JOIN v1 ON s.trace_id = v1.trace_id
+        |       WHERE s.service = 'click' AND s.start_us > v1.t1 GROUP BY 1),
+        |p3 AS (SELECT s.trace_id, MIN(s.start_us) AS t3
+        |       FROM spans s JOIN c2 ON s.trace_id = c2.trace_id
+        |       WHERE s.service = 'purchase' AND s.start_us > c2.t2 GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM v1) AS n1,
+        |             (SELECT COUNT(*) FROM c2) AS n2,
+        |             (SELECT COUNT(*) FROM p3) AS n3)
+        |SELECT step, step_name, n_users, conv_prev, conv_total FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST(n1 AS BIGINT) AS n_users,
+        |         1.0 AS conv_prev, 1.0 AS conv_total FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+        |         CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+        |         CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+        |         CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE),
+        |         CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n) t
+        |ORDER BY step""".stripMargin)),
+
+    // Cohort retention (C67) — users grouped by first-seen day, then
+    // "how many were active again d days later": the (user, day)
+    // DISTINCT relation is the only corpus-sized shuffle; cohorts,
+    // ages, and counts all derive from it (count(*) per (cohort, age)
+    // IS the distinct-user count because the input is already
+    // per-user-day unique). Retention divides exact longs by the
+    // cohort's age-0 size in fixed operand order.
+    "trace_cohort_retention" -> QueryDef.sql(
+      (s, dir) => {
+        val ud = spans(s, dir)
+          .select(col("trace_id"), expr(s"start_us div $DayUs").as("day"))
+          .distinct()
+        val coh = ud.groupBy("trace_id").agg(min("day").as("cohort_day"))
+        val ret = ud.join(coh, "trace_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+          .agg(count(lit(1)).as("n_users"))
+        val base = ret.filter(col("age_days") === 0L)
+          .select(col("cohort_day").as("b_day"), col("n_users").as("cohort_size"))
+        ret.join(base, col("cohort_day") === col("b_day"))
+          .select(col("cohort_day"), col("age_days"), col("n_users"),
+            col("cohort_size"),
+            (col("n_users").cast("double") / col("cohort_size").cast("double"))
+              .as("retention"))
+          .orderBy("cohort_day", "age_days")
+      },
+      cte("""
+        |, ud AS (SELECT DISTINCT trace_id, start_us // 86400000000 AS day FROM spans),
+        |coh AS (SELECT trace_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+        |ret AS (SELECT c.cohort_day, u.day - c.cohort_day AS age_days,
+        |               COUNT(*) AS n_users
+        |        FROM ud u JOIN coh c ON u.trace_id = c.trace_id
+        |        GROUP BY 1, 2),
+        |base AS (SELECT cohort_day AS b_day, n_users AS cohort_size
+        |         FROM ret WHERE age_days = 0)
+        |SELECT cohort_day, age_days, CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM ret JOIN base ON cohort_day = b_day
+        |ORDER BY cohort_day, age_days""".stripMargin)),
+
     // Mann-Kendall monotonic-trend statistic per service (C65) — "is
     // this service getting slower over the month": S = Σ_{i<j}
     // sign(mean_j − mean_i) over the hourly mean latencies, with the
