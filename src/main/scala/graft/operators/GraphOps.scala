@@ -146,6 +146,48 @@ object GraphOps {
     ranks
   }
 
+  /** Synchronous weighted label propagation — community detection by
+    * iterated neighbor vote: each round, every node adopts the label
+    * with the largest incident edge-weight sum among its neighbors'
+    * CURRENT labels (ties to the smallest label; isolated nodes keep
+    * their own), for a FIXED `iters` rounds — deterministic by
+    * construction, like [[pageRank]]'s fixed power iterations (LPA's
+    * usual async/random variant is explicitly not reproducible).
+    * Nodes start labeled by themselves. Input edges are treated as
+    * DIRECTED votes (src listens to dst); pass a mirrored relation
+    * for the undirected semantics.
+    *
+    * Scale: per round one join of the edge list against the k-row
+    * label table on dst + one map-combined (src, label) weight sum +
+    * one argmax agg — the same keyed-join-per-round shape as
+    * pageRank, lineage truncated per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs at least one iteration, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("label").as("cand"))
+        .agg(sum("w").as("wsum"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("wsum")).as("nw"), col("cand"))).as("top"))
+        .select(col("src"), col("top.cand").as("win"))
+      val next = labels
+        .join(votes, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("win"), col("label")).as("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
+
   /** All-pairs minimum-hop reachability (transitive closure annotated
     * with shortest hop counts) over a directed edge list →
     * (src, dst, hops), hops ≥ 1: BFS frontier expansion, where round

@@ -24,6 +24,43 @@ object TextQueries {
     * map that closes over it (object-init order). */
   private val CmsHashes = Seq((0L, 3L, 7L), (1L, 5L, 11L), (2L, 17L, 23L), (3L, 29L, 41L))
 
+  /** DuckDB SQL for `text_term_communities`: identical mirrored
+    * co-occurrence edges and `iters` unrolled synchronous vote rounds
+    * (argmax by weight sum, ties to the smallest label, isolated
+    * nodes carry). Declared before the query map (object-init order,
+    * the CmsHashes lesson) as a def. */
+  private def lpaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""v$r AS (SELECT e.src, l.label AS cand, CAST(SUM(e.w) AS BIGINT) AS wsum
+         |        FROM e JOIN l${r - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |t$r AS (SELECT src, cand FROM (
+         |          SELECT src, cand,
+         |            ROW_NUMBER() OVER (PARTITION BY src ORDER BY wsum DESC, cand) AS rn
+         |          FROM v$r) q WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(t.cand, l.label) AS label
+         |  FROM l${r - 1} l LEFT JOIN t$r t ON l.node = t.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |           FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+       |bg AS (SELECT t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+       |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t) s(t, i)),
+       |bic AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE w1 <> w2 GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS w FROM (
+       |    SELECT w1 AS src, w2 AS dst, c FROM bic
+       |    UNION ALL
+       |    SELECT w2 AS src, w1 AS dst, c FROM bic) u
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds,
+       |sz AS (SELECT label AS s_label, COUNT(*) AS community_size FROM l$iters GROUP BY 1)
+       |SELECT node AS term, label AS community,
+       |       CAST(community_size AS BIGINT) AS community_size
+       |FROM l$iters JOIN sz ON label = s_label
+       |ORDER BY term""".stripMargin
+  }
+
   /** Token COUNT without materializing the array: #separator-runs + 1
     * on the trimmed text ≡ size(toks(c)) for every input (incl. empty:
     * split("") is [""], count 1 = 0 + 1), but skips the ~n_tokens
@@ -2226,6 +2263,39 @@ object TextQueries {
         |    / CAST(4 * c1 * nb AS DOUBLE) AS kn_p
         |FROM bic JOIN lft ON w1 = l_w1 JOIN cont ON w2 = c_w2 CROSS JOIN nbt
         |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin),
+
+    // B54: term communities by synchronous weighted label propagation
+    // (GraphOps.labelPropagation, 3 fixed rounds) over the mirrored
+    // bigram co-occurrence graph — the clustering view of vocabulary
+    // (topic-ish groups) the dedup_clusters family doesn't cover
+    // (components find connectivity; LPA finds weighted communities
+    // INSIDE one connected vocabulary). Deterministic by construction:
+    // fixed rounds, argmax votes tie-broken to the smallest label;
+    // the oracle unrolls the same three rounds. The corpus-sized work
+    // is the one bigram-type shuffle; every round then joins the
+    // vocab-sized edge list against the label table.
+    "text_term_communities" -> QueryDef.sql(
+      (s, dir) => {
+        val bg = Tables.documents(s, dir)
+          .select(split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val e = bg.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+          .union(bg.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+          .groupBy("src", "dst").agg(sum("c").as("w"))
+        val lab = graft.operators.GraphOps.labelPropagation(e, "src", "dst", "w", iters = 3)
+        val sizes = lab.groupBy(col("label").as("sz_label"))
+          .agg(count(lit(1)).as("community_size"))
+        lab.join(sizes, col("label") === col("sz_label"))
+          .select(col("node").as("term"), col("label").as("community"),
+            col("community_size"))
+          .orderBy("term")
+      },
+      lpaOracleSql(3)),
 
     // B52: DECLARATIVE count-min sketch, oracle-checked end to end —
     // the companion to text_top_terms_approx (whose Spark-native

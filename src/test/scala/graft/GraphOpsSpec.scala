@@ -75,6 +75,43 @@ class GraphOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("labelPropagation") {
+    it("separates two tight triangles joined by a weak bridge") {
+      val s = spark
+      import s.implicits._
+      // triangles {a,b,c} and {x,y,z} with weight-5 internal edges,
+      // weight-1 bridge c-x; mirrored for undirected votes
+      val raw = Seq(
+        ("a", "b", 5L), ("b", "c", 5L), ("a", "c", 5L),
+        ("x", "y", 5L), ("y", "z", 5L), ("x", "z", 5L),
+        ("c", "x", 1L))
+      val e = (raw ++ raw.map { case (u, v, w) => (v, u, w) }).toDF("src", "dst", "w")
+      val out = GraphOps.labelPropagation(e, "src", "dst", "w", iters = 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      out.keySet shouldBe Set("a", "b", "c", "x", "y", "z")
+      // each triangle converges to its lexicographic minimum, and the
+      // weak bridge never flips either side
+      Set(out("a"), out("b"), out("c")).size shouldBe 1
+      Set(out("x"), out("y"), out("z")).size shouldBe 1
+      out("a") should not be out("x")
+    }
+
+    it("keeps an isolated node's own label and breaks vote ties to the smaller label") {
+      val s = spark
+      import s.implicits._
+      // m hears equal-weight votes from labels a and z -> a wins; the
+      // edge list never mentions q so a caller including it in a
+      // larger run would keep q (here: m's sources a, z keep selves
+      // having no in-edges... they DO have none, so they keep label)
+      val e = Seq(("m", "a", 3L), ("m", "z", 3L)).toDF("src", "dst", "w")
+      val out = GraphOps.labelPropagation(e, "src", "dst", "w", iters = 1)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      out("m") shouldBe "a"
+      out("a") shouldBe "a" // no in-edges: keeps own label
+      out("z") shouldBe "z"
+    }
+  }
+
   describe("pageRank") {
     it("concentrates mass on the a<->b cycle and conserves the total") {
       val s = spark
