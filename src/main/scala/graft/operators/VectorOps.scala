@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -525,24 +525,69 @@ object VectorOps {
       m: Int = 8, codes: Int = 16, iters: Int = 2): DataFrame = {
     val s = embeddings.sparkSession
     val sub = 64 / m
-    val q = embeddings.select(col("vec_id"),
+    val q = milliQuantized(embeddings)
+    val sv = pqSplit(q, m, sub)
+    val cbDf = pqCodebookDf(s, pqTrain(s, sv, codes, iters))
+    val corpusCodes = pqAssign(sv, cbDf).select("vec_id", "m", "code")
+    val queries = sv.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+    val qd = queries.join(cbDf, "m")
+      .withColumn("qd",
+        expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select("q_id", "m", "code", "qd")
+    val adc = corpusCodes.join(broadcast(qd), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("qd").as("dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("dist"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** (vec_id, q): the corpus in exact milli-quantized integer space —
+    * the shared entry point of the PQ family. */
+  private def milliQuantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
-    val sv = q.select(col("vec_id"), explode(expr(
+
+  /** Row-local subvector split: (vec_id, q) → (vec_id, m, sv). */
+  private def pqSplit(q: DataFrame, m: Int, sub: Int): DataFrame =
+    q.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${m - 1}), mi -> struct(CAST(mi AS BIGINT) AS m, slice(q, mi * $sub + 1, $sub) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-    var cb: Array[(Long, Long, Array[Long])] = sv.filter(col("vec_id") < codes)
-      .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2).toArray))
-    def cbDf = broadcast(
+
+  /** Broadcastable (m, code, cv) frame of a driver-held codebook. */
+  private def pqCodebookDf(s: SparkSession,
+      cb: Array[(Long, Long, Array[Long])]): DataFrame =
+    broadcast(
       s.createDataFrame(cb.toSeq.map { case (mm, cc, cv) => (mm, cc, cv.toSeq) })
         .toDF("m", "code", "cv"))
-    val sqDist = expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    def assign = sv.join(cbDf, "m")
-      .withColumn("d", sqDist)
+
+  /** Argmin code per (vec_id, subspace) against a broadcast codebook —
+    * exact integer squared distance, ties to the lowest code id. */
+  private def pqAssign(sv: DataFrame, cbDf: DataFrame): DataFrame =
+    sv.join(cbDf, "m")
+      .withColumn("d",
+        expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d"), col("code"))).as("bc"), first("sv").as("sv"))
       .select(col("vec_id"), col("m"), col("bc.code").as("code"), col("sv"))
+
+  /** Integer Lloyd codebook training over a (vec_id, m, sv) relation:
+    * init = the first `codes` vectors' subvectors, then `iters` rounds
+    * of broadcast-argmin assignment + round-half-away integer centroid
+    * means (empty cells keep their previous centroid). The codebook
+    * lives on the driver by contract (m·codes rows — the
+    * kmeansCentroids bounded-collect rationale); the corpus-sized
+    * work stays distributed: one scan + one map-combined shuffle per
+    * round. */
+  private def pqTrain(s: SparkSession, sv: DataFrame, codes: Int,
+      iters: Int): Array[(Long, Long, Array[Long])] = {
+    var cb: Array[(Long, Long, Array[Long])] = sv.filter(col("vec_id") < codes)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2).toArray))
     (1 to iters).foreach { _ =>
-      val upd = assign
+      val upd = pqAssign(sv, pqCodebookDf(s, cb))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i0", "x")))
         .groupBy("m", "code", "i0").agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -558,14 +603,63 @@ object VectorOps {
         }
       }
     }
-    val corpusCodes = assign.select("vec_id", "m", "code")
-    val queries = sv.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
-    val qd = queries.join(cbDf, "m")
+    cb
+  }
+
+  /** IVF-PQ — the production billion-vector composition (FAISS's
+    * IVFPQ): a coarse quantizer routes every vector to one of `kc`
+    * cells, PQ codes the RESIDUAL (vector − cell centroid), and
+    * queries scan only their `nProbe` nearest cells with a per-cell
+    * residual lookup table. Exact integer end to end like
+    * [[annTopKPq]] — the coarse quantizer IS integer PQ with a single
+    * full-width subspace, so both quantizers share [[pqTrain]]/
+    * [[pqAssign]] and the oracle unrolls both.
+    *
+    * Scale shape: cell assignment and residuals are row-local against
+    * broadcast centroids; the ADC join keys on (cell, m, code), so a
+    * query's lookup table only ever meets the codes of its probed
+    * cells — the IVF pruning happens IN the join key, not as a
+    * post-filter.
+    *
+    * Output: (q_id, neighbor_id, dist, rnk) — top-`k` by exact ADC
+    * residual distance among the probed cells' members.
+    */
+  def annTopKIvfPq(embeddings: DataFrame, queryPred: Column, k: Int,
+      kc: Int = 8, coarseIters: Int = 2, m: Int = 8, codes: Int = 16,
+      pqIters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val s = embeddings.sparkSession
+    val sub = 64 / m
+    val q = milliQuantized(embeddings)
+    // coarse quantizer: one full-width subspace
+    val svc = pqSplit(q, 1, 64)
+    val cbcDf = pqCodebookDf(s, pqTrain(s, svc, kc, coarseIters))
+    val cells = pqAssign(svc, cbcDf).select(col("vec_id"), col("code").as("cell"))
+    val cent = cbcDf.select(col("code").as("cell"), col("cv").as("ccv"))
+    // residuals row-local against the broadcast centroid map
+    val resid = q.join(cells, "vec_id").join(broadcast(cent), "cell")
+      .select(col("vec_id"), expr("zip_with(q, ccv, (a, b) -> a - b)").as("q"))
+    val svr = pqSplit(resid, m, sub)
+    val cbrDf = pqCodebookDf(s, pqTrain(s, svr, codes, pqIters))
+    val codesDf = pqAssign(svr, cbrDf).select("vec_id", "m", "code")
+      .join(cells, "vec_id")
+    // query side: rank cells by exact coarse distance, probe nProbe
+    val qset = q.filter(queryPred).select(col("vec_id").as("q_id"), col("q"))
+    val qcell = qset.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cell"), col("q"), col("ccv"),
+        expr("aggregate(zip_with(q, ccv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("cd"))
+    val wp = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    val probed = qcell.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        expr("zip_with(q, ccv, (a, b) -> a - b)").as("q"))
+    val qsv = probed.select(col("q_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), mi -> struct(CAST(mi AS BIGINT) AS m, slice(q, mi * $sub + 1, $sub) AS sv))")).as("e"))
+      .select(col("q_id"), col("cell"), col("e.m").as("m"), col("e.sv").as("qsv"))
+    val lut = qsv.join(cbrDf, "m")
       .withColumn("qd",
         expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-      .select("q_id", "m", "code", "qd")
-    val adc = corpusCodes.join(broadcast(qd), Seq("m", "code"))
+      .select("q_id", "cell", "m", "code", "qd")
+    val adc = codesDf.join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id").agg(sum("qd").as("dist"))
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))

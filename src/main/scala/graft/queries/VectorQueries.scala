@@ -426,6 +426,19 @@ object VectorQueries {
         col("vec_id") < 10, k = 5, m = 8, codes = 16, iters = 2),
       pqOracleSql(k = 5, m = 8, codes = 16, iters = 2, nQueries = 10)),
 
+    // B55: IVF-PQ — the production composition (coarse cells route
+    // vectors, PQ codes the residuals, queries probe nProbe cells via
+    // a per-cell residual lookup table; the IVF pruning lives IN the
+    // (cell, m, code) join key). Exact integer end to end: the coarse
+    // quantizer is integer PQ with one full-width subspace, so the
+    // oracle unrolls BOTH quantizers with the same round template.
+    "ann_topk_ivfpq" -> QueryDef.sql(
+      (s, dir) => VectorOps.annTopKIvfPq(Tables.embeddings(s, dir),
+        col("vec_id") < 10, k = 5, kc = 8, coarseIters = 2, m = 8,
+        codes = 16, pqIters = 2, nProbe = 2),
+      ivfPqOracleSql(k = 5, kc = 8, coarseIters = 2, m = 8, codes = 16,
+        pqIters = 2, nProbe = 2, nQueries = 10)),
+
     // B47: dominant principal component (the PCA anisotropy/whitening
     // direction) — exact-integer power iteration, reproducible
     // bit-for-bit in any engine with floor division and 128-bit sums
@@ -490,6 +503,100 @@ object VectorQueries {
        |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rnk
        |      FROM adc)
        |SELECT q_id, neighbor_id, dist, rnk FROM r WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Exact integer squared distance between two BIGINT lists of length
+    * `sub` (1-indexed), shared by the IVF-PQ oracle's CTE templates. */
+  private def distSql(a: String, b: String, sub: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+      s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+
+  /** `iters` unrolled integer Lloyd rounds over subvector CTE `svCte`
+    * with codebook CTEs `${pfx}c0..${pfx}c$iters` — the pqOracleSql
+    * round template parameterized for reuse by both IVF-PQ quantizers
+    * (every per-round CTE MATERIALIZED: the embed_pca inlining
+    * lesson). */
+  private def lloydSql(pfx: String, svCte: String, iters: Int, sub: Int): String =
+    (1 to iters).map { r =>
+      s"""${pfx}a$r AS (
+         |  SELECT vec_id, m, code, sv FROM (
+         |    SELECT s.vec_id, s.m, s.sv, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${distSql("s.sv", "c.cv", sub)}, c.code) AS rn
+         |    FROM $svCte s JOIN ${pfx}c${r - 1} c ON s.m = c.m) t
+         |  WHERE rn = 1),
+         |${pfx}u$r AS (SELECT m, code, CAST(t.i AS INT) AS i,
+         |          CAST(SUM(sv[CAST(t.i AS INT)]) AS BIGINT) AS sx, COUNT(*) AS n
+         |        FROM ${pfx}a$r CROSS JOIN generate_series(1, $sub) t(i) GROUP BY 1, 2, 3),
+         |${pfx}n$r AS (SELECT m, code,
+         |          list(CAST(sign(sx) AS BIGINT) * ((2 * ABS(sx) + n) // (2 * n)) ORDER BY i) AS cv
+         |        FROM ${pfx}u$r GROUP BY m, code),
+         |${pfx}c$r AS MATERIALIZED (SELECT p.m, p.code, COALESCE(nn.cv, p.cv) AS cv
+         |        FROM ${pfx}c${r - 1} p LEFT JOIN ${pfx}n$r nn ON p.m = nn.m AND p.code = nn.code)""".stripMargin
+    }.mkString(",\n")
+
+  /** Final argmin assignment of `svCte` against codebook `cbCte`. */
+  private def assignSql(name: String, svCte: String, cbCte: String, sub: Int): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${distSql("s.sv", "c.cv", sub)}, c.code) AS rn
+       |    FROM $svCte s JOIN $cbCte c ON s.m = c.m) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB SQL for [[VectorOps.annTopKIvfPq]]: milli quantization,
+    * coarse quantizer = one full-width-subspace integer PQ (unrolled
+    * Lloyd rounds), residuals against the final coarse centroids,
+    * residual PQ (same template), nProbe coarse-ranked cells per
+    * query, per-cell residual lookup table, ADC keyed on
+    * (cell, m, code). */
+  private def ivfPqOracleSql(k: Int, kc: Int, coarseIters: Int, m: Int,
+      codes: Int, pqIters: Int, nProbe: Int, nQueries: Int): String = {
+    val sub = 64 / m
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |      list_transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |svc AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS m, q AS sv FROM q),
+       |cc0 AS (SELECT m, vec_id AS code, sv AS cv FROM svc WHERE vec_id < $kc),
+       |${lloydSql("c", "svc", coarseIters, 64)},
+       |${assignSql("cf", "svc", s"cc$coarseIters", 64)},
+       |cent AS (SELECT code AS cell, cv FROM cc$coarseIters),
+       |rs AS MATERIALIZED (
+       |  SELECT q.vec_id, cf.code AS cell,
+       |    list_transform(range(1, 65),
+       |      i -> q.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS q
+       |  FROM q JOIN cf ON q.vec_id = cf.vec_id JOIN cent c ON cf.code = c.cell),
+       |svr AS MATERIALIZED (SELECT vec_id, CAST(t.mi AS BIGINT) AS m,
+       |      q[CAST(t.mi AS INT) * $sub + 1 : CAST(t.mi AS INT) * $sub + $sub] AS sv
+       |      FROM rs CROSS JOIN generate_series(0, ${m - 1}) t(mi)),
+       |rc0 AS (SELECT m, vec_id AS code, sv AS cv FROM svr WHERE vec_id < $codes),
+       |${lloydSql("r", "svr", pqIters, sub)},
+       |${assignSql("rf", "svr", s"rc$pqIters", sub)},
+       |rfc AS (SELECT rf.vec_id, rs.cell, rf.m, rf.code
+       |        FROM rf JOIN (SELECT DISTINCT vec_id, cell FROM rs) rs ON rf.vec_id = rs.vec_id),
+       |qs AS (SELECT vec_id AS q_id, q FROM q WHERE vec_id < $nQueries),
+       |qcd AS (SELECT q_id, cell, ${distSql("qs.q", "c.cv", 64)} AS cd
+       |        FROM qs CROSS JOIN cent c),
+       |pn AS MATERIALIZED (SELECT q_id, cell FROM (
+       |        SELECT q_id, cell, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cd, cell) AS rn
+       |        FROM qcd) t WHERE rn <= $nProbe),
+       |qr AS (SELECT pn.q_id, pn.cell,
+       |         list_transform(range(1, 65),
+       |           i -> qs.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS q
+       |       FROM pn JOIN qs ON pn.q_id = qs.q_id JOIN cent c ON pn.cell = c.cell),
+       |qsv AS (SELECT q_id, cell, CAST(t.mi AS BIGINT) AS m,
+       |          q[CAST(t.mi AS INT) * $sub + 1 : CAST(t.mi AS INT) * $sub + $sub] AS sv
+       |        FROM qr CROSS JOIN generate_series(0, ${m - 1}) t(mi)),
+       |lut AS MATERIALIZED (SELECT v.q_id, v.cell, v.m, c.code, ${distSql("v.sv", "c.cv", sub)} AS qd
+       |      FROM qsv v JOIN rc$pqIters c ON v.m = c.m),
+       |adc AS (SELECT l.q_id, a.vec_id, CAST(SUM(l.qd) AS BIGINT) AS dist
+       |        FROM rfc a JOIN lut l
+       |          ON a.cell = l.cell AND a.m = l.m AND a.code = l.code
+       |        WHERE a.vec_id <> l.q_id GROUP BY 1, 2),
+       |res AS (SELECT q_id, vec_id AS neighbor_id, dist,
+       |          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rnk
+       |        FROM adc)
+       |SELECT q_id, neighbor_id, dist, rnk FROM res WHERE rnk <= $k
        |ORDER BY q_id, rnk""".stripMargin
   }
 

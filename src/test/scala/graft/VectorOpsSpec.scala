@@ -352,6 +352,28 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("annTopKIvfPq") {
+    it("returns k ranked neighbors per query with monotone ADC distances") {
+      val res = VectorOps.annTopKIvfPq(emb, col("vec_id") < 5, k = 5).collect()
+      res.length shouldBe 25
+      res.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+        val d = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("dist"))
+        d.toSeq shouldBe d.sorted.toSeq
+      }
+      res.foreach(r => r.getAs[Long]("q_id") should not be r.getAs[Long]("neighbor_id"))
+    }
+    it("keeps useful recall under cell pruning") {
+      val brute = VectorOps.annTopKBrute(emb, col("vec_id") < 10, 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivfpq = VectorOps.annTopKIvfPq(emb, col("vec_id") < 10, k = 5).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      // probing 2 of 8 cells with 16 residual codes: coarse, but still
+      // far beyond the ~1% chance overlap of random top-5s over 500
+      val recall = (brute & ivfpq).size.toDouble / brute.size
+      recall should be > 0.1
+    }
+  }
+
   describe("pcaTopComponent") {
     it("recovers a planted dominant direction and normalizes exactly") {
       // corpus with variance concentrated on dim 3 (amplitude ±0.4),
