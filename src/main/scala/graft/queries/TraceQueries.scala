@@ -1314,6 +1314,89 @@ object TraceQueries {
         |ORDER BY src_service, dst_service""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // Declarative HyperLogLog (C68) — the companion that makes HLL
+    // oracle-checkable (the native approx_count_distinct sketch stays
+    // spec-covered): p=8 registers from the portable md5 hash (60
+    // bits: index = h mod 256, rank = 53 − bitlen(h div 256)), and
+    // the harmonic sum computed EXACTLY — Σ2^(mmax−M_j) as a scaled
+    // long (≤ 256·2^53, inside long range) so no float summation
+    // order can drift; the estimate is then ONE double expression
+    // over exact operands, identical on both engines (the small-range
+    // branch is a lazily-evaluated CASE — untaken here since
+    // n >> 2.5m, but encoded so the formula is complete). Build:
+    // distinct shuffle + 256-row rollup; the register table never
+    // leaves the executors un-aggregated.
+    "trace_hll_declarative" -> QueryDef.sql(
+      (s, dir) => {
+        val ids = spans(s, dir).select("trace_id").distinct()
+        val h = conv(substring(md5(col("trace_id")), 1, 15), 16, 10).cast("long")
+        // j/w via bit ops — Column `/` is DOUBLE division, which
+        // rounds a 60-bit hash above 2^53; >> and & stay exact
+        val reg = ids
+          .select(h.bitwiseAND(lit(255L)).as("j"), shiftright(h, 8).as("w"))
+          .withColumn("rho", when(col("w") === 0L, lit(53L))
+            .otherwise(lit(53L) - length(conv(col("w"), 10, 2)).cast("long")))
+          .groupBy("j").agg(max("rho").as("mj"))
+        val allj = s.range(256).select(col("id").as("aj"))
+        val regs = allj.join(reg, col("aj") === col("j"), "left")
+          .select(col("aj").as("j"), coalesce(col("mj"), lit(0L)).as("mj"))
+        val mmax = regs.agg(max("mj").as("mmax"))
+        val stats = regs.crossJoin(broadcast(mmax))
+          .agg(first("mmax").as("mmax"),
+            sum(expr("shiftleft(1L, CAST(mmax - mj AS INT))")).as("s_scaled"),
+            sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        val nex = ids.agg(count(lit(1)).as("n_exact"))
+        stats.crossJoin(broadcast(nex))
+          .select(lit(256L).as("m"), col("n_exact"), col("mmax"),
+            col("n_zero"), col("s_scaled"),
+            (lit(0.7213 / (1 + 1.079 / 256)) * lit(65536.0) *
+              expr("CAST(shiftleft(1L, CAST(mmax AS INT)) AS DOUBLE)") /
+              col("s_scaled").cast("double")).as("est_raw"))
+          .withColumn("estimate",
+            // ln across engines can differ by one ulp (measured: one
+            // of the 255 possible linear-counting arguments) — the
+            // DECIMAL quantization makes the emitted value stable on
+            // both sides (decimal casts round identically; never
+            // ROUND a raw double)
+            when(col("est_raw") <= 2.5 * 256 && col("n_zero") > 0L,
+              lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")))
+              .otherwise(col("est_raw"))
+              .cast(DecimalType(20, 6)).cast("double"))
+          .withColumn("rel_err",
+            ((col("estimate") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double"))
+              .cast(DecimalType(20, 9)).cast("double"))
+      },
+      cte("""
+        |, ids AS (SELECT DISTINCT trace_id FROM spans),
+        |hx AS (SELECT CAST(('0x' || substr(md5(trace_id), 1, 15)) AS BIGINT) AS h FROM ids),
+        |reg AS (SELECT h % 256 AS j,
+        |          MAX(CASE WHEN h // 256 = 0 THEN 53
+        |                   ELSE 53 - length(bin(h // 256)) END) AS mj
+        |        FROM hx GROUP BY 1),
+        |regs AS (SELECT t.j, COALESCE(reg.mj, 0) AS mj
+        |         FROM range(256) t(j) LEFT JOIN reg ON t.j = reg.j),
+        |mm AS (SELECT MAX(mj) AS mmax FROM regs),
+        |st AS (SELECT mmax,
+        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(mmax - mj AS INT)) AS BIGINT) AS s_scaled,
+        |         CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |       FROM regs, mm GROUP BY mmax),
+        |ne AS (SELECT COUNT(*) AS n_exact FROM ids),
+        |es AS (SELECT CAST(256 AS BIGINT) AS m, CAST(n_exact AS BIGINT) AS n_exact,
+        |         CAST(mmax AS BIGINT) AS mmax, n_zero, s_scaled,
+        |         0.7213 / (1 + 1.079 / 256) * 65536.0
+        |           * CAST(CAST(1 AS BIGINT) << CAST(mmax AS INT) AS DOUBLE)
+        |           / CAST(s_scaled AS DOUBLE) AS est_raw
+        |       FROM st, ne)
+        |SELECT m, n_exact, mmax, n_zero, s_scaled, est_raw, estimate,
+        |  CAST(CAST((estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |       AS DECIMAL(20, 9)) AS DOUBLE) AS rel_err
+        |FROM (SELECT *,
+        |        CAST(CAST(CASE WHEN est_raw <= 2.5 * 256 AND n_zero > 0
+        |             THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+        |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
+        |      FROM es) q""".stripMargin)),
+
     // Funnel analysis (C66) — the ordered-sequence conversion count
     // product analytics runs on event streams: of the users who
     // viewed, how many then clicked strictly AFTER their first view,
