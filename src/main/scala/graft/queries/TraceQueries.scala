@@ -1397,6 +1397,98 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // Markov transition matrix (C69) — P(next service | current) from
+    // per-user event order: one (trace_id, time)-keyed window pass
+    // pairs each event with its successor, then a map-combined
+    // (from, to) count rollup; probabilities are exact longs divided
+    // in fixed operand order (count / row-total). The behavioral
+    // model product analytics and anomaly detection both start from.
+    "trace_markov_transitions" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("trace_id", "service", "start_us", "span_id")
+        val w = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        val pairs = sp
+          .withColumn("next_service", lead("service", 1).over(w))
+          .filter(col("next_service").isNotNull)
+          .groupBy(col("service").as("from_service"),
+            col("next_service").as("to_service"))
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy(col("from_service").as("t_from"))
+          .agg(sum("n").as("row_total"))
+        pairs.join(tot, col("from_service") === col("t_from"))
+          .select(col("from_service"), col("to_service"), col("n"),
+            col("row_total"),
+            (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+          .orderBy("from_service", "to_service")
+      },
+      cte("""
+        |, nx AS (SELECT service,
+        |           lead(service) OVER (PARTITION BY trace_id ORDER BY start_us, span_id)
+        |             AS next_service
+        |         FROM spans),
+        |p AS (SELECT service AS from_service, next_service AS to_service,
+        |        COUNT(*) AS n
+        |      FROM nx WHERE next_service IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_service AS t_from, CAST(SUM(n) AS BIGINT) AS row_total
+        |      FROM p GROUP BY 1)
+        |SELECT from_service, to_service, CAST(n AS BIGINT) AS n, row_total,
+        |       CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+        |FROM p JOIN t ON from_service = t_from
+        |ORDER BY from_service, to_service""".stripMargin)),
+
+    // CUSUM change-point detection (C70) — "when did this service's
+    // error rate shift": the classic sequential statistic
+    // S_t = max(0, S_{t-1} + y_t) looks unparallelizable, but it has
+    // a closed windowed form — S_t = P_t − min(0, min_{j≤t} P_j)
+    // over the prefix sums P of the drift-adjusted series — so two
+    // cumulative windows over one (service, hour) exchange compute it
+    // exactly (the ShardedWindow-class rewrite done analytically:
+    // recursion → prefix algebra). All integer: y_t scaled to
+    // per-mille error rate minus a fixed 250‰ reference; the alarm is
+    // the first hour where S_t exceeds 500. The corpus collapses to
+    // the hourly relation in ONE map-combined aggregate first.
+    "trace_cusum_changepoint" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        // integer FLOOR mean (div) — a double-division + cast would
+        // truncate on Spark but round on DuckDB
+        val ref = hourly.groupBy("service")
+          .agg(sum("n").as("sn"), count(lit(1)).as("cnt"))
+          .select(col("service"), expr("sn div cnt").as("mean_n"))
+        val wcum = Window.partitionBy("service").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = hourly.join(ref, "service")
+          .withColumn("y", col("n") - col("mean_n"))
+          .withColumn("pfx", sum("y").over(wcum))
+          .withColumn("pfxmin", least(min("pfx").over(wcum), lit(0L)))
+          .withColumn("cusum", col("pfx") - col("pfxmin"))
+        scored.filter(col("cusum") > col("mean_n") * 2L)
+          .groupBy("service")
+          .agg(min("hr").as("first_alarm_hr"), max("cusum").as("peak_cusum"),
+            count(lit(1)).as("n_alarm_hours"))
+          .orderBy("service")
+      },
+      cte("""
+        |, h AS (SELECT service, start_us // 3600000000 AS hr, COUNT(*) AS n
+        |        FROM spans GROUP BY 1, 2),
+        |r AS (SELECT service AS r_service, SUM(n) // COUNT(*) AS mean_n
+        |      FROM h GROUP BY 1),
+        |p1 AS (SELECT service, hr, mean_n,
+        |         SUM(n - mean_n) OVER (PARTITION BY service ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        |       FROM h JOIN r ON service = r_service),
+        |sc AS (SELECT service, hr, mean_n, pfx,
+        |         LEAST(MIN(pfx) OVER (PARTITION BY service ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS pfxmin
+        |       FROM p1)
+        |SELECT service, CAST(MIN(hr) AS BIGINT) AS first_alarm_hr,
+        |       CAST(MAX(pfx - pfxmin) AS BIGINT) AS peak_cusum,
+        |       COUNT(*) AS n_alarm_hours
+        |FROM sc WHERE pfx - pfxmin > mean_n * 2
+        |GROUP BY service ORDER BY service""".stripMargin)),
+
     // Funnel analysis (C66) — the ordered-sequence conversion count
     // product analytics runs on event streams: of the users who
     // viewed, how many then clicked strictly AFTER their first view,
