@@ -967,6 +967,56 @@ object RelationalQueries {
         |  median(l_extendedprice) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // C71: IQR-rule outlier screen per group — Tukey fences over the
+    // exact quartiles (ExactQuantiles rides one count-relation
+    // exchange), then one broadcast join back to the fact scan for
+    // the conditional counts. Fence comparisons are SCALED to avoid
+    // division entirely: x is an outlier iff 2x > 2·q3 + 3·(q3−q1)
+    // (resp. below) — exact decimal multiplication on both engines,
+    // no half-up/half-even divergence possible. Quantiles cast to
+    // DOUBLE only at the output edge.
+    "q_iqr_outliers" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val qs = graft.operators.ExactQuantiles.percentiles(
+            li, keys = Seq("l_returnflag"), value = col("l_extendedprice"),
+            shardWidth = 512.0,
+            pcts = Seq(
+              graft.operators.ExactQuantiles.Disc("q1", 1, 4),
+              graft.operators.ExactQuantiles.Disc("q3", 3, 4)))
+          .select(col("l_returnflag").as("g"), col("q1"), col("q3"))
+        li.join(broadcast(qs), col("l_returnflag") === col("g"))
+          .groupBy("l_returnflag")
+          .agg(
+            first("q1").as("q1v"), first("q3").as("q3v"),
+            sum(when(col("l_extendedprice") * 2 >
+              col("q3") * 2 + (col("q3") - col("q1")) * 3, 1L).otherwise(0L))
+              .as("n_hi_outliers"),
+            sum(when(col("l_extendedprice") * 2 <
+              col("q1") * 2 - (col("q3") - col("q1")) * 3, 1L).otherwise(0L))
+              .as("n_lo_outliers"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"),
+            col("q1v").cast("double").as("q1"),
+            col("q3v").cast("double").as("q3"),
+            col("n_hi_outliers"), col("n_lo_outliers"), col("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      """WITH q AS (SELECT l_returnflag AS g,
+        |             quantile_disc(l_extendedprice, 0.25) AS q1,
+        |             quantile_disc(l_extendedprice, 0.75) AS q3
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+        |  CAST(SUM(CASE WHEN l_extendedprice * 2 > q3 * 2 + (q3 - q1) * 3
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_outliers,
+        |  CAST(SUM(CASE WHEN l_extendedprice * 2 < q1 * 2 - (q3 - q1) * 3
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_outliers,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN q ON l_returnflag = g
+        |GROUP BY l_returnflag, q1, q3
+        |ORDER BY l_returnflag""".stripMargin),
+
     // C49b: regexp extraction — pull the numeric id out of the entity
     // name and prove it round-trips to the key (Java and DuckDB regex
     // agree on these simple patterns, same as the langid lexicons)

@@ -2264,6 +2264,69 @@ object TextQueries {
         |FROM bic JOIN lft ON w1 = l_w1 JOIN cont ON w2 = c_w2 CROSS JOIN nbt
         |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin),
 
+    // B57: edit-distance similarity join by q-gram count filtering —
+    // the classic fuzzy-join shape: a cheap multiset-gram overlap
+    // filter (two 64-char keys within Levenshtein distance T share
+    // >= len−2 − 3T trigram occurrences) prunes the cross product,
+    // then exact `levenshtein` verifies only the candidates (both
+    // engines implement the same DP definition, so the oracle is
+    // exact). Probes are the prefix-mutated tenth (mutatedTenth);
+    // every probe must land back on its origin within T=14 (the
+    // prefix shift costs ~2·|prefix| edits: delete the prefix, then
+    // re-insert the displaced tail). Demo cap
+    // at 2000 docs: the count-filter join keys on trigrams of a
+    // 31-word vocabulary — low-cardinality HOT keys by construction
+    // (at production scale the filter uses rarer/longer grams or
+    // rare-first prefix filtering precisely to avoid this), so the
+    // cap bounds the skew the demo corpus would otherwise amplify.
+    "dedup_editdist" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+        val base = docs.select(col("doc_id").as("orig_id"),
+          substring(col("text"), 1, 64).as("k"))
+        val probes = mutatedTenth(docs)
+          .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 64).as("pk"))
+        val gb = base
+          .select(col("orig_id"), col("k"),
+            explode(expr("transform(sequence(1, length(k) - 2), i -> substring(k, i, 3))")).as("g"))
+          .groupBy("orig_id", "k", "g").agg(count(lit(1)).as("cb"))
+        val gp = probes
+          .select(col("probe_id"), col("pk"),
+            explode(expr("transform(sequence(1, length(pk) - 2), i -> substring(pk, i, 3))")).as("g"))
+          .groupBy("probe_id", "pk", "g").agg(count(lit(1)).as("cp"))
+        val cand = gp.join(gb, "g")
+          .groupBy("probe_id", "pk", "orig_id", "k")
+          .agg(sum(least(col("cp"), col("cb"))).as("shared"))
+          .filter(col("shared") >=
+            greatest(length(col("pk")), length(col("k"))) - 2 - 42)
+        cand
+          .withColumn("dist", levenshtein(col("pk"), col("k")).cast("long"))
+          .filter(col("dist") <= 14)
+          .select(col("probe_id"), col("orig_id"), col("shared"), col("dist"))
+          .orderBy("probe_id", "orig_id")
+      },
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |base AS (SELECT doc_id AS orig_id, substr(text, 1, 64) AS k FROM d),
+        |probes AS (SELECT doc_id + 10000000 AS probe_id,
+        |             substr('pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text, 1, 64) AS pk
+        |           FROM d WHERE doc_id % 10 = 0),
+        |gb AS (SELECT orig_id, k, substr(k, CAST(s.i AS INT), 3) AS g, COUNT(*) AS cb
+        |       FROM (SELECT orig_id, k, unnest(range(1, length(k) - 1)) AS i FROM base) s(orig_id, k, i)
+        |       GROUP BY 1, 2, 3),
+        |gp AS (SELECT probe_id, pk, substr(pk, CAST(s.i AS INT), 3) AS g, COUNT(*) AS cp
+        |       FROM (SELECT probe_id, pk, unnest(range(1, length(pk) - 1)) AS i FROM probes) s(probe_id, pk, i)
+        |       GROUP BY 1, 2, 3),
+        |cand AS (SELECT probe_id, pk, orig_id, k,
+        |           CAST(SUM(LEAST(cp, cb)) AS BIGINT) AS shared
+        |         FROM gp JOIN gb USING (g)
+        |         GROUP BY 1, 2, 3, 4
+        |         HAVING SUM(LEAST(cp, cb)) >= GREATEST(length(pk), length(k)) - 2 - 42)
+        |SELECT probe_id, orig_id, shared,
+        |       CAST(levenshtein(pk, k) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(pk, k) <= 14
+        |ORDER BY probe_id, orig_id""".stripMargin),
+
     // B56: exact triangle counting + local clustering coefficients
     // over the term co-occurrence graph, by DEGREE ORIENTATION — the
     // standard trick that makes triangle enumeration survive skewed
