@@ -1397,6 +1397,36 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // Hour-of-day seasonality profile (C72) — the baseline an anomaly
+    // detector normalizes against: per (service, hour-of-day) span
+    // volume and its seasonal index vs the service's flat hourly
+    // mean, in exact ppm integers ((n·24·1e6) div total — no float
+    // ratio). ONE map-combined aggregate over the scan; the index
+    // arithmetic runs on the 24·|services| rollup.
+    "trace_seasonality" -> QueryDef.sql(
+      (s, dir) => {
+        val hod = spans(s, dir)
+          .groupBy(col("service"),
+            expr(s"(start_us div $HourUs) % 24").as("hour_of_day"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hod.groupBy(col("service").as("t_service"))
+          .agg(sum("n").as("total"))
+        hod.join(tot, col("service") === col("t_service"))
+          .select(col("service"), col("hour_of_day"), col("n"),
+            expr("(n * 24 * 1000000) div total").as("seasonal_ppm"))
+          .orderBy("service", "hour_of_day")
+      },
+      cte("""
+        |, h AS (SELECT service, (start_us // 3600000000) % 24 AS hour_of_day,
+        |          COUNT(*) AS n
+        |        FROM spans GROUP BY 1, 2),
+        |t AS (SELECT service AS t_service, CAST(SUM(n) AS BIGINT) AS total
+        |      FROM h GROUP BY 1)
+        |SELECT service, hour_of_day, CAST(n AS BIGINT) AS n,
+        |       (n * 24 * 1000000) // total AS seasonal_ppm
+        |FROM h JOIN t ON service = t_service
+        |ORDER BY service, hour_of_day""".stripMargin)),
+
     // Markov transition matrix (C69) — P(next service | current) from
     // per-user event order: one (trace_id, time)-keyed window pass
     // pairs each event with its successor, then a map-combined
