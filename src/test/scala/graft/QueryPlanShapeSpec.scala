@@ -226,4 +226,65 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       }
     }
   }
+
+  describe("round-8 session-6 plan shapes") {
+    it("ann_topk_ivfpq joins the residual lookup table and the codebooks by broadcast") {
+      val p = plan("ann_topk_ivfpq")
+      // every codebook attach and the (cell, m, code) ADC probe must
+      // broadcast — a sort-merge there would shuffle the corpus codes
+      // on a 16-value key
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    }
+
+    it("text_cms_topk builds the sketch with map-side combine and probes it by broadcast") {
+      val p = plan("text_cms_topk")
+      // the 4096-counter sketch must partial-agg before its exchange;
+      // the 20-row probe side must broadcast against it
+      p should include("partial_count")
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_funnel pre-aggregates each step before its join") {
+      val p = plan("trace_funnel")
+      // min-per-user runs partial before the exchange at every step —
+      // the click scan must meet the v1 anchor as an aggregate, not
+      // join raw events against raw events
+      p should include("partial_min")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_cohort_retention derives everything from one distinct exchange") {
+      val p = plan("trace_cohort_retention")
+      // the (user, day) distinct is the only corpus-sized shuffle; the
+      // cohort join and the age-0 base join run on its rollups
+      p should include("partial_min")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_latency_trend collapses to the hourly relation before pairing") {
+      val p = plan("trace_latency_trend")
+      // the i<j pair join must consume the hourly AGGREGATE on both
+      // sides (partial sum/count before the exchange), never raw spans
+      p should include("partial_sum")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_seasonality and trace_markov_transitions stay map-combined") {
+      for (name <- Seq("trace_seasonality", "trace_markov_transitions")) {
+        val p = plan(name)
+        withClue(name) {
+          p should include("partial_count")
+          p should not include "CartesianProduct"
+        }
+      }
+    }
+
+    it("q_iqr_outliers joins the quartile table back by broadcast") {
+      val p = plan("q_iqr_outliers")
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    }
+  }
 }
