@@ -416,15 +416,21 @@ object StreamingQueries {
         col("event_type").as("service"))
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      // slice by event_id MOD (not div): ids correlate ~1.0 with
+      // event time, so contiguous ranges would replay in time order
+      // and nothing would ever be late — interleaved slices make
+      // every batch span the whole timeline, so batches 1..3 are
+      // ~75% late against the watermark batch 0's max time set.
+      // ONE pass writes all four slices: repartition on the slice key
+      // puts each batch's rows in exactly one task, so partitionBy
+      // yields one file per batch dir (4 sequential coalesce(1)
+      // writes measured 26.6 s at sf10 — 4 full scans each funneled
+      // through a single task)
+      slim.withColumn("b", col("event_id") % LateBatches)
+        .repartition(LateBatches, col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$root/sliced")
       (0 until LateBatches).foreach { k =>
-        val part = s"$root/part$k"
-        // slice by event_id MOD (not div): ids correlate ~1.0 with
-        // event time, so contiguous ranges would replay in time order
-        // and nothing would ever be late — interleaved slices make
-        // every batch span the whole timeline, so batches 1..3 are
-        // ~75% late against the watermark batch 0's max time set
-        slim.filter(col("event_id") % LateBatches === k)
-          .coalesce(1).write.mode("overwrite").parquet(part)
+        val part = s"$root/sliced/b=$k"
         val file = fs.globStatus(new org.apache.hadoop.fs.Path(s"$part/part-*.parquet"))(0).getPath
         val dst = new org.apache.hadoop.fs.Path(s"$root/in/batch$k.parquet")
         fs.mkdirs(dst.getParent)
