@@ -967,6 +967,65 @@ object RelationalQueries {
         |  median(l_extendedprice) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // C73: MERGE INTO semantics — the full three-clause upsert
+    // (WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN UPDATE /
+    // WHEN NOT MATCHED THEN INSERT) as ONE full-outer join over the
+    // key, with every clause a row-local CASE: the Delta/Iceberg
+    // merge shape on plain Spark. Source = a derived change set
+    // (every 5th customer re-priced, every 13th tombstoned, 100
+    // fresh ids appended), so the result is a pure function of the
+    // input. At scale this is one key-partitioned shuffle of each
+    // side — no driver involvement, no per-row lookups.
+    "q_merge" -> QueryDef.sql(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val maxId = cust.agg(max("c_custkey").as("mx"))
+        val changes = cust
+          .filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("k"),
+            (col("c_acctbal") + 100).as("new_bal"),
+            (col("c_custkey") % 13 === 0).as("tombstone"))
+          .unionByName(maxId.select(
+            explode(expr("sequence(1, 100)")).as("i"), col("mx"))
+            .select((col("mx") + col("i")).as("k"),
+              (col("i") * 10).cast(cust.schema("c_acctbal").dataType).as("new_bal"),
+              lit(false).as("tombstone")))
+        cust.join(changes, col("c_custkey") === col("k"), "full_outer")
+          .withColumn("action",
+            when(col("k").isNotNull && col("c_custkey").isNotNull && col("tombstone"), "delete")
+              .when(col("k").isNotNull && col("c_custkey").isNotNull, "update")
+              .when(col("c_custkey").isNull, "insert")
+              .otherwise("keep"))
+          .filter(col("action") =!= "delete")
+          .select(coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+            when(col("action") === "keep", col("c_acctbal"))
+              .otherwise(coalesce(col("new_bal"), col("c_acctbal")))
+              .cast("double").as("bal"),
+            col("action"))
+          .orderBy("c_custkey")
+      },
+      """WITH mx AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS k, c_acctbal + 100 AS new_bal,
+        |         c_custkey % 13 = 0 AS tombstone
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT mx + t.i, t.i * 10, FALSE
+        |  FROM mx CROSS JOIN generate_series(1, 100) t(i)),
+        |m AS (SELECT c.c_custkey, c.c_acctbal, ch.k, ch.new_bal, ch.tombstone,
+        |        CASE WHEN ch.k IS NOT NULL AND c.c_custkey IS NOT NULL AND ch.tombstone THEN 'delete'
+        |             WHEN ch.k IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'update'
+        |             WHEN c.c_custkey IS NULL THEN 'insert'
+        |             ELSE 'keep' END AS action
+        |      FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k)
+        |SELECT COALESCE(c_custkey, k) AS c_custkey,
+        |       CAST(CASE WHEN action = 'keep' THEN c_acctbal
+        |                 ELSE COALESCE(new_bal, c_acctbal) END AS DOUBLE) AS bal,
+        |       action
+        |FROM m WHERE action <> 'delete'
+        |ORDER BY c_custkey""".stripMargin),
+
     // C71: IQR-rule outlier screen per group — Tukey fences over the
     // exact quartiles (ExactQuantiles rides one count-relation
     // exchange), then one broadcast join back to the fact scan for
