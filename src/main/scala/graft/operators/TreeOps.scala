@@ -88,4 +88,54 @@ object TreeOps {
       .join(depths, "span_id")
       .select(col("trace_id"), col("span_id"), col("depth"))
   }
+
+  /** Root→span service PATH of every span — the aggregated-flamegraph
+    * key — by the same pointer-doubling cursor as [[spanDepths]], with
+    * the cursor additionally carrying the SEGMENT of services between
+    * the span and its known ancestor (exclusive): each jump
+    * concatenates the ancestor's segment onto the span's, so a
+    * depth-D chain assembles its path in ceil(log2 D) rounds. A span
+    * whose parent id is absent from the input anchors its fragment
+    * (path starts at itself), mirroring spanDepths' dangling rule.
+    * Output: (trace_id, span_id, path) with path =
+    * 'rootService/…/ownService'.
+    */
+  def spanPaths(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val init = spans.select(
+      col("span_id"),
+      col("parent_span_id").as("anc"),
+      array(col("service")).as("seg"))
+      .localCheckpoint()
+    var frontier = init.filter(col("anc").isNotNull).localCheckpoint()
+    var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
+    init.unpersist()
+
+    var rounds = 0
+    var active = !frontier.isEmpty
+    while (active && rounds < maxRounds) {
+      val hop = (frontier :: doneFrames).map(_.select(
+        col("span_id").as("h_id"), col("anc").as("h_anc"), col("seg").as("h_seg")))
+        .reduce(_ unionAll _)
+      val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
+        .select(
+          col("span_id"),
+          col("h_anc").as("anc"),
+          when(col("h_seg").isNull, col("seg"))
+            .otherwise(concat(col("seg"), col("h_seg"))).as("seg"))
+        .localCheckpoint()
+      frontier.unpersist()
+      doneFrames = next.filter(col("anc").isNull) :: doneFrames
+      frontier = next.filter(col("anc").isNotNull)
+      rounds += 1
+      active = !frontier.isEmpty
+    }
+    require(!active, s"spanPaths did not converge in $maxRounds doubling rounds " +
+      s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
+    val paths = doneFrames
+      .map(_.select(col("span_id"), array_join(reverse(col("seg")), "/").as("path")))
+      .reduce(_ unionAll _)
+    spans.select(col("trace_id"), col("span_id"))
+      .join(paths, "span_id")
+      .select(col("trace_id"), col("span_id"), col("path"))
+  }
 }

@@ -1397,6 +1397,39 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // Aggregated path rollup (C74) — the flamegraph/deep-dependency
+    // view: every span keyed by its root→self service PATH
+    // (TreeOps.spanPaths — the spanDepths pointer-doubling cursor
+    // additionally accumulating service segments, so a depth-D chain
+    // assembles its path in ceil(log2 D) rounds, never D), rolled up
+    // to (path, n_spans, total_dur_us). The oracle walks the same
+    // paths with a genuine recursive CTE, so the hash match proves
+    // the doubling concatenation lands every span on its true path.
+    // No trailing sort: path keys are corpus-bulk (the trace_depth
+    // rule); the gate sorts before hashing.
+    "trace_path_rollup" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        graft.operators.TreeOps.spanPaths(
+            sp.select("trace_id", "span_id", "parent_span_id", "service"))
+          .join(sp.select(col("span_id"), col("duration_us")), "span_id")
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"))
+      },
+      cte("""
+        |, p AS (
+        |  SELECT span_id, service AS path FROM spans s
+        |  WHERE parent_span_id IS NULL
+        |     OR NOT EXISTS (SELECT 1 FROM spans q WHERE q.span_id = s.parent_span_id)
+        |  UNION ALL
+        |  SELECT s.span_id, p.path || '/' || s.service
+        |  FROM spans s JOIN p ON s.parent_span_id = p.span_id)
+        |SELECT path, COUNT(*) AS n_spans,
+        |       CAST(SUM(duration_us) AS BIGINT) AS total_dur_us
+        |FROM p JOIN spans USING (span_id)
+        |GROUP BY path""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // Hour-of-day seasonality profile (C72) — the baseline an anomaly
     // detector normalizes against: per (service, hour-of-day) span
     // volume and its seasonal index vs the service's flat hourly

@@ -88,4 +88,42 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       ex.getMessage should include("did not converge")
     }
   }
+
+  describe("spanPaths") {
+    /** (span_id, parent, service) rows, one trace. */
+    def paths(rows: (Long, Option[Long], String)*): Map[Long, String] = {
+      val s = spark
+      import s.implicits._
+      val df = rows.toSeq.map { case (id, p, svc) => ("t", id, p, svc) }
+        .toDF("trace_id", "span_id", "parent_span_id", "service")
+      TreeOps.spanPaths(df).collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+    }
+
+    it("assembles root-to-span paths on a branching tree") {
+      val out = paths(
+        (1L, None, "api"), (2L, Some(1L), "auth"), (3L, Some(1L), "db"),
+        (4L, Some(3L), "cache"), (10L, None, "web"))
+      out shouldBe Map(
+        1L -> "api", 2L -> "api/auth", 3L -> "api/db",
+        4L -> "api/db/cache", 10L -> "web")
+    }
+
+    it("assembles a deep chain correctly across doubling rounds") {
+      // depth 20: path must be s0/s1/.../s19 in exact order — the
+      // doubling concatenation is order-sensitive (segment of v, THEN
+      // segment of its ancestor)
+      val rows = (0L until 20L).map(i =>
+        (i, if (i == 0) None else Some(i - 1), s"s$i"))
+      val out = paths(rows: _*)
+      out(19L) shouldBe (0 until 20).map("s" + _).mkString("/")
+      out(7L) shouldBe (0 to 7).map("s" + _).mkString("/")
+    }
+
+    it("anchors a dangling-parent fragment at the orphan") {
+      val out = paths(
+        (5L, Some(999L), "orphan"), (6L, Some(5L), "child"))
+      out shouldBe Map(5L -> "orphan", 6L -> "orphan/child")
+    }
+  }
 }
