@@ -2264,6 +2264,48 @@ object TextQueries {
         |FROM bic JOIN lft ON w1 = l_w1 JOIN cont ON w2 = c_w2 CROSS JOIN nbt
         |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin),
 
+    // B58: deterministic epoch shuffle — the global permutation a
+    // training run applies per epoch, as a SORT BY a keyed hash
+    // (md5(epoch || doc_id)): reproducible across engines, reshuffled
+    // per epoch, and sharded for loading. Emitted per (epoch, shard):
+    // counts and an ORDER CHECKSUM Σ(doc_id · rank_in_shard) — equal
+    // checksums prove the two engines computed the identical
+    // permutation, not just the same membership. At scale this is one
+    // range-partitioned sort per epoch (exactly what it costs a real
+    // pipeline); rank via the per-shard window is the only state.
+    "corpus_epoch_shuffle" -> QueryDef.sql(
+      (s, dir) => {
+        val epochs = Seq(0, 1)
+        val docs = Tables.documents(s, dir).select("doc_id")
+        val keyed = epochs.map { e =>
+          docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+            md5(concat(lit(s"e$e:"), col("doc_id").cast("string"))).as("k"))
+        }.reduce(_ unionByName _)
+          .withColumn("shard", conv(substring(col("k"), 1, 8), 16, 10)
+            .cast("long") % 8L)
+        val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+        keyed.withColumn("rnk", row_number().over(w).cast("long"))
+          .groupBy("epoch", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id") * col("rnk")).as("order_checksum"))
+          .orderBy("epoch", "shard")
+      },
+      """WITH k AS (
+        |  SELECT e.epoch, doc_id,
+        |         md5('e' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+        |sh AS (SELECT epoch, doc_id, k,
+        |         CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS shard
+        |       FROM k),
+        |r AS (SELECT epoch, shard, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) AS rnk
+        |      FROM sh)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(doc_id * rnk) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin),
+
     // B57: edit-distance similarity join by q-gram count filtering —
     // the classic fuzzy-join shape: a cheap multiset-gram overlap
     // filter (two 64-char keys within Levenshtein distance T share
