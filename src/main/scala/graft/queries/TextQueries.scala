@@ -2336,9 +2336,17 @@ object TextQueries {
           .select(col("probe_id"), col("pk"),
             explode(expr("transform(sequence(1, length(pk) - 2), i -> substring(pk, i, 3))")).as("g"))
           .groupBy("probe_id", "pk", "g").agg(count(lit(1)).as("cp"))
+        // group on the two LONG ids and re-emit the keys as AGGREGATE
+        // outputs (first) — if pk/k stay grouping columns, Catalyst
+        // pushes the later `levenshtein <= 14` filter through the
+        // aggregate INTO the gram join as a join condition, running
+        // the 64×64 DP on every joined gram row instead of once per
+        // candidate (measured 145 s vs ~1 s at sf0.1; the whole point
+        // of the count filter is to gate the expensive verify)
         val cand = gp.join(gb, "g")
-          .groupBy("probe_id", "pk", "orig_id", "k")
-          .agg(sum(least(col("cp"), col("cb"))).as("shared"))
+          .groupBy("probe_id", "orig_id")
+          .agg(sum(least(col("cp"), col("cb"))).as("shared"),
+            first(col("pk")).as("pk"), first(col("k")).as("k"))
           .filter(col("shared") >=
             greatest(length(col("pk")), length(col("k"))) - 2 - 42)
         cand
