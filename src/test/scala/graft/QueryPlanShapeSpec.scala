@@ -286,5 +286,16 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("BroadcastHashJoin")
       p should not include "CartesianProduct"
     }
+
+    it("dedup_editdist keeps the levenshtein verify above the candidate aggregate") {
+      val p = plan("dedup_editdist")
+      // the count filter exists to GATE the O(n*m) verify: Catalyst
+      // once pushed `levenshtein <= 14` into the gram join as a join
+      // condition, running the DP per joined gram row (145 s at
+      // sf0.1). The distance must only ever appear after the
+      // (probe_id, orig_id) aggregate.
+      val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+      joinLines should not include "levenshtein"
+    }
   }
 }
