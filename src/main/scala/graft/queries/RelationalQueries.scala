@@ -967,6 +967,29 @@ object RelationalQueries {
         |  median(l_extendedprice) AS med
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // C75: skyline / Pareto frontier — "cheapest part at every size
+    // class it beats": minimize retail price, maximize size, exact
+    // dominance semantics (both-dim ties survive). Two-phase
+    // distributed skyline (SkylineOps): per-partition sorted sweeps
+    // shrink the frontier before one single-task final sweep — the
+    // O(n²) dominance join never runs. The oracle is the dominance
+    // definition itself (NOT EXISTS), so the hash proves the sweep
+    // algebra implements it exactly.
+    "q_skyline" -> QueryDef.sql(
+      (s, dir) => graft.operators.SkylineOps.skyline2d(
+          Tables.part(s, dir), "p_partkey", "p_retailprice", "p_size")
+        .select(col("key").as("p_partkey"), col("vmin").as("price"),
+          col("vmax").as("size"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+        |       CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin),
+
     // C73: MERGE INTO semantics — the full three-clause upsert
     // (WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN UPDATE /
     // WHEN NOT MATCHED THEN INSERT) as ONE full-outer join over the
