@@ -1397,6 +1397,54 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // Bitmap-index distinct rollup (C76) — the OLAP exact-distinct
+    // pattern (ClickHouse/Doris bitmap dedup): per (service, day) the
+    // distinct-user set packs into (word = id div 64, bits =
+    // bit_or(1 << id mod 64)) — a map-combinable AGGREGATE, unlike a
+    // distinct count — and month-level distincts then roll up from
+    // the daily BITMAPS with another bit_or + popcount, never
+    // re-touching raw spans. The monthly numbers are verified against
+    // DuckDB's direct COUNT(DISTINCT): the hash match proves the
+    // pack/merge/popcount algebra computes exact distincts.
+    "trace_bitmap_distinct" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select(
+          col("service"), expr(s"start_us div $DayUs").as("day"),
+          col("trace_id").cast("long").as("uid"))
+        val daily = sp
+          .groupBy(col("service"), col("day"), expr("uid div 64").as("word"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(uid % 64 AS INT)))").as("bits"))
+        val dailyCnt = daily
+          .groupBy("service", "day")
+          .agg(sum(bit_count(col("bits")).cast("long")).as("daily_distinct"))
+        val monthly = daily
+          .groupBy("service", "word")
+          .agg(expr("bit_or(bits)").as("mbits"))
+          .groupBy("service")
+          .agg(sum(bit_count(col("mbits")).cast("long")).as("monthly_distinct"))
+        dailyCnt.groupBy("service")
+          .agg(count(lit(1)).as("n_days"), sum("daily_distinct").as("sum_daily"))
+          .join(monthly, "service")
+          .select(col("service"), col("n_days"), col("sum_daily"),
+            col("monthly_distinct"))
+          .orderBy("service")
+      },
+      cte("""
+        |, d AS (SELECT service, start_us // 86400000000 AS day,
+        |          CAST(trace_id AS BIGINT) AS uid
+        |        FROM spans),
+        |daily AS (SELECT service, day, COUNT(DISTINCT uid) AS dd
+        |          FROM d GROUP BY 1, 2),
+        |agg AS (SELECT service, COUNT(*) AS n_days,
+        |          CAST(SUM(dd) AS BIGINT) AS sum_daily
+        |        FROM daily GROUP BY 1),
+        |mon AS (SELECT service, COUNT(DISTINCT uid) AS monthly_distinct
+        |        FROM d GROUP BY 1)
+        |SELECT service, n_days, sum_daily,
+        |       CAST(monthly_distinct AS BIGINT) AS monthly_distinct
+        |FROM agg JOIN mon USING (service)
+        |ORDER BY service""".stripMargin)),
+
     // Aggregated path rollup (C74) — the flamegraph/deep-dependency
     // view: every span keyed by its root→self service PATH
     // (TreeOps.spanPaths — the spanDepths pointer-doubling cursor
