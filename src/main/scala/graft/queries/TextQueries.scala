@@ -2328,25 +2328,28 @@ object TextQueries {
           substring(col("text"), 1, 64).as("k"))
         val probes = mutatedTenth(docs)
           .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 64).as("pk"))
+        // SKINNY gram relations: only (id, g, count) flows through the
+        // hot join — the 64-char keys would otherwise ride every
+        // joined gram row (measured 8.2 → ~2 s at sf0.1); the strings
+        // rejoin BY ID against the candidate set only, and as
+        // aggregate outputs they also pin the later levenshtein
+        // filter above the aggregate (Catalyst once pushed it INTO
+        // the gram join as a join condition — the 64×64 DP per joined
+        // gram row measured 145 s; the count filter exists to gate
+        // the expensive verify)
         val gb = base
-          .select(col("orig_id"), col("k"),
+          .select(col("orig_id"),
             explode(expr("transform(sequence(1, length(k) - 2), i -> substring(k, i, 3))")).as("g"))
-          .groupBy("orig_id", "k", "g").agg(count(lit(1)).as("cb"))
+          .groupBy("orig_id", "g").agg(count(lit(1)).as("cb"))
         val gp = probes
-          .select(col("probe_id"), col("pk"),
+          .select(col("probe_id"),
             explode(expr("transform(sequence(1, length(pk) - 2), i -> substring(pk, i, 3))")).as("g"))
-          .groupBy("probe_id", "pk", "g").agg(count(lit(1)).as("cp"))
-        // group on the two LONG ids and re-emit the keys as AGGREGATE
-        // outputs (first) — if pk/k stay grouping columns, Catalyst
-        // pushes the later `levenshtein <= 14` filter through the
-        // aggregate INTO the gram join as a join condition, running
-        // the 64×64 DP on every joined gram row instead of once per
-        // candidate (measured 145 s vs ~1 s at sf0.1; the whole point
-        // of the count filter is to gate the expensive verify)
+          .groupBy("probe_id", "g").agg(count(lit(1)).as("cp"))
         val cand = gp.join(gb, "g")
           .groupBy("probe_id", "orig_id")
-          .agg(sum(least(col("cp"), col("cb"))).as("shared"),
-            first(col("pk")).as("pk"), first(col("k")).as("k"))
+          .agg(sum(least(col("cp"), col("cb"))).as("shared"))
+          .join(broadcast(probes), "probe_id")
+          .join(broadcast(base), "orig_id")
           .filter(col("shared") >=
             greatest(length(col("pk")), length(col("k"))) - 2 - 42)
         cand

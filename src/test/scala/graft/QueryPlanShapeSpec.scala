@@ -287,15 +287,19 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
-    it("dedup_editdist keeps the levenshtein verify above the candidate aggregate") {
+    it("dedup_editdist keeps the levenshtein verify off the gram join") {
       val p = plan("dedup_editdist")
       // the count filter exists to GATE the O(n*m) verify: Catalyst
-      // once pushed `levenshtein <= 14` into the gram join as a join
+      // once pushed `levenshtein <= 14` into the GRAM join as a join
       // condition, running the DP per joined gram row (145 s at
-      // sf0.1). The distance must only ever appear after the
-      // (probe_id, orig_id) aggregate.
-      val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
-      joinLines should not include "levenshtein"
+      // sf0.1; the string-rejoin broadcast joins sit per-candidate,
+      // where the predicate is harmless). Assert the gram-keyed join
+      // — the only SortMergeJoin/shuffle join keyed on g — never
+      // carries it: any line mentioning both a join on g and
+      // levenshtein is the regression.
+      val gramJoinLines = p.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("[g#")).mkString("\n")
+      gramJoinLines should not include "levenshtein"
     }
   }
 }
