@@ -1557,6 +1557,69 @@ object TextQueries {
          |      FROM documents) t
          |ORDER BY doc_id""".stripMargin),
 
+    // B59: quality-rule ablation — the curation question behind any
+    // multi-rule gate: per rule, how many docs it rejects at all and
+    // how many it UNIQUELY rejects (no other rule fires), i.e. the
+    // marginal data cost of keeping the rule. Shares
+    // corpus_gopher_rules' three rules; one scan, per-doc booleans
+    // row-local, then a 3-row conditional rollup.
+    "corpus_rule_ablation" -> QueryDef.sql(
+      (s, dir) => {
+        val flags = Tables.documents(s, dir)
+          .select(col("doc_id"), tokCount(col("text")).as("n_tokens"),
+            length(trim(col("text"))).cast("long").as("n_chars"),
+            (langPredicted(col("text")) =!= "unk").as("has_stopwords"))
+          .withColumn("cpt_pm", expr("n_chars * 10000 div n_tokens"))
+          .withColumn("f_len", !col("n_tokens").between(20L, 90L))
+          .withColumn("f_wl", !col("cpt_pm").between(48000L, 60000L))
+          .withColumn("f_sw", !col("has_stopwords"))
+        flags.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("f_len"), 1L).otherwise(0L)).as("rej_len"),
+            sum(when(col("f_len") && !col("f_wl") && !col("f_sw"), 1L)
+              .otherwise(0L)).as("uniq_len"),
+            sum(when(col("f_wl"), 1L).otherwise(0L)).as("rej_wl"),
+            sum(when(col("f_wl") && !col("f_len") && !col("f_sw"), 1L)
+              .otherwise(0L)).as("uniq_wl"),
+            sum(when(col("f_sw"), 1L).otherwise(0L)).as("rej_sw"),
+            sum(when(col("f_sw") && !col("f_len") && !col("f_wl"), 1L)
+              .otherwise(0L)).as("uniq_sw"))
+          .select(explode(array(
+            struct(lit("len").as("rule"), col("n_docs"),
+              col("rej_len").as("n_rejected"), col("uniq_len").as("n_unique")),
+            struct(lit("word_len").as("rule"), col("n_docs"),
+              col("rej_wl").as("n_rejected"), col("uniq_wl").as("n_unique")),
+            struct(lit("stopwords").as("rule"), col("n_docs"),
+              col("rej_sw").as("n_rejected"), col("uniq_sw").as("n_unique"))))
+            .as("r"))
+          .select("r.rule", "r.n_docs", "r.n_rejected", "r.n_unique")
+          .orderBy("rule")
+      },
+      s"""WITH f AS (SELECT doc_id,
+         |      NOT (n_tokens BETWEEN 20 AND 90) AS f_len,
+         |      NOT (cpt_pm BETWEEN 48000 AND 60000) AS f_wl,
+         |      NOT has_stopwords AS f_sw
+         |    FROM (SELECT doc_id,
+         |            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |            length(trim(text)) * 10000 // len(regexp_split_to_array(trim(text), '\\s+')) AS cpt_pm,
+         |            ${langPredictedSql("text")} <> 'unk' AS has_stopwords
+         |          FROM documents) t),
+         |a AS (SELECT COUNT(*) AS n_docs,
+         |        CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS rej_len,
+         |        CAST(SUM(CASE WHEN f_len AND NOT f_wl AND NOT f_sw THEN 1 ELSE 0 END) AS BIGINT) AS uniq_len,
+         |        CAST(SUM(CASE WHEN f_wl THEN 1 ELSE 0 END) AS BIGINT) AS rej_wl,
+         |        CAST(SUM(CASE WHEN f_wl AND NOT f_len AND NOT f_sw THEN 1 ELSE 0 END) AS BIGINT) AS uniq_wl,
+         |        CAST(SUM(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS rej_sw,
+         |        CAST(SUM(CASE WHEN f_sw AND NOT f_len AND NOT f_wl THEN 1 ELSE 0 END) AS BIGINT) AS uniq_sw
+         |      FROM f)
+         |SELECT rule, n_docs, n_rejected, n_unique FROM (
+         |  SELECT 'len' AS rule, n_docs, rej_len AS n_rejected, uniq_len AS n_unique FROM a
+         |  UNION ALL
+         |  SELECT 'word_len', n_docs, rej_wl, uniq_wl FROM a
+         |  UNION ALL
+         |  SELECT 'stopwords', n_docs, rej_sw, uniq_sw FROM a) u
+         |ORDER BY rule""".stripMargin),
+
     // B36: per-source quality prior blend — RefinedWeb-style curation
     // where a document's keep score mixes its own quality with its
     // source's reputation (mean quality of the source), catching good

@@ -1397,6 +1397,62 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // OLS volume forecast (C77) — "is traffic growing, and what does
+    // tomorrow look like": per-service least-squares line over daily
+    // span counts, ENTIRELY in exact integer fractions (slope =
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²); the next-day forecast's numerator
+    // folds the intercept in: ŷ·(n·den) = Σy·den + num·(n·x₊ − Σx)).
+    // Doubles appear only as single divisions of exact longs at the
+    // output edge. x is day-since-corpus-epoch (0..30), so every sum
+    // is small; the corpus collapses to |services|·31 rows in ONE
+    // map-combined aggregate.
+    "trace_volume_forecast" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = spans(s, dir)
+          .groupBy(col("service"),
+            (expr(s"start_us div $DayUs") - lit(T0 / DayUs)).as("x"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy("service")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            max("x").as("mx"))
+          .select(col("service"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+            (col("sy") * (col("n") * col("sxx") - col("sx") * col("sx")) +
+              (col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * (col("mx") + 1) - col("sx"))).as("fc_num"),
+            (col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .as("fc_den"))
+          .withColumn("slope",
+            col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .withColumn("forecast_next",
+            col("fc_num").cast("double") / col("fc_den").cast("double"))
+          .orderBy("service")
+      },
+      cte(s"""
+        |, d AS (SELECT service, start_us // $DayUs - ${T0 / DayUs} AS x,
+        |          COUNT(*) AS y
+        |        FROM spans GROUP BY 1, 2),
+        |a AS (SELECT service, COUNT(*) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(MAX(x) AS BIGINT) AS mx
+        |      FROM d GROUP BY 1)
+        |SELECT service, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  sy * (n * sxx - sx * sx) + (n * sxy - sx * sy) * (n * (mx + 1) - sx)
+        |    AS fc_num,
+        |  n * (n * sxx - sx * sx) AS fc_den,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    AS slope,
+        |  CAST(sy * (n * sxx - sx * sx) + (n * sxy - sx * sy) * (n * (mx + 1) - sx)
+        |       AS DOUBLE) / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS forecast_next
+        |FROM a ORDER BY service""".stripMargin)),
+
     // Bitmap-index distinct rollup (C76) — the OLAP exact-distinct
     // pattern (ClickHouse/Doris bitmap dedup): per (service, day) the
     // distinct-user set packs into (word = id div 64, bits =
