@@ -121,6 +121,39 @@ object VectorQueries {
         |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin),
 
+    // B60: int8 quantization error audit — the reconstruction-error
+    // companion to ann_topk_quantized's memory path: per vector, the
+    // worst per-element deviation from the integer grid in per-mille
+    // of the quantization STEP (|v_i/s − q_i| ≤ 0.5 by construction —
+    // the audit proves the bound holds and shows the distribution's
+    // edge), plus the step itself. The per-mille figure is floored to
+    // an INTEGER from deterministic IEEE doubles (s = mx/127, one
+    // division per element — both engines bit-identical), so the
+    // output is hash-robust with no ROUND-on-double hazards. Top-20
+    // by (worst error, vec_id); all row-local scan work + TakeOrdered.
+    "embed_quant_error" -> QueryDef.sql(
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("s", col("mx") / 127.0)
+        .withColumn("max_err_pm", expr(
+          """CAST(FLOOR(array_max(transform(v,
+            |  x -> abs(x / s - CAST(FLOOR(x / s + 0.5) AS BIGINT)))) * 1000) AS BIGINT)""".stripMargin))
+        .select(col("vec_id"), col("s").as("step"), col("max_err_pm"))
+        .orderBy(col("max_err_pm").desc, col("vec_id")).limit(20),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+        |      FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |z AS (SELECT vec_id, mx / 127.0 AS step,
+        |        CAST(FLOOR(list_max(list_transform(v,
+        |          x -> abs(x / (mx / 127.0) - CAST(FLOOR(x / (mx / 127.0) + 0.5) AS BIGINT))))
+        |          * 1000) AS BIGINT) AS max_err_pm
+        |      FROM m)
+        |SELECT vec_id, step, max_err_pm FROM z
+        |ORDER BY max_err_pm DESC, vec_id LIMIT 20""".stripMargin),
+
     // B7: LSH-bucketed ANN — scale path; recall checked in
     // VectorOpsSpec. Full DuckDB oracle: the hyperplane weights are
     // driver-side literals, embedded into the SQL as the SAME
