@@ -1557,6 +1557,56 @@ object TextQueries {
          |      FROM documents) t
          |ORDER BY doc_id""".stripMargin),
 
+    // B61: RAKE keyword extraction — candidate phrases are maximal
+    // stopword-free runs (split at the en stopword lexicon), scored
+    // by the classic degree/frequency ratio summed over the phrase's
+    // words — here as EXACT scaled integers (Σ deg·1e6 div freq, the
+    // same floor division on both engines) so the top-20 cut is
+    // deterministic. Word stats aggregate per occurrence corpus-wide
+    // (one map-combined shuffle); phrase scoring then runs on the
+    // DISTINCT phrase set joined against the word-stat table.
+    "text_rake_keywords" -> QueryDef.sql(
+      (s, dir) => {
+        val phr = Tables.documents(s, dir)
+          .select(explode(split(col("text"), "\\b(?:the|and|of|to|a|in)\\b")).as("rawp"))
+          .select(trim(col("rawp")).as("p"))
+          .filter(length(col("p")) > 0)
+        val pw = phr.select(col("p"),
+          explode(split(col("p"), "\\s+")).as("w"),
+          size(split(col("p"), "\\s+")).cast("long").as("plen"))
+        val ws = pw.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        val dp = phr.groupBy("p").agg(count(lit(1)).as("occurrences"))
+        dp.select(col("p"), col("occurrences"),
+            explode(split(col("p"), "\\s+")).as("w"))
+          .join(ws, "w")
+          .groupBy("p", "occurrences")
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("deg * 1000000 div freq")).as("score_ppm"))
+          .select(col("p").as("phrase"), col("occurrences"), col("n_words"),
+            col("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("phrase")).limit(20)
+      },
+      """WITH phr AS (
+        |  SELECT trim(x) AS p
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\b(?:the|and|of|to|a|in)\b')) AS x
+        |        FROM documents) t
+        |  WHERE length(trim(x)) > 0),
+        |pw AS (SELECT p, unnest(regexp_split_to_array(p, '\s+')) AS w,
+        |         CAST(len(regexp_split_to_array(p, '\s+')) AS BIGINT) AS plen
+        |       FROM phr),
+        |ws AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+        |       FROM pw GROUP BY 1),
+        |dp AS (SELECT p, COUNT(*) AS occurrences FROM phr GROUP BY 1),
+        |dw AS (SELECT p, occurrences, unnest(regexp_split_to_array(p, '\s+')) AS w
+        |       FROM dp)
+        |SELECT p AS phrase, CAST(occurrences AS BIGINT) AS occurrences,
+        |       COUNT(*) AS n_words,
+        |       CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+        |FROM dw JOIN ws USING (w)
+        |GROUP BY p, occurrences
+        |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin),
+
     // B59: quality-rule ablation — the curation question behind any
     // multi-rule gate: per rule, how many docs it rejects at all and
     // how many it UNIQUELY rejects (no other rule fires), i.e. the
