@@ -1397,6 +1397,64 @@ object TraceQueries {
         |             ELSE est_raw END AS DECIMAL(20, 6)) AS DOUBLE) AS estimate
         |      FROM es) q""".stripMargin)),
 
+    // Parallel Viterbi burst detection (C78) — Kleinberg-style
+    // two-state (baseline/burst) segmentation of hourly volume, with
+    // the "inherently sequential" DP run as a TROPICAL-SEMIRING SCAN
+    // (operators/TropicalScan): each hour is a 2×2 min-plus matrix
+    // and the product is associative, so a month folds in ceil(log2
+    // H) pairwise-merge rounds instead of H chained steps — the
+    // trace_depth doubling idea applied to dynamic programming.
+    // Emissions |n − mean| / |n − 2·mean| and the switch penalty
+    // mean/4 are exact integers; the oracle re-runs the DP
+    // SEQUENTIALLY in a recursive CTE, so the hash match proves the
+    // scan computes the same optimum.
+    "trace_burst_viterbi" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val ref = hourly.groupBy(col("service").as("r_service"))
+          .agg(sum("n").as("sn"), count(lit(1)).as("cnt"))
+          .select(col("r_service"), expr("sn div cnt").as("mean_n"))
+        val w = Window.partitionBy("service").orderBy("hr")
+        val costed = hourly.join(ref, col("service") === col("r_service"))
+          .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+          .select(col("service"), col("idx"),
+            abs(col("n") - col("mean_n")).as("e0"),
+            abs(col("n") - lit(2L) * col("mean_n")).as("e1"),
+            expr("mean_n div 4").as("t"))
+        graft.operators.TropicalScan.viterbi2(
+            costed, "service", "idx", "e0", "e1", col("t"))
+          .select(col("key").as("service"), col("m00").as("best_end0"),
+            col("m01").as("best_end1"),
+            least(col("m00"), col("m01")).as("best_cost"))
+          .orderBy("service")
+      },
+      cte("""
+        |, h AS (SELECT service, start_us // 3600000000 AS hr, COUNT(*) AS n
+        |        FROM spans GROUP BY 1, 2),
+        |r AS (SELECT service AS r_service, SUM(n) // COUNT(*) AS mean_n
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT service,
+        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY hr) - 1 AS idx,
+        |        ABS(n - mean_n) AS e0, ABS(n - 2 * mean_n) AS e1,
+        |        mean_n // 4 AS t
+        |      FROM h JOIN r ON service = r_service),
+        |mx AS (SELECT service AS m_service, MAX(idx) AS mi FROM c GROUP BY 1),
+        |v AS (
+        |  SELECT service, idx, e0 AS v0, e1 AS v1 FROM c WHERE idx = 0
+        |  UNION ALL
+        |  SELECT c.service, c.idx,
+        |         c.e0 + LEAST(v.v0, v.v1 + c.t),
+        |         c.e1 + LEAST(v.v1, v.v0 + c.t)
+        |  FROM c JOIN v ON c.service = v.service AND c.idx = v.idx + 1)
+        |SELECT service, CAST(v0 AS BIGINT) AS best_end0,
+        |       CAST(v1 AS BIGINT) AS best_end1,
+        |       CAST(LEAST(v0, v1) AS BIGINT) AS best_cost
+        |FROM v JOIN mx ON service = m_service AND idx = mi
+        |ORDER BY service""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // OLS volume forecast (C77) — "is traffic growing, and what does
     // tomorrow look like": per-service least-squares line over daily
     // span counts, ENTIRELY in exact integer fractions (slope =
