@@ -477,35 +477,9 @@ object TraceQueries {
         |FROM grid g LEFT JOIN c ON g.service = c.service AND g.bucket = c.bucket
         |ORDER BY g.service, g.bucket""".stripMargin)),
 
-    // C38: staged event funnel — traces that did view → click →
-    // purchase in time order, each stage's first hit at-or-after the
-    // previous stage's first hit. Three keyed joins on trace_id with
-    // partial min aggregation — the standard distributed funnel; no
-    // per-trace collection, no window over the whole table.
-    "trace_funnel" -> QueryDef.sql(
-      (s, dir) => {
-        val sp = spans(s, dir)
-        val s1 = sp.filter(col("service") === "view")
-          .groupBy("trace_id").agg(min("start_us").as("t1"))
-        val s2 = sp.filter(col("service") === "click")
-          .join(s1, "trace_id").filter(col("start_us") >= col("t1"))
-          .groupBy("trace_id").agg(min("start_us").as("t2"))
-        val s3 = sp.filter(col("service") === "purchase")
-          .join(s2, "trace_id").filter(col("start_us") >= col("t2"))
-          .groupBy("trace_id").agg(min("start_us").as("t3"))
-        s1.agg(count(lit(1)).as("viewed"))
-          .crossJoin(s2.agg(count(lit(1)).as("clicked")))
-          .crossJoin(s3.agg(count(lit(1)).as("purchased")))
-      },
-      cte("""
-        |, s1 AS (SELECT trace_id, min(start_us) AS t1 FROM spans WHERE service = 'view' GROUP BY 1),
-        |s2 AS (SELECT s.trace_id, min(s.start_us) AS t2 FROM spans s JOIN s1 ON s.trace_id = s1.trace_id
-        |       WHERE s.service = 'click' AND s.start_us >= s1.t1 GROUP BY 1),
-        |s3 AS (SELECT s.trace_id, min(s.start_us) AS t3 FROM spans s JOIN s2 ON s.trace_id = s2.trace_id
-        |       WHERE s.service = 'purchase' AND s.start_us >= s2.t2 GROUP BY 1)
-        |SELECT (SELECT COUNT(*) FROM s1) AS viewed,
-        |       (SELECT COUNT(*) FROM s2) AS clicked,
-        |       (SELECT COUNT(*) FROM s3) AS purchased""".stripMargin)),
+    // C38 staged funnel: superseded by the strict-sequential C66
+    // definition below (same key; the map kept only the later entry,
+    // so the old body is removed rather than shadowed).
 
     // Custom whole-operator tier (SURVEY §2 preference (c)): native
     // AS-OF join (graft.plans.AsOfJoinExec — co-partitioned merge scan)
@@ -1782,45 +1756,9 @@ object TraceQueries {
         |         CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n) t
         |ORDER BY step""".stripMargin)),
 
-    // Cohort retention (C67) — users grouped by first-seen day, then
-    // "how many were active again d days later": the (user, day)
-    // DISTINCT relation is the only corpus-sized shuffle; cohorts,
-    // ages, and counts all derive from it (count(*) per (cohort, age)
-    // IS the distinct-user count because the input is already
-    // per-user-day unique). Retention divides exact longs by the
-    // cohort's age-0 size in fixed operand order.
-    "trace_cohort_retention" -> QueryDef.sql(
-      (s, dir) => {
-        val ud = spans(s, dir)
-          .select(col("trace_id"), expr(s"start_us div $DayUs").as("day"))
-          .distinct()
-        val coh = ud.groupBy("trace_id").agg(min("day").as("cohort_day"))
-        val ret = ud.join(coh, "trace_id")
-          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
-          .agg(count(lit(1)).as("n_users"))
-        val base = ret.filter(col("age_days") === 0L)
-          .select(col("cohort_day").as("b_day"), col("n_users").as("cohort_size"))
-        ret.join(base, col("cohort_day") === col("b_day"))
-          .select(col("cohort_day"), col("age_days"), col("n_users"),
-            col("cohort_size"),
-            (col("n_users").cast("double") / col("cohort_size").cast("double"))
-              .as("retention"))
-          .orderBy("cohort_day", "age_days")
-      },
-      cte("""
-        |, ud AS (SELECT DISTINCT trace_id, start_us // 86400000000 AS day FROM spans),
-        |coh AS (SELECT trace_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
-        |ret AS (SELECT c.cohort_day, u.day - c.cohort_day AS age_days,
-        |               COUNT(*) AS n_users
-        |        FROM ud u JOIN coh c ON u.trace_id = c.trace_id
-        |        GROUP BY 1, 2),
-        |base AS (SELECT cohort_day AS b_day, n_users AS cohort_size
-        |         FROM ret WHERE age_days = 0)
-        |SELECT cohort_day, age_days, CAST(n_users AS BIGINT) AS n_users,
-        |       CAST(cohort_size AS BIGINT) AS cohort_size,
-        |       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
-        |FROM ret JOIN base ON cohort_day = b_day
-        |ORDER BY cohort_day, age_days""".stripMargin)),
+    // Cohort retention (C67): superseded by the week-grained
+    // definition below (same key; the map kept only the later entry,
+    // so the old day-grained body is removed rather than shadowed).
 
     // Mann-Kendall monotonic-trend statistic per service (C65) — "is
     // this service getting slower over the month": S = Σ_{i<j}
