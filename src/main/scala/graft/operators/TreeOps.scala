@@ -138,4 +138,101 @@ object TreeOps {
       .join(paths, "span_id")
       .select(col("trace_id"), col("span_id"), col("path"))
   }
+
+  /** Path rollup that never shuffles a path string for the bulk corpus.
+    *
+    * [[spanPaths]] carries each span's accumulated service-segment
+    * ARRAY through every doubling round; at sf100 (100 M spans,
+    * 99-deep chains) those variable-width rows blew the machine's
+    * 250 GB of checkpoint+spill disk (measured, end of round 8). The
+    * scale shape is the classic fingerprint-then-reconstruct split:
+    *
+    *   1. the doubling cursor carries a FIXED-WIDTH path fingerprint —
+    *      a polynomial rolling hash h(seq) = Σ h(seg_i)·B^i over the
+    *      self→root segment sequence, which composes under cursor
+    *      jumps exactly like concatenation: (h,b) ⊕ (h',b') =
+    *      (h + b·h' mod p, b·b' mod p). Two independent 31-bit prime
+    *      moduli keep every product inside ANSI-safe long range and
+    *      push the collision bound to ~k²/2^61 for k distinct paths;
+    *   2. per-fingerprint aggregates (count, Σduration, min
+    *      (trace_id, span_id) representative) collapse the corpus;
+    *   3. path STRINGS are reconstructed by running [[spanPaths]] only
+    *      on the representatives' traces — |distinct paths| traces, a
+    *      constant-size relation independent of corpus scale.
+    *
+    * Output: (path, n_spans, total_dur_us), one row per distinct
+    * root→self service path. Input must carry trace_id, span_id,
+    * parent_span_id, service, duration_us.
+    */
+  def pathRollup(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val (p1, p2) = (2147483647L, 2147483629L) // 31-bit primes: b·h < 2^62
+    val (bb1, bb2) = (1000003L, 998244353L)
+    // Cursor: (span_id, anc, h1, b1, h2, b2) + the fixed-width payload
+    // the rollup needs (trace_id, duration) so no corpus-wide rejoin.
+    val init = spans.select(
+      col("trace_id"), col("span_id"), col("duration_us"),
+      col("parent_span_id").as("anc"),
+      pmod(xxhash64(col("service")), lit(p1)).as("h1"), lit(bb1).as("b1"),
+      pmod(xxhash64(lit("graft-fp2"), col("service")), lit(p2)).as("h2"),
+      lit(bb2).as("b2"))
+      .localCheckpoint()
+    var frontier = init.filter(col("anc").isNotNull).localCheckpoint()
+    var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
+    init.unpersist()
+
+    var rounds = 0
+    var active = !frontier.isEmpty
+    while (active && rounds < maxRounds) {
+      val hop = (frontier :: doneFrames).map(_.select(
+        col("span_id").as("h_id"), col("anc").as("h_anc"),
+        col("h1").as("y1"), col("b1").as("c1"),
+        col("h2").as("y2"), col("b2").as("c2")))
+        .reduce(_ unionAll _)
+      // Jump: extend this span's self→root sequence by the ancestor's.
+      // A dangling anc misses the join and anchors the path (same rule
+      // as spanDepths/spanPaths).
+      val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
+        .select(
+          col("trace_id"), col("span_id"), col("duration_us"),
+          col("h_anc").as("anc"),
+          when(col("y1").isNull, col("h1"))
+            .otherwise(pmod(col("h1") + col("b1") * col("y1"), lit(p1))).as("h1"),
+          when(col("y1").isNull, col("b1"))
+            .otherwise(pmod(col("b1") * col("c1"), lit(p1))).as("b1"),
+          when(col("y2").isNull, col("h2"))
+            .otherwise(pmod(col("h2") + col("b2") * col("y2"), lit(p2))).as("h2"),
+          when(col("y2").isNull, col("b2"))
+            .otherwise(pmod(col("b2") * col("c2"), lit(p2))).as("b2"))
+        .localCheckpoint()
+      frontier.unpersist()
+      doneFrames = next.filter(col("anc").isNull) :: doneFrames
+      frontier = next.filter(col("anc").isNotNull)
+      rounds += 1
+      active = !frontier.isEmpty
+    }
+    require(!active, s"pathRollup did not converge in $maxRounds doubling rounds " +
+      s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
+
+    // Corpus collapses on the combined 62-bit fingerprint; one
+    // representative span per path seeds the string reconstruction.
+    val ph = (col("h1") * p2 + col("h2")).as("ph")
+    val roll = doneFrames
+      .map(_.select(ph, col("trace_id"), col("span_id"), col("duration_us")))
+      .reduce(_ unionAll _)
+      .groupBy("ph")
+      .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"),
+        min(struct(col("trace_id"), col("span_id"))).as("rep"))
+      .localCheckpoint()
+
+    // Reconstruct strings on the representatives' traces only —
+    // |distinct paths| traces regardless of corpus size.
+    val repTraces = roll.select(col("rep.trace_id").as("trace_id")).distinct()
+    val pruned = spans
+      .select("trace_id", "span_id", "parent_span_id", "service")
+      .join(broadcast(repTraces), Seq("trace_id"), "left_semi")
+    val repPaths = spanPaths(pruned, maxRounds)
+      .select(col("span_id").as("rep_span"), col("path"))
+    roll.join(repPaths, roll("rep.span_id") === col("rep_span"))
+      .select(col("path"), col("n_spans"), col("total_dur_us"))
+  }
 }

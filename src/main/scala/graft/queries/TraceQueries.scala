@@ -1534,23 +1534,24 @@ object TraceQueries {
         |ORDER BY service""".stripMargin)),
 
     // Aggregated path rollup (C74) — the flamegraph/deep-dependency
-    // view: every span keyed by its root→self service PATH
-    // (TreeOps.spanPaths — the spanDepths pointer-doubling cursor
-    // additionally accumulating service segments, so a depth-D chain
-    // assembles its path in ceil(log2 D) rounds, never D), rolled up
-    // to (path, n_spans, total_dur_us). The oracle walks the same
-    // paths with a genuine recursive CTE, so the hash match proves
-    // the doubling concatenation lands every span on its true path.
-    // No trailing sort: path keys are corpus-bulk (the trace_depth
-    // rule); the gate sorts before hashing.
+    // view: every span keyed by its root→self service PATH, rolled up
+    // to (path, n_spans, total_dur_us). TreeOps.pathRollup: the
+    // doubling cursor carries a FIXED-WIDTH dual-prime polynomial
+    // fingerprint of the path (composes under jumps like
+    // concatenation), the corpus collapses per fingerprint, and path
+    // STRINGS are reconstructed only for one representative trace per
+    // distinct path — the spanPaths string-accumulating form blew
+    // 250 GB of spill disk at sf100 (measured; BASELINE.md). The
+    // oracle walks paths with a genuine recursive CTE, so the hash
+    // match proves fingerprint composition lands every span on its
+    // true path. No trailing sort: path keys are corpus-bulk (the
+    // trace_depth rule); the gate sorts before hashing.
     "trace_path_rollup" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir)
-        graft.operators.TreeOps.spanPaths(
-            sp.select("trace_id", "span_id", "parent_span_id", "service"))
-          .join(sp.select(col("span_id"), col("duration_us")), "span_id")
-          .groupBy("path")
-          .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"))
+        graft.operators.TreeOps.pathRollup(
+          sp.select("trace_id", "span_id", "parent_span_id", "service",
+            "duration_us"))
       },
       cte("""
         |, p AS (

@@ -126,4 +126,47 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out shouldBe Map(5L -> "orphan", 6L -> "orphan/child")
     }
   }
+
+  describe("pathRollup") {
+    it("matches the spanPaths-based rollup on a seeded random forest") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(7)
+      val services = Array("api", "auth", "db", "cache", "web")
+      val rows = (0L until 400L).map { i =>
+        val parent = if (i == 0 || rng.nextDouble() < 0.15) None
+                     else Some(rng.nextLong(i))
+        (s"t${i % 20}", i, parent, services(rng.nextInt(services.length)),
+          rng.nextLong(1000000L))
+      }
+      val df = rows.toDF(
+        "trace_id", "span_id", "parent_span_id", "service", "duration_us")
+      val expected = TreeOps
+        .spanPaths(df.select("trace_id", "span_id", "parent_span_id", "service"))
+        .join(df.select("span_id", "duration_us"), "span_id")
+        .groupBy("path")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("duration_us").as("d"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val got = TreeOps.pathRollup(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      got shouldBe expected
+    }
+
+    it("keeps deep-chain paths exact across fingerprint composition") {
+      val s = spark
+      import s.implicits._
+      val rows = (0L until 37L).map(i =>
+        ("t", i, if (i == 0) None else Some(i - 1), s"s$i", 10L))
+      val df = rows.toDF(
+        "trace_id", "span_id", "parent_span_id", "service", "duration_us")
+      val got = TreeOps.pathRollup(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // every depth is its own distinct path of exactly one span
+      got should have size 37
+      got should contain (((0 until 37).map("s" + _).mkString("/"), 1L, 10L))
+      got should contain (("s0", 1L, 10L))
+    }
+  }
 }
