@@ -1220,6 +1220,106 @@ object RelationalQueries {
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         |FROM kept
-        |ORDER BY o_custkey, effective_from, o_orderstatus""".stripMargin)
+        |ORDER BY o_custkey, effective_from, o_orderstatus""".stripMargin),
+
+    // C87: MODE() / most-frequent-value aggregate — per order status,
+    // the most common priority with a deterministic tie-break
+    // (highest count, then smallest value). Engine-native MODE() has
+    // an unspecified tie rule, so the surface spells the definition:
+    // counts -> per-group max count -> min value among the tied. All
+    // three steps are map-combined aggregates over the ≤ |status|x
+    // |priority| cell relation; the corpus is touched once.
+    "q_mode" -> QueryDef.sql(
+      (s, dir) => {
+        val g = Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val m = g.groupBy(col("o_orderstatus").as("m_status"))
+          .agg(max("n").as("max_n"), count(lit(1)).as("n_distinct"))
+        g.join(m, col("o_orderstatus") === col("m_status") && col("n") === col("max_n"))
+          .groupBy("o_orderstatus")
+          .agg(min("o_orderpriority").as("mode_priority"),
+            max("max_n").as("mode_count"), max("n_distinct").as("n_distinct"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus AS m_status, MAX(n) AS max_n,
+        |             COUNT(*) AS n_distinct
+        |      FROM g GROUP BY 1)
+        |SELECT o_orderstatus, MIN(o_orderpriority) AS mode_priority,
+        |       CAST(MAX(max_n) AS BIGINT) AS mode_count,
+        |       MAX(n_distinct) AS n_distinct
+        |FROM g JOIN m ON o_orderstatus = m_status AND n = max_n
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // C88: chi-square independence test — the A/B-test / feature-vs-
+    // outcome dependence check over the (status x priority)
+    // contingency table. Per cell: observed O, marginals R (row), C
+    // (column), grand total N, and the contribution
+    // (O - E)^2 / E rewritten over exact integers as
+    // (O*N - R*C)^2 / (R*C*N) — the squared numerator widens to
+    // DECIMAL(38,0) because (O*N)^2 overflows a long past ~3e9 rows;
+    // the division is ONE fixed-order double expression per cell (no
+    // cross-row double accumulation anywhere — the chi2 total is a
+    // decimal sum of 6-dp-rounded cell terms, the dot-product
+    // tolerance idiom). Scale: one map-combined count pass; everything
+    // after runs on the ≤ |status|*|priority| cell relation.
+    "q_chisquare" -> QueryDef.sql(
+      (s, dir) => {
+        val g = Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("o"))
+        val r = g.groupBy(col("o_orderstatus").as("r_status"))
+          .agg(sum("o").as("r_tot"))
+        val c = g.groupBy(col("o_orderpriority").as("c_prio"))
+          .agg(sum("o").as("c_tot"))
+        val n = g.agg(sum("o").as("n_tot"))
+        val cells = g
+          .join(r, col("o_orderstatus") === col("r_status"))
+          .join(c, col("o_orderpriority") === col("c_prio"))
+          .crossJoin(broadcast(n))
+          .withColumn("d", col("o") * col("n_tot") - col("r_tot") * col("c_tot"))
+          .withColumn("contrib",
+            (col("d").cast(DecimalType(38, 0)) * col("d").cast(DecimalType(38, 0)))
+              .cast("double") /
+              (col("r_tot").cast("double") * col("c_tot").cast("double") *
+                col("n_tot").cast("double")))
+        val chi2 = cells
+          .agg(sum(round(col("contrib"), 6).cast(DecimalType(28, 6))).as("chi2d"),
+            count(lit(1)).as("n_cells"))
+          .select(col("chi2d").cast("double").as("chi2_total"), col("n_cells"))
+        cells.select(col("o_orderstatus"), col("o_orderpriority"), col("o"),
+            col("r_tot"), col("c_tot"), col("n_tot"),
+            round(col("contrib"), 6).as("contrib"))
+          .crossJoin(broadcast(chi2))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus AS r_status, CAST(SUM(o) AS BIGINT) AS r_tot
+        |      FROM g GROUP BY 1),
+        |c AS (SELECT o_orderpriority AS c_prio, CAST(SUM(o) AS BIGINT) AS c_tot
+        |      FROM g GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM g),
+        |cells AS (
+        |  SELECT o_orderstatus, o_orderpriority, o, r_tot, c_tot, n_tot,
+        |         CAST(CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0))
+        |              * CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0)) AS DOUBLE)
+        |         / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+        |            * CAST(n_tot AS DOUBLE)) AS contrib
+        |  FROM g JOIN r ON o_orderstatus = r_status
+        |         JOIN c ON o_orderpriority = c_prio
+        |         CROSS JOIN n),
+        |t AS (SELECT CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |               AS chi2_total,
+        |             COUNT(*) AS n_cells
+        |      FROM cells)
+        |SELECT o_orderstatus, o_orderpriority, o, r_tot, c_tot, n_tot,
+        |       ROUND(contrib, 6) AS contrib, chi2_total, n_cells
+        |FROM cells CROSS JOIN t
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
   )
 }

@@ -2481,6 +2481,132 @@ object TraceQueries {
         |  start_us - MIN(start_us) OVER (PARTITION BY trace_id) AS offset_us,
         |  duration_us
         |FROM spans WHERE trace_id IN ('0', '1', '2')
-        |ORDER BY trace_id, pos""".stripMargin))
+        |ORDER BY trace_id, pos""".stripMargin)),
+
+    // C79: N+1 call antipattern — the classic APM smell: one trace
+    // issuing the SAME (service, operation) call many times where a
+    // batch call would do (reference ecosystem surfaces this in the
+    // haystack UI's trace analysis). A trace is flagged for a call
+    // signature when it repeats >= 6 times; the report rolls up per
+    // signature: how many traces exhibit it, the worst repeat count,
+    // and the total excess calls (n - 1 per flagged trace) a batching
+    // fix would remove. Scale: ONE map-combined groupBy on
+    // (trace_id, service, operation) — the span-buffer shuffle the
+    // assembler already pays — then a ≤ #signatures rollup.
+    "trace_nplus1" -> QueryDef.sql(
+      (s, dir) => {
+        spans(s, dir)
+          .groupBy("trace_id", "service", "operation")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 6L)
+          .groupBy("service", "operation")
+          .agg(count(lit(1)).as("n_traces_flagged"),
+            max("n").as("max_repeats"),
+            sum(col("n") - 1L).as("excess_calls"))
+          .orderBy("service", "operation")
+      },
+      cte("""
+        |, g AS (SELECT trace_id, service, operation, COUNT(*) AS n
+        |        FROM spans GROUP BY 1, 2, 3)
+        |SELECT service, operation, COUNT(*) AS n_traces_flagged,
+        |       CAST(MAX(n) AS BIGINT) AS max_repeats,
+        |       CAST(SUM(n - 1) AS BIGINT) AS excess_calls
+        |FROM g WHERE n >= 6
+        |GROUP BY service, operation
+        |ORDER BY service, operation""".stripMargin)),
+
+    // C80: dependency-cycle detection — mutual reachability over the
+    // service graph (a calls-into b AND b calls-into a, possibly
+    // transitively): the architecture-health question a dependency
+    // view exists to answer, since call cycles break incident blast
+    // radius reasoning and deploy ordering. Built on
+    // GraphOps.reachability's BFS-frontier closure (log-ish rounds,
+    // per-round lineage truncation); the cycle join runs on the
+    // ≤ #services² closure, never on spans. Oracle: one recursive CTE
+    // closure joined to itself swapped.
+    "trace_cycle_detect" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
+        val child = sp.filter(col("parent_span_id").isNotNull)
+          .select(col("parent_span_id").as("pid"), col("service").as("callee"))
+        val parent = sp.select(col("span_id").as("sid"), col("service").as("caller"))
+        val edges = child.join(parent, col("pid") === col("sid"))
+          .filter(col("caller") =!= col("callee"))
+          .select(col("caller").as("src"), col("callee").as("dst"))
+        val closure = graft.operators.GraphOps.reachability(edges, "src", "dst")
+        val back = closure.select(col("src").as("bsrc"), col("dst").as("bdst"),
+          col("hops").as("back_hops"))
+        closure.join(back, col("src") === col("bdst") && col("dst") === col("bsrc"))
+          .filter(col("src") < col("dst"))
+          .select(col("src").as("service_a"), col("dst").as("service_b"),
+            col("hops").as("hops_ab"), col("back_hops").as("hops_ba"))
+          .orderBy("service_a", "service_b")
+      },
+      cte("""
+        |, e AS (SELECT DISTINCT p.service AS src, c.service AS dst
+        |        FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+        |        WHERE p.service <> c.service),
+        |cl AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT src, dst, 1 AS hops FROM e
+        |    UNION
+        |    SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.dst = e.src
+        |    WHERE r.hops < 8)
+        |  SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops FROM r GROUP BY 1, 2)
+        |SELECT a.src AS service_a, a.dst AS service_b,
+        |       a.hops AS hops_ab, b.hops AS hops_ba
+        |FROM cl a JOIN cl b ON a.src = b.dst AND a.dst = b.src
+        |WHERE a.src < a.dst
+        |ORDER BY service_a, service_b""".stripMargin)),
+
+    // C81: EWMA-smoothed latency trend — the standard dashboard
+    // smoothing statistic, made exactly reproducible: a 6-lag
+    // truncated exponential moving average (alpha = 1/4) over hourly
+    // FLOOR-mean latencies per service. The geometric weights are the
+    // exact integers 3^i * 4^(5-i) in [1024..243]; numerator and
+    // denominator stay in long arithmetic over available lags (early
+    // hours renormalize over the lags that exist), and the single
+    // output division of two exact longs is bit-identical on both
+    // engines. Scale: the corpus collapses to the <= 744*|services|
+    // hourly relation in ONE map-combined aggregate; the lag chain is
+    // a per-service window over that tiny relation.
+    "trace_latency_ewma" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("hr"))
+          .agg(expr("sum(duration_us) div count(1)").as("mean_us"))
+        val w = Window.partitionBy("service").orderBy("hr")
+        val weights = Seq(1024L, 768L, 576L, 432L, 324L, 243L)
+        val lagged = (1 to 5).foldLeft(hourly.withColumn("m0", col("mean_us"))) {
+          case (df, i) => df.withColumn(s"m$i", lag("mean_us", i).over(w))
+        }
+        val num = weights.zipWithIndex.map { case (wt, i) =>
+          coalesce(col(s"m$i") * wt, lit(0L)) }.reduce(_ + _)
+        val den = weights.zipWithIndex.map { case (wt, i) =>
+          when(col(s"m$i").isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+        lagged
+          .withColumn("ewma_us", num.cast("double") / den.cast("double"))
+          .select("service", "hr", "mean_us", "ewma_us")
+          .orderBy("service", "hr")
+      },
+      cte("""
+        |, h AS (SELECT service, start_us // 3600000000 AS hr,
+        |          SUM(duration_us) // COUNT(*) AS mean_us
+        |        FROM spans GROUP BY 1, 2),
+        |l AS (SELECT service, hr, mean_us,
+        |        lag(mean_us, 1) OVER w AS m1, lag(mean_us, 2) OVER w AS m2,
+        |        lag(mean_us, 3) OVER w AS m3, lag(mean_us, 4) OVER w AS m4,
+        |        lag(mean_us, 5) OVER w AS m5
+        |      FROM h WINDOW w AS (PARTITION BY service ORDER BY hr))
+        |SELECT service, hr, mean_us,
+        |  CAST(mean_us * 1024 + COALESCE(m1 * 768, 0) + COALESCE(m2 * 576, 0)
+        |     + COALESCE(m3 * 432, 0) + COALESCE(m4 * 324, 0) + COALESCE(m5 * 243, 0)
+        |     AS DOUBLE)
+        |  / CAST(1024 + CASE WHEN m1 IS NULL THEN 0 ELSE 768 END
+        |       + CASE WHEN m2 IS NULL THEN 0 ELSE 576 END
+        |       + CASE WHEN m3 IS NULL THEN 0 ELSE 432 END
+        |       + CASE WHEN m4 IS NULL THEN 0 ELSE 324 END
+        |       + CASE WHEN m5 IS NULL THEN 0 ELSE 243 END AS DOUBLE) AS ewma_us
+        |FROM l ORDER BY service, hr""".stripMargin))
   )
 }
