@@ -201,6 +201,62 @@ object TextOps {
     * learned merge table, `rounds` rows (fewer if the vocab runs out
     * of repeated pairs).
     */
+  /** Distributed suffix-array construction by PREFIX DOUBLING
+    * (Manber–Myers / the Karp–Miller–Rosenberg scheme): round k knows
+    * each suffix's rank by its first 2^k characters; round k+1 ranks
+    * the pair (rank(i), rank(i+2^k)) — lexicographic order of the
+    * first 2^(k+1) characters — so the full order resolves in
+    * ceil(log2 L) rounds of JOIN + DENSE-RANK instead of comparing
+    * O(L * L) characters. This is the pointer-doubling idea
+    * ([[TreeOps.spanDepths]]) applied to string ordering, and the
+    * building block of suffix-array-based exact-substring dedup (Lee
+    * et al. 2022 build theirs single-node; the doubling form is how
+    * it distributes).
+    *
+    * Per round: rank(i+k) arrives by a pos-keyed self-join (out-of-
+    * range = -1, which sorts before every real rank — exactly the
+    * shorter-suffix-first rule); the pair relation is DISTINCTed
+    * (<= L rows) and densely renumbered with
+    * [[ShardedWindow.rowNumber]] over shard `rank div 64` — a
+    * range-style two-phase global numbering, never a one-task sort;
+    * ranks join back on the pair. Early-stops the moment all ranks
+    * are distinct; lineage truncated per round.
+    *
+    * Input: ONE row with the text in `txtCol` (ASCII — initial ranks
+    * are `ascii()` codepoints, which agree with byte order there).
+    * Output: (pos, sa_rank) — 1-based lexicographic rank per 0-based
+    * suffix start. */
+  def suffixArrayRanks(str: DataFrame, txtCol: String, maxIter: Int = 40): DataFrame = {
+    var r = str.select(col(txtCol).as("txt"))
+      .select(explode(sequence(lit(0), length(col("txt")) - 1)).as("p0"), col("txt"))
+      .select(col("p0").cast("long").as("pos"),
+        ascii(expr("substring(txt, p0 + 1, 1)")).cast("long").as("rank"))
+      .localCheckpoint()
+    val n = r.count()
+    var k = 1L
+    var iter = 0
+    var done = r.select(countDistinct("rank")).head.getLong(0) == n
+    while (!done && k < n) {
+      iter += 1
+      require(iter <= maxIter, s"suffixArrayRanks did not converge in $maxIter rounds")
+      val shifted = r.select((col("pos") - k).as("pos"), col("rank").as("rank2"))
+        .filter(col("pos") >= 0)
+      val paired = r.join(shifted, Seq("pos"), "left")
+        .select(col("pos"), col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"))
+      val pairs = paired.select("rank", "rank2").distinct()
+      val ranked = ShardedWindow.rowNumber(pairs, Seq.empty, expr("rank div 64"),
+        Seq(col("rank"), col("rank2")), "new_rank")
+      val next = paired.join(ranked, Seq("rank", "rank2"))
+        .select(col("pos"), col("new_rank").as("rank"))
+        .localCheckpoint()
+      r.unpersist()
+      r = next
+      k *= 2
+      done = r.select(countDistinct("rank")).head.getLong(0) == n
+    }
+    r.select(col("pos"), col("rank").as("sa_rank"))
+  }
+
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val s = docs.sparkSession
     var wf = docs

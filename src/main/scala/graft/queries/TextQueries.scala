@@ -5,6 +5,7 @@ import graft.operators.{ShardedWindow, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis + dedup coverage (SURVEY.md §2 B-block) over
   * `documents`. The corpus has no exact duplicates, so dedup demos run
@@ -2671,14 +2672,230 @@ object TextQueries {
          |SELECT term, n_exact, MIN(cnt) AS n_est, MIN(cnt) - n_exact AS overcount
          |FROM probe JOIN sketch USING (j, b)
          |GROUP BY term, n_exact
-         |ORDER BY n_exact DESC, term""".stripMargin)
+         |ORDER BY n_exact DESC, term""".stripMargin),
+
+    // B62: distributed suffix array by prefix doubling
+    // ([[graft.operators.TextOps.suffixArrayRanks]]) — the index
+    // behind exact-substring dedup (Lee et al. 2022 §4 build it
+    // single-node; prefix doubling is how it distributes: ceil(log2 L)
+    // rounds of join + two-phase dense-rank, never an O(L^2)-character
+    // comparison sort). Demo corpus: the first 20 docs concatenated in
+    // doc order, truncated to 4000 chars. The ORACLE sorts the
+    // suffixes DIRECTLY (row_number over substr ordering) — the hash
+    // match proves the doubling arithmetic reproduces true
+    // lexicographic order, the same proof shape as trace_depth's
+    // recursive-CTE oracle.
+    "text_suffix_array" -> QueryDef.sql(
+      (s, dir) => {
+        val str = Tables.documents(s, dir).filter(col("doc_id") < 20)
+          .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text"))).as("txt0"))
+          .select(substring(col("txt0"), 1, 4000).as("txt"))
+          .localCheckpoint()
+        val sa = TextOps.suffixArrayRanks(str, "txt")
+        sa.crossJoin(broadcast(str))
+          .select(col("pos"), col("sa_rank"),
+            expr("substring(txt, pos + 1, 8)").as("head8"))
+          .orderBy("pos")
+      },
+      """WITH s AS (
+        |  SELECT substr(string_agg(text, ' ' ORDER BY doc_id), 1, 4000) AS txt
+        |  FROM documents WHERE doc_id < 20),
+        |p AS (SELECT CAST(unnest(range(0, length(txt))) AS BIGINT) AS pos, txt
+        |      FROM s)
+        |SELECT pos,
+        |  CAST(row_number() OVER (ORDER BY substr(txt, CAST(pos AS INT) + 1)) AS BIGINT)
+        |    AS sa_rank,
+        |  substr(txt, CAST(pos AS INT) + 1, 8) AS head8
+        |FROM p ORDER BY pos""".stripMargin),
+
+    // B63: BPE ENCODING — applying text_bpe_merges' trained merge
+    // table to the corpus (the tokenizer-application half of the
+    // pipeline: training picks the merges, this measures them).
+    // Per doc: word count, characters entering the tokenizer, and the
+    // token count after all merges (each remaining char = one token),
+    // plus the compression ratio as one exact-long division. The
+    // merge table is a bounded collect (= the kmeans-centroid
+    // contract: R rows for R rounds); the encode itself is R chained
+    // row-local replaces inside the scan stage — the corpus shuffles
+    // once, for the per-doc rollup. Oracle: the SAME unrolled training
+    // CTEs feed R replace steps (dry rounds no-op via COALESCE on
+    // both sides).
+    "text_bpe_encode" -> QueryDef.sql(
+      (s, dir) => {
+        val rounds = 6
+        val merges = TextOps.bpeMerges(Tables.documents(s, dir), "text", rounds)
+          .orderBy("round").collect()
+          .map(r => (r.getLong(0).toInt, r.getString(1)))
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+          .withColumn("chars", length(col("w")).cast("long"))
+        val enc = merges.foldLeft(words) { case (df, (rnd, pair)) =>
+          df.withColumn("w",
+            replace(col("w"), lit(pair), lit((256 + rnd).toChar.toString)))
+        }
+        enc.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("chars").as("chars_total"),
+            sum(length(col("w")).cast("long")).as("tokens_total"))
+          .withColumn("compression",
+            col("tokens_total").cast("double") / col("chars_total").cast("double"))
+          .orderBy("doc_id")
+      }, {
+        val rounds = 6
+        val encSteps = (1 to rounds).map { r =>
+          s"""e$r AS (SELECT doc_id,
+             |  replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), chr(${256 + r})) AS w,
+             |  chars FROM e${r - 1})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeTrainCtes(rounds)},
+           |e0 AS (SELECT doc_id, w, CAST(length(w) AS BIGINT) AS chars
+           |       FROM (SELECT doc_id,
+           |               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           |             FROM documents) t),
+           |$encSteps
+           |SELECT doc_id, COUNT(*) AS n_words,
+           |  CAST(SUM(chars) AS BIGINT) AS chars_total,
+           |  CAST(SUM(length(w)) AS BIGINT) AS tokens_total,
+           |  CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE) AS compression
+           |FROM e$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // B64: rule-based stemming + vocabulary collapse — the classic
+    // suffix-stripping normalization (a fixed Porter-step-1-style
+    // cascade: sses->ss, ies->i, plural -s, -ing, -ed with min-stem
+    // guards) applied identically in both engines, reported as the
+    // per-language vocabulary reduction it buys. Every rule is one
+    // anchored regexp_replace in the scan stage (row-local); the only
+    // shuffle is the per-lang distinct pair. The surface is the
+    // normalize-before-dedup step a real corpus pipeline runs.
+    "text_stem_vocab" -> QueryDef.sql(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(col("lang"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        val stem = Seq(
+          ("sses$", "ss"), ("ies$", "i"), ("([a-z]{3,})ing$", "$1"),
+          ("([a-z]{3,})ed$", "$1"), ("([^s])s$", "$1"))
+          .foldLeft(col("w")) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+        words.withColumn("stem", stem)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct("w").as("vocab_before"),
+            countDistinct("stem").as("vocab_after"))
+          .withColumn("reduction_pm",
+            expr("(vocab_before - vocab_after) * 1000 div vocab_before"))
+          .orderBy("lang")
+      },
+      """WITH words AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |st AS (SELECT lang, w,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(w, 'sses$', 'ss'),
+        |        'ies$', 'i'),
+        |      '([a-z]{3,})ing$', '\1'),
+        |    '([a-z]{3,})ed$', '\1'),
+        |  '([^s])s$', '\1') AS stem
+        |  FROM words)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_before,
+        |  CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_after,
+        |  (COUNT(DISTINCT w) - COUNT(DISTINCT stem)) * 1000
+        |    // COUNT(DISTINCT w) AS reduction_pm
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // B65: multinomial naive-Bayes language ID — the TRAINED
+    // classifier beside text_langid's fixed stopword heuristic:
+    // add-one-smoothed per-(lang, word) log-likelihoods from the
+    // corpus's own labels, per-doc scores, argmax prediction, and the
+    // resulting confusion matrix. Determinism: every ln takes an
+    // EXACT integer (the dsir idiom); each doc x lang score is a sum
+    // of per-WORD-TYPE terms ROUND(k*ln(c+1), 9) carried as
+    // DECIMAL(28,9) — decimal summation is order-free where double
+    // summation drifts — minus one absent-word penalty term
+    // n_d*ln(tot_l + V). Tie-break: max score, then smallest lang.
+    // Scale: ONE token-keyed count shuffle trains the model; scoring
+    // joins the (doc, word, k) relation against the (word, lang)
+    // table with fan-out <= #langs and rolls up per (doc, lang).
+    "text_naive_bayes" -> QueryDef.sql(
+      (s, dir) => {
+        val inst = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+        val dtc = inst.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+        val wl = inst.groupBy(col("w"), col("lang").as("l"))
+          .agg(count(lit(1)).as("c"))
+        val vocab = wl.select("w").distinct().agg(count(lit(1)).as("v"))
+        val langStats = wl.groupBy("l").agg(sum("c").as("tot"))
+          .crossJoin(broadcast(vocab))
+          .select(col("l"), log((col("tot") + col("v")).cast("double")).as("lntot"))
+        val part = dtc
+          .join(wl.select(col("w"), col("l"), log(col("c") + lit(1.0)).as("lnc")), "w")
+          .groupBy("doc_id", "l")
+          .agg(sum(round(col("k").cast("double") * col("lnc"), 9)
+            .cast(DecimalType(28, 9))).as("part"))
+        val docSide = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("label_lang"))
+          .join(dtc.groupBy("doc_id").agg(sum("k").as("n_d")), "doc_id")
+        val scores = docSide.crossJoin(broadcast(langStats))
+          .join(part, Seq("doc_id", "l"), "left")
+          .withColumn("score",
+            coalesce(col("part"), lit(0).cast(DecimalType(28, 9))) -
+              round(col("n_d").cast("double") * col("lntot"), 9)
+                .cast(DecimalType(28, 9)))
+        val best = scores.groupBy(col("doc_id").as("b_id")).agg(max("score").as("ms"))
+        val pred = scores.join(best,
+            col("doc_id") === col("b_id") && col("score") === col("ms"))
+          .groupBy(col("doc_id"), col("label_lang"))
+          .agg(min("l").as("pred_lang"))
+        pred.groupBy(col("label_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("label_lang", "pred_lang")
+      },
+      """WITH inst AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |dtc AS (SELECT doc_id, w, COUNT(*) AS k FROM inst GROUP BY 1, 2),
+        |wl AS (SELECT w, lang AS l, COUNT(*) AS c FROM inst GROUP BY 1, 2),
+        |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM wl),
+        |ls AS (SELECT l, ln(CAST(SUM(c) + (SELECT v FROM vocab) AS DOUBLE)) AS lntot
+        |       FROM wl GROUP BY l),
+        |part AS (
+        |  SELECT doc_id, l,
+        |    SUM(CAST(ROUND(k * ln(c + 1.0), 9) AS DECIMAL(28,9))) AS part
+        |  FROM dtc JOIN wl USING (w) GROUP BY 1, 2),
+        |docside AS (
+        |  SELECT d.doc_id, d.lang AS label_lang, nd.n_d
+        |  FROM documents d
+        |  JOIN (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_d
+        |        FROM dtc GROUP BY 1) nd USING (doc_id)),
+        |scores AS (
+        |  SELECT ds.doc_id, ds.label_lang, ls.l,
+        |    COALESCE(part, CAST(0 AS DECIMAL(28,9)))
+        |      - CAST(ROUND(ds.n_d * ls.lntot, 9) AS DECIMAL(28,9)) AS score
+        |  FROM docside ds CROSS JOIN ls
+        |  LEFT JOIN part p ON p.doc_id = ds.doc_id AND p.l = ls.l),
+        |best AS (SELECT doc_id, MAX(score) AS ms FROM scores GROUP BY 1),
+        |pred AS (
+        |  SELECT s.doc_id, s.label_lang, MIN(s.l) AS pred_lang
+        |  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.ms
+        |  GROUP BY 1, 2)
+        |SELECT label_lang, pred_lang, COUNT(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
 
   /** DuckDB SQL for [[graft.operators.TextOps.bpeMerges]]: identical
     * word-frequency base, unrolled merge rounds, byte-identical merge
     * symbols via chr(256+round). */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The unrolled BPE-training CTE chain (w0..wR vocab states, m1..mR
+    * one-row merge picks) — shared by the training surface's oracle
+    * and the encode surface's (which applies m1..mR to documents). */
+  private def bpeTrainCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (SELECT substr(w, CAST(s.i AS INT), 2) AS pair,
          |          CAST(SUM(f) AS BIGINT) AS cnt
@@ -2690,13 +2907,17 @@ object TextQueries {
          |  SELECT replace(w, COALESCE((SELECT pair FROM m$r), chr(1)), chr(${256 + r})) AS w, f
          |  FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS f
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |        FROM documents) t
        |  GROUP BY w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(rounds)}
        |SELECT CAST(round AS BIGINT) AS round, pair, cnt
        |FROM ($union) ORDER BY round""".stripMargin
   }
