@@ -328,6 +328,129 @@ object MultimodalOps {
       .toDF()
   }
 
+  // ----- video: YUV4MPEG2 (Y4M), the standard uncompressed container -----
+
+  final case class Y4mClip(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** Real YUV4MPEG2 writer — plain-text stream header
+    * (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C420jpeg`), then per frame a
+    * `FRAME` marker line + the raw 4:2:0 planes (Y then quarter-size
+    * U and V, w*h*3/2 bytes). The format is public and trivially
+    * verifiable byte-for-byte; frames are passed as full plane
+    * buffers. */
+  def renderY4m(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 needs even dimensions")
+    val frameLen = width * height * 3 / 2
+    require(frames.forall(_.length == frameLen), s"each frame must be $frameLen bytes")
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames.length * (marker.length + frameLen))
+    out.write(header)
+    frames.foreach { f => out.write(marker); out.write(f) }
+    out.toByteArray
+  }
+
+  /** Real YUV4MPEG2 parse (C420 family, fixed-size frames). Strict:
+    * any malformed magic, missing W/H token, odd geometry, or
+    * truncated frame returns None — non-video bytes never produce
+    * phantom clips. */
+  def decodeY4m(payload: Array[Byte]): Option[Y4mClip] = {
+    val nl = payload.indexOf('\n'.toByte)
+    if (nl <= 0) return None
+    val header = new String(payload, 0, nl, "US-ASCII")
+    val toks = header.split(' ')
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+    val w = toks.find(_.startsWith("W")).map(_.drop(1).toInt).getOrElse(return None)
+    val h = toks.find(_.startsWith("H")).map(_.drop(1).toInt).getOrElse(return None)
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
+    val frameLen = w * h * 3 / 2
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var off = nl + 1
+    while (off < payload.length) {
+      // FRAME marker line (parameters after FRAME are legal; skip to \n)
+      if (off + 5 > payload.length ||
+        new String(payload, off, 5, "US-ASCII") != "FRAME") return None
+      val markerEnd = payload.indexOf('\n'.toByte, off)
+      if (markerEnd < 0 || markerEnd + 1 + frameLen > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, markerEnd + 1,
+        markerEnd + 1 + frameLen)
+      off = markerEnd + 1 + frameLen
+    }
+    if (frames.isEmpty) None else Some(Y4mClip(w, h, frames.toArray))
+  }
+
+  final case class VideoRow(media_id: Long, payload: Array[Byte])
+
+  /** Real Y4M payloads whose plane bytes are pure arithmetic in
+    * doc_id — 16x16 C420 at 25 fps, n = 8 + id%5 frames,
+    * Y(f, i) = (id*13 + f*101 + i*7) mod 256 over the 256 luma bytes,
+    * U(f, j) = (id*17 + f*19 + j*3) mod 256 and
+    * V(f, j) = (id*23 + f*29 + j*5) mod 256 over the 64 chroma bytes
+    * each — so an engine-external oracle predicts exactly what a real
+    * container parse must return. Rendered partition-locally. */
+  def syntheticVideo(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (8 + id % 5).toInt
+        val frames = Array.tabulate(n) { f =>
+          val buf = new Array[Byte](16 * 16 * 3 / 2)
+          var i = 0
+          while (i < 256) { buf(i) = ((id * 13 + f * 101 + i * 7L) % 256).toByte; i += 1 }
+          var j = 0
+          while (j < 64) {
+            buf(256 + j) = ((id * 17 + f * 19 + j * 3L) % 256).toByte
+            buf(320 + j) = ((id * 23 + f * 29 + j * 5L) % 256).toByte
+            j += 1
+          }
+          buf
+        }
+        VideoRow(id, renderY4m(16, 16, frames))
+      })
+      .toDF()
+  }
+
+  /** Decoded + temporally-sampled per-clip stats, all exact integers:
+    * every 2nd frame is sampled (the uniform-stride strategy), luma
+    * sum/peak over the sampled Y planes, duration by floor division
+    * at the container's 25 fps. */
+  final case class VideoStatsRow(
+      media_id: Long, width: Long, height: Long, n_frames: Long,
+      duration_ms: Long, n_sampled: Long, y_sum: Long, y_peak: Long)
+
+  /** Decode real Y4M payloads, sample every 2nd frame, and emit exact
+    * integer luma stats — undecodable payloads are dropped (strict-
+    * codec path, like [[decodeWav]]). */
+  def decodeVideoStats(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeY4m(payload).map { clip =>
+          val lumaLen = clip.width * clip.height
+          val sampled = clip.frames.indices.filter(_ % 2 == 0)
+          var ySum = 0L
+          var yPeak = 0L
+          sampled.foreach { f =>
+            val frame = clip.frames(f)
+            var i = 0
+            while (i < lumaLen) {
+              val v = frame(i) & 0xff
+              ySum += v
+              if (v > yPeak) yPeak = v
+              i += 1
+            }
+          }
+          VideoStatsRow(id, clip.width.toLong, clip.height.toLong,
+            clip.frames.length.toLong, clip.frames.length * 1000L / 25,
+            sampled.length.toLong, ySum, yPeak)
+        }
+      })
+      .toDF()
+  }
+
   /** One sampled frame slice. */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -1320,6 +1320,64 @@ object RelationalQueries {
         |SELECT o_orderstatus, o_orderpriority, o, r_tot, c_tot, n_tot,
         |       ROUND(contrib, 6) AS contrib, chi2_total, n_cells
         |FROM cells CROSS JOIN t
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    // C89: Gini concentration index — per-nation inequality of
+    // customer spend, the revenue-concentration statistic, via the
+    // rank formula G = (2*Σr_i*x_i − (n+1)*Σx_i) / (n*Σx_i) over
+    // ascending ranks. Every sum is EXACT: spend in cents (long),
+    // Σr*x widened to DECIMAL(38,0) (at ~1e6 customers per key the
+    // rank-weighted sum tops 1e24 — far past long range), and the
+    // single output division converts two exact decimals to double.
+    // The rank is [[ShardedWindow.rowNumber]] with shard =
+    // spend div 1e6 — monotone along the (spend, custkey) order, so
+    // a hot nation never sorts in one task (the 100 TB posture; a
+    // plain 25-key window would).
+    "q_gini" -> QueryDef.sql(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("spend_c"))
+        val named = spend
+          .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_custkey").as("custkey"), col("spend_c"))
+        val ranked = ShardedWindow.rowNumber(named, Seq("n_name"),
+          expr("spend_c div 1000000"), Seq(col("spend_c"), col("custkey")), "r")
+        ranked.groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("spend_c").cast(DecimalType(38, 0))).as("sx"),
+            sum((col("r") * col("spend_c")).cast(DecimalType(38, 0))).as("srx"))
+          .select(col("n_name"), col("n_customers"),
+            col("sx").cast("long").as("total_spend_c"),
+            ((lit(2).cast(DecimalType(38, 0)) * col("srx") -
+              (col("n_customers") + 1).cast(DecimalType(38, 0)) * col("sx"))
+              .cast("double") /
+              (col("n_customers").cast(DecimalType(38, 0)) * col("sx")).cast("double"))
+              .as("gini"))
+          .orderBy("n_name")
+      },
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |named AS (
+        |  SELECT n_name, custkey, spend_c
+        |  FROM spend JOIN customer ON custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey),
+        |ranked AS (
+        |  SELECT n_name, spend_c,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY spend_c, custkey) AS BIGINT) AS r
+        |  FROM named)
+        |SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend_c) AS BIGINT) AS total_spend_c,
+        |  CAST(2 * SUM(CAST(r AS HUGEINT) * spend_c)
+        |       - (COUNT(*) + 1) * SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE)
+        |  / CAST(COUNT(*) * SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE) AS gini
+        |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin)
   )
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.streaming.SpanBufferStream
 import graft.trace.TraceDataset
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -443,6 +444,87 @@ object StreamingQueries {
     })
   }
 
+  private val upsertLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** 4 MOD-interleaved single-file slices of the span relation for the
+    * streaming-upsert replay — same machinery as [[lateDropsLayout]]
+    * (one partitioned write, strictly increasing mtimes), but keyed so
+    * LATER batches routinely carry EARLIER versions of a key: the
+    * merge rule (max version), not arrival order, must decide. */
+  private def upsertLayout(ss: SparkSession, dir: String): String = {
+    val ev = Tables.events(ss, dir)
+    upsertLayouts.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+      val slim = ev.select(col("user_id").cast("string").as("trace_id"),
+        col("event_id").as("span_id"),
+        col("event_type").as("service"),
+        Tables.eventTimeUs(ev).as("start_us"),
+        expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").as("duration_us"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(ss.sparkContext.hadoopConfiguration)
+      slim.withColumn("b", col("span_id") % LateBatches)
+        .repartition(LateBatches, col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(s"$root/sliced")
+      (0 until LateBatches).foreach { k =>
+        val part = s"$root/sliced/b=$k"
+        val file = fs.globStatus(new org.apache.hadoop.fs.Path(s"$part/part-*.parquet"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$root/in/batch$k.parquet")
+        fs.mkdirs(dst.getParent)
+        fs.rename(file, dst)
+        fs.setTimes(dst, 1000000L + k * 10000L, -1)
+      }
+      root
+    })
+  }
+
+  /** Streaming CDC keep-latest upsert (the streaming twin of
+    * trace_upsert): each micro-batch MERGES into a versioned parquet
+    * state table in foreachBatch — batch-reduce to its own latest per
+    * key, union with the previous state, keep the global latest by
+    * (start_us, span_id) desc. Because the winner is the maximal
+    * VERSION (never the latest ARRIVAL), the final state is a pure
+    * function of the data for any batch partitioning — which is what
+    * lets a plain batch oracle hash-check a 4-batch replay where
+    * every batch interleaves old and new versions of most keys. */
+  private def runUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val base = upsertLayout(ss, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("trace_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("span_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("service", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("start_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_us", org.apache.spark.sql.types.LongType)))
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val stateBase = java.nio.file.Files.createTempDirectory("graft_stream_upsert_state").toString
+    val w = Window.partitionBy("trace_id", "service")
+      .orderBy(col("start_us").desc, col("span_id").desc)
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$stateBase/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val reduced = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        val v = version.get()
+        val merged =
+          if (v == 0) reduced
+          else ss.read.parquet(s"$stateBase/v$v").unionByName(reduced)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        merged.write.mode("overwrite").parquet(s"$stateBase/v${v + 1}")
+        version.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(version.get() == LateBatches,
+      s"upsert replay expected $LateBatches data batches, saw ${version.get()}")
+    s.read.parquet(s"$stateBase/v${version.get()}")
+      .orderBy("trace_id", "service")
+  }
+
   private def runLateDrops(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val base = lateDropsLayout(ss, dir)
@@ -707,7 +789,24 @@ object StreamingQueries {
          |FROM k, f
          |WHERE window_start_us + ${GapSeconds * 1000000} <= final_wm
          |GROUP BY window_start_us, service
-         |ORDER BY window_start_us, service""".stripMargin))
+         |ORDER BY window_start_us, service""".stripMargin),
+
+    // C84: streaming CDC keep-latest upsert (see runUpsert) — a
+    // 4-batch MOD-interleaved replay merges into a versioned state
+    // table per micro-batch; the max-version merge rule makes the
+    // final state batch-partitioning-independent, so the plain batch
+    // keep-latest SQL is the exact oracle.
+    "streaming_upsert" -> QueryDef.sql(runUpsert,
+      """WITH sp AS (SELECT CAST(user_id AS VARCHAR) AS trace_id,
+        |              event_id AS span_id, event_type AS service,
+        |              epoch_us(ts) AS start_us,
+        |              CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |            FROM events)
+        |SELECT trace_id, span_id, service, start_us, duration_us
+        |FROM sp
+        |QUALIFY row_number() OVER (PARTITION BY trace_id, service
+        |  ORDER BY start_us DESC, span_id DESC) = 1
+        |ORDER BY trace_id, service""".stripMargin))
 
   /** Stream-static incremental dedup: see the defs entry. The result
     * lands in a parquet FILE sink (never memory — a large snapshot's

@@ -2674,6 +2674,45 @@ object TextQueries {
          |GROUP BY term, n_exact
          |ORDER BY n_exact DESC, term""".stripMargin),
 
+    // B67: source-concentration index (Herfindahl–Hirschman) — how
+    // dominated each language's token mass is by single sources, the
+    // diversification gate beside corpus_source_mix's shares: HHI =
+    // Σ(c_s/N)² computed as the exact fraction Σc_s²/N² (squares in
+    // DECIMAL(38,0) — a 100 TB source's token count squared tops
+    // 1e24), plus the effective source count 1/HHI. One map-combined
+    // (lang, source) count pass; everything after runs on ≤
+    // |langs|×|sources| rows.
+    "corpus_hhi" -> QueryDef.sql(
+      (s, dir) => {
+        val cnt = Tables.documents(s, dir)
+          .select(col("lang"), col("source"), size(toks(col("text"))).cast("long").as("n"))
+          .groupBy("lang", "source").agg(sum("n").as("c"))
+        cnt.groupBy("lang")
+          .agg(count(lit(1)).as("n_sources"),
+            sum("c").as("total_tokens"),
+            sum(col("c").cast(DecimalType(38, 0)) * col("c").cast(DecimalType(38, 0)))
+              .as("sq"))
+          .select(col("lang"), col("n_sources"), col("total_tokens"),
+            (col("sq").cast("double") /
+              (col("total_tokens").cast(DecimalType(38, 0)) *
+                col("total_tokens").cast(DecimalType(38, 0))).cast("double")).as("hhi"),
+            ((col("total_tokens").cast(DecimalType(38, 0)) *
+              col("total_tokens").cast(DecimalType(38, 0))).cast("double") /
+              col("sq").cast("double")).as("effective_sources"))
+          .orderBy("lang")
+      },
+      """WITH cnt AS (
+        |  SELECT lang, source,
+        |         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_sources,
+        |  CAST(SUM(c) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT) AS DOUBLE) AS hhi,
+        |  CAST(CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT) AS DOUBLE)
+        |    / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS effective_sources
+        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin),
+
     // B62: distributed suffix array by prefix doubling
     // ([[graft.operators.TextOps.suffixArrayRanks]]) — the index
     // behind exact-substring dedup (Lee et al. 2022 §4 build it

@@ -948,6 +948,39 @@ object TraceQueries {
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
 
+    // B66: real video container decode + frame sampling — YUV4MPEG2
+    // (Y4M) payloads generated by arithmetic in doc_id
+    // (MultimodalOps.renderY4m — the standard uncompressed video
+    // container, public and byte-verifiable), parsed back by the
+    // strict parser (MultimodalOps.decodeY4m: header tokens, FRAME
+    // markers, fixed 4:2:0 plane geometry), every 2nd frame sampled
+    // (the uniform temporal stride a feature extractor uses), and
+    // exact integer luma stats emitted. The oracle re-derives every
+    // stat from the generator formula, so the hash proves the
+    // container byte math — header length, marker offsets, plane
+    // strides — not just the plumbing. Payloads render and decode
+    // partition-locally (never shuffled); same 20k demo cap as the
+    // image/audio legs.
+    "media_video_frames" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.decodeVideoStats(
+        graft.operators.MultimodalOps.syntheticVideo(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)))
+        .orderBy("media_id"),
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS n
+        |           FROM documents WHERE doc_id < 20000),
+        |y AS (SELECT doc_id, n, (doc_id * 13 + s.f * 101 + s.i * 7) % 256 AS v
+        |      FROM (SELECT doc_id, n, ff.f, ii.i
+        |            FROM d, unnest(range(0, n)) ff(f), unnest(range(0, 256)) ii(i)
+        |            WHERE ff.f % 2 = 0) s(doc_id, n, f, i))
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000 // 25 AS BIGINT) AS duration_ms,
+        |  CAST((n + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(SUM(v) AS BIGINT) AS y_sum,
+        |  CAST(MAX(v) AS BIGINT) AS y_peak
+        |FROM y GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
+
     // B12 surface: multimodal decode/feature plumbing (real ImageIO
     // for decodable images, declared stub for audio/video). Same 20k
     // demo cap as media_image_decode.
@@ -2482,6 +2515,76 @@ object TraceQueries {
         |  duration_us
         |FROM spans WHERE trace_id IN ('0', '1', '2')
         |ORDER BY trace_id, pos""".stripMargin)),
+
+    // C90: Allen interval-algebra classification — the thirteen-way
+    // temporal-relation operator (precedes/meets/overlaps/contains/
+    // starts/equals + inverses collapse to 8 cases once pairs are
+    // ordered by start), run over per-trace SERVICE ACTIVITY
+    // intervals ([min start, max end] of each service's spans inside
+    // a trace — raw spans in this corpus are sub-second on hour-apart
+    // starts, so span-level pairs are all 'precedes'; activity
+    // windows genuinely interleave). Scale: ONE trace-keyed shuffle
+    // builds ≤ |services| intervals per trace; the pair join fans out
+    // ≤ C(|services|,2) rows per trace row-locally; classification is
+    // a row-local CASE; rollup map-combines to ≤ 8·|services|² cells.
+    "trace_allen_relations" -> QueryDef.sql(
+      (s, dir) => {
+        val iv = spans(s, dir)
+          .groupBy("trace_id", "service")
+          .agg(min("start_us").as("s"),
+            max(col("start_us") + col("duration_us")).as("e"))
+        val a = iv.select(col("trace_id"), col("service").as("sv_x"),
+          col("s").as("sx"), col("e").as("ex"))
+        val b = iv.select(col("trace_id").as("t2"), col("service").as("sv_y"),
+          col("s").as("sy"), col("e").as("ey"))
+        val pairs = a.join(b, col("trace_id") === col("t2") && col("sv_x") < col("sv_y"))
+          .withColumn("xFirst",
+            struct(col("sx"), col("sv_x")) <= struct(col("sy"), col("sv_y")))
+          .select(
+            when(col("xFirst"), col("sv_x")).otherwise(col("sv_y")).as("svc_a"),
+            when(col("xFirst"), col("sv_y")).otherwise(col("sv_x")).as("svc_b"),
+            when(col("xFirst"), col("sx")).otherwise(col("sy")).as("s1"),
+            when(col("xFirst"), col("ex")).otherwise(col("ey")).as("e1"),
+            when(col("xFirst"), col("sy")).otherwise(col("sx")).as("s2"),
+            when(col("xFirst"), col("ey")).otherwise(col("ex")).as("e2"))
+        pairs
+          .withColumn("relation",
+            when(col("s1") === col("s2"),
+              when(col("e1") === col("e2"), "equals")
+                .when(col("e1") < col("e2"), "starts").otherwise("started_by"))
+              .when(col("e1") < col("s2"), "precedes")
+              .when(col("e1") === col("s2"), "meets")
+              .when(col("e1") < col("e2"), "overlaps")
+              .when(col("e1") === col("e2"), "finished_by")
+              .otherwise("contains"))
+          .groupBy("relation", "svc_a", "svc_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("relation", "svc_a", "svc_b")
+      },
+      cte("""
+        |, iv AS (SELECT trace_id, service, MIN(start_us) AS s,
+        |           MAX(start_us + duration_us) AS e
+        |         FROM spans GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN x.service ELSE y.service END AS svc_a,
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN y.service ELSE x.service END AS svc_b,
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN x.s ELSE y.s END AS s1,
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN x.e ELSE y.e END AS e1,
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN y.s ELSE x.s END AS s2,
+        |    CASE WHEN (x.s, x.service) <= (y.s, y.service) THEN y.e ELSE x.e END AS e2
+        |  FROM iv x JOIN iv y ON x.trace_id = y.trace_id AND x.service < y.service)
+        |SELECT CASE WHEN s1 = s2 THEN
+        |              CASE WHEN e1 = e2 THEN 'equals'
+        |                   WHEN e1 < e2 THEN 'starts' ELSE 'started_by' END
+        |            WHEN e1 < s2 THEN 'precedes'
+        |            WHEN e1 = s2 THEN 'meets'
+        |            WHEN e1 < e2 THEN 'overlaps'
+        |            WHEN e1 = e2 THEN 'finished_by'
+        |            ELSE 'contains' END AS relation,
+        |       svc_a, svc_b, COUNT(*) AS n_pairs
+        |FROM pairs
+        |GROUP BY 1, 2, 3 ORDER BY relation, svc_a, svc_b""".stripMargin)),
 
     // C79: N+1 call antipattern — the classic APM smell: one trace
     // issuing the SAME (service, operation) call many times where a

@@ -165,4 +165,63 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       one.getAs[Long]("peak") shouldBe vals.map(math.abs).max
     }
   }
+
+  describe("real Y4M codec (hand-rolled YUV4MPEG2, C420)") {
+    it("round-trips frames byte-for-byte") {
+      val frames = Array.tabulate(3)(f =>
+        Array.tabulate(16 * 16 * 3 / 2)(i => ((f * 91 + i * 5) % 256).toByte))
+      val clip = MultimodalOps.decodeY4m(MultimodalOps.renderY4m(16, 16, frames)).get
+      clip.width shouldBe 16
+      clip.height shouldBe 16
+      clip.frames.length shouldBe 3
+      clip.frames.zip(frames).foreach { case (a, b) => a shouldBe b }
+    }
+
+    it("emits the canonical stream header") {
+      val bytes = MultimodalOps.renderY4m(32, 16,
+        Array(new Array[Byte](32 * 16 * 3 / 2)))
+      val header = new String(bytes.takeWhile(_ != '\n'.toByte), "US-ASCII")
+      header shouldBe "YUV4MPEG2 W32 H16 F25:1 Ip A1:1 C420jpeg"
+    }
+
+    it("rejects malformed payloads rather than fabricating clips") {
+      MultimodalOps.decodeY4m("not a video".getBytes("US-ASCII")) shouldBe None
+      MultimodalOps.decodeY4m(Array.emptyByteArray) shouldBe None
+      // truncated mid-frame
+      val good = MultimodalOps.renderY4m(16, 16,
+        Array(new Array[Byte](16 * 16 * 3 / 2)))
+      MultimodalOps.decodeY4m(good.dropRight(10)) shouldBe None
+      // odd geometry in the header
+      MultimodalOps.decodeY4m(
+        "YUV4MPEG2 W15 H16 F25:1\nFRAME\n".getBytes("US-ASCII")) shouldBe None
+    }
+
+    it("parses FRAME marker lines carrying parameters") {
+      val frameLen = 16 * 16 * 3 / 2
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      out.write("FRAME Xcustom\n".getBytes("US-ASCII"))
+      out.write(Array.tabulate(frameLen)(i => (i % 256).toByte))
+      val clip = MultimodalOps.decodeY4m(out.toByteArray).get
+      clip.frames.length shouldBe 1
+      clip.frames.head shouldBe Array.tabulate(frameLen)(i => (i % 256).toByte)
+    }
+
+    it("decodeVideoStats matches a hand computation on the synthetic generator") {
+      val s = spark
+      import s.implicits._
+      val one = MultimodalOps.decodeVideoStats(
+        MultimodalOps.syntheticVideo(Seq(9L).toDF("doc_id")))
+        .collect().head
+      val n = (8 + 9 % 5).toInt
+      val sampled = (0 until n).filter(_ % 2 == 0)
+      val ys = for (f <- sampled; i <- 0 until 256)
+        yield (9L * 13 + f * 101 + i * 7L) % 256
+      one.getAs[Long]("n_frames") shouldBe n.toLong
+      one.getAs[Long]("duration_ms") shouldBe n * 1000L / 25
+      one.getAs[Long]("n_sampled") shouldBe sampled.length.toLong
+      one.getAs[Long]("y_sum") shouldBe ys.sum
+      one.getAs[Long]("y_peak") shouldBe ys.max
+    }
+  }
 }
