@@ -2713,6 +2713,102 @@ object TextQueries {
         |    / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS effective_sources
         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // B69: TextRank keyword extraction — PageRank over the mirrored
+    // bigram co-occurrence graph (Mihalcea & Tarau 2004), the
+    // graph-centrality complement of RAKE's degree/frequency ratio.
+    // Reuses GraphOps.pageRank (3 damped rounds, exact-int transition
+    // probabilities, per-round lineage truncation); ranking and the
+    // top-20 cut use the ROUNDED score (the §5 cut-line rule) with a
+    // term tie-break. The oracle unrolls the same 3 rounds as CTEs —
+    // the trace_service_rank template on a different graph. Scale:
+    // the corpus collapses to the vocab²-bounded edge set in one
+    // map-combined pass; each round is an edge-list join + partial
+    // agg over ≤ vocab rows.
+    "text_textrank_terms" -> QueryDef.sql(
+      (s, dir) => {
+        val bg = Tables.documents(s, dir)
+          .select(toks(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val und = bg.select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val pr = graft.operators.GraphOps.pageRank(edges, "src", "dst", "w",
+          iters = 3, redistributeDangling = true)
+          .select(col("node").as("term"), round(col("rank"), 6).as("rank"))
+        pr.orderBy(col("rank").desc, col("term")).limit(20)
+      },
+      {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT nodes.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |      + 0.85 * (COALESCE(s.infl, 0.0) + dm.dm / nn.n) AS rank
+             |  FROM nodes CROSS JOIN nn
+             |  CROSS JOIN (SELECT COALESCE(SUM($prev.rank), CAST(0 AS DOUBLE)) AS dm
+             |              FROM $prev LEFT JOIN outw ON $prev.node = outw.src
+             |              WHERE outw.src IS NULL) dm
+             |  LEFT JOIN (SELECT ew.dst, SUM($prev.rank * ew.p) AS infl
+             |             FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY ew.dst) s
+             |    ON nodes.node = s.dst)""".stripMargin
+        s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+           |           FROM documents),
+           |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t
+           |             WHERE len(t) >= 2) s(t, i)
+           |       WHERE t[i] <> t[i + 1]),
+           |und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*) AS w
+           |        FROM bg GROUP BY 1, 2),
+           |edges AS (SELECT a AS src, b AS dst, w FROM und
+           |          UNION ALL SELECT b, a, w FROM und),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+           |ew AS (SELECT edges.src, edges.dst,
+           |         CAST(edges.w AS DOUBLE) / CAST(outw.ow AS DOUBLE) AS p
+           |       FROM edges JOIN outw ON edges.src = outw.src),
+           |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node AS term, ROUND(rank, 6) AS rank
+           |FROM r3 ORDER BY rank DESC, term LIMIT 20""".stripMargin
+      }),
+
+    // B70: lexical-richness report — type-token ratio and hapax-
+    // legomena share per language, the vocabulary-health numbers a
+    // curation dashboard tracks beside entropy/zipf. One token-keyed
+    // map-combined count shuffle; ratios in exact per-million integer
+    // arithmetic.
+    "text_lexical_richness" -> QueryDef.sql(
+      (s, dir) => {
+        val cnt = Tables.documents(s, dir)
+          .select(col("lang"), explode(toks(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        cnt.groupBy("lang")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+          .withColumn("ttr_ppm", expr("vocab * 1000000 div n_tokens"))
+          .withColumn("hapax_ppm", expr("hapax * 1000000 div vocab"))
+          .orderBy("lang")
+      },
+      """WITH cnt AS (
+        |  SELECT lang, w, COUNT(*) AS c
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents) t
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  COUNT(*) * 1000000 // SUM(c) AS ttr_ppm,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS hapax_ppm
+        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin),
+
     // B62: distributed suffix array by prefix doubling
     // ([[graft.operators.TextOps.suffixArrayRanks]]) — the index
     // behind exact-substring dedup (Lee et al. 2022 §4 build it

@@ -2586,6 +2586,37 @@ object TraceQueries {
         |FROM pairs
         |GROUP BY 1, 2, 3 ORDER BY relation, svc_a, svc_b""".stripMargin)),
 
+    // C91: cumulative distinct users — "total unique users seen per
+    // service, by day" done EXACTLY and incrementally: a user's
+    // contribution is fully determined by their FIRST day with the
+    // service (the text_vocab_growth min-checkpoint idea on the trace
+    // domain), so one (service, user)→min(day) map-combined pass +
+    // a ≤ |services|·31 daily rollup + a running sum replaces any
+    // per-day COUNT(DISTINCT) rescan. The running sum is
+    // [[ShardedWindow.runningSum]] (shard = day div 8) — at 100 TB
+    // the biggest service never cumulates in one task.
+    "trace_cumulative_users" -> QueryDef.sql(
+      (s, dir) => {
+        val first = spans(s, dir)
+          .groupBy(col("service"), col("trace_id"))
+          .agg(min(expr(s"start_us div $DayUs")).as("first_day"))
+        val daily = first.groupBy(col("service"), col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        ShardedWindow.runningSum(daily, Seq("service"), expr("day div 8"),
+          Seq(col("day")), col("new_users"), "cum_users")
+          .orderBy("service", "day")
+      },
+      cte("""
+        |, f AS (SELECT service, trace_id,
+        |          MIN(start_us // 86400000000) AS first_day
+        |        FROM spans GROUP BY 1, 2),
+        |d AS (SELECT service, first_day AS day, COUNT(*) AS new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT service, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY service ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY service, day""".stripMargin)),
+
     // C79: N+1 call antipattern — the classic APM smell: one trace
     // issuing the SAME (service, operation) call many times where a
     // batch call would do (reference ecosystem surfaces this in the

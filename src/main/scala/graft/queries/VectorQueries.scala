@@ -481,7 +481,183 @@ object VectorQueries {
     // kmeansIvfOracleSql precedent).
     "embed_pca" -> QueryDef.sql(
       (s, dir) => VectorOps.pcaTopComponent(Tables.embeddings(s, dir), 24, 20),
-      pcaOracleSql(24, 20))
+      pcaOracleSql(24, 20)),
+
+    // B68: cluster-quality report (Davies–Bouldin shape, squared-
+    // distance variant) over the label clustering — the evaluate-the-
+    // clusters step after any kmeans/SemDeDup pass, done entirely in
+    // EXACT integers so the hash can't drift: milli-quantized dims,
+    // round-half-away integer centroids (the pqTrain mean rule),
+    // floor-mean within-cluster scatter s2, exact pairwise centroid
+    // distances, and the per-cluster worst ratio reported as the
+    // scaled integer ((s2_a + s2_b) * 1e9) div d2_ab (long-safe: unit-
+    // bounded embeddings keep s2, d2 under ~2.6e8). Scale: one
+    // (label, dim) map-combined pass for centroids (≤ |labels|·d
+    // rows), one broadcast-join scan for scatter, and a |labels|²
+    // pair table — the corpus never moves twice.
+    "embed_cluster_quality" -> QueryDef.sql(
+      (s, dir) => {
+        val dims = Tables.embeddings(s, dir)
+          .select(col("label").cast("long").as("label"),
+            posexplode(expr(
+              "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+              .as(Seq("i", "x")))
+        val cent = dims.groupBy("label", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .select(col("label"), col("i"),
+            expr("CAST(sign(sx) AS BIGINT) * ((2 * abs(sx) + n) div (2 * n))").as("c"))
+        val sc2 = dims.join(broadcast(cent), Seq("label", "i"))
+          .groupBy("label")
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("sd2"),
+            (count(lit(1)) / 64L).cast("long").as("n_vecs"))
+          .select(col("label"), col("n_vecs"),
+            expr("sd2 div n_vecs").as("s2"))
+        val pa = sc2.select(col("label").as("la"), col("s2").as("s2a"))
+        val pb = sc2.select(col("label").as("lb"), col("s2").as("s2b"))
+        val ca = cent.select(col("label").as("la"), col("i"), col("c").as("cca"))
+        val cb = cent.select(col("label").as("lb"), col("i"), col("c").as("ccb"))
+        val d2 = ca.join(cb, Seq("i")).filter(col("la") =!= col("lb"))
+          .groupBy("la", "lb")
+          .agg(sum((col("cca") - col("ccb")) * (col("cca") - col("ccb"))).as("d2ab"))
+        val ratios = d2.join(pa, "la").join(pb, "lb")
+          .select(col("la"), col("lb"),
+            expr("((s2a + s2b) * 1000000000) div d2ab").as("r_scaled"))
+        val worst = ratios.groupBy(col("la").as("label"))
+          .agg(max(struct(col("r_scaled").as("rs"), negate(col("lb")).as("nl"))).as("w"))
+          .select(col("label"), col("w.rs").as("db_scaled"),
+            negate(col("w.nl")).cast("long").as("worst_other"))
+        sc2.join(worst, "label")
+          .select("label", "n_vecs", "s2", "worst_other", "db_scaled")
+          .orderBy("label")
+      },
+      """WITH dims AS (
+        |  SELECT CAST(label AS BIGINT) AS label, s.i, s.x
+        |  FROM (SELECT label,
+        |          generate_subscripts(embedding, 1) - 1 AS i,
+        |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS x
+        |        FROM embeddings) s(label, i, x)),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(sign(SUM(x)) AS BIGINT)
+        |      * ((2 * abs(SUM(x)) + COUNT(*)) // (2 * COUNT(*))) AS c
+        |  FROM dims GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT label, COUNT(*) // 64 AS n_vecs,
+        |    CAST(SUM((x - c) * (x - c)) AS BIGINT) // (COUNT(*) // 64) AS s2
+        |  FROM dims JOIN cent USING (label, i) GROUP BY label),
+        |d2 AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2ab
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |ratios AS (
+        |  SELECT la, lb, ((pa.s2 + pb.s2) * 1000000000) // d2ab AS r_scaled
+        |  FROM d2 JOIN sc pa ON d2.la = pa.label JOIN sc pb ON d2.lb = pb.label),
+        |worst AS (
+        |  SELECT la AS label, MAX(r_scaled) AS db_scaled FROM ratios GROUP BY 1),
+        |pick AS (
+        |  SELECT r.la AS label, MIN(r.lb) AS worst_other, r.r_scaled AS db_scaled
+        |  FROM ratios r JOIN worst w ON r.la = w.label AND r.r_scaled = w.db_scaled
+        |  GROUP BY 1, 3)
+        |SELECT sc.label, CAST(sc.n_vecs AS BIGINT) AS n_vecs,
+        |       CAST(sc.s2 AS BIGINT) AS s2,
+        |       CAST(pick.worst_other AS BIGINT) AS worst_other,
+        |       CAST(pick.db_scaled AS BIGINT) AS db_scaled
+        |FROM sc JOIN pick USING (label) ORDER BY label""".stripMargin),
+
+    // B71: MMR result diversification (Carbonell & Goldstein 1998) —
+    // the greedy re-ranking every retrieval pipeline runs between ANN
+    // and the user: pick the candidate maximizing
+    // λ·rel − (1−λ)·max_sim-to-already-picked; at λ = 1/2 the argmax
+    // order equals rel − max_sim, which stays an EXACT integer over
+    // milli-quantized dot products (components ≤ ~1000, 64 dims →
+    // dots ≤ 6.4e7, exactly representable everywhere). 10 greedy
+    // rounds; each round is a distributed max over the candidate set
+    // joined to the ≤10-row broadcast picked set, with a bounded
+    // 1-ROW collect of the winner (the BPE argmax contract — the
+    // driver must know the pick to plan the next round). Ties break
+    // on vec_id. The oracle unrolls the same 10 rounds as CTEs.
+    "embed_mmr_diversify" -> QueryDef.sql(
+      (s, dir) => {
+        val k = 10
+        val q = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("v"))
+          .localCheckpoint()
+        val qv = broadcast(q.filter(col("vec_id") === 0L)
+          .select(col("v").as("qv")))
+        val cand = q.filter(col("vec_id") =!= 0L).crossJoin(qv)
+          .withColumn("rel",
+            expr("aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .select("vec_id", "v", "rel")
+          .orderBy(col("rel").desc, col("vec_id")).limit(50)
+          .localCheckpoint()
+        val picks = scala.collection.mutable.Buffer[(Long, Long, Long, Long, Long)]()
+        var selected = List.empty[Long]
+        (1 to k).foreach { r =>
+          val rest = cand.filter(!col("vec_id").isin(selected: _*))
+          val row =
+            if (selected.isEmpty)
+              rest.orderBy(col("rel").desc, col("vec_id")).limit(1)
+                .select(col("vec_id"), col("rel"), lit(0L).as("ms"))
+                .collect().head
+            else {
+              val selVecs = broadcast(cand
+                .filter(col("vec_id").isin(selected: _*))
+                .select(col("v").as("sv")))
+              rest.crossJoin(selVecs)
+                .withColumn("sim",
+                  expr("aggregate(zip_with(v, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+                .groupBy("vec_id", "rel").agg(max("sim").as("ms"))
+                .orderBy((col("rel") - col("ms")).desc, col("vec_id")).limit(1)
+                .select(col("vec_id"), col("rel"), col("ms"))
+                .collect().head
+            }
+          val (id, rel, ms) = (row.getLong(0), row.getLong(1), row.getLong(2))
+          picks += ((r.toLong, id, rel, ms, rel - ms))
+          selected = selected :+ id
+        }
+        import s.implicits._
+        picks.toSeq.toDF("pick_rank", "vec_id", "rel", "max_sim_at_pick", "mmr_score")
+          .orderBy("pick_rank")
+      }, {
+        val k = 10
+        val steps = (2 to k).map { r =>
+          s"""sc$r AS MATERIALIZED (
+             |  SELECT c.vec_id, c.rel,
+             |    MAX(CAST(list_dot_product(c.v, s.v) AS BIGINT)) AS ms
+             |  FROM cand c JOIN (SELECT cand.v, cand.vec_id FROM cand
+             |                    JOIN sel${r - 1} USING (vec_id)) s ON TRUE
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  GROUP BY 1, 2),
+             |p$r AS MATERIALIZED (
+             |  SELECT $r AS pick_rank, vec_id, rel, ms
+             |  FROM sc$r ORDER BY rel - ms DESC, vec_id LIMIT 1),
+             |sel$r AS MATERIALIZED (
+             |  SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM p$r)""".stripMargin
+        }.mkString(",\n")
+        val union = (2 to k).map(r =>
+          s"SELECT pick_rank, vec_id, rel, ms FROM p$r").mkString(" UNION ALL ")
+        s"""WITH vq AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |cand AS MATERIALIZED (
+           |  SELECT c.vec_id, c.v,
+           |    CAST(list_dot_product(c.v, q.v) AS BIGINT) AS rel
+           |  FROM vq c, (SELECT v FROM vq WHERE vec_id = 0) q
+           |  WHERE c.vec_id <> 0
+           |  ORDER BY rel DESC, c.vec_id LIMIT 50),
+           |p1 AS MATERIALIZED (
+           |  SELECT 1 AS pick_rank, vec_id, rel, CAST(0 AS BIGINT) AS ms
+           |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+           |$steps
+           |SELECT CAST(pick_rank AS BIGINT) AS pick_rank, vec_id, rel,
+           |       ms AS max_sim_at_pick, rel - ms AS mmr_score
+           |FROM (SELECT * FROM p1 UNION ALL $union)
+           |ORDER BY pick_rank""".stripMargin
+      })
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized
