@@ -302,4 +302,71 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       gramJoinLines should not include "levenshtein"
     }
   }
+
+  describe("round-9 plan shapes") {
+    it("trace_nplus1 map-combines both aggregation levels") {
+      val p = plan("trace_nplus1")
+      p should include("partial_count")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_latency_ewma collapses the corpus before the lag chain") {
+      val p = plan("trace_latency_ewma")
+      // the hourly pre-agg is partial (map-combined): the span table
+      // never reaches the window exchange
+      p should include("partial_sum")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_chisquare builds the cell table once and broadcasts the totals") {
+      val p = plan("q_chisquare")
+      p should include("BroadcastNestedLoopJoin")
+      p should not include "SortMergeJoin"
+    }
+
+    it("q_gini ranks through ShardedWindow, never one task per nation") {
+      val p = plan("q_gini")
+      // the rank's sort is per (nation, spend-shard): partitioning
+      // columns include the _sw shard key alongside n_name
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_allen_relations classifies row-locally after one trace shuffle") {
+      val p = plan("trace_allen_relations")
+      // interval build is a map-combined per-(trace, service) agg; the
+      // pair join keys on trace_id (a shuffle join is fine — the
+      // banned shape is a cartesian pair explosion)
+      p should include("partial_min")
+      p should not include "CartesianProduct"
+    }
+
+    it("corpus_hhi and text_lexical_richness stay one-pass map-combined") {
+      Seq("corpus_hhi", "text_lexical_richness").foreach { name =>
+        val p = plan(name)
+        withClue(name) {
+          p should include("partial_")
+          p should not include "CartesianProduct"
+        }
+      }
+    }
+
+    it("text_naive_bayes broadcasts the language stats, not the corpus") {
+      val p = plan("text_naive_bayes")
+      p should include("BroadcastNestedLoopJoin") // doc × langs grid (≤|langs| rows)
+      p should not include "CartesianProduct"
+    }
+
+    it("embed_cluster_quality joins centroids back by broadcast") {
+      val p = plan("embed_cluster_quality")
+      p should include("BroadcastHashJoin")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_cumulative_users cumulates through ShardedWindow sub-shards") {
+      val p = plan("trace_cumulative_users")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+  }
 }
