@@ -164,17 +164,23 @@ object TreeOps {
     * root→self service path. Input must carry trace_id, span_id,
     * parent_span_id, service, duration_us.
     */
-  def pathRollup(spans: DataFrame, maxRounds: Int = 40): DataFrame = {
+  /** `groupCols`: extra fixed-width per-span columns carried through
+    * the cursor and grouped alongside the path fingerprint — the
+    * differential-flamegraph hook (e.g. a time-half flag). They ride
+    * every checkpoint, so keep them narrow (the spanDepths width
+    * lesson). */
+  def pathRollup(spans: DataFrame, maxRounds: Int = 40,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val (p1, p2) = (2147483647L, 2147483629L) // 31-bit primes: b·h < 2^62
     val (bb1, bb2) = (1000003L, 998244353L)
     // Cursor: (span_id, anc, h1, b1, h2, b2) + the fixed-width payload
     // the rollup needs (trace_id, duration) so no corpus-wide rejoin.
     val init = spans.select(
-      col("trace_id"), col("span_id"), col("duration_us"),
-      col("parent_span_id").as("anc"),
-      pmod(xxhash64(col("service")), lit(p1)).as("h1"), lit(bb1).as("b1"),
-      pmod(xxhash64(lit("graft-fp2"), col("service")), lit(p2)).as("h2"),
-      lit(bb2).as("b2"))
+      (Seq(col("trace_id"), col("span_id"), col("duration_us"),
+        col("parent_span_id").as("anc"),
+        pmod(xxhash64(col("service")), lit(p1)).as("h1"), lit(bb1).as("b1"),
+        pmod(xxhash64(lit("graft-fp2"), col("service")), lit(p2)).as("h2"),
+        lit(bb2).as("b2")) ++ groupCols.map(col)): _*)
       .localCheckpoint()
     var frontier = init.filter(col("anc").isNotNull).localCheckpoint()
     var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
@@ -193,16 +199,17 @@ object TreeOps {
       // as spanDepths/spanPaths).
       val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
         .select(
-          col("trace_id"), col("span_id"), col("duration_us"),
-          col("h_anc").as("anc"),
-          when(col("y1").isNull, col("h1"))
-            .otherwise(pmod(col("h1") + col("b1") * col("y1"), lit(p1))).as("h1"),
-          when(col("y1").isNull, col("b1"))
-            .otherwise(pmod(col("b1") * col("c1"), lit(p1))).as("b1"),
-          when(col("y2").isNull, col("h2"))
-            .otherwise(pmod(col("h2") + col("b2") * col("y2"), lit(p2))).as("h2"),
-          when(col("y2").isNull, col("b2"))
-            .otherwise(pmod(col("b2") * col("c2"), lit(p2))).as("b2"))
+          (Seq(col("trace_id"), col("span_id"), col("duration_us"),
+            col("h_anc").as("anc"),
+            when(col("y1").isNull, col("h1"))
+              .otherwise(pmod(col("h1") + col("b1") * col("y1"), lit(p1))).as("h1"),
+            when(col("y1").isNull, col("b1"))
+              .otherwise(pmod(col("b1") * col("c1"), lit(p1))).as("b1"),
+            when(col("y2").isNull, col("h2"))
+              .otherwise(pmod(col("h2") + col("b2") * col("y2"), lit(p2))).as("h2"),
+            when(col("y2").isNull, col("b2"))
+              .otherwise(pmod(col("b2") * col("c2"), lit(p2))).as("b2")) ++
+            groupCols.map(frontier(_))): _*)
         .localCheckpoint()
       frontier.unpersist()
       doneFrames = next.filter(col("anc").isNull) :: doneFrames
@@ -217,9 +224,10 @@ object TreeOps {
     // representative span per path seeds the string reconstruction.
     val ph = (col("h1") * p2 + col("h2")).as("ph")
     val roll = doneFrames
-      .map(_.select(ph, col("trace_id"), col("span_id"), col("duration_us")))
+      .map(_.select((Seq(ph, col("trace_id"), col("span_id"),
+        col("duration_us")) ++ groupCols.map(col)): _*))
       .reduce(_ unionAll _)
-      .groupBy("ph")
+      .groupBy("ph", groupCols: _*)
       .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"),
         min(struct(col("trace_id"), col("span_id"))).as("rep"))
       .localCheckpoint()
@@ -233,6 +241,7 @@ object TreeOps {
     val repPaths = spanPaths(pruned, maxRounds)
       .select(col("span_id").as("rep_span"), col("path"))
     roll.join(repPaths, roll("rep.span_id") === col("rep_span"))
-      .select(col("path"), col("n_spans"), col("total_dur_us"))
+      .select((Seq(col("path")) ++ groupCols.map(col) ++
+        Seq(col("n_spans"), col("total_dur_us"))): _*)
   }
 }

@@ -174,6 +174,22 @@ object StreamingQueries {
     runToParquet(s, sessions, "sessions").orderBy("trace_id", "session_start_us")
   }
 
+  /** The same session assembly FORCED onto the RocksDB state store
+    * provider — the sf100 escape hatch (HDFSBackedStateStore OOMs the
+    * heap at 100 M-event session state; RocksDB spills off-heap/disk)
+    * proven through the driver's own hash gate, not just
+    * RocksDbStateStoreSpec: both surfaces share one oracle, so a
+    * provider-dependent result difference fails the round. */
+  private def runSessionWindowRocks(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sessions = SpanBufferStream.assembleSessions(
+      spanStream(ss, dir, richOps = true), gapSeconds = GapSeconds)
+    runToParquet(s, sessions, "sessions_rocksdb")
+      .orderBy("trace_id", "session_start_us")
+  }
+
   /** A4 as a stream, oracle-exact subset: tumbling-window per
     * (service, operation) rollups with count + min — the
     * [[SpanBufferStream.indexDocsStream]] shape minus its HLL
@@ -557,6 +573,25 @@ object StreamingQueries {
     """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id, epoch_us(ts) AS start_us
       |           FROM events)""".stripMargin
 
+  /** Session-window oracle, shared verbatim by the HDFS-backed and
+    * RocksDB-backed session surfaces — one rule, two providers. */
+  private val SessionsOracleSql = SpanCte + s"""
+    |, x AS (SELECT trace_id, start_us,
+    |          CASE WHEN start_us - lag(start_us) OVER (PARTITION BY trace_id ORDER BY start_us)
+    |                    >= ${GapSeconds * 1000000} THEN 1 ELSE 0 END AS brk
+    |        FROM s),
+    |y AS (SELECT trace_id, start_us,
+    |        SUM(brk) OVER (PARTITION BY trace_id ORDER BY start_us ROWS UNBOUNDED PRECEDING) AS sess
+    |      FROM x),
+    |g AS (SELECT max(start_us) AS gmax_us FROM y),
+    |sessions AS (SELECT trace_id, sess, MIN(start_us) AS session_start_us,
+    |               COUNT(*) AS span_count, MAX(start_us) AS last_us
+    |             FROM y GROUP BY trace_id, sess)
+    |SELECT trace_id, session_start_us, span_count
+    |FROM sessions, g
+    |WHERE last_us + ${GapSeconds * 1000000} <= (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
+    |ORDER BY trace_id, session_start_us""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     // sealed ⟺ trace quiet deadline (ms) strictly before final
     // watermark (ms) — see object doc for the derivation — OR the
@@ -580,22 +615,13 @@ object StreamingQueries {
     // hence <= below where the state-function buffer keeps strict <
     // (event-time timeouts genuinely fire on ts < watermark)
     "streaming_span_buffer_sessions" -> QueryDef.sql(runSessionWindow,
-      SpanCte + s"""
-        |, x AS (SELECT trace_id, start_us,
-        |          CASE WHEN start_us - lag(start_us) OVER (PARTITION BY trace_id ORDER BY start_us)
-        |                    >= ${GapSeconds * 1000000} THEN 1 ELSE 0 END AS brk
-        |        FROM s),
-        |y AS (SELECT trace_id, start_us,
-        |        SUM(brk) OVER (PARTITION BY trace_id ORDER BY start_us ROWS UNBOUNDED PRECEDING) AS sess
-        |      FROM x),
-        |g AS (SELECT max(start_us) AS gmax_us FROM y),
-        |sessions AS (SELECT trace_id, sess, MIN(start_us) AS session_start_us,
-        |               COUNT(*) AS span_count, MAX(start_us) AS last_us
-        |             FROM y GROUP BY trace_id, sess)
-        |SELECT trace_id, session_start_us, span_count
-        |FROM sessions, g
-        |WHERE last_us + ${GapSeconds * 1000000} <= (gmax_us // 1000 - ${GapSeconds * 1000}) * 1000
-        |ORDER BY trace_id, session_start_us""".stripMargin),
+      SessionsOracleSql),
+
+    // C93: the same session assembly on the RocksDB state store (see
+    // runSessionWindowRocks) — result-equivalence across providers
+    // enforced by the driver's hash via the SHARED oracle.
+    "streaming_sessions_rocksdb" -> QueryDef.sql(runSessionWindowRocks,
+      SessionsOracleSql),
 
     // tumbling windows seal when the final watermark passes their end
     // (epoch-aligned 60 s windows; <= per append-mode eviction)

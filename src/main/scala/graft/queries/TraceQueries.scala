@@ -1600,6 +1600,70 @@ object TraceQueries {
         |GROUP BY path""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // C92: differential flame graph — trace_path_rollup split across
+    // the two halves of the retention window (the before/after view a
+    // performance regression hunt starts from): per root→self service
+    // path, span count and total duration in each half, new/removed/
+    // kept status, and the duration ratio in exact ppm. Built on the
+    // SAME fingerprint-doubling cursor (TreeOps.pathRollup) with the
+    // half flag carried as a fixed-width groupCol through every
+    // checkpoint — the r8 disk-exhaustion lesson says payloads must
+    // stay narrow, and one long rides free. Midpoint = 1-row
+    // broadcast (the trace_graph_diff idiom); no trailing sort (one
+    // row per distinct path — the driver set-compares).
+    "trace_flamegraph_diff" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("trace_id", "span_id", "parent_span_id",
+          "service", "duration_us", "start_us")
+        val mid = sp.agg(expr("(min(start_us) + max(start_us)) div 2").as("mid_us"))
+        val flagged = sp.crossJoin(broadcast(mid))
+          .withColumn("half",
+            when(col("start_us") < col("mid_us"), 0L).otherwise(1L))
+          .select("trace_id", "span_id", "parent_span_id", "service",
+            "duration_us", "half")
+        val roll = graft.operators.TreeOps.pathRollup(flagged,
+          groupCols = Seq("half"))
+        roll.groupBy("path")
+          .agg(
+            sum(when(col("half") === 0L, col("n_spans")).otherwise(0L)).as("spans_a"),
+            sum(when(col("half") === 1L, col("n_spans")).otherwise(0L)).as("spans_b"),
+            sum(when(col("half") === 0L, col("total_dur_us")).otherwise(0L)).as("dur_a"),
+            sum(when(col("half") === 1L, col("total_dur_us")).otherwise(0L)).as("dur_b"))
+          .withColumn("status",
+            when(col("spans_a") === 0L, "new")
+              .when(col("spans_b") === 0L, "removed").otherwise("kept"))
+          .withColumn("dur_ratio_ppm",
+            expr("CASE WHEN dur_a > 0 THEN dur_b * 1000000 div dur_a END"))
+      },
+      cte("""
+        |, mid AS (SELECT (MIN(start_us) + MAX(start_us)) // 2 AS mid_us FROM spans),
+        |p AS (
+        |  SELECT span_id, service AS path FROM spans s
+        |  WHERE parent_span_id IS NULL
+        |     OR NOT EXISTS (SELECT 1 FROM spans q WHERE q.span_id = s.parent_span_id)
+        |  UNION ALL
+        |  SELECT s.span_id, p.path || '/' || s.service
+        |  FROM spans s JOIN p ON s.parent_span_id = p.span_id),
+        |d AS (SELECT p.path,
+        |        CASE WHEN s.start_us < mid_us THEN 0 ELSE 1 END AS half,
+        |        s.duration_us
+        |      FROM p JOIN spans s USING (span_id) CROSS JOIN mid)
+        |SELECT path,
+        |  CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS spans_a,
+        |  CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS spans_b,
+        |  CAST(SUM(CASE WHEN half = 0 THEN duration_us ELSE 0 END) AS BIGINT) AS dur_a,
+        |  CAST(SUM(CASE WHEN half = 1 THEN duration_us ELSE 0 END) AS BIGINT) AS dur_b,
+        |  CASE WHEN SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) = 0 THEN 'new'
+        |       WHEN SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) = 0 THEN 'removed'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN SUM(CASE WHEN half = 0 THEN duration_us ELSE 0 END) > 0
+        |       THEN CAST(SUM(CASE WHEN half = 1 THEN duration_us ELSE 0 END) AS BIGINT)
+        |            * 1000000
+        |            // CAST(SUM(CASE WHEN half = 0 THEN duration_us ELSE 0 END) AS BIGINT)
+        |       END AS dur_ratio_ppm
+        |FROM d GROUP BY path""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")),
+
     // Hour-of-day seasonality profile (C72) — the baseline an anomaly
     // detector normalizes against: per (service, hour-of-day) span
     // volume and its seasonal index vs the service's flat hourly
