@@ -1664,6 +1664,96 @@ object TraceQueries {
         |FROM d GROUP BY path""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE ")),
 
+    // C94: tail-latency Pareto share — "what fraction of total time
+    // lives in the slowest spans": per service, the p90/p99 duration
+    // cuts (ExactQuantiles' integer rank rule on the distinct-bounded
+    // duration histogram) and the EXACT ppm share of total duration
+    // carried by spans at or above each cut. The capacity-planning
+    // answer to "would fixing the tail matter". Scale: the corpus
+    // collapses to its per-(service, duration) count relation in one
+    // map-combined pass; cuts come from the count relation; shares
+    // are conditional sums over the same relation joined back by
+    // broadcast — spans never move twice.
+    "trace_tail_share" -> QueryDef.sql(
+      (s, dir) => {
+        val vc = spans(s, dir)
+          .groupBy(col("service"), col("duration_us"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val cuts = graft.operators.ExactQuantiles.percentilesFromCounts(
+          vc, Seq("service"), col("duration_us"), weight = col("cnt"),
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("p90_us", 9, 10),
+            graft.operators.ExactQuantiles.Disc("p99_us", 99, 100)))
+        vc.join(broadcast(cuts), "service")
+          .groupBy("service", "p90_us", "p99_us")
+          .agg(sum(col("duration_us") * col("cnt")).as("total_us"),
+            sum(when(col("duration_us") >= col("p90_us"),
+              col("duration_us") * col("cnt")).otherwise(0L)).as("tail90_us"),
+            sum(when(col("duration_us") >= col("p99_us"),
+              col("duration_us") * col("cnt")).otherwise(0L)).as("tail99_us"))
+          .select(col("service"), col("p90_us"), col("p99_us"), col("total_us"),
+            expr("tail90_us * 1000000 div total_us").as("tail90_share_ppm"),
+            expr("tail99_us * 1000000 div total_us").as("tail99_share_ppm"))
+          .orderBy("service")
+      },
+      cte("""
+        |, vc AS (SELECT service, duration_us, COUNT(*) AS cnt
+        |         FROM spans GROUP BY 1, 2),
+        |cuts AS (
+        |  SELECT service,
+        |    MIN(CASE WHEN cum * 10 >= n * 9 THEN duration_us END) AS p90_us,
+        |    MIN(CASE WHEN cum * 100 >= n * 99 THEN duration_us END) AS p99_us
+        |  FROM (SELECT service, duration_us, cnt,
+        |          SUM(cnt) OVER (PARTITION BY service ORDER BY duration_us) AS cum,
+        |          SUM(cnt) OVER (PARTITION BY service) AS n
+        |        FROM vc)
+        |  GROUP BY service)
+        |SELECT service, p90_us, p99_us,
+        |  CAST(SUM(duration_us * cnt) AS BIGINT) AS total_us,
+        |  CAST(SUM(CASE WHEN duration_us >= p90_us THEN duration_us * cnt ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(SUM(duration_us * cnt) AS BIGINT) AS tail90_share_ppm,
+        |  CAST(SUM(CASE WHEN duration_us >= p99_us THEN duration_us * cnt ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(SUM(duration_us * cnt) AS BIGINT) AS tail99_share_ppm
+        |FROM vc JOIN cuts USING (service)
+        |GROUP BY service, p90_us, p99_us
+        |ORDER BY service""".stripMargin)),
+
+    // C95: alert-flap suppression — the event-dedup rule an alerting
+    // pipeline applies before paging: within each (trace, service)
+    // stream, an event firing < 2 h after its predecessor is
+    // suppressed as a repeat (gaps-and-islands' little sibling: one
+    // lag per partition, row-local verdict). Report per service:
+    // events, suppressed count, exact suppression ppm. One window
+    // exchange the assembler already pays, then a map-combined
+    // rollup.
+    "trace_flap_suppress" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("trace_id", "service")
+          .orderBy("start_us", "span_id")
+        spans(s, dir)
+          .withColumn("prev_us", lag("start_us", 1).over(w))
+          .withColumn("suppressed",
+            when(col("prev_us").isNotNull &&
+              col("start_us") - col("prev_us") < 2L * HourUs, 1L).otherwise(0L))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_events"), sum("suppressed").as("n_suppressed"))
+          .withColumn("suppress_ppm",
+            expr("n_suppressed * 1000000 div n_events"))
+          .orderBy("service")
+      },
+      cte(s"""
+        |, x AS (SELECT service,
+        |          CASE WHEN lag(start_us) OVER (PARTITION BY trace_id, service
+        |                 ORDER BY start_us, span_id) IS NOT NULL
+        |                AND start_us - lag(start_us) OVER (PARTITION BY trace_id, service
+        |                 ORDER BY start_us, span_id) < ${2L * HourUs}
+        |               THEN 1 ELSE 0 END AS suppressed
+        |        FROM spans)
+        |SELECT service, COUNT(*) AS n_events,
+        |  CAST(SUM(suppressed) AS BIGINT) AS n_suppressed,
+        |  CAST(SUM(suppressed) AS BIGINT) * 1000000 // COUNT(*) AS suppress_ppm
+        |FROM x GROUP BY service ORDER BY service""".stripMargin)),
+
     // Hour-of-day seasonality profile (C72) — the baseline an anomaly
     // detector normalizes against: per (service, hour-of-day) span
     // volume and its seasonal index vs the service's flat hourly
