@@ -31,7 +31,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    nearest: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -40,8 +41,8 @@ case class AsOfJoinPlan(
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, near) :: Nil
     case _ => Nil
   }
 }
@@ -52,7 +53,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -149,8 +151,30 @@ case class AsOfJoinExec(
               advancing = false
             }
           }
-          if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
-            Iterator.single(resultProj(joined(lRow, candidate)))
+          // Backward candidate: latest right time <= left time (ties
+          // resolved to the sort-order maximum by the scan). NEAREST
+          // adds the PEEKED forward row — rRow at the stop point is
+          // the first same-key right row with time > left time (ties
+          // there resolve to the sort-order minimum); closer absolute
+          // distance wins, exact tie prefers backward. rRow is only
+          // peeked, never consumed — it may still become a later left
+          // row's backward candidate.
+          val back =
+            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
+              candidate else null
+          val fwd =
+            if (nearest && rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0)
+              rRow else null
+          val chosen =
+            if (back == null) fwd
+            else if (fwd == null) back
+            else {
+              val backDiff = lT - rTimeBound.eval(back).asInstanceOf[Long]
+              val fwdDiff = rTimeBound.eval(fwd).asInstanceOf[Long] - lT
+              if (fwdDiff < backDiff) fwd else back
+            }
+          if (chosen != null)
+            Iterator.single(resultProj(joined(lRow, chosen)))
           else Iterator.empty
           }
         }

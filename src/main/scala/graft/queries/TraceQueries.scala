@@ -507,6 +507,49 @@ object TraceQueries {
             |  ON e.trace_id = p.trace_id AND e.start_us >= p.p_start_us
             |ORDER BY err_span_id""".stripMargin)),
 
+    // C96: NEAREST as-of join — the bidirectional variant of the
+    // custom merge-scan plan (closest right row in time, either
+    // direction; exact tie prefers backward — pandas merge_asof
+    // direction='nearest' semantics, which DuckDB's ASOF lacks): one
+    // extra PEEK of the already-sorted forward row per left row, so
+    // the operator stays O(n+m) per co-partition with no candidate
+    // blow-up. The oracle ranks the full pair set by (|diff|,
+    // direction, scan tie-break) — the hash proves the merge-scan
+    // peek lands on the true nearest under every tie rule.
+    "q_asof_nearest" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+        val errors = sp.filter(col("service") === "error")
+          .select("trace_id", "span_id", "start_us")
+        val purchases = sp.filter(col("service") === "purchase")
+          .select("trace_id", "span_id", "start_us")
+        org.apache.spark.sql.GraftPlanBridge
+          .asofJoin(errors, purchases, Seq("trace_id"), "start_us", nearest = true)
+          .select(col("trace_id"), col("span_id").as("err_span_id"),
+            col("span_id_r").as("nearest_span_id"),
+            (col("start_us_r") - col("start_us")).as("signed_diff_us"))
+          .orderBy("err_span_id")
+      },
+      cte("""
+        |, e AS (SELECT trace_id, span_id, start_us FROM spans
+        |        WHERE service = 'error'),
+        |p AS (SELECT trace_id, span_id AS p_span_id, start_us AS p_start_us
+        |      FROM spans WHERE service = 'purchase'),
+        |pairs AS (
+        |  SELECT e.trace_id, e.span_id AS err_span_id, e.start_us,
+        |         p.p_span_id, p.p_start_us,
+        |    CASE WHEN p.p_start_us <= e.start_us THEN e.start_us - p.p_start_us
+        |         ELSE p.p_start_us - e.start_us END AS adiff,
+        |    CASE WHEN p.p_start_us <= e.start_us THEN 0 ELSE 1 END AS dir
+        |  FROM e JOIN p ON e.trace_id = p.trace_id)
+        |SELECT trace_id, err_span_id, p_span_id AS nearest_span_id,
+        |  p_start_us - start_us AS signed_diff_us
+        |FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY err_span_id
+        |  ORDER BY adiff, dir,
+        |    CASE WHEN dir = 0 THEN -p_span_id ELSE p_span_id END) = 1
+        |ORDER BY err_span_id""".stripMargin)),
+
     // Batch sessionization — the A3 gap semantics (30 min quiet splits
     // a trace into sessions) expressed as pure window functions, the
     // form a backfill over stored spans runs (streaming handles the

@@ -31,7 +31,8 @@ object GraftPlanBridge {
       right: Dataset[Row],
       keys: Seq[String],
       timeCol: String,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      nearest: Boolean = false): DataFrame = {
     val l = left.asInstanceOf[CDataset[Row]]
     val spark = l.sparkSession
     AsOfJoin.register(spark)
@@ -59,6 +60,7 @@ object GraftPlanBridge {
       keys.map(attr(lOut, _)),
       keys.map(k => attr(rOut, k + rightSuffix)),
       attr(lOut, timeCol),
-      attr(rOut, timeCol + rightSuffix)))
+      attr(rOut, timeCol + rightSuffix),
+      nearest))
   }
 }
