@@ -565,6 +565,132 @@ object VectorQueries {
         |       CAST(pick.db_scaled AS BIGINT) AS db_scaled
         |FROM sc JOIN pick USING (label) ORDER BY label""".stripMargin),
 
+    // B72: batch-perceptron training — the quality-classifier-training
+    // step done the embed_pca way: EXACT INTEGERS end to end so the
+    // oracle replays training bit-for-bit. Features = milli-quantized
+    // embedding + a 1000-unit bias; labels y = ±1 (label 0 vs rest);
+    // each round w += Σ_misclassified y·x (the batch perceptron — the
+    // per-sample update is sequential, the batch form is one
+    // map-combined per-dim sum). Weights live on the driver (d+1
+    // longs — the kmeans-centroid bounded-collect contract) and
+    // re-enter each round's scan as an inlined literal array; margins
+    // stay in long range through sf100 (|w| ≤ rounds·N·1000 ≈ 4e10,
+    // margin ≤ 65·|w|·1000 ≈ 2.6e15). Output: per-round misclassified
+    // count + exact accuracy ppm, plus a final-weight checksum row
+    // (Σ w_i·(i+1)) so the hash pins the whole trajectory. The oracle
+    // unrolls the rounds as MATERIALIZED CTEs.
+    "embed_perceptron" -> QueryDef.sql(
+      (s, dir) => {
+        val rounds = 10
+        // planted-hyperplane labels (y = sign(x0 + x1 − x2), over the
+        // QUANTIZED features so both engines agree at the boundary):
+        // separable by construction, so the learner must actually
+        // converge — the planted-recovery demo discipline (ANN
+        // recall, winnowing pair recovery) applied to training
+        val data = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("concat(transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), array(1000L))")
+              .as("x"))
+          .withColumn("y",
+            when(expr("x[0] + x[1] - x[2]") >= 0L, 1L).otherwise(-1L))
+          .localCheckpoint()
+        val d = 65
+        var w = Array.fill(d)(0L)
+        val hist = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+        val total = data.count()
+        (1 to rounds).foreach { r =>
+          val wLit = s"array(${w.mkString("L,")}L)"
+          val mis = data
+            .withColumn("margin", expr(
+              s"aggregate(zip_with(x, $wLit, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+            .filter(col("y") * col("margin") <= 0L)
+          val deltas = mis
+            .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
+            .groupBy("i").agg(sum(col("y") * col("xi")).as("dw"))
+            .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+          val nMis = mis.count()
+          hist += ((r.toLong, nMis, (total - nMis) * 1000000L / total))
+          // MEAN update (sign·(abs div n) — the cross-engine floor
+          // idiom): the raw batch sum overshoots by a factor of
+          // |misclassified| and oscillates without converging; the
+          // averaged step is the standard stable batch form and keeps
+          // |w| data-scale-free. (A 1/t decay was tried and floored
+          // the per-dim means to zero — recorded so it isn't retried.)
+          if (nMis > 0) (0 until d).foreach { i =>
+            val sum = deltas.getOrElse(i, 0L)
+            w(i) += math.signum(sum) * (math.abs(sum) / nMis)
+          }
+        }
+        val checksum = w.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum
+        // POCKET row (Gallant 1990): plain batch perceptron enters a
+        // 2-cycle on this boundary (measured: odd rounds bounce back
+        // to 258 mis); the pocket keeps the best model seen, which is
+        // the classic remedy and the model a pipeline would ship
+        val (bestRound, bestMis, bestAcc) = hist.minBy(t => (t._2, t._1))
+        import s.implicits._
+        hist.toSeq.toDF("round", "n_misclassified", "acc_ppm")
+          .unionByName(Seq((98L, bestMis, bestAcc), (99L, checksum, 0L))
+            .toDF("round", "n_misclassified", "acc_ppm"))
+          .orderBy("round")
+          .withColumn("best_round",
+            when(col("round") === 98L, lit(bestRound)).otherwise(lit(null).cast("long")))
+      }, {
+        val rounds = 10
+        val steps = (1 to rounds).map { r =>
+          s"""m$r AS MATERIALIZED (
+             |  SELECT d.vec_id, d.y, d.x
+             |  FROM data d, w${r - 1}
+             |  WHERE d.y * CAST(list_dot_product(d.x, w${r - 1}.wl) AS BIGINT) <= 0),
+             |h$r AS MATERIALIZED (
+             |  SELECT $r AS round, COUNT(*) AS n_mis,
+             |    ((SELECT COUNT(*) FROM data) - COUNT(*)) * 1000000
+             |      // (SELECT COUNT(*) FROM data) AS acc_ppm
+             |  FROM m$r),
+             |d$r AS (SELECT i,
+             |          CAST(sign(SUM(y * xi)) AS BIGINT)
+             |            * (abs(CAST(SUM(y * xi) AS BIGINT)) // COUNT(*)) AS dw
+             |        FROM (SELECT y, generate_subscripts(x, 1) AS i,
+             |                     unnest(x) AS xi
+             |              FROM m$r) u
+             |        GROUP BY i),
+             |w$r AS MATERIALIZED (
+             |  SELECT list(wv ORDER BY i) AS wl
+             |  FROM (SELECT g.i,
+             |          CAST(w${r - 1}.wl[g.i] + COALESCE(d$r.dw, 0) AS BIGINT) AS wv
+             |        FROM w${r - 1}, generate_series(1, 65) g(i)
+             |        LEFT JOIN d$r ON d$r.i = g.i))""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to rounds).map(r => s"SELECT round, n_mis, acc_ppm FROM h$r")
+          .mkString(" UNION ALL ")
+        s"""WITH data AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CASE WHEN q[1] + q[2] - q[3] >= 0 THEN 1 ELSE -1 END AS y,
+           |    list_append(q, CAST(1000 AS BIGINT)) AS x
+           |  FROM (SELECT vec_id,
+           |          list_transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+           |        FROM embeddings) t),
+           |w0 AS MATERIALIZED (
+           |  SELECT list_transform(range(65), i -> CAST(0 AS BIGINT)) AS wl),
+           |$steps,
+           |hall AS ($union),
+           |pocket AS (
+           |  SELECT 98 AS round, n_mis, acc_ppm, round AS best_round
+           |  FROM hall ORDER BY n_mis, round LIMIT 1),
+           |chk AS (
+           |  SELECT 99 AS round,
+           |    CAST((SELECT SUM(wl[g.i] * g.i)
+           |          FROM w$rounds, generate_series(1, 65) g(i)) AS BIGINT) AS n_mis,
+           |    CAST(0 AS BIGINT) AS acc_ppm)
+           |SELECT CAST(round AS BIGINT) AS round,
+           |       CAST(n_mis AS BIGINT) AS n_misclassified,
+           |       CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           |       CAST(best_round AS BIGINT) AS best_round
+           |FROM (SELECT round, n_mis, acc_ppm, NULL AS best_round FROM hall
+           |      UNION ALL SELECT round, n_mis, acc_ppm, best_round FROM pocket
+           |      UNION ALL SELECT round, n_mis, acc_ppm, NULL FROM chk)
+           |ORDER BY round""".stripMargin
+      }),
+
     // B71: MMR result diversification (Carbonell & Goldstein 1998) —
     // the greedy re-ranking every retrieval pipeline runs between ANN
     // and the user: pick the candidate maximizing
