@@ -361,8 +361,10 @@ object MultimodalOps {
     val header = new String(payload, 0, nl, "US-ASCII")
     val toks = header.split(' ')
     if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
-    val w = toks.find(_.startsWith("W")).map(_.drop(1).toInt).getOrElse(return None)
-    val h = toks.find(_.startsWith("H")).map(_.drop(1).toInt).getOrElse(return None)
+    val w = toks.find(_.startsWith("W"))
+      .flatMap(t => scala.util.Try(t.drop(1).toInt).toOption).getOrElse(return None)
+    val h = toks.find(_.startsWith("H"))
+      .flatMap(t => scala.util.Try(t.drop(1).toInt).toOption).getOrElse(return None)
     if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
     val frameLen = w * h * 3 / 2
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()

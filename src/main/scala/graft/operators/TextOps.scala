@@ -228,6 +228,9 @@ object TextOps {
     * suffix start. */
   def suffixArrayRanks(str: DataFrame, txtCol: String, maxIter: Int = 40): DataFrame = {
     var r = str.select(col(txtCol).as("txt"))
+      // empty-string guard: sequence(0, -1) DESCENDS (the §5 trap) and
+      // would fabricate positions 0 and -1 for a zero-length input
+      .filter(length(col("txt")) > 0)
       .select(explode(sequence(lit(0), length(col("txt")) - 1)).as("p0"), col("txt"))
       .select(col("p0").cast("long").as("pos"),
         ascii(expr("substring(txt, p0 + 1, 1)")).cast("long").as("rank"))

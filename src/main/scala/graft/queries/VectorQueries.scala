@@ -519,7 +519,10 @@ object VectorQueries {
         val d2 = ca.join(cb, Seq("i")).filter(col("la") =!= col("lb"))
           .groupBy("la", "lb")
           .agg(sum((col("cca") - col("ccb")) * (col("cca") - col("ccb"))).as("d2ab"))
-        val ratios = d2.join(pa, "la").join(pb, "lb")
+        // d2ab = 0 (two labels with identical integer centroids) would
+        // throw under ANSI division — drop such degenerate pairs (a
+        // coincident-centroid pair has no meaningful separation ratio)
+        val ratios = d2.filter(col("d2ab") > 0L).join(pa, "la").join(pb, "lb")
           .select(col("la"), col("lb"),
             expr("((s2a + s2b) * 1000000000) div d2ab").as("r_scaled"))
         val worst = ratios.groupBy(col("la").as("label"))
@@ -552,7 +555,8 @@ object VectorQueries {
         |  GROUP BY 1, 2),
         |ratios AS (
         |  SELECT la, lb, ((pa.s2 + pb.s2) * 1000000000) // d2ab AS r_scaled
-        |  FROM d2 JOIN sc pa ON d2.la = pa.label JOIN sc pb ON d2.lb = pb.label),
+        |  FROM d2 JOIN sc pa ON d2.la = pa.label JOIN sc pb ON d2.lb = pb.label
+        |  WHERE d2ab > 0),
         |worst AS (
         |  SELECT la AS label, MAX(r_scaled) AS db_scaled FROM ratios GROUP BY 1),
         |pick AS (

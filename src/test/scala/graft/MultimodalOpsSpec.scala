@@ -194,6 +194,9 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       // odd geometry in the header
       MultimodalOps.decodeY4m(
         "YUV4MPEG2 W15 H16 F25:1\nFRAME\n".getBytes("US-ASCII")) shouldBe None
+      // non-numeric geometry token must reject, not throw
+      MultimodalOps.decodeY4m(
+        "YUV4MPEG2 Wabc H16 F25:1\nFRAME\n".getBytes("US-ASCII")) shouldBe None
     }
 
     it("parses FRAME marker lines carrying parameters") {
