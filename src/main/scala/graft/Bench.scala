@@ -61,9 +61,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    // Shuffle partitions must scale with the DATA, not the cores: at
+    // sf100 (600 M lineitem / 100 M events) 32 post-shuffle partitions
+    // put ~3 M rows in every hash-join build and OOM'd the r9 pack at
+    // trace_depth (heap death at stage 3673 — the whole JVM exited 52
+    // and took 77 un-run surfaces with it). AQE coalesces an
+    // over-partitioned shuffle for free but never splits an
+    // under-partitioned non-skewed one, so the safe direction is UP.
+    // Default stays = cpus for the driver's sf0.1 line; scale runs set
+    // SPARK_GRAFT_SHUFFLE (256 at sf100).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
