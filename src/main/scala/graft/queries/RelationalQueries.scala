@@ -1378,6 +1378,224 @@ object RelationalQueries {
         |  CAST(2 * SUM(CAST(r AS HUGEINT) * spend_c)
         |       - (COUNT(*) + 1) * SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE)
         |  / CAST(COUNT(*) * SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE) AS gini
-        |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // C92: Benford first-digit audit — the classic fraud/data-quality
+    // screen: distribution of the leading digit of order totals vs the
+    // Benford expectation. All exact: cents are integers, the leading
+    // digit comes from the decimal string, shares are floor-ppm, and
+    // the Benford reference is the SAME floor(1e6*log10(1+1/d))
+    // literals on both engines (log10 never evaluated at query time).
+    // One map-combined digit count + a broadcast single-row total.
+    "q_benford" -> QueryDef.sql(
+      (s, dir) => {
+        val cents = Tables.orders(s, dir)
+          .select(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+          .filter(col("cents") > 0)
+        val counts = cents
+          .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        val total = cents.agg(count(lit(1)).as("n_total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n_orders"),
+            expr("(n_orders * 1000000) div n_total").as("share_ppm"),
+            expr(benfordCase).as("benford_ppm"))
+          .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+          .orderBy("digit")
+      },
+      s"""WITH cents0 AS (
+         |  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |cents AS (SELECT cents FROM cents0 WHERE cents > 0),
+         |counts AS (
+         |  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+         |         COUNT(*) AS n_orders
+         |  FROM cents GROUP BY 1),
+         |total AS (SELECT COUNT(*) AS n_total FROM cents)
+         |SELECT digit, n_orders,
+         |  (n_orders * 1000000) // n_total AS share_ppm,
+         |  $benfordCase AS benford_ppm,
+         |  (n_orders * 1000000) // n_total - ($benfordCase) AS dev_ppm
+         |FROM counts, total ORDER BY digit""".stripMargin),
+
+    // C93: market-basket pair mining — co-occurrence support and lift
+    // over order baskets, the association-rule primitive. ONE shuffle
+    // on the basket key fans out the C(n,2) pairs (TPC-H baskets are
+    // <=7 items, so the fan-out is bounded row-local work); pair and
+    // item counts are map-combined; lift goes through DECIMAL(38,0)
+    // so pair*baskets*1e6 cannot overflow at 100 TB. Top-100 by
+    // (pair_orders DESC, part_a, part_b) via TakeOrdered — never a
+    // full sort.
+    "q_basket_pairs" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+          .agg(count(lit(1)).as("pair_orders"))
+        val items = li.groupBy(col("pk")).agg(count(lit(1)).as("item_orders"))
+        val nb = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_baskets"))
+        pairs
+          .join(items.withColumnRenamed("item_orders", "orders_a"),
+            col("part_a") === col("pk")).drop("pk")
+          .join(items.withColumnRenamed("item_orders", "orders_b"),
+            col("part_b") === col("pk")).drop("pk")
+          .crossJoin(broadcast(nb))
+          .select(col("part_a"), col("part_b"), col("pair_orders"),
+            expr("(pair_orders * 1000000) div n_baskets").as("support_ppm"),
+            expr("CAST(pair_orders AS DECIMAL(38,0)) * n_baskets * 1000000" +
+              " div (CAST(orders_a AS DECIMAL(38,0)) * orders_b)").as("lift_ppm"))
+          .orderBy(col("pair_orders").desc, col("part_a"), col("part_b"))
+          .limit(100)
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_orders
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |items AS (SELECT pk, COUNT(*) AS item_orders FROM li GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM li)
+        |SELECT part_a, part_b, pair_orders,
+        |  (pair_orders * 1000000) // n_baskets AS support_ppm,
+        |  CAST(CAST(pair_orders AS HUGEINT) * n_baskets * 1000000
+        |    // (CAST(ia.item_orders AS HUGEINT) * ib.item_orders) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs JOIN items ia ON part_a = ia.pk
+        |           JOIN items ib ON part_b = ib.pk, nb
+        |ORDER BY pair_orders DESC, part_a, part_b LIMIT 100""".stripMargin),
+
+    // C94: RFM customer segmentation — recency/frequency/monetary
+    // quintile scores, the standard CRM cut. Scores use the exact
+    // rank-based bucket ((rank-1)*5) div n + 1 (never NTILE, whose
+    // remainder spreading differs between engines) with custkey
+    // tie-breaks so the total order is identical on both sides. Ranks
+    // come from ShardedWindow.rowNumber (shard = the leading metric —
+    // monotone along each order) so no single-task window at scale;
+    // the per-customer rollup is ONE map-combined pass over orders.
+    "q_rfm" -> QueryDef.sql(
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(
+            datediff(lit("2001-08-02").cast("date"),
+              max(col("o_orderdate")).cast("date")).cast("long").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("monetary_c"))
+        val n = per.agg(count(lit(1)).as("n_cust"))
+        // recency: SMALLER is better -> rank descending by recency so
+        // bucket 5 = most recent. Descending via the negated column.
+        val r1 = ShardedWindow.rowNumber(per, Seq.empty,
+          expr("(-recency_days) div 100"),
+          Seq(col("recency_days").desc, col("custkey")), "r_rank")
+        val r2 = ShardedWindow.rowNumber(r1, Seq.empty,
+          expr("frequency div 4"),
+          Seq(col("frequency"), col("custkey")), "f_rank")
+        val r3 = ShardedWindow.rowNumber(r2, Seq.empty,
+          expr("monetary_c div 100000000"),
+          Seq(col("monetary_c"), col("custkey")), "m_rank")
+        r3.crossJoin(broadcast(n))
+          .select(col("custkey"), col("recency_days"), col("frequency"),
+            col("monetary_c"),
+            expr("((r_rank - 1) * 5) div n_cust + 1").as("r_score"),
+            expr("((f_rank - 1) * 5) div n_cust + 1").as("f_score"),
+            expr("((m_rank - 1) * 5) div n_cust + 1").as("m_score"))
+          .withColumn("segment",
+            concat(col("r_score").cast("string"), col("f_score").cast("string"),
+              col("m_score").cast("string")))
+          .orderBy("custkey")
+      },
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2001-08-02')
+        |      AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_rank,
+        |    CAST(row_number() OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_rank,
+        |    CAST(row_number() OVER (ORDER BY monetary_c, custkey) AS BIGINT) AS m_rank,
+        |    (SELECT COUNT(*) FROM per) AS n_cust
+        |  FROM per)
+        |SELECT custkey, recency_days, frequency, monetary_c,
+        |  ((r_rank - 1) * 5) // n_cust + 1 AS r_score,
+        |  ((f_rank - 1) * 5) // n_cust + 1 AS f_score,
+        |  ((m_rank - 1) * 5) // n_cust + 1 AS m_score,
+        |  CAST(((r_rank - 1) * 5) // n_cust + 1 AS VARCHAR)
+        |    || CAST(((f_rank - 1) * 5) // n_cust + 1 AS VARCHAR)
+        |    || CAST(((m_rank - 1) * 5) // n_cust + 1 AS VARCHAR) AS segment
+        |FROM ranked ORDER BY custkey""".stripMargin),
+
+    // C95: two-sample Kolmogorov–Smirnov distance — distribution drift
+    // between two cohorts (return flags R vs A over price cents),
+    // EXACT: D = max |F1-F2| evaluated as the integer max of
+    // |cum1*n2 - cum2*n1| over the merged value grid (no doubles until
+    // the single output division). Cumulatives via ShardedWindow
+    // running sums (shard = cents div 1e6 — monotone along the value
+    // order), so the CDF merge never collapses to one task.
+    "q_ks_test" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        val grid = li.groupBy("cents").agg(
+          sum(when(col("flag") === "R", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("flag") === "A", 1L).otherwise(0L)).as("c2"))
+        val cum1 = ShardedWindow.runningSum(grid, Seq.empty,
+          expr("cents div 1000000"), Seq(col("cents")), col("c1"), "cum1")
+        val cum = ShardedWindow.runningSum(cum1, Seq.empty,
+          expr("cents div 1000000"), Seq(col("cents")), col("c2"), "cum2")
+        val tot = li.agg(
+          sum(when(col("flag") === "R", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("flag") === "A", 1L).otherwise(0L)).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .select(
+            abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"),
+            col("n1"), col("n2"))
+          .groupBy("n1", "n2")
+          .agg(max(col("dnum")).as("d_max"))
+          .select(col("n1"), col("n2"),
+            expr("CAST(d_max AS DECIMAL(38,0)) * 1000000 div " +
+              "(CAST(n1 AS DECIMAL(38,0)) * n2)").as("d_ppm"))
+      },
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |grid AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM li GROUP BY 1),
+        |cum AS (
+        |  SELECT
+        |    CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+        |  FROM grid),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM li)
+        |SELECT n1, n2,
+        |  CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
+        |FROM cum, tot GROUP BY n1, n2""".stripMargin)
   )
+
+  /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a
+    * runtime log10 — engines could round differently). Lazy because
+    * `defs` above initializes first in object init order. */
+  private lazy val benfordCase: String =
+    """CAST(CASE digit
+      | WHEN '1' THEN 301029 WHEN '2' THEN 176091 WHEN '3' THEN 124938
+      | WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66946
+      | WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END AS BIGINT)"""
+      .stripMargin.replace("\n", "")
 }

@@ -3020,8 +3020,159 @@ object TextQueries {
         |  FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.ms
         |  GROUP BY 1, 2)
         |SELECT label_lang, pred_lang, COUNT(*) AS n_docs
-        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // B73: URL canonicalization + dedup — the C4/CommonCrawl-style
+    // URL-level dedup step. The corpus has no URL column, so one is
+    // derived from (source, doc_id) arithmetic with the messiness a
+    // canonicalizer must survive (case-varied scheme/host, www.
+    // prefixes, explicit :443 default ports, trailing slashes,
+    // utm_* tracking params, fragments); the div-7 path makes distinct
+    // docs genuinely collide post-canonicalization (140 = lcm of the
+    // 20-way source cycle and the 4/2/5-way variant cycles times 7, so
+    // each colliding group spans one source and several host spellings). Canonical form:
+    // lowercase, fragment stripped, utm_* params dropped (non-tracking
+    // params kept), default port and www. and trailing slash removed.
+    // Pure row-local string work + ONE canonical-key shuffle — exactly
+    // the 100 TB shape (the URL never re-shuffles, only its md5 would
+    // need to at scale; kept as the string here so the output is
+    // human-auditable).
+    "dedup_url" -> QueryDef.sql(
+      (s, dir) => {
+        val raw = Tables.documents(s, dir)
+          .withColumn("raw_url", expr(rawUrlSql("CAST(doc_id div 140 AS STRING)")))
+        val canon = raw.withColumn("canonical_url", canonicalizeUrl(col("raw_url")))
+        canon.groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("doc_id")).as("keep_id"),
+            countDistinct(col("raw_url")).as("n_distinct_raw"))
+          .orderBy("canonical_url")
+      },
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${rawUrlSql("CAST(doc_id // 140 AS VARCHAR)")} AS raw_url FROM documents),
+         |canon AS (
+         |  SELECT doc_id, raw_url,
+         |    regexp_replace(
+         |      replace(replace(
+         |        regexp_replace(
+         |          split_part(lower(raw_url), '#', 1),
+         |          '[?&]utm_[a-z_]+=[a-z0-9]+', '', 'g'),
+         |        ':443', ''), '://www.', '://'),
+         |      '/$$', '') AS canonical_url
+         |  FROM raw)
+         |SELECT canonical_url, COUNT(*) AS n_variants,
+         |       MIN(doc_id) AS keep_id,
+         |       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw
+         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // B74: k-core decomposition (k=3, 6 synchronous peel rounds) of
+    // the bigram co-occurrence graph — the density view of vocabulary
+    // (triangles measure local closure; the k-core is the globally
+    // dense backbone term-graph pruning keeps). Each round recomputes
+    // degrees over the surviving edge set and drops nodes below k —
+    // vocab-sized joins only, after the single corpus-sized bigram
+    // collapse; the oracle unrolls the same 6 rounds, so the hash is
+    // exact whether or not the peel has converged (the spec pins
+    // convergence on the test corpus).
+    "text_kcore" -> QueryDef.sql(
+      (s, dir) => {
+        var edges = Tables.documents(s, dir)
+          .select(split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))")).as("b"))
+          .select(least(col("b.w1"), col("b.w2")).as("a"),
+            greatest(col("b.w1"), col("b.w2")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("_c")).drop("_c")
+          // each round references the prior edge set THREE times (two
+          // degree scans + the join); per-round lineage truncation is
+          // what keeps that linear instead of 3^rounds (the GraphOps
+          // iteration discipline)
+          .localCheckpoint()
+        for (_ <- 1 to kcoreRounds) {
+          val alive = edges.select(col("a").as("node"))
+            .union(edges.select(col("b")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= kcoreK)
+            .select("node")
+          val next = edges
+            .join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+            .localCheckpoint()
+          edges.unpersist()
+          edges = next
+        }
+        edges.select(col("a").as("node"))
+          .union(edges.select(col("b")))
+          .groupBy("node").agg(count(lit(1)).as("core_degree"))
+          .select(col("node").as("term"), col("core_degree"))
+          .orderBy("term")
+      },
+      kcoreOracle)
   )
+
+  /** Deterministic messy-URL synthesis shared by both engines; the only
+    * dialect difference is the integer-division path-id cast fragment,
+    * passed in whole. */
+  private def rawUrlSql(pathId: String): String =
+    s"""(CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+       |(CASE doc_id % 3 WHEN 0 THEN 'www.' || source || '.example.com'
+       |                 WHEN 1 THEN source || '.example.com'
+       |                 ELSE upper(source) || '.EXAMPLE.COM' END) ||
+       |(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       |'/doc/' || $pathId ||
+       |(CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+       |(CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x'
+       |      WHEN doc_id % 4 = 3 THEN '?ref=home' ELSE '' END) ||
+       |(CASE WHEN doc_id % 6 = 2 THEN '#section-2' ELSE '' END)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Spark-side canonicalizer (mirrors the oracle's expression chain):
+    * lowercase -> drop fragment -> drop utm_* params -> drop :443 ->
+    * drop www. -> drop trailing slash. */
+  private def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            substring_index(lower(url), "#", 1),
+            "[?&]utm_[a-z_]+=[a-z0-9]+", ""),
+          ":443", ""),
+        "://www\\.", "://"),
+      "/$", "")
+
+  // final + literal = compile-time constants, safe to reference from
+  // `defs` above despite object-initialization order
+  private final val kcoreK = 3
+  private final val kcoreRounds = 6
+
+  /** Unrolled 6-round 3-core peel over the same bigram edge set.
+    * (lazy: `defs` initializes before later-declared plain vals). */
+  private lazy val kcoreOracle: String = {
+    val base =
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bg AS (SELECT t[CAST(s.i AS INT)] AS w1, t[CAST(s.i AS INT) + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t) s(t, i)
+        |       WHERE t[CAST(s.i AS INT)] <> t[CAST(s.i AS INT) + 1]),
+        |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b FROM bg)""".stripMargin
+    val rounds = (1 to kcoreRounds).map { r =>
+      val p = r - 1
+      s"""a$r AS MATERIALIZED (SELECT node FROM (
+         |  SELECT a AS node FROM e$p UNION ALL SELECT b FROM e$p) u
+         |  GROUP BY 1 HAVING COUNT(*) >= $kcoreK),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e$p
+         |  JOIN a$r x ON e$p.a = x.node JOIN a$r y ON e$p.b = y.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val fin =
+      s"""
+         |SELECT node AS term, COUNT(*) AS core_degree FROM (
+         |  SELECT a AS node FROM e$kcoreRounds
+         |  UNION ALL SELECT b FROM e$kcoreRounds) u
+         |GROUP BY 1 ORDER BY term""".stripMargin
+    base + rounds + fin
+  }
 
 
   /** DuckDB SQL for [[graft.operators.TextOps.bpeMerges]]: identical

