@@ -2938,6 +2938,144 @@ object TraceQueries {
         |       + CASE WHEN m3 IS NULL THEN 0 ELSE 432 END
         |       + CASE WHEN m4 IS NULL THEN 0 ELSE 324 END
         |       + CASE WHEN m5 IS NULL THEN 0 ELSE 243 END AS DOUBLE) AS ewma_us
-        |FROM l ORDER BY service, hr""".stripMargin))
+        |FROM l ORDER BY service, hr""".stripMargin)),
+
+    // C96: all-pairs weighted shortest path over the service graph —
+    // "what is the cheapest call chain between any two services" — by
+    // min-plus MATRIX SQUARING: 3 rounds of self-join + group-min
+    // cover every path of <= 8 edges (vs 8 rounds of Bellman-Ford
+    // relaxation; log-rounds is what survives a deep graph at scale —
+    // the iterate is always the pair-keyed distance relation, never
+    // the raw corpus, and every round shuffles on the same (src,dst)
+    // keys). Edge weight = exact floor-mean latency per edge. Cyclic
+    // graphs are fine: a pair (s,s) row reports the cheapest cycle
+    // through s. The oracle unrolls the same 3 squarings.
+    "trace_shortest_path" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service",
+          "duration_us")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .filter(col("p.service") =!= col("c.service"))
+          .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+          .agg(expr("sum(c.duration_us) div count(1)").as("w"))
+        var d = edges.localCheckpoint()
+        for (_ <- 1 to 3) {
+          val via = d.as("x").join(d.as("y"), col("x.dst") === col("y.src"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst"),
+              (col("x.w") + col("y.w")).as("w"))
+          val next = d.union(via).groupBy("src", "dst")
+            .agg(min("w").as("w")).localCheckpoint()
+          d.unpersist()
+          d = next
+        }
+        d.select(col("src").as("from_service"), col("dst").as("to_service"),
+            col("w").as("min_total_us"))
+          .orderBy("from_service", "to_service")
+      },
+      cte("""
+        |, e AS MATERIALIZED (
+        |  SELECT p.service AS src, c.service AS dst,
+        |         SUM(c.duration_us) // COUNT(*) AS w
+        |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+        |  WHERE p.service <> c.service GROUP BY 1, 2),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM e
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM e x JOIN e y ON x.dst = y.src) u GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM d1
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM d1 x JOIN d1 y ON x.dst = y.src) u GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src, dst, MIN(w) AS w FROM (
+        |    SELECT src, dst, w FROM d2
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM d2 x JOIN d2 y ON x.dst = y.src) u GROUP BY 1, 2)
+        |SELECT src AS from_service, dst AS to_service,
+        |       CAST(w AS BIGINT) AS min_total_us
+        |FROM d3 ORDER BY 1, 2""".stripMargin)),
+
+    // C97: autocorrelation function (lags 1..6) of the hourly event
+    // volume per service — the periodicity screen behind seasonality
+    // detection, EXACT: with S = sum(x), n = hours, the mean-centered
+    // products are multiplied through by n^2, so every numerator
+    // n^2*Sxy_k - n*S*(Sx_k + Sy_k) + (n-k)*S^2 and the k=0
+    // denominator are integers in DECIMAL(38,0); the only doubles are
+    // the final num/den casts (correctly rounded on both engines, the
+    // q_gini discipline). Lag pairs come from window lags over the
+    // hourly relation (corpus collapses FIRST; the window runs over
+    // #hours rows per service). Gap hours are absent rows — the ACF
+    // is over the observed sequence, identically on both sides.
+    "trace_acf" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("hr"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("service").orderBy("hr")
+        val lagged = (1 to 6).foldLeft(hourly) {
+          case (df, k) => df.withColumn(s"m$k", lag("x", k).over(w))
+        }
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+            sum(dec(col("x")) * dec(col("x"))).as("sxx")) ++
+          (1 to 6).flatMap { k =>
+            Seq(
+              sum(dec(col("x")) * dec(col(s"m$k"))).as(s"sxy$k"),
+              sum(when(col(s"m$k").isNotNull, dec(col("x")))
+                .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s"sxc$k"),
+              sum(coalesce(dec(col(s"m$k")), lit(0).cast(DecimalType(38, 0))))
+                .as(s"syc$k"))
+          }
+        val st = lagged.groupBy("service").agg(aggs.head, aggs.tail: _*)
+        val n = dec(col("n"))
+        val den = (n * n * col("sxx") - n * col("sx") * (col("sx") + col("sx")) +
+          n * col("sx") * col("sx"))
+        val pairs = (1 to 6).map { k =>
+          val num = n * n * col(s"sxy$k") -
+            n * col("sx") * (col(s"sxc$k") + col(s"syc$k")) +
+            (n - k) * col("sx") * col("sx")
+          struct(lit(k.toLong).as("lag"),
+            (num.cast("double") / den.cast("double")).as("acf"))
+        }
+        st.select(col("service"), col("n").as("n_hours"),
+            explode(array(pairs: _*)).as("p"))
+          .select(col("service"), col("p.lag").as("lag"), col("n_hours"),
+            col("p.acf").as("acf"))
+          .orderBy("service", "lag")
+      },
+      cte("""
+        |, h AS (SELECT service, start_us // 3600000000 AS hr, COUNT(*) AS x
+        |        FROM spans GROUP BY 1, 2),
+        |l AS (SELECT service, x,
+        |        lag(x, 1) OVER w AS m1, lag(x, 2) OVER w AS m2,
+        |        lag(x, 3) OVER w AS m3, lag(x, 4) OVER w AS m4,
+        |        lag(x, 5) OVER w AS m5, lag(x, 6) OVER w AS m6
+        |      FROM h WINDOW w AS (PARTITION BY service ORDER BY hr)),
+        |st AS MATERIALIZED (
+        |  SELECT service, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * m1) AS sxy1, SUM(CASE WHEN m1 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc1, SUM(COALESCE(CAST(m1 AS HUGEINT), 0)) AS syc1,
+        |    SUM(CAST(x AS HUGEINT) * m2) AS sxy2, SUM(CASE WHEN m2 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc2, SUM(COALESCE(CAST(m2 AS HUGEINT), 0)) AS syc2,
+        |    SUM(CAST(x AS HUGEINT) * m3) AS sxy3, SUM(CASE WHEN m3 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc3, SUM(COALESCE(CAST(m3 AS HUGEINT), 0)) AS syc3,
+        |    SUM(CAST(x AS HUGEINT) * m4) AS sxy4, SUM(CASE WHEN m4 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc4, SUM(COALESCE(CAST(m4 AS HUGEINT), 0)) AS syc4,
+        |    SUM(CAST(x AS HUGEINT) * m5) AS sxy5, SUM(CASE WHEN m5 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc5, SUM(COALESCE(CAST(m5 AS HUGEINT), 0)) AS syc5,
+        |    SUM(CAST(x AS HUGEINT) * m6) AS sxy6, SUM(CASE WHEN m6 IS NULL THEN 0 ELSE CAST(x AS HUGEINT) END) AS sxc6, SUM(COALESCE(CAST(m6 AS HUGEINT), 0)) AS syc6
+        |  FROM l GROUP BY 1)
+        |SELECT service, lag, n AS n_hours,
+        |  CAST(n * n * sxy - n * sx * (sxc + syc) + (n - lag) * sx * sx AS DOUBLE)
+        |  / CAST(n * n * sxx - 2 * n * sx * sx + n * sx * sx AS DOUBLE) AS acf
+        |FROM (
+        |  SELECT service, n, sx, sxx, CAST(1 AS BIGINT) AS lag, sxy1 AS sxy, sxc1 AS sxc, syc1 AS syc FROM st
+        |  UNION ALL SELECT service, n, sx, sxx, 2, sxy2, sxc2, syc2 FROM st
+        |  UNION ALL SELECT service, n, sx, sxx, 3, sxy3, sxc3, syc3 FROM st
+        |  UNION ALL SELECT service, n, sx, sxx, 4, sxy4, sxc4, syc4 FROM st
+        |  UNION ALL SELECT service, n, sx, sxx, 5, sxy5, sxc5, syc5 FROM st
+        |  UNION ALL SELECT service, n, sx, sxx, 6, sxy6, sxc6, syc6 FROM st) u
+        |ORDER BY service, lag""".stripMargin))
   )
 }

@@ -124,6 +124,55 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_shortest_path") {
+    it("matches Floyd-Warshall over the extracted edge weights") {
+      val rows = SparkEntry.allDefs("trace_shortest_path").fn(spark, sfDir)
+        .as[(String, String, Long)].collect()
+      // rebuild the edge relation exactly as the query defines it
+      val sp = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+        .select("span_id", "parent_span_id", "service", "duration_us")
+      val edges = sp.as("c")
+        .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+        .filter(col("p.service") =!= col("c.service"))
+        .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+        .agg(expr("sum(c.duration_us) div count(1)").as("w"))
+        .as[(String, String, Long)].collect()
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var dist = edges.map(e => (e._1, e._2) -> e._3).toMap
+      // Floyd-Warshall gives true all-pairs shortest (any hop count);
+      // on this graph (diameter << 8) the 3-squaring result must agree
+      for (k <- nodes; i <- nodes; j <- nodes) {
+        (dist.get((i, k)), dist.get((k, j))) match {
+          case (Some(a), Some(b)) =>
+            if (dist.get((i, j)).forall(_ > a + b)) dist += (i, j) -> (a + b)
+          case _ =>
+        }
+      }
+      rows.map(r => (r._1, r._2) -> r._3).toMap shouldBe dist
+    }
+  }
+
+  describe("trace_acf") {
+    it("matches the brute-force lag-k autocorrelation per service") {
+      val hourly = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .groupBy(col("service"), expr("start_us div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("x"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble)).toMap
+      val got = SparkEntry.allDefs("trace_acf").fn(spark, sfDir)
+        .select("service", "lag", "acf").as[(String, Long, Double)].collect()
+      got.foreach { case (svc, k, acf) =>
+        val xs = hourly(svc)
+        val mean = xs.sum / xs.length
+        val den = xs.map(v => (v - mean) * (v - mean)).sum
+        val num = xs.dropRight(k.toInt).zip(xs.drop(k.toInt))
+          .map { case (a, b) => (a - mean) * (b - mean) }.sum
+        acf shouldBe (num / den) +- 1e-9
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)
