@@ -1380,7 +1380,7 @@ object RelationalQueries {
         |  / CAST(COUNT(*) * SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE) AS gini
         |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin),
 
-    // C92: Benford first-digit audit — the classic fraud/data-quality
+    // C97: Benford first-digit audit — the classic fraud/data-quality
     // screen: distribution of the leading digit of order totals vs the
     // Benford expectation. All exact: cents are integers, the leading
     // digit comes from the decimal string, shares are floor-ppm, and
@@ -1418,7 +1418,7 @@ object RelationalQueries {
          |  (n_orders * 1000000) // n_total - ($benfordCase) AS dev_ppm
          |FROM counts, total ORDER BY digit""".stripMargin),
 
-    // C93: market-basket pair mining — co-occurrence support and lift
+    // C98: market-basket pair mining — co-occurrence support and lift
     // over order baskets, the association-rule primitive. ONE shuffle
     // on the basket key fans out the C(n,2) pairs (TPC-H baskets are
     // <=7 items, so the fan-out is bounded row-local work); pair and
@@ -1468,7 +1468,7 @@ object RelationalQueries {
         |           JOIN items ib ON part_b = ib.pk, nb
         |ORDER BY pair_orders DESC, part_a, part_b LIMIT 100""".stripMargin),
 
-    // C94: RFM customer segmentation — recency/frequency/monetary
+    // C99: RFM customer segmentation — recency/frequency/monetary
     // quintile scores, the standard CRM cut. Scores use the exact
     // rank-based bucket ((rank-1)*5) div n + 1 (never NTILE, whose
     // remainder spreading differs between engines) with custkey
@@ -1532,7 +1532,7 @@ object RelationalQueries {
         |    || CAST(((m_rank - 1) * 5) // n_cust + 1 AS VARCHAR) AS segment
         |FROM ranked ORDER BY custkey""".stripMargin),
 
-    // C95: two-sample Kolmogorov–Smirnov distance — distribution drift
+    // C100: two-sample Kolmogorov–Smirnov distance — distribution drift
     // between two cohorts (return flags R vs A over price cents),
     // EXACT: D = max |F1-F2| evaluated as the integer max of
     // |cum1*n2 - cum2*n1| over the merged value grid (no doubles until

@@ -2940,7 +2940,7 @@ object TraceQueries {
         |       + CASE WHEN m5 IS NULL THEN 0 ELSE 243 END AS DOUBLE) AS ewma_us
         |FROM l ORDER BY service, hr""".stripMargin)),
 
-    // C96: all-pairs weighted shortest path over the service graph —
+    // C101: all-pairs weighted shortest path over the service graph —
     // "what is the cheapest call chain between any two services" — by
     // min-plus MATRIX SQUARING: 3 rounds of self-join + group-min
     // cover every path of <= 8 edges (vs 8 rounds of Bellman-Ford
@@ -2998,7 +2998,7 @@ object TraceQueries {
         |       CAST(w AS BIGINT) AS min_total_us
         |FROM d3 ORDER BY 1, 2""".stripMargin)),
 
-    // C97: autocorrelation function (lags 1..6) of the hourly event
+    // C102: autocorrelation function (lags 1..6) of the hourly event
     // volume per service — the periodicity screen behind seasonality
     // detection, EXACT: with S = sum(x), n = hours, the mean-centered
     // products are multiplied through by n^2, so every numerator

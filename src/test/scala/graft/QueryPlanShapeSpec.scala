@@ -369,4 +369,59 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
   }
+
+  describe("round-9 audit-surface plan shapes") {
+    it("q_benford joins the scalar total by broadcast, never a shuffle") {
+      val p = plan("q_benford")
+      p should include("BroadcastNestedLoopJoin") // 1-row total × 9 digits
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    }
+
+    it("q_basket_pairs takes top pairs with TakeOrdered, never a full sort") {
+      val p = plan("q_basket_pairs")
+      p should include("TakeOrderedAndProject")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_rfm ranks through ShardedWindow sub-shards with a broadcast count") {
+      val p = plan("q_rfm")
+      p should include("_sw_shard")
+      p should include("BroadcastNestedLoopJoin") // the 1-row n_cust
+      p should not include "CartesianProduct"
+    }
+
+    it("q_ks_test cumulates the CDF grid through ShardedWindow sub-shards") {
+      val p = plan("q_ks_test")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("dedup_url is one canonical-key shuffle with no join anywhere") {
+      val p = plan("dedup_url")
+      p should not include "Join"
+    }
+
+    it("text_kcore truncates lineage every peel round") {
+      val p = plan("text_kcore")
+      // the final plan reads the round-6 checkpoint, not 18 nested joins
+      p should include("Scan ExistingRDD")
+      p should not include "SortMergeJoin"
+    }
+
+    it("trace_shortest_path iterates over checkpointed pair relations") {
+      val p = plan("trace_shortest_path")
+      p should include("Scan ExistingRDD")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_acf collapses to the hourly relation before any window") {
+      val p = plan("trace_acf")
+      // window input is the (service, hr) aggregate, then one more
+      // service-level aggregate; never a window over raw spans
+      p should include("Window")
+      p should include("partial_count")
+      p should not include "CartesianProduct"
+    }
+  }
 }
