@@ -1587,6 +1587,166 @@ object RelationalQueries {
         |  CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
         |FROM cum, tot GROUP BY n1, n2""".stripMargin)
+  ) ++ wave5
+
+  /** C103–C105 (wave 5): Theil inequality, Wald–Wolfowitz runs test,
+    * Bollinger bands — appended via ++ so `defs` stays one Map literal
+    * per wave without exceeding the JVM method-size comfort zone. */
+  private lazy val wave5: Map[String, QueryDef] = Map(
+    // C103: Theil-T inequality index — the entropy-based complement to
+    // q_gini over the same per-nation customer-spend relation.
+    // T = Sum(x·(ln x + ln n − ln S))/S where every ln argument is an
+    // EXACT INTEGER (the dsir/naive-bayes idiom: libm ln on integer-
+    // valued doubles matches across engines), the x·ln x products sum
+    // as doubles and the output is ROUND(...,6); n and S ride the same
+    // single aggregation pass.
+    "q_theil" -> QueryDef.sql(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("spend_c"))
+        val named = spend
+          .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+        named.groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("spend_c")).as("total_spend_c"),
+            sum(col("spend_c").cast("double") * log(col("spend_c").cast("double")))
+              .as("sxlnx"))
+          .select(col("n_name"), col("n_customers"), col("total_spend_c"),
+            round(col("sxlnx") / col("total_spend_c").cast("double") +
+              log(col("n_customers").cast("double")) -
+              log(col("total_spend_c").cast("double")), 6).as("theil"))
+          .orderBy("n_name")
+      },
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |named AS (
+        |  SELECT n_name, spend_c
+        |  FROM spend JOIN customer ON custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend_c) AS BIGINT) AS total_spend_c,
+        |  ROUND(SUM(CAST(spend_c AS DOUBLE) * ln(CAST(spend_c AS DOUBLE)))
+        |          / CAST(SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE)
+        |        + ln(CAST(COUNT(*) AS DOUBLE))
+        |        - ln(CAST(SUM(CAST(spend_c AS HUGEINT)) AS DOUBLE)), 6) AS theil
+        |FROM named GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // C104: Wald–Wolfowitz runs test — randomness screen over the
+    // daily order-volume sequence: days classified above/below the
+    // grand mean by EXACT cross-multiplication (daily·n vs S in
+    // DECIMAL(38,0) — never a float mean), runs counted via a rank
+    // self-join on ShardedWindow row numbers (consecutive-rank pairs
+    // shuffle-join on the rank key; no single-task global window),
+    // expected runs (2·n1·n2 + n)/n as floor-milli.
+    "q_runs_test" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+        val tot = daily.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+        val signed = daily.crossJoin(broadcast(tot))
+          .withColumn("above",
+            (col("x").cast(DecimalType(38, 0)) * col("n") > col("sx")).cast("long"))
+        val ranked = ShardedWindow.rowNumber(signed, Seq.empty,
+          expr("unix_date(CAST(day AS DATE)) div 64"), Seq(col("day")), "r")
+        val prev = ranked.select((col("r") + 1).as("pr"), col("above").as("pabove"))
+        val changes = ranked.join(prev, col("r") === col("pr"))
+          .agg(sum(when(col("above") =!= col("pabove"), 1L).otherwise(0L)).as("ch"))
+        ranked.groupBy("n")
+          .agg(sum(col("above")).as("n_above"),
+            sum(lit(1L) - col("above")).as("n_below"))
+          .crossJoin(broadcast(changes))
+          .select(col("n").as("n_days"), col("n_above"), col("n_below"),
+            (col("ch") + 1L).as("runs"),
+            expr("(CAST(2 AS DECIMAL(38,0)) * n_above * n_below + n) * 1000 div n")
+              .as("expected_runs_milli"))
+      },
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx FROM daily),
+        |signed AS (
+        |  SELECT day, CASE WHEN CAST(x AS HUGEINT) * n > sx THEN 1 ELSE 0 END AS above,
+        |         n
+        |  FROM daily, tot),
+        |ranked AS (
+        |  SELECT day, above, n,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r
+        |  FROM signed),
+        |ch AS (
+        |  SELECT CAST(SUM(CASE WHEN a.above <> b.above THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ch
+        |  FROM ranked a JOIN ranked b ON a.r = b.r + 1)
+        |SELECT MAX(n) AS n_days,
+        |  CAST(SUM(above) AS BIGINT) AS n_above,
+        |  CAST(SUM(1 - above) AS BIGINT) AS n_below,
+        |  MAX(ch) + 1 AS runs,
+        |  CAST((2 * SUM(CAST(above AS HUGEINT)) * SUM(CAST(1 - above AS HUGEINT))
+        |        + MAX(n)) * 1000 // MAX(n) AS BIGINT) AS expected_runs_milli
+        |FROM ranked, ch""".stripMargin),
+
+    // C105: Bollinger bands — 20-day rolling mean ± 2σ per nation over
+    // daily spend. The window sums Σx and Σx² stay exact decimals; the
+    // variance numerator cnt·Σx² − (Σx)² is exact, and every double op
+    // after it (two divisions, one IEEE-correctly-rounded sqrt, one
+    // fused add) is written in the SAME order on both engines, so the
+    // bits agree without ROUND. Window partitions by nation (bounded
+    // series per key — the EWMA discipline), frame = 19 PRECEDING.
+    "q_bollinger" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+        val w = Window.partitionBy("n_name").orderBy("day").rowsBetween(-19, 0)
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        daily
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("sx", sum(dec(col("x"))).over(w))
+          .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(w))
+          .select(col("n_name"), col("day"), col("x").as("spend_c"),
+            (col("sx").cast("double") / col("cnt").cast("double")).as("ma20"),
+            sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("cnt") * col("cnt")).cast("double")).as("sigma"))
+          .withColumn("upper", col("ma20") + lit(2.0) * col("sigma"))
+          .withColumn("lower", col("ma20") - lit(2.0) * col("sigma"))
+          .orderBy("n_name", "day")
+      },
+      """WITH daily AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT n_name, day, x,
+        |    COUNT(*) OVER w AS cnt,
+        |    SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY n_name ORDER BY day
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT n_name, day, x AS spend_c,
+        |  CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) AS ma20,
+        |  sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))
+        |    AS sigma,
+        |  CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |    + 2.0 * sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))
+        |    AS upper,
+        |  CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |    - 2.0 * sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))
+        |    AS lower
+        |FROM win ORDER BY n_name, day""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -173,6 +173,67 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_theil") {
+    it("matches the brute-force Theil-T index per nation") {
+      val spend = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+      val got = SparkEntry.allDefs("q_theil").fn(spark, sfDir)
+        .select("n_name", "theil").as[(String, Double)].collect()
+      got.foreach { case (nation, theil) =>
+        val xs = spend(nation).map(_.toDouble)
+        val s = xs.sum
+        val expected = xs.map(x => x / s * math.log(x * xs.length / s)).sum
+        theil shouldBe expected +- 1e-5
+      }
+    }
+  }
+
+  describe("q_runs_test") {
+    it("matches the brute-force runs count over the daily sign sequence") {
+      val daily = Tables.orders(spark, sfDir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val n = daily.length
+      val s = daily.map(v => BigInt(v._2)).sum
+      val signs = daily.map(v => BigInt(v._2) * n > s)
+      val runs = 1 + signs.sliding(2).count(p => p(0) != p(1))
+      val Array((nDays, nAbove, nBelow, gotRuns, expMilli)) =
+        SparkEntry.allDefs("q_runs_test").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long, Long)].collect()
+      nDays shouldBe n.toLong
+      nAbove shouldBe signs.count(identity).toLong
+      nBelow shouldBe signs.count(!_).toLong
+      gotRuns shouldBe runs.toLong
+      expMilli shouldBe ((BigInt(2) * nAbove * nBelow + n) * 1000 / n).toLong
+    }
+  }
+
+  describe("q_bollinger") {
+    it("matches the brute-force rolling mean and population sigma") {
+      val rows = SparkEntry.allDefs("q_bollinger").fn(spark, sfDir)
+        .select("n_name", "day", "spend_c", "ma20", "sigma", "upper", "lower")
+        .as[(String, String, Long, Double, Double, Double, Double)].collect()
+      val byNation = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      byNation.values.foreach { series =>
+        series.zipWithIndex.foreach { case ((_, _, _, ma, sigma, up, lo), i) =>
+          val frame = series.slice(math.max(0, i - 19), i + 1).map(_._3.toDouble)
+          val mean = frame.sum / frame.length
+          val svar = frame.map(v => (v - mean) * (v - mean)).sum / frame.length
+          ma shouldBe mean +- 1e-6
+          sigma shouldBe math.sqrt(svar) +- 1e-6
+          up shouldBe (ma + 2 * sigma) +- 1e-9
+          lo shouldBe (ma - 2 * sigma) +- 1e-9
+        }
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -415,6 +415,26 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
+    it("q_theil rides one map-combined pass with a broadcast nation dim") {
+      val p = plan("q_theil")
+      p should include("BroadcastHashJoin")
+      p should include("partial_sum")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_runs_test ranks days through ShardedWindow, never one global window task") {
+      val p = plan("q_runs_test")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_bollinger windows per nation over the collapsed daily relation") {
+      val p = plan("q_bollinger")
+      p should include("Window")
+      p should include("partial_sum")
+      p should not include "CartesianProduct"
+    }
+
     it("trace_acf collapses to the hourly relation before any window") {
       val p = plan("trace_acf")
       // window input is the (service, hr) aggregate, then one more
