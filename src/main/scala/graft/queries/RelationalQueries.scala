@@ -1587,7 +1587,7 @@ object RelationalQueries {
         |  CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
         |FROM cum, tot GROUP BY n1, n2""".stripMargin)
-  ) ++ wave5
+  ) ++ wave5 ++ wave6
 
   /** C103–C105 (wave 5): Theil inequality, Wald–Wolfowitz runs test,
     * Bollinger bands — appended via ++ so `defs` stays one Map literal
@@ -1747,6 +1747,61 @@ object RelationalQueries {
         |    - 2.0 * sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) / CAST(cnt * cnt AS DOUBLE))
         |    AS lower
         |FROM win ORDER BY n_name, day""".stripMargin)
+  )
+
+  /** C106 (wave 6): ABC/Pareto classification. */
+  private lazy val wave6: Map[String, QueryDef] = Map(
+    // C106: ABC (Pareto) classification — parts bucketed A/B/C by
+    // cumulative revenue share (<=80% / <=95% / rest), the inventory-
+    // analysis classic. Cumulative revenue via ShardedWindow running
+    // sums in descending-revenue order (shard = negated revenue,
+    // monotone under trunc-div); class cuts by exact decimal
+    // cross-multiplication (cum·100 vs threshold·total — never a float
+    // share); output is the 3-row class rollup with floor-ppm shares.
+    "q_abc_pareto" -> QueryDef.sql(
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")).as("rev_c"))
+        val cum = ShardedWindow.runningSum(rev, Seq.empty,
+          expr("(-rev_c) div 100000000"),
+          Seq(col("rev_c").desc, col("partkey")), col("rev_c"), "cum_c")
+        val tot = rev.agg(sum(col("rev_c").cast(DecimalType(38, 0))).as("total_c"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("abc_class",
+            when(col("cum_c").cast(DecimalType(38, 0)) * 100 <= col("total_c") * 80, "A")
+              .when(col("cum_c").cast(DecimalType(38, 0)) * 100 <= col("total_c") * 95, "B")
+              .otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_c")).as("class_rev_c"))
+          .crossJoin(broadcast(tot))
+          .select(col("abc_class"), col("n_parts"), col("class_rev_c"),
+            expr("CAST(class_rev_c AS DECIMAL(38,0)) * 1000000 div total_c")
+              .as("rev_share_ppm"))
+          .orderBy("abc_class")
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT partkey, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, partkey) AS BIGINT) AS cum_c
+        |  FROM rev),
+        |tot AS (SELECT SUM(CAST(rev_c AS HUGEINT)) AS total_c FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN CAST(cum_c AS HUGEINT) * 100 <= total_c * 80 THEN 'A'
+        |              WHEN CAST(cum_c AS HUGEINT) * 100 <= total_c * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |         rev_c
+        |  FROM cum, tot)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+        |  CAST(SUM(CAST(rev_c AS HUGEINT)) * 1000000
+        |    // (SELECT total_c FROM tot) AS BIGINT) AS rev_share_ppm
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

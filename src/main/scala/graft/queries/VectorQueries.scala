@@ -787,7 +787,69 @@ object VectorQueries {
            |       ms AS max_sim_at_pick, rel - ms AS mmr_score
            |FROM (SELECT * FROM p1 UNION ALL $union)
            |ORDER BY pick_rank""".stripMargin
-      })
+      }),
+
+    // B75: Johnson–Lindenstrauss random projection — the dimensionality
+    // reduction in front of any large-scale ANN tier, fully
+    // deterministic and EXACT: milli-quantized 64-dim vectors project
+    // to 16 dims through a ±1 sign matrix derived from bit 16 of the
+    // multiplicative hash i·2654435761 + j·97 (identical BIGINT
+    // arithmetic on both engines — never a runtime RNG), and the
+    // distortion audit reports d2_proj·1e6 div (16·d2_orig) per
+    // consecutive-id pair (E[d2_proj] = 16·d2_orig for ±1 entries).
+    // Projection is row-local (one scan); the pair join shuffles on
+    // vec_id only.
+    "embed_jl_projection" -> QueryDef.sql(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+          .withColumn("y", expr(
+            """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
+              |  0L, (acc, i) -> acc +
+              |    (1 - 2 * (((i * 2654435761L + j * 97L) div 65536) % 2)) *
+              |    element_at(q, i + 1)))""".stripMargin))
+        val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("y").as("ya"))
+          .filter(col("vec_a") % 2 === 0)
+        val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("y").as("yb"))
+        a.join(b, col("vec_b") === col("vec_a") + 1)
+          .select(col("vec_a"), col("vec_b"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("d2_orig"),
+            expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("d2_proj"))
+          .filter(col("d2_orig") > 0)
+          .withColumn("ratio_ppm",
+            expr("CAST(d2_proj AS DECIMAL(38,0)) * 1000000 div (CAST(16 AS DECIMAL(38,0)) * d2_orig)"))
+          .orderBy("vec_a")
+      },
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, CAST(s.i AS BIGINT) - 1 AS i, q[CAST(s.i AS INT)] AS x
+        |  FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e) s(vec_id, q, i)),
+        |proj AS MATERIALIZED (
+        |  SELECT vec_id, j,
+        |    SUM((1 - 2 * (((i * 2654435761 + j * 97) // 65536) % 2)) * x) AS y
+        |  FROM flat CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+        |  GROUP BY 1, 2),
+        |d2p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+        |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1, 2),
+        |d2o AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+        |  FROM flat a JOIN flat b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, d2_orig, d2_proj,
+        |  CAST(CAST(d2_proj AS HUGEINT) * 1000000
+        |    // (16 * CAST(d2_orig AS HUGEINT)) AS BIGINT) AS ratio_ppm
+        |FROM d2p JOIN d2o USING (vec_a, vec_b)
+        |WHERE d2_orig > 0 ORDER BY vec_a""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

@@ -234,6 +234,62 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_abc_pareto") {
+    it("matches the brute-force cumulative-share classification") {
+      val rev = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")).as("rev_c"))
+        .as[(Long, Long)].collect()
+        .sortBy { case (pk, r) => (-r, pk) }
+      val total = rev.map(v => BigInt(v._2)).sum
+      var cum = BigInt(0)
+      val classes = rev.map { case (_, r) =>
+        cum += r
+        if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+      }
+      val expected = classes.zip(rev).groupBy(_._1).view.mapValues { g =>
+        (g.length.toLong, g.map(v => BigInt(v._2._2)).sum)
+      }.toMap
+      val got = SparkEntry.allDefs("q_abc_pareto").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect()
+      got.map(_._1).toSeq shouldBe Seq("A", "B", "C")
+      got.foreach { case (cls, nParts, clsRev, sharePpm) =>
+        val (en, er) = expected(cls)
+        nParts shouldBe en
+        clsRev shouldBe er.toLong
+        sharePpm shouldBe (er * 1000000 / total).toLong
+      }
+    }
+  }
+
+  describe("embed_jl_projection") {
+    it("distortion concentrates around 1e6 ppm and one pair recomputes exactly") {
+      val rows = SparkEntry.allDefs("embed_jl_projection").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      rows.length should be > 10
+      // E[d2_proj] = 16 * d2_orig for +-1 JL entries; the mean ratio
+      // over all pairs should land well inside [0.5e6, 1.5e6]
+      val meanRatio = rows.map(_._5).sum / rows.length
+      meanRatio should (be > 500000L and be < 1500000L)
+      // exact recompute of the first pair from raw embeddings
+      val (va, vb, d2o, d2p, ppm) = rows.minBy(_._1)
+      val q = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+        .filter(col("vec_id").isin(va, vb))
+        .as[(Long, Seq[Long])].collect().toMap
+      val (qa, qb) = (q(va), q(vb))
+      def sign(i: Int, j: Int): Long =
+        1L - 2L * (((i * 2654435761L + j * 97L) / 65536L) % 2L)
+      def proj(v: Seq[Long]): Seq[Long] =
+        (0 until 16).map(j => (0 until 64).map(i => sign(i, j) * v(i)).sum)
+      val (ya, yb) = (proj(qa), proj(qb))
+      d2o shouldBe qa.zip(qb).map { case (x, y) => (x - y) * (x - y) }.sum
+      d2p shouldBe ya.zip(yb).map { case (x, y) => (x - y) * (x - y) }.sum
+      ppm shouldBe (BigInt(d2p) * 1000000 / (BigInt(16) * d2o)).toLong
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

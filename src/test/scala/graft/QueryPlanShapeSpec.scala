@@ -435,6 +435,20 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
+    it("q_abc_pareto cumulates revenue through ShardedWindow sub-shards") {
+      val p = plan("q_abc_pareto")
+      p should include("_sw_shard")
+      p should not include "SortMergeJoin"
+    }
+
+    it("embed_jl_projection keeps the projection row-local before one pair join") {
+      val p = plan("embed_jl_projection")
+      // 16x64 signed sums happen inside the scan projection; only the
+      // (vec_id, arrays) relation ever reaches the join
+      p should not include "CartesianProduct"
+      p should not include "Expand"
+    }
+
     it("trace_acf collapses to the hourly relation before any window") {
       val p = plan("trace_acf")
       // window input is the (service, hr) aggregate, then one more
