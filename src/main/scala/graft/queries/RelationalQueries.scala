@@ -1587,7 +1587,7 @@ object RelationalQueries {
         |  CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT) * 1000000
         |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
         |FROM cum, tot GROUP BY n1, n2""".stripMargin)
-  ) ++ wave5 ++ wave6
+  ) ++ wave5 ++ wave6 ++ wave7
 
   /** C103–C105 (wave 5): Theil inequality, Wald–Wolfowitz runs test,
     * Bollinger bands — appended via ++ so `defs` stays one Map literal
@@ -1802,6 +1802,71 @@ object RelationalQueries {
         |  CAST(SUM(CAST(rev_c AS HUGEINT)) * 1000000
         |    // (SELECT total_c FROM tot) AS BIGINT) AS rev_share_ppm
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  /** C107 (wave 7): Cramér's V effect size. */
+  private lazy val wave7: Map[String, QueryDef] = Map(
+    // C107: Cramér's V — the effect-size companion to q_chisquare over
+    // the same status×priority contingency table: V =
+    // sqrt(chi2 / (N·min(r−1,c−1))). chi2 sums the 6-dp cell terms as
+    // exact decimals (the q_chisquare rule); the final divide + IEEE
+    // sqrt are written in the same order on both engines (the
+    // q_bollinger discipline), so V is hash-exact unrounded.
+    "q_cramers_v" -> QueryDef.sql(
+      (s, dir) => {
+        val g = Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("o"))
+        val r = g.groupBy(col("o_orderstatus").as("r_status"))
+          .agg(sum("o").as("r_tot"))
+        val c = g.groupBy(col("o_orderpriority").as("c_prio"))
+          .agg(sum("o").as("c_tot"))
+        val n = g.agg(sum("o").as("n_tot"),
+          countDistinct("o_orderstatus").as("n_rows"),
+          countDistinct("o_orderpriority").as("n_cols"))
+        g.join(r, col("o_orderstatus") === col("r_status"))
+          .join(c, col("o_orderpriority") === col("c_prio"))
+          .crossJoin(broadcast(n))
+          .withColumn("d", col("o") * col("n_tot") - col("r_tot") * col("c_tot"))
+          .withColumn("contrib",
+            (col("d").cast(DecimalType(38, 0)) * col("d").cast(DecimalType(38, 0)))
+              .cast("double") /
+              (col("r_tot").cast("double") * col("c_tot").cast("double") *
+                col("n_tot").cast("double")))
+          .groupBy("n_tot", "n_rows", "n_cols")
+          .agg(sum(round(col("contrib"), 6).cast(DecimalType(28, 6))).as("chi2d"))
+          .select(col("n_tot"), col("n_rows"), col("n_cols"),
+            col("chi2d").cast("double").as("chi2_total"),
+            least(col("n_rows") - 1, col("n_cols") - 1).as("dof_min"),
+            sqrt(col("chi2d").cast("double") /
+              (col("n_tot") * least(col("n_rows") - 1, col("n_cols") - 1))
+                .cast("double")).as("cramers_v"))
+      },
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus AS r_status, CAST(SUM(o) AS BIGINT) AS r_tot
+        |      FROM g GROUP BY 1),
+        |c AS (SELECT o_orderpriority AS c_prio, CAST(SUM(o) AS BIGINT) AS c_tot
+        |      FROM g GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot,
+        |             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rows,
+        |             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_cols
+        |      FROM g),
+        |cells AS (
+        |  SELECT n_tot, n_rows, n_cols,
+        |         CAST(CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0))
+        |              * CAST(o * n_tot - r_tot * c_tot AS DECIMAL(38,0)) AS DOUBLE)
+        |         / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+        |            * CAST(n_tot AS DOUBLE)) AS contrib
+        |  FROM g JOIN r ON o_orderstatus = r_status
+        |         JOIN c ON o_orderpriority = c_prio, n)
+        |SELECT n_tot, n_rows, n_cols,
+        |  CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6))) AS DOUBLE) AS chi2_total,
+        |  LEAST(n_rows - 1, n_cols - 1) AS dof_min,
+        |  sqrt(CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |       / CAST(n_tot * LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)) AS cramers_v
+        |FROM cells GROUP BY 1, 2, 3""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -3076,6 +3076,76 @@ object TraceQueries {
         |  UNION ALL SELECT service, n, sx, sxx, 4, sxy4, sxc4, syc4 FROM st
         |  UNION ALL SELECT service, n, sx, sxx, 5, sxy5, sxc5, syc5 FROM st
         |  UNION ALL SELECT service, n, sx, sxx, 6, sxy6, sxc6, syc6 FROM st) u
-        |ORDER BY service, lag""".stripMargin))
+        |ORDER BY service, lag""".stripMargin)),
+
+    // C108: Poisson-bootstrap confidence interval — the DISTRIBUTED
+    // bootstrap (Poissonized resampling: every row carries a
+    // Poisson(1) weight per replicate, so no replicate ever needs a
+    // global indexed resample): 40 replicates fan out row-locally via
+    // explode, weights come from the inverse Poisson CDF over a
+    // deterministic multiplicative-hash uniform (floor-ppm CDF cuts as
+    // shared literals — no runtime RNG), each replicate's mean is an
+    // exact floor division, and the 2.5/97.5 bounds are the rank-2 and
+    // rank-39 replicate means ((mean, r) tie-break). ONE shuffle on
+    // (service, replicate); the 40× fan-out rides the scan.
+    "trace_bootstrap_ci" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("service", "span_id", "duration_us")
+        val rep = sp
+          .select(col("service"), col("span_id"), col("duration_us"),
+            explode(expr("sequence(1, 40)")).as("r"))
+          .withColumn("u", expr(
+            "((((span_id % 1048576) + r * 1048573) * 2654435761) div 1024) % 1000000"))
+          .withColumn("w", expr(poissonWCase))
+        val means = rep.groupBy("service", "r")
+          .agg(sum((col("w") * col("duration_us")).cast(DecimalType(38, 0))).as("swx"),
+            sum(col("w")).as("sw"))
+          .filter(col("sw") > 0)
+          .withColumn("mean_us", expr("swx div sw"))
+        val wnd = Window.partitionBy("service").orderBy(col("mean_us"), col("r"))
+        val ci = means.withColumn("rk", row_number().over(wnd))
+          .groupBy("service")
+          .agg(max(when(col("rk") === 2, col("mean_us"))).as("boot_lo_us"),
+            max(when(col("rk") === 39, col("mean_us"))).as("boot_hi_us"),
+            count(lit(1)).as("n_replicates"))
+        val point = sp.groupBy("service")
+          .agg(expr("sum(duration_us) div count(1)").as("point_mean_us"))
+        point.join(ci, "service").orderBy("service")
+      },
+      cte(s"""
+        |, rep AS (
+        |  SELECT service, duration_us, r,
+        |    ((((span_id % 1048576) + r * 1048573) * 2654435761) // 1024) % 1000000 AS u
+        |  FROM spans CROSS JOIN (SELECT unnest(range(1, 41)) AS r) rs),
+        |wt AS (SELECT service, r, duration_us, $poissonWCaseSql AS w FROM rep),
+        |m AS (
+        |  SELECT service, r,
+        |    CAST(SUM(CAST(w AS HUGEINT) * duration_us)
+        |      // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS mean_us
+        |  FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |rk AS (SELECT service, r, mean_us,
+        |         row_number() OVER (PARTITION BY service ORDER BY mean_us, r) AS rk
+        |       FROM m),
+        |ci AS (
+        |  SELECT service,
+        |    MAX(CASE WHEN rk = 2 THEN mean_us END) AS boot_lo_us,
+        |    MAX(CASE WHEN rk = 39 THEN mean_us END) AS boot_hi_us,
+        |    COUNT(*) AS n_replicates
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT service, SUM(duration_us) // COUNT(*) AS point_mean_us
+        |       FROM spans GROUP BY 1)
+        |SELECT pt.service, CAST(point_mean_us AS BIGINT) AS point_mean_us,
+        |       boot_lo_us, boot_hi_us, n_replicates
+        |FROM pt JOIN ci USING (service) ORDER BY service""".stripMargin))
   )
+
+  /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared
+    * floor(1e6·CDF) literals (never a runtime exp()). */
+  private lazy val poissonWBody: String =
+    """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      | WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      | WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 ELSE 6 END"""
+      .stripMargin.replace("\n", "")
+  private lazy val poissonWCase: String = poissonWBody
+  private lazy val poissonWCaseSql: String = poissonWBody
 }

@@ -290,6 +290,53 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_cramers_v") {
+    it("V lands in [0,1] and squares back to chi2/(n*dof)") {
+      val Array((nTot, nRows, nCols, chi2, dof, v)) =
+        SparkEntry.allDefs("q_cramers_v").fn(spark, sfDir)
+          .as[(Long, Long, Long, Double, Long, Double)].collect()
+      dof shouldBe math.min(nRows - 1, nCols - 1)
+      v should (be >= 0.0 and be <= 1.0)
+      v * v shouldBe (chi2 / (nTot * dof)) +- 1e-12
+    }
+  }
+
+  describe("trace_bootstrap_ci") {
+    it("brackets the point mean and recomputes one replicate exactly") {
+      val rows = SparkEntry.allDefs("trace_bootstrap_ci").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect()
+      rows.length should be > 0
+      rows.foreach { case (_, point, lo, hi, nRep) =>
+        nRep shouldBe 40L
+        lo should be <= hi
+        // percentile-bootstrap bounds straddle the point estimate on
+        // any non-degenerate sample
+        lo should be <= point
+        hi should be >= point
+      }
+      // recompute replicate r=1 for one service from the span relation
+      val svc = rows.head._1
+      val sp = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+        .filter(col("service") === svc)
+        .select("span_id", "duration_us").as[(Long, Long)].collect()
+      def w(spanId: Long, r: Long): Long = {
+        val u = ((((spanId % 1048576) + r * 1048573L) * 2654435761L) / 1024L) % 1000000L
+        if (u < 367879) 0 else if (u < 735758) 1 else if (u < 919698) 2
+        else if (u < 981011) 3 else if (u < 996340) 4 else if (u < 999405) 5 else 6
+      }
+      val reps = (1L to 40L).map { r =>
+        val ws = sp.map { case (id, d) => (w(id, r), d) }
+        val sw = ws.map(_._1).sum
+        (ws.map { case (wt, d) => BigInt(wt) * d }.sum / sw).toLong
+      }.sorted
+      val got = SparkEntry.allDefs("trace_bootstrap_ci").fn(spark, sfDir)
+        .filter(col("service") === svc)
+        .select("boot_lo_us", "boot_hi_us").as[(Long, Long)].head()
+      got._1 shouldBe reps(1)  // rank 2
+      got._2 shouldBe reps(38) // rank 39
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

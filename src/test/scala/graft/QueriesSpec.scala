@@ -35,5 +35,23 @@ class QueriesSpec extends AnyFunSpec with Matchers with SparkTestBase {
     it("covers every SQL-expressible query") {
       SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
     }
+
+    it("contains no Scala-null interpolation artifacts") {
+      // a helper val declared AFTER a `defs` map initializes as null at
+      // map-build time and interpolates as the lowercase token `null`
+      // (bit twice: kcoreOracle round 9, poissonWBody round 9); SQL's
+      // own NULL keyword is uppercase by convention and lowercase null
+      // only appears in `--` comments
+      val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+        sql.linesIterator.zipWithIndex.collect {
+          case (line, i)
+              if !line.trim.startsWith("--") &&
+                "(^|[^A-Za-z_])null([^A-Za-z_]|$)".r
+                  .findFirstIn(line.replaceAll("--.*$", "")).isDefined =>
+            s"$name:${i + 1}: $line"
+        }
+      }
+      offenders shouldBe empty
+    }
   }
 }
