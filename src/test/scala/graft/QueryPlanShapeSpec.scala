@@ -449,6 +449,13 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "Expand"
     }
 
+    it("trace_bootstrap_ci fans out replicates in the scan and shuffles once") {
+      val p = plan("trace_bootstrap_ci")
+      // the 40x explode is a Generate directly over the span projection
+      p should include("Generate explode")
+      p should not include "CartesianProduct"
+    }
+
     it("trace_acf collapses to the hourly relation before any window") {
       val p = plan("trace_acf")
       // window input is the (service, hr) aggregate, then one more
