@@ -328,6 +328,45 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Per-clip voice-activity summary, all exact integers. */
+  final case class VadRow(
+      media_id: Long, n_frames: Long, active_frames: Long,
+      n_segments: Long, longest_run: Long, active_ppm: Long)
+
+  /** Frame-energy voice-activity detection over decoded WAV clips:
+    * fixed-length sample frames (trailing partial frame dropped), a
+    * frame is ACTIVE iff its exact Σs² energy exceeds `threshold`, and
+    * activity segments are maximal runs of consecutive active frames.
+    * Payloads decode and segment partition-locally — the classic
+    * speech-preprocessing step in front of any ASR/quality pipeline. */
+  def vadStats(media: DataFrame, frameLen: Int, threshold: Long): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload).map { clip =>
+          val energies = clip.samples.grouped(frameLen)
+            .filter(_.length == frameLen)
+            .map(_.map(v => v.toLong * v).sum).toArray
+          val active = energies.map(_ > threshold)
+          var segments = 0L
+          var longest = 0L
+          var run = 0L
+          active.foreach { a =>
+            if (a) {
+              if (run == 0) segments += 1
+              run += 1
+              if (run > longest) longest = run
+            } else run = 0
+          }
+          val nAct = active.count(identity).toLong
+          VadRow(id, energies.length.toLong, nAct, segments, longest,
+            if (energies.isEmpty) 0L else nAct * 1000000L / energies.length)
+        }
+      })
+      .toDF()
+  }
+
   // ----- video: YUV4MPEG2 (Y4M), the standard uncompressed container -----
 
   final case class Y4mClip(width: Int, height: Int, frames: Array[Array[Byte]])

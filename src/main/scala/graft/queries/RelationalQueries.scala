@@ -1866,7 +1866,62 @@ object RelationalQueries {
         |  LEAST(n_rows - 1, n_cols - 1) AS dof_min,
         |  sqrt(CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(28,6))) AS DOUBLE)
         |       / CAST(n_tot * LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)) AS cramers_v
-        |FROM cells GROUP BY 1, 2, 3""".stripMargin)
+        |FROM cells GROUP BY 1, 2, 3""".stripMargin),
+
+    // C109: MAD robust outliers — the median-absolute-deviation screen
+    // (the robust-stats sibling of q_iqr_outliers): per return flag,
+    // med = discrete median of price cents (ExactQuantiles' integer
+    // rank rule ≡ percentile_disc), MAD = discrete median of
+    // |x − med|, outliers = |x − med| > 5·MAD in exact integers.
+    // TWO corpus passes (the information-theoretic floor for MAD) +
+    // type-level count rollups; medians broadcast back.
+    "q_mad_outliers" -> QueryDef.sql(
+      (s, dir) => {
+        val vals = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        val vc = vals.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+        val med = graft.operators.ExactQuantiles.percentilesFromCounts(
+          vc, Seq("flag"), col("cents"), weight = col("cnt"),
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("med_c", 1, 2)))
+        val ac = vals.join(broadcast(med), "flag")
+          .select(col("flag"), abs(col("cents") - col("med_c")).as("adev"))
+          .groupBy("flag", "adev").agg(count(lit(1)).as("cnt"))
+        val mad = graft.operators.ExactQuantiles.percentilesFromCounts(
+          ac, Seq("flag"), col("adev"), weight = col("cnt"),
+          pcts = Seq(graft.operators.ExactQuantiles.Disc("mad_c", 1, 2)))
+        ac.join(broadcast(mad), "flag")
+          .groupBy("flag", "mad_c")
+          .agg(sum(col("cnt")).as("n_items"),
+            sum(when(col("adev") > lit(5L) * col("mad_c"), col("cnt"))
+              .otherwise(0L)).as("n_outliers"))
+          .join(broadcast(med), "flag")
+          .select(col("flag"), col("med_c"), col("mad_c"), col("n_items"),
+            col("n_outliers"),
+            expr("(n_outliers * 1000000) div n_items").as("outlier_ppm"))
+          .orderBy("flag")
+      },
+      """WITH vals AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |med AS (SELECT flag,
+        |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |            AS med_c
+        |        FROM vals GROUP BY 1),
+        |ad AS (SELECT v.flag, ABS(cents - med_c) AS adev
+        |       FROM vals v JOIN med USING (flag)),
+        |mad AS (SELECT flag,
+        |          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)
+        |            AS mad_c
+        |        FROM ad GROUP BY 1)
+        |SELECT flag, med_c, mad_c, COUNT(*) AS n_items,
+        |  CAST(SUM(CASE WHEN adev > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(SUM(CASE WHEN adev > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS outlier_ppm
+        |FROM ad JOIN mad USING (flag) JOIN med USING (flag)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -991,6 +991,48 @@ object TraceQueries {
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
 
+    // B76: voice-activity detection over the decoded WAV clips — the
+    // speech-preprocessing step in front of ASR/quality pipelines:
+    // 160-sample (10 ms @ 16 kHz) frames, a frame is active iff its
+    // exact integer energy exceeds the fixed threshold (57.3e9 ≈ the
+    // synthetic corpus's median frame energy, so activity genuinely
+    // splits), segments = maximal active runs. Decode + segmentation
+    // are partition-local; the oracle re-derives frames from the
+    // sample-generator formula and finds runs with the gaps-and-
+    // islands rank trick, so the hash proves the framing arithmetic.
+    "media_audio_vad" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.vadStats(
+        graft.operators.MultimodalOps.syntheticAudio(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000)),
+        frameLen = 160, threshold = 57300000000L).orderBy("media_id"),
+      """WITH d AS (SELECT doc_id, 4000 + doc_id % 1000 AS n
+        |           FROM documents WHERE doc_id < 20000),
+        |v AS (SELECT doc_id,
+        |        (doc_id * 31 + s.i * 7919) % 65536 - 32768 AS v,
+        |        s.i // 160 AS f
+        |      FROM (SELECT doc_id, n, unnest(range(0, (n // 160) * 160)) AS i
+        |            FROM d) s(doc_id, n, i)),
+        |fe AS (SELECT doc_id, f, SUM(v * v) AS e FROM v GROUP BY 1, 2),
+        |fa AS (SELECT doc_id, f, (e > 57300000000) AS a FROM fe),
+        |isl AS (SELECT doc_id, f, a,
+        |          f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f) AS g
+        |        FROM fa),
+        |runs AS (SELECT doc_id, g, COUNT(*) AS len FROM isl WHERE a GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS active_frames
+        |        FROM fa GROUP BY 1),
+        |rs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |         CAST(MAX(len) AS BIGINT) AS longest_run
+        |       FROM runs GROUP BY 1)
+        |SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+        |  CAST(d.n // 160 AS BIGINT) AS n_frames,
+        |  COALESCE(active_frames, 0) AS active_frames,
+        |  COALESCE(n_segments, 0) AS n_segments,
+        |  COALESCE(longest_run, 0) AS longest_run,
+        |  COALESCE(active_frames, 0) * 1000000 // (d.n // 160) AS active_ppm
+        |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN rs USING (doc_id)
+        |ORDER BY media_id""".stripMargin),
+
     // B66: real video container decode + frame sampling — YUV4MPEG2
     // (Y4M) payloads generated by arithmetic in doc_id
     // (MultimodalOps.renderY4m — the standard uncompressed video

@@ -849,7 +849,79 @@ object VectorQueries {
         |  CAST(CAST(d2_proj AS HUGEINT) * 1000000
         |    // (16 * CAST(d2_orig AS HUGEINT)) AS BIGINT) AS ratio_ppm
         |FROM d2p JOIN d2o USING (vec_a, vec_b)
-        |WHERE d2_orig > 0 ORDER BY vec_a""".stripMargin)
+        |WHERE d2_orig > 0 ORDER BY vec_a""".stripMargin),
+
+    // B77: k-center seeding by farthest-first traversal (Gonzalez
+    // 1985, the 2-approximation that is also kmeans++'s deterministic
+    // cousin): start from the smallest vec_id, then 7 rounds of
+    // "distributed argmax of min-squared-distance-to-picked" — each
+    // round is ONE corpus scan against the <=8-row broadcast picked
+    // set with a 1-row collect (the MMR/BPE bounded-collect contract).
+    // All distances are exact integers over milli-quantized dims; the
+    // reported min_d2 at each pick is the covering radius sequence.
+    // Oracle unrolls the same rounds with d2 = n2a + n2b − 2·dot.
+    "embed_kcenter" -> QueryDef.sql(
+      (s, dir) => {
+        val k = 8
+        val q = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("v"))
+          .localCheckpoint()
+        val first = q.agg(min("vec_id")).head().getLong(0)
+        val picks = scala.collection.mutable.Buffer[(Long, Long, Long)]((1L, first, 0L))
+        var selected = List(first)
+        (2 to k).foreach { r =>
+          val selVecs = broadcast(q.filter(col("vec_id").isin(selected: _*))
+            .select(col("v").as("sv")))
+          val row = q.filter(!col("vec_id").isin(selected: _*))
+            .crossJoin(selVecs)
+            .withColumn("d2",
+              expr("aggregate(zip_with(v, sv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .groupBy("vec_id").agg(min("d2").as("min_d2"))
+            .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
+            .collect().head
+          picks += ((r.toLong, row.getLong(0), row.getLong(1)))
+          selected = selected :+ row.getLong(0)
+        }
+        import s.implicits._
+        picks.toSeq.toDF("pick_rank", "vec_id", "min_d2_at_pick")
+          .orderBy("pick_rank")
+      }, {
+        val k = 8
+        val steps = (2 to k).map { r =>
+          s"""sc$r AS MATERIALIZED (
+             |  SELECT c.vec_id,
+             |    MIN(c.n2 + s.n2 - 2 * CAST(list_dot_product(c.v, s.v) AS BIGINT))
+             |      AS min_d2
+             |  FROM e c JOIN (SELECT e.v, e.n2 FROM e JOIN sel${r - 1} USING (vec_id)) s
+             |    ON TRUE
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  GROUP BY 1),
+             |p$r AS MATERIALIZED (
+             |  SELECT CAST($r AS BIGINT) AS pick_rank, vec_id, min_d2
+             |  FROM sc$r ORDER BY min_d2 DESC, vec_id LIMIT 1),
+             |sel$r AS MATERIALIZED (
+             |  SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM p$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        val union = (2 to k).map(r =>
+          s"SELECT pick_rank, vec_id, min_d2 FROM p$r").mkString(" UNION ALL ")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v,
+           |    CAST(list_dot_product(
+           |      list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)),
+           |      list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))
+           |      AS BIGINT) AS n2
+           |  FROM embeddings),
+           |sel1 AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+           |p1 AS (SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id,
+           |              CAST(0 AS BIGINT) AS min_d2 FROM sel1),
+           |$steps
+           |SELECT pick_rank, vec_id, min_d2 AS min_d2_at_pick
+           |FROM (SELECT * FROM p1 UNION ALL $union)
+           |ORDER BY pick_rank""".stripMargin
+      })
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

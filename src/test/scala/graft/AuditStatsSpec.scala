@@ -337,6 +337,58 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("embed_kcenter") {
+    it("matches brute-force farthest-first traversal with non-increasing radii") {
+      val got = SparkEntry.allDefs("embed_kcenter").fn(spark, sfDir)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+        .as[(Long, Seq[Long])].collect().toMap
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      var picked = List(vecs.keys.min)
+      val expect = scala.collection.mutable.Buffer[(Long, Long, Long)]((1L, picked.head, 0L))
+      (2 to 8).foreach { r =>
+        val (id, dist) = vecs.view.filterKeys(!picked.contains(_))
+          .map { case (id, v) => (id, picked.map(p => d2(v, vecs(p))).min) }
+          .toSeq.maxBy { case (id, d) => (d, -id) }
+        expect += ((r.toLong, id, dist))
+        picked = picked :+ id
+      }
+      got.toSeq shouldBe expect.toSeq
+      // the covering-radius sequence never increases
+      got.drop(2).map(_._3).zip(got.drop(1).map(_._3)).foreach {
+        case (next, prev) => next should be <= prev
+      }
+    }
+  }
+
+  describe("q_mad_outliers") {
+    it("matches brute-force discrete medians and the 5-MAD cut") {
+      val vals = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as[(String, Long)].collect().groupBy(_._1)
+      def discMedian(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s((s.length + 1) / 2 - 1) // smallest value with cum >= n/2
+      }
+      val got = SparkEntry.allDefs("q_mad_outliers").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      got.foreach { case (flag, medC, madC, nItems, nOut, ppm) =>
+        val xs = vals(flag).map(_._2).toSeq
+        val med = discMedian(xs)
+        val mad = discMedian(xs.map(x => math.abs(x - med)))
+        medC shouldBe med
+        madC shouldBe mad
+        nItems shouldBe xs.length.toLong
+        nOut shouldBe xs.count(x => math.abs(x - med) > 5 * mad).toLong
+        ppm shouldBe nOut * 1000000 / nItems
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -227,4 +227,38 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       one.getAs[Long]("y_peak") shouldBe ys.max
     }
   }
+
+  describe("vadStats") {
+    import spark.implicits._
+
+    it("segments a hand-built silence/speech/silence clip") {
+      // 3 frames silence, 2 loud, 1 silence, 3 loud, partial tail dropped
+      val frame = 4
+      val quiet = Array.fill(frame)(10.toShort)
+      val loud = Array.fill(frame)(20000.toShort)
+      val samples =
+        quiet ++ quiet ++ quiet ++ loud ++ loud ++ quiet ++ loud ++ loud ++ loud ++
+          Array.fill(frame - 1)(20000.toShort) // partial frame: dropped
+      val wav = MultimodalOps.renderWav(16000, samples)
+      val df = Seq((7L, wav)).toDF("media_id", "payload")
+      // threshold between 4*10^2=400 and 4*20000^2=1.6e9
+      val row = MultimodalOps.vadStats(df, frame, 1000000L).head()
+      row.getAs[Long]("n_frames") shouldBe 9L
+      row.getAs[Long]("active_frames") shouldBe 5L
+      row.getAs[Long]("n_segments") shouldBe 2L
+      row.getAs[Long]("longest_run") shouldBe 3L
+      row.getAs[Long]("active_ppm") shouldBe 5L * 1000000 / 9
+    }
+
+    it("drops undecodable payloads and handles all-silent clips") {
+      val silent = MultimodalOps.renderWav(16000, Array.fill(320)(0.toShort))
+      val df = Seq((1L, silent), (2L, Array[Byte](1, 2, 3)))
+        .toDF("media_id", "payload")
+      val rows = MultimodalOps.vadStats(df, 160, 1L).collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Long]("media_id") shouldBe 1L
+      rows.head.getAs[Long]("active_frames") shouldBe 0L
+      rows.head.getAs[Long]("n_segments") shouldBe 0L
+    }
+  }
 }
