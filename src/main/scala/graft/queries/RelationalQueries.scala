@@ -1937,7 +1937,71 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN adev > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // COUNT(*) AS outlier_ppm
         |FROM ad JOIN mad USING (flag) JOIN med USING (flag)
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+
+    // C110: rolling correlation — 20-day windowed Pearson correlation
+    // between two nations' daily spend series, the co-movement view a
+    // market/ops dashboard wants. Window sums stay exact decimals; the
+    // correlation is assembled from identically-ordered double ops
+    // (two IEEE sqrts, one multiply, one divide — the q_bollinger
+    // discipline), hash-exact unrounded. Only full 20-row windows
+    // emit (avoids the 0/0 NaN whose repr engines disagree on). The
+    // joined series is calendar-bounded (#days rows), so the single
+    // unpartitioned window is a bounded relation, not a scale risk.
+    "q_rolling_corr" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin("NATION_0", "NATION_1"))
+          .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("v"))
+        val x = daily.filter(col("n_name") === "NATION_0").select(col("day"), col("v").as("x"))
+        val y = daily.filter(col("n_name") === "NATION_1").select(col("day").as("dy"), col("v").as("y"))
+        val xy = x.join(y, col("day") === col("dy")).drop("dy")
+        val w = Window.orderBy("day").rowsBetween(-19, 0)
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        xy
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("sx", sum(dec(col("x"))).over(w))
+          .withColumn("sy", sum(dec(col("y"))).over(w))
+          .withColumn("sxy", sum(dec(col("x")) * dec(col("y"))).over(w))
+          .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(w))
+          .withColumn("syy", sum(dec(col("y")) * dec(col("y"))).over(w))
+          .filter(col("cnt") === 20)
+          .select(col("day"), col("x").as("x_c"), col("y").as("y_c"),
+            ((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("cnt") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("corr20"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_0', 'NATION_1')
+        |  GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT a.day, a.v AS x, b.v AS y
+        |  FROM daily a JOIN daily b ON a.day = b.day
+        |  WHERE a.n_name = 'NATION_0' AND b.n_name = 'NATION_1'),
+        |win AS (
+        |  SELECT day, x, y,
+        |    COUNT(*) OVER w AS cnt,
+        |    SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) OVER w AS syy
+        |  FROM xy
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS x_c, y AS y_c,
+        |  CAST(cnt * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE))) AS corr20
+        |FROM win WHERE cnt = 20 ORDER BY day""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

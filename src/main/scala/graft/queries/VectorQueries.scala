@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.VectorOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity coverage (SURVEY.md §2 B5–B7) over
@@ -793,7 +794,7 @@ object VectorQueries {
     // reduction in front of any large-scale ANN tier, fully
     // deterministic and EXACT: milli-quantized 64-dim vectors project
     // to 16 dims through a ±1 sign matrix derived from bit 16 of the
-    // multiplicative hash i·2654435761 + j·97 (identical BIGINT
+    // multiplicative hash (i + j·64)·2654435761 (the flat index in the multiplicand — an additive j·97 never reached bit 16, leaving every output dim the same sign row and the projection rank-1) (identical BIGINT
     // arithmetic on both engines — never a runtime RNG), and the
     // distortion audit reports d2_proj·1e6 div (16·d2_orig) per
     // consecutive-id pair (E[d2_proj] = 16·d2_orig for ±1 entries).
@@ -807,7 +808,7 @@ object VectorQueries {
           .withColumn("y", expr(
             """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
               |  0L, (acc, i) -> acc +
-              |    (1 - 2 * (((i * 2654435761L + j * 97L) div 65536) % 2)) *
+              |    (1 - 2 * (bit_count((((i + j * 64) * 2654435761L) % 2147483648L) * 2246822519L) % 2)) *
               |    element_at(q, i + 1)))""".stripMargin))
         val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("y").as("ya"))
           .filter(col("vec_a") % 2 === 0)
@@ -832,7 +833,7 @@ object VectorQueries {
         |  FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e) s(vec_id, q, i)),
         |proj AS MATERIALIZED (
         |  SELECT vec_id, j,
-        |    SUM((1 - 2 * (((i * 2654435761 + j * 97) // 65536) % 2)) * x) AS y
+        |    SUM((1 - 2 * (bit_count((((i + j * 64) * 2654435761) % 2147483648) * 2246822519) % 2)) * x) AS y
         |  FROM flat CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
         |  GROUP BY 1, 2),
         |d2p AS (
@@ -921,7 +922,81 @@ object VectorQueries {
            |SELECT pick_rank, vec_id, min_d2 AS min_d2_at_pick
            |FROM (SELECT * FROM p1 UNION ALL $union)
            |ORDER BY pick_rank""".stripMargin
-      })
+      }),
+
+    // B78: JL-projection candidate-recall audit — the way a JL tier is
+    // actually used: over-fetch candidates in the projected space,
+    // rescore exactly. Queries vec_id < 10 rank all other vectors
+    // twice (projected d2 vs original d2, exact integers, (d2, vec_id)
+    // tie-breaks); candidate recall = |proj_top50 ∩ true_top5| / 50 —
+    // i.e. how much of the true top-5 a 10× over-fetch keeps. (Plain
+    // recall@5 is near chance here BY THE DATA's nature: the synthetic
+    // embeddings have weak neighbor structure, and 16-dim JL noise
+    // (~sqrt(2/16)≈35%) swamps it — the spec pins the candidate form
+    // well above chance instead.) Queries broadcast against one scan.
+    "ann_recall_jl" -> QueryDef.sql(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+          .withColumn("y", expr(
+            """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
+              |  0L, (acc, i) -> acc +
+              |    (1 - 2 * (bit_count((((i + j * 64) * 2654435761L) % 2147483648L) * 2246822519L) % 2)) *
+              |    element_at(q, i + 1)))""".stripMargin))
+          .localCheckpoint()
+        val queries = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"), col("y").as("qy")))
+        val scored = e.filter(col("vec_id") >= 10).crossJoin(queries)
+          .select(col("q_id"), col("vec_id"),
+            expr("aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+              .as("d2_orig"),
+            expr("aggregate(zip_with(y, qy, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+              .as("d2_proj"))
+        val wo = Window.partitionBy("q_id").orderBy(col("d2_orig"), col("vec_id"))
+        val wp = Window.partitionBy("q_id").orderBy(col("d2_proj"), col("vec_id"))
+        val ranked = scored
+          .withColumn("ro", row_number().over(wo))
+          .withColumn("rp", row_number().over(wp))
+        val hits = ranked.filter(col("ro") <= 5 && col("rp") <= 50)
+          .agg(count(lit(1)).as("n_hits"))
+        hits.select(col("n_hits"), lit(50L).as("n_truth"),
+          round(col("n_hits").cast("double") / 50, 6).as("candidate_recall"))
+      },
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, CAST(s.i AS BIGINT) - 1 AS i, q[CAST(s.i AS INT)] AS x
+        |  FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e) s(vec_id, q, i)),
+        |proj AS MATERIALIZED (
+        |  SELECT vec_id, j,
+        |    SUM((1 - 2 * (bit_count((((i + j * 64) * 2654435761) % 2147483648) * 2246822519) % 2)) * x) AS y
+        |  FROM flat CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+        |  GROUP BY 1, 2),
+        |n2 AS (SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) AS nn FROM e),
+        |dorig AS (
+        |  SELECT qe.vec_id AS q_id, ce.vec_id,
+        |    qn.nn + cn.nn - 2 * CAST(list_dot_product(qe.q, ce.q) AS BIGINT) AS d2_orig
+        |  FROM e qe JOIN n2 qn ON qe.vec_id = qn.vec_id,
+        |       e ce JOIN n2 cn ON ce.vec_id = cn.vec_id
+        |  WHERE qe.vec_id < 10 AND ce.vec_id >= 10),
+        |dproj AS (
+        |  SELECT qp.vec_id AS q_id, cp.vec_id,
+        |    SUM((qp.y - cp.y) * (qp.y - cp.y)) AS d2_proj
+        |  FROM proj qp JOIN proj cp ON qp.j = cp.j
+        |  WHERE qp.vec_id < 10 AND cp.vec_id >= 10
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d.q_id, d.vec_id,
+        |    row_number() OVER (PARTITION BY d.q_id ORDER BY d2_orig, d.vec_id) AS ro,
+        |    row_number() OVER (PARTITION BY d.q_id ORDER BY d2_proj, d.vec_id) AS rp
+        |  FROM dorig d JOIN dproj p ON d.q_id = p.q_id AND d.vec_id = p.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(50 AS BIGINT) AS n_truth,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / 50, 6) AS candidate_recall
+        |FROM ranked WHERE ro <= 5 AND rp <= 50""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

@@ -280,7 +280,7 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         .as[(Long, Seq[Long])].collect().toMap
       val (qa, qb) = (q(va), q(vb))
       def sign(i: Int, j: Int): Long =
-        1L - 2L * (((i * 2654435761L + j * 97L) / 65536L) % 2L)
+        1L - 2L * (java.lang.Long.bitCount((((i + j * 64) * 2654435761L) % 2147483648L) * 2246822519L) % 2L)
       def proj(v: Seq[Long]): Seq[Long] =
         (0 until 16).map(j => (0 until 64).map(i => sign(i, j) * v(i)).sum)
       val (ya, yb) = (proj(qa), proj(qb))
@@ -386,6 +386,52 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         nOut shouldBe xs.count(x => math.abs(x - med) > 5 * mad).toLong
         ppm shouldBe nOut * 1000000 / nItems
       }
+    }
+  }
+
+  describe("q_rolling_corr") {
+    it("matches brute-force windowed Pearson correlation") {
+      // sf0.001 has no 20-day run where both nations trade - use sf0.01
+      val sfDir = "/root/testdata/sf0.01"
+      val rows = SparkEntry.allDefs("q_rolling_corr").fn(spark, sfDir)
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+      rows.length should be > 0
+      // rebuild the joined daily series
+      val daily = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("v"))
+        .as[(String, String, Long)].collect()
+      val x = daily.filter(_._1 == "NATION_0").map(r => r._2 -> r._3).toMap
+      val y = daily.filter(_._1 == "NATION_1").map(r => r._2 -> r._3).toMap
+      val series = x.keySet.intersect(y.keySet).toSeq.sorted
+        .map(d => (d, x(d).toDouble, y(d).toDouble))
+      val byDay = rows.map(r => r._1 -> r._4).toMap
+      series.zipWithIndex.drop(19).foreach { case ((d, _, _), i) =>
+        val f = series.slice(i - 19, i + 1)
+        val (xs, ys) = (f.map(_._2), f.map(_._3))
+        val (mx, my) = (xs.sum / 20, ys.sum / 20)
+        val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+        val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+          math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+        byDay(d) shouldBe (num / den) +- 1e-9
+      }
+    }
+  }
+
+  describe("ann_recall_jl") {
+    it("candidate recall lands far above the 10% chance floor") {
+      // 500 vectors (sf0.01) make chance recall ~1%; 50 (sf0.001) too few
+      val Array((hits, truth, recall)) =
+        SparkEntry.allDefs("ann_recall_jl").fn(spark, "/root/testdata/sf0.01")
+          .as[(Long, Long, Double)].collect()
+      truth shouldBe 50L
+      hits should be <= 50L
+      // a random 50-of-490 candidate set keeps ~10.2% of the top-5;
+      // the projection must keep far more
+      recall should be > 0.4
     }
   }
 

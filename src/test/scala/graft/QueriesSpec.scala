@@ -10,7 +10,9 @@ class QueriesSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
   // queries whose result can legitimately be empty at sf0.001
   private val mayBeEmpty = Set("dedup_ngram_jaccard", "neardup_cosine", "q_having", "ann_topk_lsh",
-    "neardup_cosine_lsh", "neardup_cosine_lsh_banded")
+    "neardup_cosine_lsh", "neardup_cosine_lsh_banded",
+    // needs a 20-day run where BOTH nations trade - absent at sf0.001
+    "q_rolling_corr")
 
   SparkEntry.allDefs.foreach { case (name, qd) =>
     describe(s"query $name") {

@@ -456,6 +456,19 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
+    it("q_rolling_corr windows the calendar-bounded joined series") {
+      val p = plan("q_rolling_corr")
+      p should include("Window")
+      p should include("partial_sum") // daily rollup collapses first
+      p should not include "CartesianProduct"
+    }
+
+    it("ann_recall_jl broadcasts the 10 queries against one corpus scan") {
+      val p = plan("ann_recall_jl")
+      p should include("BroadcastNestedLoopJoin")
+      p should not include "SortMergeJoin"
+    }
+
     it("trace_acf collapses to the hourly relation before any window") {
       val p = plan("trace_acf")
       // window input is the (service, hr) aggregate, then one more
