@@ -2001,7 +2001,55 @@ object RelationalQueries {
         |  CAST(cnt * sxy - sx * sy AS DOUBLE)
         |    / (sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE))
         |       * sqrt(CAST(cnt * syy - sy * sy AS DOUBLE))) AS corr20
-        |FROM win WHERE cnt = 20 ORDER BY day""".stripMargin)
+        |FROM win WHERE cnt = 20 ORDER BY day""".stripMargin),
+
+    // C111: weighted sampling without replacement (Efraimidis–Spirakis
+    // 2006) — top-10 orders per nation with inclusion probability ∝
+    // spend, the one-pass distributed weighted reservoir: each row's
+    // key is ln(u)/w for a deterministic hash uniform u (ln of an
+    // exact integer — the shared-idiom guarantee — then one division;
+    // identical double ops rank identically on both engines), and the
+    // per-nation top-10 by key rides a rank window whose top-k pushes
+    // down (WindowGroupLimit). No RNG, no resample pass, no global
+    // sort.
+    "q_weighted_sample" -> QueryDef.sql(
+      (s, dir) => {
+        val rows = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_orderkey"),
+            expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("spend_c"),
+            expr("(((o_orderkey % 1048576) * 2654435761) div 1024) % 1000000 + 1")
+              .as("u_ppm"))
+          .withColumn("es_key",
+            // ln(u) with u = u_ppm/1e6 MUST normalize before the
+            // division: ln(u_ppm)/w alone ranks by -1/w (favors SMALL
+            // weights — the spec's PPS skew check caught it)
+            (log(col("u_ppm").cast("double")) - log(lit(1000000d))) /
+              col("spend_c").cast("double"))
+        val w = Window.partitionBy("n_name")
+          .orderBy(col("es_key").desc, col("o_orderkey"))
+        rows.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("n_name"), col("rk").cast("long").as("rk"),
+            col("o_orderkey"), col("spend_c"), col("u_ppm"))
+          .orderBy("n_name", "rk")
+      },
+      """WITH rows_ AS (
+        |  SELECT n_name, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS spend_c,
+        |    (((o_orderkey % 1048576) * 2654435761) // 1024) % 1000000 + 1 AS u_ppm
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey),
+        |ranked AS (
+        |  SELECT n_name, o_orderkey, spend_c, u_ppm,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY (ln(CAST(u_ppm AS DOUBLE)) - ln(CAST(1000000 AS DOUBLE)))
+        |                 / CAST(spend_c AS DOUBLE) DESC,
+        |               o_orderkey) AS BIGINT) AS rk
+        |  FROM rows_)
+        |SELECT n_name, rk, o_orderkey, spend_c, u_ppm
+        |FROM ranked WHERE rk <= 10 ORDER BY n_name, rk""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

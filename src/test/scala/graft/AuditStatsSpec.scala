@@ -435,6 +435,33 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_weighted_sample") {
+    it("matches the brute-force Efraimidis-Spirakis ranking and skews to weight") {
+      val base = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("spend_c"))
+        .as[(String, Long, Long)].collect()
+      def u(ok: Long): Long = (((ok % 1048576) * 2654435761L) / 1024) % 1000000 + 1
+      val expect = base.groupBy(_._1).iterator.flatMap { case (nation, rows) =>
+        rows.sortBy { case (_, ok, w) =>
+          (-(math.log(u(ok).toDouble) - math.log(1000000d)) / w, ok)
+        }.take(10).zipWithIndex.map { case ((_, ok, w), i) =>
+          (nation, i + 1L, ok, w, u(ok))
+        }
+      }.toSet
+      val got = SparkEntry.allDefs("q_weighted_sample").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      got shouldBe expect
+      // probability-proportional-to-size: the sampled mean spend must
+      // exceed the population mean by a clear margin
+      val sampMean = got.toSeq.map(_._4).sum.toDouble / got.size
+      val popMean = base.map(_._3).sum.toDouble / base.length
+      sampMean should be > popMean * 1.2
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

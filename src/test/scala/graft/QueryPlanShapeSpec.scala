@@ -469,6 +469,12 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "SortMergeJoin"
     }
 
+    it("q_weighted_sample pushes the per-nation top-10 below the rank exchange") {
+      val p = plan("q_weighted_sample")
+      p should include("WindowGroupLimit")
+      p should not include "CartesianProduct"
+    }
+
     it("trace_acf collapses to the hourly relation before any window") {
       val p = plan("trace_acf")
       // window input is the (service, hr) aggregate, then one more
