@@ -1886,26 +1886,33 @@ object RelationalQueries {
 
     // C109: MAD robust outliers — the median-absolute-deviation screen
     // (the robust-stats sibling of q_iqr_outliers): per return flag,
-    // med = discrete median of price cents (ExactQuantiles' integer
-    // rank rule ≡ percentile_disc), MAD = discrete median of
+    // med = discrete median of price cents (smallest value with
+    // 2·cum ≥ n — ≡ percentile_disc(0.5)), MAD = discrete median of
     // |x − med|, outliers = |x − med| > 5·MAD in exact integers.
     // TWO corpus passes (the information-theoretic floor for MAD) +
-    // type-level count rollups; medians broadcast back.
+    // type-level count rollups; medians broadcast back. Cumulatives
+    // run through ShardedWindow (price cents has ~millions of distinct
+    // values per flag — ExactQuantiles' per-key window was one task
+    // per flag and 106 s at sf10; 3 flags ≠ bounded histogram).
     "q_mad_outliers" -> QueryDef.sql(
       (s, dir) => {
+        def discMedian(grid: DataFrame, valueCol: String, out: String): DataFrame = {
+          val cum = ShardedWindow.runningSum(grid, Seq("flag"),
+            expr(s"$valueCol div 1000000"), Seq(col(valueCol)), col("cnt"), "cum")
+          val tot = grid.groupBy("flag").agg(sum("cnt").as("n"))
+          cum.join(broadcast(tot), "flag")
+            .filter(col("cum") * 2 >= col("n"))
+            .groupBy("flag").agg(min(col(valueCol)).as(out))
+        }
         val vals = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("flag"),
             expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
         val vc = vals.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
-        val med = graft.operators.ExactQuantiles.percentilesFromCounts(
-          vc, Seq("flag"), col("cents"), weight = col("cnt"),
-          pcts = Seq(graft.operators.ExactQuantiles.Disc("med_c", 1, 2)))
+        val med = discMedian(vc, "cents", "med_c")
         val ac = vals.join(broadcast(med), "flag")
           .select(col("flag"), abs(col("cents") - col("med_c")).as("adev"))
           .groupBy("flag", "adev").agg(count(lit(1)).as("cnt"))
-        val mad = graft.operators.ExactQuantiles.percentilesFromCounts(
-          ac, Seq("flag"), col("adev"), weight = col("cnt"),
-          pcts = Seq(graft.operators.ExactQuantiles.Disc("mad_c", 1, 2)))
+        val mad = discMedian(ac, "adev", "mad_c")
         ac.join(broadcast(mad), "flag")
           .groupBy("flag", "mad_c")
           .agg(sum(col("cnt")).as("n_items"),

@@ -469,6 +469,14 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "SortMergeJoin"
     }
 
+    it("q_mad_outliers cumulates both median passes through ShardedWindow") {
+      val p = plan("q_mad_outliers")
+      // cents has millions of distinct values per flag — a per-flag
+      // window would be one task per flag (measured 106 s at sf10)
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
     it("q_weighted_sample pushes the per-nation top-10 below the rank exchange") {
       val p = plan("q_weighted_sample")
       p should include("WindowGroupLimit")
