@@ -46,6 +46,64 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Patterned grayscale PNG for perceptual-hash work: 9×8 pixels,
+    * g(x,y) = ((k mod 199)² mod 199) mod 128 + bright·5 with
+    * k = seed·31 + x·17 + y·29 — genuine pixel structure (flat fills
+    * hash to all-zeros), and the brightness term shifts every pixel
+    * equally, so adjacent-pixel ORDER (what dHash reads) is invariant
+    * while the bytes differ. No value clamps (≤ 152 < 255), so the
+    * closed form survives the PNG round-trip exactly. */
+  def renderPatternPng(seed: Long, bright: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val k = (seed * 31 + x * 17 + y * 29) % 199
+      val g = ((k * k) % 199 % 128 + bright * 5).toInt
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic patterned-image corpus: doc_id div 6 picks the
+    * pattern seed (6 consecutive ids share one image up to brightness),
+    * doc_id mod 6 the brightness. */
+  def syntheticPatternImages(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        ImageRow(id, renderPatternPng(id / 6, (id % 6).toInt))
+      })
+      .toDF()
+  }
+
+  /** Per-image difference hash (dHash): decode the real PNG, read the
+    * 9×8 grayscale grid, emit 64 adjacent-compare bits packed
+    * little-endian into a decimal string (bit (x,y) = 1 iff
+    * g(x+1,y) > g(x,y), weight 2^(y·8+x); a string because the top
+    * bit overflows signed 64). Undecodable payloads are dropped. */
+  final case class DHashRow(media_id: Long, dhash: String)
+  def dHash(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeImage(payload).filter(i => i.getWidth == 9 && i.getHeight == 8)
+          .map { img =>
+            var acc = BigInt(0)
+            for (y <- 0 until 8; x <- 0 until 8) {
+              val a = img.getRGB(x, y) & 0xff
+              val b = img.getRGB(x + 1, y) & 0xff
+              if (b > a) acc = acc.setBit(y * 8 + x)
+            }
+            DHashRow(id, acc.toString)
+          }
+      })
+      .toDF()
+  }
+
   /** One real-PNG media row. */
   final case class ImageRow(media_id: Long, payload: Array[Byte])
 

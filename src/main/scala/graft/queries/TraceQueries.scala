@@ -1033,6 +1033,59 @@ object TraceQueries {
         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN rs USING (doc_id)
         |ORDER BY media_id""".stripMargin),
 
+    // B79: perceptual-hash image near-dup — dHash over REAL patterned
+    // PNGs: 9×8 grayscale grids rendered from (doc_id div 6, doc_id
+    // mod 6) arithmetic, decoded back through the codec, 64
+    // adjacent-compare bits packed into a decimal string. Brightness
+    // shifts every pixel equally, so the 6 brightness variants of one
+    // seed are byte-DIFFERENT files with the SAME dHash — exactly the
+    // near-dup class a perceptual hash exists to catch; seeds repeat
+    // mod 199, so byte-identical files across id ranges fold in too
+    // (n_distinct_payloads counts them via md5, and the oracle
+    // re-derives that count from (seed mod 199, brightness) identity —
+    // hashing the whole render→encode→decode→hash chain). Render +
+    // hash are partition-local; one dhash-keyed shuffle.
+    "media_image_dhash" -> QueryDef.sql(
+      (s, dir) => {
+        val imgs = graft.operators.MultimodalOps.syntheticPatternImages(
+          Tables.documents(s, dir).filter(col("doc_id") < 20000))
+          .localCheckpoint()
+        val dh = graft.operators.MultimodalOps.dHash(imgs)
+        val pm = imgs.select(col("media_id").as("pm_id"),
+          md5(col("payload")).as("pmd5"))
+        dh.join(pm, col("media_id") === col("pm_id"))
+          .groupBy("dhash")
+          .agg(count(lit(1)).as("n_images"),
+            min(col("media_id")).as("keep_id"),
+            countDistinct(col("pmd5")).as("n_distinct_payloads"))
+          .orderBy("dhash")
+      },
+      """WITH d AS (SELECT doc_id, doc_id // 6 AS seed, doc_id % 6 AS br
+        |           FROM documents WHERE doc_id < 20000),
+        |bits AS (
+        |  SELECT doc_id, seed, br, s.y * 8 + s.x AS i,
+        |    CASE WHEN
+        |      ((((seed*31 + (s.x+1)*17 + s.y*29) % 199)
+        |        * ((seed*31 + (s.x+1)*17 + s.y*29) % 199)) % 199) % 128
+        |      >
+        |      ((((seed*31 + s.x*17 + s.y*29) % 199)
+        |        * ((seed*31 + s.x*17 + s.y*29) % 199)) % 199) % 128
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM d, (SELECT t1.x, t2.y
+        |           FROM (SELECT unnest(range(0, 8)) AS x) t1,
+        |                (SELECT unnest(range(0, 8)) AS y) t2) s),
+        |dh AS (
+        |  SELECT doc_id, seed, br,
+        |    CAST(SUM(CASE WHEN i < 32 THEN CAST(b AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS HUGEINT)
+        |    + CAST(SUM(CASE WHEN i >= 32 THEN CAST(b AS BIGINT) << CAST(i - 32 AS INT) ELSE 0 END) AS HUGEINT)
+        |      * 4294967296 AS dhv
+        |  FROM bits GROUP BY 1, 2, 3)
+        |SELECT CAST(dhv AS VARCHAR) AS dhash, COUNT(*) AS n_images,
+        |  MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(DISTINCT (seed % 199) * 10 + br) AS BIGINT)
+        |    AS n_distinct_payloads
+        |FROM dh GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // B66: real video container decode + frame sampling — YUV4MPEG2
     // (Y4M) payloads generated by arithmetic in doc_id
     // (MultimodalOps.renderY4m — the standard uncompressed video
@@ -3038,6 +3091,61 @@ object TraceQueries {
         |    FROM d2 x JOIN d2 y ON x.dst = y.src) u GROUP BY 1, 2)
         |SELECT src AS from_service, dst AS to_service,
         |       CAST(w AS BIGINT) AS min_total_us
+        |FROM d3 ORDER BY 1, 2""".stripMargin)),
+
+    // C112: worst-case call chain — the MAX-plus mirror of
+    // trace_shortest_path (same 3 squaring rounds, same pair-keyed
+    // relations, max instead of min): the most expensive ≤8-edge path
+    // between every service pair under floor-mean edge latencies —
+    // the capacity-planning bound ("if calls chain badly, how slow
+    // can A→B get"). Well-defined on cyclic graphs because the edge
+    // bound caps the walk.
+    "trace_worst_path" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service",
+          "duration_us")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .filter(col("p.service") =!= col("c.service"))
+          .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+          .agg(expr("sum(c.duration_us) div count(1)").as("w"))
+        var d = edges.localCheckpoint()
+        for (_ <- 1 to 3) {
+          val via = d.as("x").join(d.as("y"), col("x.dst") === col("y.src"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst"),
+              (col("x.w") + col("y.w")).as("w"))
+          val next = d.union(via).groupBy("src", "dst")
+            .agg(max("w").as("w")).localCheckpoint()
+          d.unpersist()
+          d = next
+        }
+        d.select(col("src").as("from_service"), col("dst").as("to_service"),
+            col("w").as("max_total_us"))
+          .orderBy("from_service", "to_service")
+      },
+      cte("""
+        |, e AS MATERIALIZED (
+        |  SELECT p.service AS src, c.service AS dst,
+        |         SUM(c.duration_us) // COUNT(*) AS w
+        |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+        |  WHERE p.service <> c.service GROUP BY 1, 2),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, dst, MAX(w) AS w FROM (
+        |    SELECT src, dst, w FROM e
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM e x JOIN e y ON x.dst = y.src) u GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, dst, MAX(w) AS w FROM (
+        |    SELECT src, dst, w FROM d1
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM d1 x JOIN d1 y ON x.dst = y.src) u GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src, dst, MAX(w) AS w FROM (
+        |    SELECT src, dst, w FROM d2
+        |    UNION ALL SELECT x.src, y.dst, x.w + y.w
+        |    FROM d2 x JOIN d2 y ON x.dst = y.src) u GROUP BY 1, 2)
+        |SELECT src AS from_service, dst AS to_service,
+        |       CAST(w AS BIGINT) AS max_total_us
         |FROM d3 ORDER BY 1, 2""".stripMargin)),
 
     // C102: autocorrelation function (lags 1..6) of the hourly event

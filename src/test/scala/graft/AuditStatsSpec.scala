@@ -152,6 +152,33 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_worst_path") {
+    it("matches 8 rounds of brute-force max-plus relaxation") {
+      val rows = SparkEntry.allDefs("trace_worst_path").fn(spark, sfDir)
+        .as[(String, String, Long)].collect()
+      val edges = graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+        .select("span_id", "parent_span_id", "service", "duration_us").as("c")
+        .join(graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir))
+          .select("span_id", "parent_span_id", "service", "duration_us").as("p"),
+          col("c.parent_span_id") === col("p.span_id"))
+        .filter(col("p.service") =!= col("c.service"))
+        .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+        .agg(expr("sum(c.duration_us) div count(1)").as("w"))
+        .as[(String, String, Long)].collect()
+      var best = edges.map(e => (e._1, e._2) -> e._3).toMap
+      (2 to 8).foreach { _ =>
+        val ext = for {
+          ((s1, d1), w1) <- best.toSeq
+          ((s2, d2), w2) <- edges.map(e => (e._1, e._2) -> e._3)
+          if d1 == s2
+        } yield (s1, d2) -> (w1 + w2)
+        best = (best.toSeq ++ ext).groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toMap
+      }
+      rows.map(r => (r._1, r._2) -> r._3).toMap shouldBe best
+    }
+  }
+
   describe("trace_acf") {
     it("matches the brute-force lag-k autocorrelation per service") {
       val hourly = graft.operators.SpanOps

@@ -228,6 +228,47 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("renderPatternPng + dHash") {
+    import spark.implicits._
+
+    it("brightness variants share the dHash but not the bytes") {
+      val a = MultimodalOps.renderPatternPng(42L, 0)
+      val b = MultimodalOps.renderPatternPng(42L, 5)
+      a should not equal b
+      val df = Seq((1L, a), (2L, b)).toDF("media_id", "payload")
+      val hs = MultimodalOps.dHash(df).select("dhash").as[String].collect()
+      hs(0) shouldBe hs(1)
+    }
+
+    it("same (seed mod 199, brightness) renders byte-identical files") {
+      MultimodalOps.renderPatternPng(7L, 2) shouldBe
+        MultimodalOps.renderPatternPng(7L + 199L, 2)
+    }
+
+    it("a flat image hashes to zero and wrong dimensions are dropped") {
+      val flat = MultimodalOps.renderPng(9, 8, 0x777777)
+      val off = MultimodalOps.renderPng(8, 8, 0x777777)
+      val df = Seq((1L, flat), (2L, off)).toDF("media_id", "payload")
+      val rows = MultimodalOps.dHash(df).as[(Long, String)].collect()
+      rows.toSeq shouldBe Seq((1L, "0"))
+    }
+
+    it("dHash matches the generator closed form") {
+      val seed = 123L
+      val df = Seq((1L, MultimodalOps.renderPatternPng(seed, 3)))
+        .toDF("media_id", "payload")
+      val got = MultimodalOps.dHash(df).select("dhash").as[String].head()
+      def g(x: Int, y: Int): Long = {
+        val k = (seed * 31 + x * 17 + y * 29) % 199
+        k * k % 199 % 128
+      }
+      var acc = BigInt(0)
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g(x + 1, y) > g(x, y)) acc = acc.setBit(y * 8 + x)
+      got shouldBe acc.toString
+    }
+  }
+
   describe("vadStats") {
     import spark.implicits._
 
