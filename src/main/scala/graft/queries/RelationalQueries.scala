@@ -2056,7 +2056,59 @@ object RelationalQueries {
         |               o_orderkey) AS BIGINT) AS rk
         |  FROM rows_)
         |SELECT n_name, rk, o_orderkey, spend_c, u_ppm
-        |FROM ranked WHERE rk <= 10 ORDER BY n_name, rk""".stripMargin)
+        |FROM ranked WHERE rk <= 10 ORDER BY n_name, rk""".stripMargin),
+
+    // C113: Lorenz curve deciles — the distributional view behind
+    // q_gini/q_theil: customers ranked by spend, bucketed by the exact
+    // ((rank−1)·10) div n + 1 rule (the RFM discipline), each decile's
+    // exact floor-ppm share of total spend plus the cumulative share —
+    // the actual curve points a dashboard plots. Ranks through
+    // ShardedWindow; two ppm divisions through DECIMAL(38,0).
+    "q_lorenz" -> QueryDef.sql(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).as("spend_c"))
+        val ranked = ShardedWindow.rowNumber(spend, Seq.empty,
+          expr("spend_c div 100000000"), Seq(col("spend_c"), col("custkey")), "r")
+        val n = spend.agg(count(lit(1)).as("n_cust"),
+          sum(col("spend_c").cast(DecimalType(38, 0))).as("total_c"))
+        val deciles = ranked.crossJoin(broadcast(n))
+          .withColumn("decile", expr("((r - 1) * 10) div n_cust + 1"))
+          .groupBy("decile", "total_c")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("spend_c").cast(DecimalType(38, 0))).as("dec_c"))
+        val cum = ShardedWindow.runningSum(
+          deciles, Seq.empty, col("decile"), Seq(col("decile")),
+          col("dec_c"), "cum_c")
+        cum.select(col("decile"), col("n_customers"),
+            col("dec_c").cast("long").as("decile_spend_c"),
+            expr("dec_c * 1000000 div total_c").as("share_ppm"),
+            expr("cum_c * 1000000 div total_c").as("cum_share_ppm"))
+          .orderBy("decile")
+      },
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS spend_c
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT spend_c,
+        |    CAST(row_number() OVER (ORDER BY spend_c, custkey) AS BIGINT) AS r,
+        |    (SELECT COUNT(*) FROM spend) AS n_cust,
+        |    (SELECT SUM(CAST(spend_c AS HUGEINT)) FROM spend) AS total_c
+        |  FROM spend),
+        |dec AS (
+        |  SELECT ((r - 1) * 10) // n_cust + 1 AS decile, total_c,
+        |         COUNT(*) AS n_customers,
+        |         SUM(CAST(spend_c AS HUGEINT)) AS dec_c
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT decile, n_customers,
+        |  CAST(dec_c AS BIGINT) AS decile_spend_c,
+        |  CAST(dec_c * 1000000 // total_c AS BIGINT) AS share_ppm,
+        |  CAST(SUM(dec_c) OVER (ORDER BY decile) * 1000000 // total_c AS BIGINT)
+        |    AS cum_share_ppm
+        |FROM dec ORDER BY decile""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

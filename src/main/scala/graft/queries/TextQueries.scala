@@ -3109,7 +3109,62 @@ object TextQueries {
           .select(col("node").as("term"), col("core_degree"))
           .orderBy("term")
       },
-      kcoreOracle)
+      kcoreOracle),
+
+    // B80: largest-remainder budget apportionment (Hamilton's method)
+    // — the "give every language an integer share of the 1M-token
+    // budget that sums EXACTLY to the budget" step data-mixing needs
+    // (floor-ppm shares under-allocate; naive rounding over- or
+    // under-shoots). floor_i = (N·c_i) div S exactly, remainders
+    // compared as the exact scaled integers N·c_i − floor_i·S, and the
+    // Σfloor shortfall goes +1 to the largest remainders
+    // ((rem, lang) tie-break). One corpus pass; everything after is
+    // #langs-sized.
+    "corpus_apportion" -> QueryDef.sql(
+      (s, dir) => {
+        val budget = 1000000L
+        val cnt = Tables.documents(s, dir)
+          .select(col("lang"), tokCount(col("text")).as("tc"))
+          .groupBy("lang").agg(sum(col("tc")).as("c"))
+        val tot = cnt.agg(sum(col("c").cast(DecimalType(38, 0))).as("s"))
+        val base = cnt.crossJoin(broadcast(tot))
+          .withColumn("floor_alloc",
+            expr(s"CAST(c AS DECIMAL(38,0)) * $budget div s"))
+          .withColumn("rem",
+            expr(s"CAST(c AS DECIMAL(38,0)) * $budget - " +
+              "CAST(floor_alloc AS DECIMAL(38,0)) * s"))
+        val short = base.agg((lit(budget) -
+          sum(col("floor_alloc"))).as("shortfall"))
+        val w = Window.orderBy(col("rem").desc, col("lang"))
+        base.crossJoin(broadcast(short))
+          .withColumn("rk", row_number().over(w))
+          .select(col("lang"), col("c").as("tokens"),
+            col("floor_alloc"),
+            (col("floor_alloc") +
+              when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("lang")
+      },
+      """WITH cnt AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(CAST(c AS HUGEINT)) AS s FROM cnt),
+        |base AS (
+        |  SELECT lang, c,
+        |    CAST(c AS HUGEINT) * 1000000 // s AS floor_alloc,
+        |    CAST(c AS HUGEINT) * 1000000
+        |      - (CAST(c AS HUGEINT) * 1000000 // s) * s AS rem
+        |  FROM cnt, tot),
+        |short AS (SELECT 1000000 - SUM(floor_alloc) AS shortfall FROM base),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |  FROM base)
+        |SELECT lang, c AS tokens,
+        |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
+        |  CAST(floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM ranked, short ORDER BY lang""".stripMargin)
   )
 
   /** Deterministic messy-URL synthesis shared by both engines; the only

@@ -489,6 +489,38 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_lorenz") {
+    it("cumulative shares are monotone and close at exactly 1e6 ppm") {
+      val rows = SparkEntry.allDefs("q_lorenz").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      rows.map(_._1) shouldBe (1L to 10L)
+      // cum share monotone, below the diagonal... the LAST cum is the
+      // full total: floor-ppm of S/S = exactly 1e6
+      rows.map(_._5).sliding(2).foreach(p => p(0) should be <= p(1))
+      rows.last._5 shouldBe 1000000L
+      // Lorenz curve of an ascending ranking stays under the diagonal
+      rows.dropRight(1).foreach { r => r._5 should be <= r._1 * 100000 }
+    }
+  }
+
+  describe("corpus_apportion") {
+    it("allocations sum exactly to the budget and differ from floors by <= 1") {
+      val rows = SparkEntry.allDefs("corpus_apportion").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect()
+      rows.map(_._4).sum shouldBe 1000000L
+      rows.foreach { case (_, _, fl, al) =>
+        (al - fl) should (be >= 0L and be <= 1L)
+      }
+      // Hamilton quota property: every alloc is floor or ceil of the
+      // exact quota N*c/S
+      val s = rows.map(v => BigInt(v._2)).sum
+      rows.foreach { case (_, c, _, al) =>
+        val quotaFloor = (BigInt(c) * 1000000 / s).toLong
+        al should (be >= quotaFloor and be <= quotaFloor + 1)
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)
