@@ -3186,7 +3186,7 @@ object TextQueries {
   /** Spark-side canonicalizer (mirrors the oracle's expression chain):
     * lowercase -> drop fragment -> drop utm_* params -> drop :443 ->
     * drop www. -> drop trailing slash. */
-  private def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(
