@@ -2108,7 +2108,78 @@ object RelationalQueries {
         |  CAST(dec_c * 1000000 // total_c AS BIGINT) AS share_ppm,
         |  CAST(SUM(dec_c) OVER (ORDER BY decile) * 1000000 // total_c AS BIGINT)
         |    AS cum_share_ppm
-        |FROM dec ORDER BY decile""".stripMargin)
+        |FROM dec ORDER BY decile""".stripMargin),
+
+    // C114: Spearman rank correlation (tie-aware) — the robust
+    // monotone-association companion to q_rolling_corr's Pearson:
+    // quantity vs price per return flag over AVERAGE ranks, kept exact
+    // by the ×2 scaling (avg rank of a tie group = (2·cum − cnt + 1)/2
+    // — so 2·rank is the integer 2cum−cnt+1; cumulatives through
+    // ShardedWindow over the distinct-value grids). Pearson over the
+    // scaled ranks runs in DECIMAL(38,0) sums with the
+    // identically-ordered double/sqrt finish (the q_bollinger
+    // discipline) — hash-exact unrounded. The ×2 scale cancels in rho.
+    "q_spearman" -> QueryDef.sql(
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        def rank2(valueCol: String, out: String): DataFrame = {
+          val grid = pairs.groupBy("flag", valueCol).agg(count(lit(1)).as("cnt"))
+          ShardedWindow.runningSum(grid, Seq("flag"),
+            expr(s"$valueCol div 1000000"), Seq(col(valueCol)), col("cnt"), "cum")
+            .select(col("flag").as(s"${out}_flag"), col(valueCol).as(s"${out}_v"),
+              (col("cum") * 2 - col("cnt") + 1).as(out))
+        }
+        val rq = rank2("qty", "rq2")
+        val rp = rank2("cents", "rp2")
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        pairs
+          .join(rq, col("flag") === col("rq2_flag") && col("qty") === col("rq2_v"))
+          .join(rp, col("flag") === col("rp2_flag") && col("cents") === col("rp2_v"))
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("rq2"))).as("sx"), sum(dec(col("rp2"))).as("sy"),
+            sum(dec(col("rq2")) * dec(col("rp2"))).as("sxy"),
+            sum(dec(col("rq2")) * dec(col("rq2"))).as("sxx"),
+            sum(dec(col("rp2")) * dec(col("rp2"))).as("syy"))
+          .select(col("flag"), col("n"),
+            ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("spearman_rho"))
+          .orderBy("flag")
+      },
+      """WITH pairs AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |gq AS (SELECT flag, qty, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+        |rq AS (SELECT flag, qty,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) * 2
+        |           - cnt + 1 AS rq2
+        |       FROM gq),
+        |gp AS (SELECT flag, cents, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+        |rp AS (SELECT flag, cents,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) * 2
+        |           - cnt + 1 AS rp2
+        |       FROM gp),
+        |st AS (
+        |  SELECT p.flag, COUNT(*) AS n,
+        |    SUM(CAST(rq2 AS HUGEINT)) AS sx, SUM(CAST(rp2 AS HUGEINT)) AS sy,
+        |    SUM(CAST(rq2 AS HUGEINT) * rp2) AS sxy,
+        |    SUM(CAST(rq2 AS HUGEINT) * rq2) AS sxx,
+        |    SUM(CAST(rp2 AS HUGEINT) * rp2) AS syy
+        |  FROM pairs p JOIN rq ON p.flag = rq.flag AND p.qty = rq.qty
+        |               JOIN rp ON p.flag = rp.flag AND p.cents = rp.cents
+        |  GROUP BY 1)
+        |SELECT flag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+        |FROM st ORDER BY flag""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -521,6 +521,33 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_spearman") {
+    it("matches brute-force tie-aware Spearman per flag") {
+      val pairs = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as[(String, Long, Long)].collect().groupBy(_._1)
+      def avgRanks(xs: Seq[Long]): Map[Long, Double] = {
+        val sorted = xs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+        sorted.groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.length).toMap
+      }
+      val got = SparkEntry.allDefs("q_spearman").fn(spark, sfDir)
+        .as[(String, Long, Double)].collect()
+      got.foreach { case (flag, n, rho) =>
+        val rows = pairs(flag)
+        n shouldBe rows.length.toLong
+        val (rq, rp) = (avgRanks(rows.map(_._2).toSeq), avgRanks(rows.map(_._3).toSeq))
+        val xs = rows.map(r => rq(r._2)); val ys = rows.map(r => rp(r._3))
+        val (mx, my) = (xs.sum / n, ys.sum / n)
+        val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+        val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+          math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+        rho shouldBe (num / den) +- 1e-9
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)
