@@ -2179,7 +2179,289 @@ object RelationalQueries {
         |  CAST(n * sxy - sx * sy AS DOUBLE)
         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
-        |FROM st ORDER BY flag""".stripMargin)
+        |FROM st ORDER BY flag""".stripMargin),
+
+    // C115: Mann-Whitney U — two-sample tie-aware rank test (linestatus
+    // F vs O on quantity). Ranks derive from the qty distinct-value
+    // grid, which is DOMAIN-bounded (qty in 1..50): the rank pass is
+    // O(|domain|) regardless of row count, so the only full-data work
+    // is one map-side-combined groupBy. 2·avg_rank = 2cum−cnt+1 stays
+    // integral, so U, the rank sum, and the tie term Σ(t³−t) are exact
+    // integers; only the final z goes through the identically-ordered
+    // double/sqrt finish. Var uses the tie-corrected
+    // n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    "q_mann_whitney" -> QueryDef.sql(
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(col("l_linestatus").as("st"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
+        val grid = rows.groupBy("qty").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("st") === "F", 1L).otherwise(0L)).as("cnt_f"))
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val ranked = ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
+            Seq(col("qty")), col("cnt"), "cum")
+          .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        ranked
+          .agg(sum(col("cnt_f")).as("n1"),
+            sum(col("cnt") - col("cnt_f")).as("n2"),
+            sum(col("cnt_f") * col("rank2")).as("r1_x2"),
+            sum(dec38(col("cnt")) * dec38(col("cnt")) * dec38(col("cnt"))
+              - dec38(col("cnt"))).as("tie3"))
+          .withColumn("n", col("n1") + col("n2"))
+          .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1))
+          .select(col("n1"), col("n2"), col("u1_x2"),
+            (col("n1") * col("n2") * 2 - col("u1_x2")).as("u2_x2"),
+            ((col("u1_x2") - col("n1") * col("n2")).cast("double") /
+              (sqrt(col("n1").cast("double") * col("n2").cast("double") *
+                ((col("n") + 1).cast("double") -
+                  col("tie3").cast("double") /
+                    (col("n") * (col("n") - 1)).cast("double")) / lit(12.0)) * 2))
+              .as("z"))
+      },
+      """WITH rows_ AS (
+        |  SELECT l_linestatus AS st, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT qty, COUNT(*) AS cnt,
+        |         CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f
+        |  FROM rows_ GROUP BY 1),
+        |ranked AS (
+        |  SELECT qty, cnt, cnt_f,
+        |         CAST(SUM(cnt) OVER (ORDER BY qty) AS BIGINT) * 2 - cnt + 1 AS rank2
+        |  FROM grid),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt_f) AS BIGINT) AS n1,
+        |         CAST(SUM(cnt - cnt_f) AS BIGINT) AS n2,
+        |         CAST(SUM(cnt_f * rank2) AS BIGINT) AS r1_x2,
+        |         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+        |  FROM ranked),
+        |fin AS (
+        |  SELECT n1, n2, n1 + n2 AS n, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie3
+        |  FROM agg)
+        |SELECT n1, n2, u1_x2,
+        |  n1 * n2 * 2 - u1_x2 AS u2_x2,
+        |  CAST(u1_x2 - n1 * n2 AS DOUBLE) /
+        |    (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |       (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE)) / 12.0) * 2) AS z
+        |FROM fin""".stripMargin),
+
+    // C116: Kruskal-Wallis H — k-group (returnflag A/N/R) tie-aware
+    // rank ANOVA on quantity, the nonparametric companion to q_anova.
+    // Same domain-bounded grid rank pass as q_mann_whitney; the three
+    // per-group rank sums pivot into ONE row via conditional sums so
+    // the double finish is a fixed-shape expression (Σ over groups has
+    // engine-deterministic order). R_j²/n_j runs the ×2 rank sums
+    // through DECIMAL(38,0) squares (fits to sf100: (7e17)² < 1e38)
+    // before the double divide; 12/4 = the literal 3.0. Tie-corrected
+    // H divides by 1 − Σ(t³−t)/(n³−n).
+    "q_kruskal_wallis" -> QueryDef.sql(
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
+        val grid = rows.groupBy("qty").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("flag") === "A", 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("flag") === "N", 1L).otherwise(0L)).as("cnt_n"),
+          sum(when(col("flag") === "R", 1L).otherwise(0L)).as("cnt_r"))
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val ranked = ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
+            Seq(col("qty")), col("cnt"), "cum")
+          .withColumn("rank2", col("cum") * 2 - col("cnt") + 1)
+        def sq(c: String, nCol: String): Column =
+          (dec38(col(c)) * dec38(col(c))).cast("double") / col(nCol).cast("double")
+        ranked
+          .agg(sum(col("cnt_a")).as("na"), sum(col("cnt_n")).as("nn"),
+            sum(col("cnt_r")).as("nr"),
+            sum(col("cnt_a") * col("rank2")).as("ra_x2"),
+            sum(col("cnt_n") * col("rank2")).as("rn_x2"),
+            sum(col("cnt_r") * col("rank2")).as("rr_x2"),
+            sum(dec38(col("cnt")) * dec38(col("cnt")) * dec38(col("cnt"))
+              - dec38(col("cnt"))).as("tie3"))
+          .withColumn("n", col("na") + col("nn") + col("nr"))
+          .withColumn("h",
+            lit(3.0) * (sq("ra_x2", "na") + sq("rn_x2", "nn") + sq("rr_x2", "nr")) /
+              (col("n") * (col("n") + 1)).cast("double") -
+              lit(3.0) * (col("n") + 1).cast("double"))
+          .withColumn("tie_c",
+            lit(1.0) - col("tie3").cast("double") /
+              (dec38(col("n")) * dec38(col("n")) * dec38(col("n"))
+                - dec38(col("n"))).cast("double"))
+          .select(col("n"), col("na"), col("nn"), col("nr"), col("h"),
+            (col("h") / col("tie_c")).as("h_tie"))
+      },
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS flag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT qty, COUNT(*) AS cnt,
+        |    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_n,
+        |    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+        |  FROM rows_ GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (ORDER BY qty) AS BIGINT) * 2 - cnt + 1
+        |    AS rank2
+        |  FROM grid),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+        |         CAST(SUM(cnt_n) AS BIGINT) AS nn,
+        |         CAST(SUM(cnt_r) AS BIGINT) AS nr,
+        |         CAST(SUM(cnt_a * rank2) AS BIGINT) AS ra_x2,
+        |         CAST(SUM(cnt_n * rank2) AS BIGINT) AS rn_x2,
+        |         CAST(SUM(cnt_r * rank2) AS BIGINT) AS rr_x2,
+        |         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+        |  FROM ranked),
+        |fin AS (SELECT *, na + nn + nr AS n FROM agg),
+        |hh AS (
+        |  SELECT *,
+        |    3.0 * (CAST(CAST(ra_x2 AS HUGEINT) * ra_x2 AS DOUBLE) / CAST(na AS DOUBLE)
+        |         + CAST(CAST(rn_x2 AS HUGEINT) * rn_x2 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |         + CAST(CAST(rr_x2 AS HUGEINT) * rr_x2 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |      / CAST(n * (n + 1) AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+        |  FROM fin)
+        |SELECT n, na, nn, nr, h,
+        |  h / (1.0 - CAST(tie3 AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)) AS h_tie
+        |FROM hh""".stripMargin),
+
+    // C117: Kendall tau-b — concordance association (quantity vs $10k
+    // price band per flag) computed ENTIRELY on the joint distinct-value
+    // grid: concordant/discordant pair counts are Σ n_a·n_b over grid
+    // CELL pairs (grid ≤ 50 qty × ~11 bands per flag — the pair join is
+    // O(|domain|²) broadcast work, never O(n²) row pairs, so the shape
+    // survives any row count). Pairs tied on qty are excluded from C/D
+    // and enter only the marginal tie terms, per standard tau-b:
+    // (C−D)/√((n0−n1)(n0−n2)). Exact integers to the final sqrt.
+    "q_kendall_tau" -> QueryDef.sql(
+      (s, dir) => {
+        val cells = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) div 1000000")
+              .as("band"))
+          .groupBy("flag", "qty", "band").agg(count(lit(1)).as("cnt"))
+        val a = cells.select(col("flag"), col("qty").as("q1"),
+          col("band").as("b1"), col("cnt").as("c1"))
+        val b = cells.select(col("flag").as("flag2"), col("qty").as("q2"),
+          col("band").as("b2"), col("cnt").as("c2"))
+        val cd = a.join(broadcast(b),
+            col("flag") === col("flag2") && col("q1") < col("q2"))
+          .groupBy("flag")
+          .agg(sum(when(col("b1") < col("b2"), col("c1") * col("c2"))
+              .otherwise(0L)).as("concordant"),
+            sum(when(col("b1") > col("b2"), col("c1") * col("c2"))
+              .otherwise(0L)).as("discordant"))
+        val tx = cells.groupBy("flag", "qty").agg(sum("cnt").as("t"))
+          .groupBy("flag")
+          .agg(sum(expr("t * (t - 1) div 2")).as("tx"), sum("t").as("n"))
+        val ty = cells.groupBy("flag", "band").agg(sum("cnt").as("t"))
+          .groupBy("flag").agg(sum(expr("t * (t - 1) div 2")).as("ty"))
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        cd.join(tx, "flag").join(ty, "flag")
+          .withColumn("n0", expr("n * (n - 1) div 2"))
+          .select(col("flag"), col("n"), col("concordant"), col("discordant"),
+            ((col("concordant") - col("discordant")).cast("double") /
+              sqrt((dec38(col("n0") - col("tx")) * dec38(col("n0") - col("ty")))
+                .cast("double"))).as("tau_b"))
+          .orderBy("flag")
+      },
+      """WITH cells AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) // 1000000
+        |           AS band,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.flag,
+        |    CAST(SUM(CASE WHEN a.band < b.band THEN a.cnt * b.cnt ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN a.band > b.band THEN a.cnt * b.cnt ELSE 0 END)
+        |      AS BIGINT) AS discordant
+        |  FROM cells a JOIN cells b ON a.flag = b.flag AND a.qty < b.qty
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT flag, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tx,
+        |         CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT flag, qty, CAST(SUM(cnt) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1, 2) g GROUP BY 1),
+        |ty AS (
+        |  SELECT flag, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ty
+        |  FROM (SELECT flag, band, CAST(SUM(cnt) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1, 2) g GROUP BY 1)
+        |SELECT cd.flag, n, concordant, discordant,
+        |  CAST(concordant - discordant AS DOUBLE) /
+        |    sqrt(CAST(CAST(n * (n - 1) // 2 - tx AS HUGEINT)
+        |                * (n * (n - 1) // 2 - ty) AS DOUBLE)) AS tau_b
+        |FROM cd JOIN tx ON cd.flag = tx.flag JOIN ty ON cd.flag = ty.flag
+        |ORDER BY cd.flag""".stripMargin),
+
+    // C118: one-way ANOVA F — price (exact cents) across returnflag
+    // groups via the closed-form sum decomposition: SSB = Σ S_j²/n_j −
+    // S²/n, SSW = SST − SSB, F = (SSB/(k−1))/(SSW/(n−k)). One full-data
+    // pass of map-side-combined conditional sums (DECIMAL(38,0) — Σy²
+    // ≤ 6e22 at sf100, exact); the k=3 groups pivot into one row so
+    // the double finish is a fixed-shape expression on both engines.
+    "q_anova" -> QueryDef.sql(
+      (s, dir) => {
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val zero = lit(0).cast(DecimalType(38, 0))
+        val y = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        def t(sCol: String, nCol: String): Column =
+          (dec38(col(sCol)) * dec38(col(sCol))).cast("double") /
+            col(nCol).cast("double")
+        y.agg(count(lit(1)).as("n"),
+            sum(when(col("flag") === "A", 1L).otherwise(0L)).as("na"),
+            sum(when(col("flag") === "N", 1L).otherwise(0L)).as("nn"),
+            sum(when(col("flag") === "R", 1L).otherwise(0L)).as("nr"),
+            sum(when(col("flag") === "A", dec38(col("cents"))).otherwise(zero))
+              .as("sa"),
+            sum(when(col("flag") === "N", dec38(col("cents"))).otherwise(zero))
+              .as("sn"),
+            sum(when(col("flag") === "R", dec38(col("cents"))).otherwise(zero))
+              .as("sr"),
+            sum(dec38(col("cents"))).as("s"),
+            sum(dec38(col("cents")) * dec38(col("cents"))).as("ss"))
+          .withColumn("ssb",
+            t("sa", "na") + t("sn", "nn") + t("sr", "nr") - t("s", "n"))
+          .withColumn("sst", col("ss").cast("double") - t("s", "n"))
+          .select(col("n"), col("na"), col("nn"), col("nr"), col("ssb"),
+            (col("sst") - col("ssb")).as("ssw"),
+            ((col("ssb") / lit(2.0)) /
+              ((col("sst") - col("ssb")) / (col("n") - 3).cast("double")))
+              .as("f_stat"))
+      },
+      """WITH y AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    SUM(CASE WHEN flag = 'A' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN flag = 'N' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sn,
+        |    SUM(CASE WHEN flag = 'R' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sr,
+        |    SUM(CAST(cents AS HUGEINT)) AS s,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS ss
+        |  FROM y),
+        |fin AS (
+        |  SELECT n, na, nn, nr,
+        |    CAST(sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(sn * sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + CAST(sr * sr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |      - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM agg)
+        |SELECT n, na, nn, nr, ssb, sst - ssb AS ssw,
+        |  (ssb / 2.0) / ((sst - ssb) / CAST(n - 3 AS DOUBLE)) AS f_stat
+        |FROM fin""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

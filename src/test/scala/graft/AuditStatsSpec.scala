@@ -548,6 +548,127 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_mann_whitney") {
+    it("matches brute-force tie-aware U and z on the test data") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_linestatus"), expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val all = rows.map(_._2).sorted
+      val avgRank = all.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+        .groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.length).toMap
+      val n1 = rows.count(_._1 == "F").toLong
+      val n2 = rows.length - n1
+      val r1 = rows.collect { case ("F", q) => avgRank(q) }.sum
+      val u1 = r1 - n1 * (n1 + 1) / 2.0
+      val n = n1 + n2
+      val tie3 = all.groupBy(identity).values
+        .map(g => g.length.toLong).map(t => t * t * t - t).sum
+      val variance = n1.toDouble * n2 *
+        ((n + 1).toDouble - tie3.toDouble / (n * (n - 1))) / 12.0
+      val expectedZ = (u1 - n1.toDouble * n2 / 2) / math.sqrt(variance)
+      val Array((gn1, gn2, u1x2, u2x2, z)) =
+        SparkEntry.allDefs("q_mann_whitney").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long, Double)].collect()
+      gn1 shouldBe n1
+      gn2 shouldBe n2
+      u1x2 shouldBe math.round(2 * u1)
+      (u1x2 + u2x2) shouldBe 2 * n1 * n2
+      z shouldBe expectedZ +- 1e-9
+    }
+  }
+
+  describe("q_kruskal_wallis") {
+    it("matches brute-force tie-corrected H on the test data") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val all = rows.map(_._2).sorted
+      val avgRank = all.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+        .groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.length).toMap
+      val n = rows.length.toLong
+      val groups = rows.groupBy(_._1)
+      val sumRjSq = groups.values.map { g =>
+        val rj = g.map(r => avgRank(r._2)).sum
+        rj * rj / g.length
+      }.sum
+      val h = 12.0 / (n * (n + 1)) * sumRjSq - 3.0 * (n + 1)
+      val tie3 = all.groupBy(identity).values
+        .map(g => g.length.toLong).map(t => t * t * t - t).sum
+      val c = 1.0 - tie3.toDouble / (n.toDouble * n * n - n)
+      val Array((gn, na, nn, nr, gh, ghTie)) =
+        SparkEntry.allDefs("q_kruskal_wallis").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long, Double, Double)].collect()
+      gn shouldBe n
+      Seq(na, nn, nr).sum shouldBe n
+      na shouldBe groups("A").length.toLong
+      gh shouldBe h +- 1e-6
+      ghTie shouldBe (h / c) +- 1e-6
+    }
+  }
+
+  describe("q_kendall_tau") {
+    it("matches exact brute-force pair counting per flag") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) div 1000000"))
+        .as[(String, Long, Long)].collect().groupBy(_._1)
+      val got = SparkEntry.allDefs("q_kendall_tau").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Double)].collect()
+      got.foreach { case (flag, n, conc, disc, tau) =>
+        val xs = rows(flag).map(r => (r._2, r._3))
+        n shouldBe xs.length.toLong
+        var c = 0L
+        var d = 0L
+        for (i <- xs.indices; j <- (i + 1) until xs.length) {
+          val ((q1, b1), (q2, b2)) = (xs(i), xs(j))
+          // pairs tied on either margin enter only the tie terms below
+          if (q1 != q2 && b1 != b2) {
+            if ((q1 < q2) == (b1 < b2)) c += 1 else d += 1
+          }
+        }
+        conc shouldBe c
+        disc shouldBe d
+        val n0 = n * (n - 1) / 2
+        val n1t = xs.groupBy(_._1).values.map(g => g.length.toLong)
+          .map(t => t * (t - 1) / 2).sum
+        val n2t = xs.groupBy(_._2).values.map(g => g.length.toLong)
+          .map(t => t * (t - 1) / 2).sum
+        val expected = (c - d).toDouble /
+          math.sqrt((BigInt(n0 - n1t) * BigInt(n0 - n2t)).toDouble)
+        tau shouldBe expected +- 1e-12
+      }
+    }
+  }
+
+  describe("q_anova") {
+    it("matches the exact-integer sum decomposition on the test data") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val n = rows.length.toLong
+      val s = rows.map(_._2).sum
+      val ss = rows.map(r => BigInt(r._2) * r._2).sum
+      val groups = rows.groupBy(_._1).view
+        .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+      def term(sj: Long, nj: Long) = (BigInt(sj) * sj).toDouble / nj.toDouble
+      val ssb = term(groups("A")._2, groups("A")._1) +
+        term(groups("N")._2, groups("N")._1) +
+        term(groups("R")._2, groups("R")._1) - (BigInt(s) * s).toDouble / n
+      val sst = ss.toDouble - (BigInt(s) * s).toDouble / n
+      val Array((gn, na, nn, nr, gssb, gssw, f)) =
+        SparkEntry.allDefs("q_anova").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      gn shouldBe n
+      (na, nn, nr) shouldBe ((groups("A")._1, groups("N")._1, groups("R")._1))
+      gssb shouldBe ssb +- math.abs(ssb) * 1e-12
+      gssw shouldBe (sst - ssb) +- math.abs(sst - ssb) * 1e-12
+      val expectedF = (ssb / 2.0) / ((sst - ssb) / (n - 3).toDouble)
+      f shouldBe expectedF +- math.abs(expectedF) * 1e-9
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

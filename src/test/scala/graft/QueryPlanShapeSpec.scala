@@ -492,4 +492,39 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
   }
+
+  describe("round-9 rank-statistics plan shapes") {
+    it("q_mann_whitney ranks only the domain-bounded qty grid") {
+      val p = plan("q_mann_whitney")
+      // full-data work is one map-combined groupBy; ranks ride the
+      // 50-value grid through ShardedWindow sub-shards
+      p should include("_sw_shard")
+      p should include("partial_count")
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    }
+
+    it("q_kruskal_wallis pivots the k groups into one conditional-sum pass") {
+      val p = plan("q_kruskal_wallis")
+      p should include("_sw_shard")
+      p should include("partial_count")
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    }
+
+    it("q_kendall_tau pairs grid cells by broadcast, never row pairs") {
+      val p = plan("q_kendall_tau")
+      // the C/D pair join runs over the (flag, qty, band) grid —
+      // domain-bounded — and the small side broadcasts
+      p should include("BroadcastHashJoin")
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    }
+
+    it("q_anova is a single map-combined pass with no join") {
+      val p = plan("q_anova")
+      p should include("partial_count")
+      p should not include "Join"
+    }
+  }
 }
