@@ -3286,7 +3286,95 @@ object TraceQueries {
         |       FROM spans GROUP BY 1)
         |SELECT pt.service, CAST(point_mean_us AS BIGINT) AS point_mean_us,
         |       boot_lo_us, boot_hi_us, n_replicates
-        |FROM pt JOIN ci USING (service) ORDER BY service""".stripMargin))
+        |FROM pt JOIN ci USING (service) ORDER BY service""".stripMargin)),
+
+    // C119: service-graph PageRank — which services are structurally
+    // central to the call topology (the incident-blast-radius ranking
+    // the reference's service-graph UI sorts by). The ONLY full-data
+    // work is the parent→child edge aggregation; 6 power iterations
+    // then ride the aggregated (src, dst, weight) relation, which is
+    // service-cardinality-bounded however many spans exist. All
+    // arithmetic is scaled-integer with floor division (rank mass in
+    // 1e12 units, edge shares in ppm) so both engines iterate to
+    // bit-identical fixpoints: r'(v) = (1e12/S)·15% + 85%·(Σ_u
+    // r(u)·p(u→v) + dangling/S), d = 0.85. Each round localCheckpoints
+    // (the trace_shortest_path discipline) so lineage stays flat and
+    // the three reads of the previous round don't recompute it.
+    "trace_pagerank" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+        val norm = edges.join(outw, "src")
+          .select(col("src"), col("dst"), expr("w * 1000000 div outw").as("p_ppm"))
+          .localCheckpoint()
+        val nodes = norm.select(col("src").as("service"))
+          .union(norm.select(col("dst").as("service"))).distinct()
+          .localCheckpoint()
+        val sc = nodes.agg(count(lit(1)).as("s_cnt"))
+        val srcs = norm.select("src").distinct().localCheckpoint()
+        var rank = nodes.crossJoin(broadcast(sc))
+          .select(col("service"), expr("1000000000000 div s_cnt").as("r"),
+            col("s_cnt"))
+          .localCheckpoint()
+        for (_ <- 1 to 6) {
+          val contrib = rank.join(norm, col("service") === col("src"))
+            .select(col("dst"), expr("r * p_ppm div 1000000").as("c"))
+            .groupBy("dst").agg(sum("c").as("contrib"))
+          val dang = rank.join(srcs, col("service") === col("src"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("dangling"))
+          val next = rank.select("service", "s_cnt")
+            .join(contrib, col("service") === col("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("service"),
+              (expr("(1000000000000 div s_cnt) * 15 div 100") +
+                expr("(coalesce(contrib, 0) + dangling div s_cnt) * 85 div 100"))
+                .as("r"),
+              col("s_cnt"))
+            .localCheckpoint()
+          rank.unpersist()
+          rank = next
+        }
+        rank.select(col("service"), expr("r div 1000000").as("rank_ppm"))
+          .orderBy(desc("rank_ppm"), col("service"))
+      },
+      {
+        val iters = (1 to 6).map { i =>
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s""",
+             |c$i AS (
+             |  SELECT np.dst AS service,
+             |         CAST(SUM(r * p_ppm // 1000000) AS BIGINT) AS contrib
+             |  FROM $prev JOIN np ON $prev.service = np.src GROUP BY 1),
+             |d$i AS (
+             |  SELECT COALESCE(SUM(r), 0) AS dangling FROM $prev
+             |  WHERE service NOT IN (SELECT src FROM np)),
+             |r$i AS (
+             |  SELECT n.service,
+             |    (1000000000000 // s_cnt) * 15 // 100
+             |      + (COALESCE(c.contrib, 0) + d.dangling // s_cnt) * 85 // 100
+             |      AS r
+             |  FROM nodes n LEFT JOIN c$i c ON n.service = c.service, d$i d, sc)"""
+            .stripMargin
+        }.mkString
+        cte(s"""
+          |, e AS MATERIALIZED (
+          |  SELECT p.service AS src, c.service AS dst, COUNT(*) AS w
+          |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+          |np AS MATERIALIZED (
+          |  SELECT e.src, e.dst, CAST(e.w * 1000000 // ow.outw AS BIGINT) AS p_ppm
+          |  FROM e JOIN ow ON e.src = ow.src),
+          |nodes AS (SELECT src AS service FROM np UNION SELECT dst FROM np),
+          |sc AS (SELECT COUNT(*) AS s_cnt FROM nodes),
+          |r0 AS (SELECT service, 1000000000000 // s_cnt AS r FROM nodes, sc)$iters
+          |SELECT service, CAST(r // 1000000 AS BIGINT) AS rank_ppm
+          |FROM r6 ORDER BY rank_ppm DESC, service""".stripMargin)
+      })
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

@@ -669,6 +669,40 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_pagerank") {
+    it("matches an exact-integer reference iteration on the test graph") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("span_id"), col("parent_span_id"), col("service"))
+        .as[(Long, Option[Long], String)].collect()
+      val svc = sp.map(r => r._1 -> r._3).toMap
+      val edges = sp.flatMap { case (_, parent, child) =>
+        parent.flatMap(svc.get).map(p => (p, child))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val outw = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val pPpm = edges.map { case ((u, v), w) => (u, v) -> w * 1000000L / outw(u) }
+      val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
+      val s = nodes.length.toLong
+      var r = nodes.map(_ -> 1000000000000L / s).toMap
+      for (_ <- 1 to 6) {
+        val contrib = pPpm.toSeq
+          .map { case ((u, v), p) => v -> r(u) * p / 1000000L }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val dangling = nodes.filterNot(outw.contains).map(r).sum
+        r = nodes.map { v =>
+          v -> ((1000000000000L / s) * 15 / 100 +
+            (contrib.getOrElse(v, 0L) + dangling / s) * 85 / 100)
+        }.toMap
+      }
+      val got = SparkEntry.allDefs("trace_pagerank").fn(spark, sfDir)
+        .as[(String, Long)].collect().toMap
+      got shouldBe r.map { case (k, v) => k -> v / 1000000L }
+      // floor losses only: total mass stays within 1% of 1e6 ppm
+      got.values.sum should be >= 990000L
+      got.values.sum should be <= 1000000L
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

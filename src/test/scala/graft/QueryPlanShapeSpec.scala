@@ -449,6 +449,14 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "Expand"
     }
 
+    it("trace_pagerank iterates over the checkpointed service graph") {
+      val p = plan("trace_pagerank")
+      // the final round reads the checkpointed rank relation, not a
+      // 6-deep nested join lineage; no row-pair blowup anywhere
+      p should include("Scan ExistingRDD")
+      p should not include "CartesianProduct"
+    }
+
     it("trace_bootstrap_ci fans out replicates in the scan and shuffles once") {
       val p = plan("trace_bootstrap_ci")
       // the 40x explode is a Generate directly over the span projection
