@@ -2461,6 +2461,261 @@ object RelationalQueries {
         |  FROM agg)
         |SELECT n, na, nn, nr, ssb, sst - ssb AS ssw,
         |  (ssb / 2.0) / ((sst - ssb) / CAST(n - 3 AS DOUBLE)) AS f_stat
+        |FROM fin""".stripMargin),
+
+    // C120: Welch's two-sample t — price (exact cents) across the two
+    // linestatus populations without assuming equal variances (the
+    // parametric companion to q_mann_whitney). ONE map-combined pass of
+    // conditional sums (n/Σy/Σy² per group, DECIMAL(38,0) exact); the
+    // t statistic and Welch–Satterthwaite df are a fixed-shape double
+    // finish over those six scalars, written in the identical
+    // association order on both engines so the float64 bits agree.
+    "q_welch_ttest" -> QueryDef.sql(
+      (s, dir) => {
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val zero = lit(0).cast(DecimalType(38, 0))
+        val y = Tables.lineitem(s, dir)
+          .select(col("l_linestatus").as("st"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        y.agg(
+            sum(when(col("st") === "F", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("st") === "O", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("st") === "F", dec38(col("cents"))).otherwise(zero))
+              .as("s1"),
+            sum(when(col("st") === "O", dec38(col("cents"))).otherwise(zero))
+              .as("s2"),
+            sum(when(col("st") === "F", dec38(col("cents")) * dec38(col("cents")))
+              .otherwise(zero)).as("ss1"),
+            sum(when(col("st") === "O", dec38(col("cents")) * dec38(col("cents")))
+              .otherwise(zero)).as("ss2"))
+          .withColumn("mean1", col("s1").cast("double") / col("n1").cast("double"))
+          .withColumn("mean2", col("s2").cast("double") / col("n2").cast("double"))
+          .withColumn("var1",
+            ((col("ss1").cast("double")
+              - (col("s1") * col("s1")).cast("double") / col("n1").cast("double"))
+              / (col("n1") - 1).cast("double")))
+          .withColumn("var2",
+            ((col("ss2").cast("double")
+              - (col("s2") * col("s2")).cast("double") / col("n2").cast("double"))
+              / (col("n2") - 1).cast("double")))
+          .withColumn("se1", col("var1") / col("n1").cast("double"))
+          .withColumn("se2", col("var2") / col("n2").cast("double"))
+          .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+            ((col("mean1") - col("mean2")) / sqrt(col("se1") + col("se2")))
+              .as("t_stat"),
+            (((col("se1") + col("se2")) * (col("se1") + col("se2"))) /
+              (col("se1") * col("se1") / (col("n1") - 1).cast("double")
+                + col("se2") * col("se2") / (col("n2") - 1).cast("double")))
+              .as("welch_df"))
+      },
+      """WITH y AS (
+        |  SELECT l_linestatus AS st,
+        |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    SUM(CASE WHEN st = 'F' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s1,
+        |    SUM(CASE WHEN st = 'O' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s2,
+        |    SUM(CASE WHEN st = 'F' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |      AS ss1,
+        |    SUM(CASE WHEN st = 'O' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |      AS ss2
+        |  FROM y),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+        |    (CAST(ss1 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / CAST(n1 - 1 AS DOUBLE) AS var1,
+        |    (CAST(ss2 AS DOUBLE) - CAST(s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / CAST(n2 - 1 AS DOUBLE) AS var2
+        |  FROM agg),
+        |se AS (
+        |  SELECT n1, n2, mean1, mean2,
+        |    var1 / CAST(n1 AS DOUBLE) AS se1, var2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT n1, n2, mean1, mean2,
+        |  (mean1 - mean2) / sqrt(se1 + se2) AS t_stat,
+        |  ((se1 + se2) * (se1 + se2)) /
+        |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+        |      + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+        |FROM se""".stripMargin),
+
+    // C121: Jarque-Bera normality — skewness / excess kurtosis / JB per
+    // returnflag on quantity, from EXACT raw power sums (Σx..Σx⁴ in
+    // DECIMAL(38,0); x ≤ 50 so Σx⁴ ≤ 4e15 even at sf100). Central
+    // moments and the statistic are a fixed-shape double finish per
+    // group row — identical expression trees on both engines, so the
+    // k=3 group rows hash exactly without any pivot.
+    "q_jarque_bera" -> QueryDef.sql(
+      (s, dir) => {
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val y = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("x"))
+        y.groupBy("flag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec38(col("x"))).as("s1"),
+            sum(dec38(col("x")) * dec38(col("x"))).as("s2"),
+            sum(dec38(col("x")) * dec38(col("x")) * dec38(col("x"))).as("s3"),
+            sum(dec38(col("x")) * dec38(col("x")) * dec38(col("x"))
+              * dec38(col("x"))).as("s4"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("mu", col("s1").cast("double") / col("nd"))
+          .withColumn("m2",
+            col("s2").cast("double") / col("nd") - col("mu") * col("mu"))
+          .withColumn("m3",
+            col("s3").cast("double") / col("nd")
+              - lit(3.0) * col("mu") * (col("s2").cast("double") / col("nd"))
+              + lit(2.0) * col("mu") * col("mu") * col("mu"))
+          .withColumn("m4",
+            col("s4").cast("double") / col("nd")
+              - lit(4.0) * col("mu") * (col("s3").cast("double") / col("nd"))
+              + lit(6.0) * col("mu") * col("mu")
+                * (col("s2").cast("double") / col("nd"))
+              - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+          .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+          .withColumn("kurt_excess",
+            col("m4") / (col("m2") * col("m2")) - lit(3.0))
+          .select(col("flag"), col("n"), col("skew"), col("kurt_excess"),
+            (col("nd") / lit(6.0) * (col("skew") * col("skew")
+              + col("kurt_excess") * col("kurt_excess") / lit(4.0))).as("jb"))
+          .orderBy("flag")
+      },
+      """WITH y AS (
+        |  SELECT l_returnflag AS flag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT flag, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s1,
+        |    SUM(CAST(x AS HUGEINT) * x) AS s2,
+        |    SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM y GROUP BY 1),
+        |mo AS (
+        |  SELECT flag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM agg),
+        |ce AS (
+        |  SELECT flag, n, nd, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM mo),
+        |st AS (
+        |  SELECT flag, n, nd,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS kurt_excess
+        |  FROM ce)
+        |SELECT flag, n, skew, kurt_excess,
+        |  nd / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0) AS jb
+        |FROM st ORDER BY flag""".stripMargin),
+
+    // C122: Brown-Forsythe (median-Levene) variance homogeneity —
+    // ANOVA's equal-variance assumption, tested robustly: per-group
+    // MEDIANS of quantity come EXACTLY off the domain-bounded (flag,
+    // qty) grid (≤50 distinct values — the only full-data pass is the
+    // grid groupBy; the ×2 scale keeps even-n half-medians integral),
+    // absolute deviations z = |2x − med2| are then summed over the
+    // GRID weighted by cell counts (never a per-row rejoin), and the
+    // one-way F on z pivots the k=3 groups to one row for the
+    // fixed-shape double finish — the q_anova discipline end to end.
+    "q_levene" -> QueryDef.sql(
+      (s, dir) => {
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val zero = lit(0).cast(DecimalType(38, 0))
+        val grid = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
+          .groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+        val cum = ShardedWindow.runningSum(grid, Seq("flag"),
+          expr("qty div 10"), Seq(col("qty")), col("cnt"), "cum")
+        val med = cum
+          .withColumn("nj", sum("cnt").over(
+            Window.partitionBy("flag")))
+          .groupBy("flag")
+          .agg(max("nj").as("nj"),
+            min(when(col("cum") >= expr("(nj + 1) div 2"), col("qty")))
+              .as("lo"),
+            min(when(col("cum") >= expr("nj div 2 + 1"), col("qty")))
+              .as("hi"))
+          .select(col("flag"), (col("lo") + col("hi")).as("med2"))
+        val z = grid.join(broadcast(med), "flag")
+          .withColumn("z", abs(col("qty") * 2 - col("med2")))
+        def grp(f: String, c: Column): Column =
+          sum(when(col("flag") === f, c).otherwise(zero))
+        val agg = z.agg(
+          sum(col("cnt")).as("n"),
+          grp("A", dec38(col("cnt"))).as("na"),
+          grp("N", dec38(col("cnt"))).as("nn"),
+          grp("R", dec38(col("cnt"))).as("nr"),
+          grp("A", dec38(col("cnt")) * dec38(col("z"))).as("sa"),
+          grp("N", dec38(col("cnt")) * dec38(col("z"))).as("sn"),
+          grp("R", dec38(col("cnt")) * dec38(col("z"))).as("sr"),
+          sum(dec38(col("cnt")) * dec38(col("z"))).as("sz"),
+          sum(dec38(col("cnt")) * dec38(col("z")) * dec38(col("z"))).as("szz"))
+        def t(sCol: String, nCol: String): Column =
+          (dec38(col(sCol)) * dec38(col(sCol))).cast("double") /
+            col(nCol).cast("double")
+        agg
+          .withColumn("ssb",
+            t("sa", "na") + t("sn", "nn") + t("sr", "nr") - t("sz", "n"))
+          .withColumn("sst", col("szz").cast("double") - t("sz", "n"))
+          .select(col("n").cast("long").as("n"), col("ssb"),
+            (col("sst") - col("ssb")).as("ssw"),
+            ((col("ssb") / lit(2.0)) /
+              ((col("sst") - col("ssb")) / (col("n") - 3).cast("double")))
+              .as("f_stat"))
+      },
+      """WITH grid AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, qty, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS nj
+        |  FROM grid),
+        |med AS (
+        |  SELECT flag,
+        |    MIN(CASE WHEN cum >= (nj + 1) // 2 THEN qty END)
+        |      + MIN(CASE WHEN cum >= nj // 2 + 1 THEN qty END) AS med2
+        |  FROM cum GROUP BY 1),
+        |z AS (
+        |  SELECT g.flag, g.cnt, ABS(g.qty * 2 - m.med2) AS z
+        |  FROM grid g JOIN med m ON g.flag = m.flag),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    SUM(CASE WHEN flag = 'A' THEN CAST(cnt AS HUGEINT) ELSE 0 END) AS na,
+        |    SUM(CASE WHEN flag = 'N' THEN CAST(cnt AS HUGEINT) ELSE 0 END) AS nn,
+        |    SUM(CASE WHEN flag = 'R' THEN CAST(cnt AS HUGEINT) ELSE 0 END) AS nr,
+        |    SUM(CASE WHEN flag = 'A' THEN CAST(cnt AS HUGEINT) * z ELSE 0 END)
+        |      AS sa,
+        |    SUM(CASE WHEN flag = 'N' THEN CAST(cnt AS HUGEINT) * z ELSE 0 END)
+        |      AS sn,
+        |    SUM(CASE WHEN flag = 'R' THEN CAST(cnt AS HUGEINT) * z ELSE 0 END)
+        |      AS sr,
+        |    SUM(CAST(cnt AS HUGEINT) * z) AS sz,
+        |    SUM(CAST(cnt AS HUGEINT) * z * z) AS szz
+        |  FROM z),
+        |fin AS (
+        |  SELECT n,
+        |    CAST(sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(sn * sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + CAST(sr * sr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |      - CAST(sz * sz AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(szz AS DOUBLE)
+        |      - CAST(sz * sz AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM agg)
+        |SELECT n, ssb, sst - ssb AS ssw,
+        |  (ssb / 2.0) / ((sst - ssb) / CAST(n - 3 AS DOUBLE)) AS f_stat
         |FROM fin""".stripMargin)
   )
 

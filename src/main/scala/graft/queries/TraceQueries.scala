@@ -3374,6 +3374,96 @@ object TraceQueries {
           |r0 AS (SELECT service, 1000000000000 // s_cnt AS r FROM nodes, sc)$iters
           |SELECT service, CAST(r // 1000000 AS BIGINT) AS rank_ppm
           |FROM r6 ORDER BY rank_ppm DESC, service""".stripMargin)
+      }),
+
+    // C123: HITS hub/authority — the directional complement to
+    // trace_pagerank: authorities are the services everyone CALLS
+    // (shared dependencies — the blast-radius set), hubs are the
+    // services that call them (entry-point orchestrators). Same scale
+    // shape as C119: the spans relation is touched ONCE (the parent→
+    // child edge aggregation); 4 full HITS rounds then ride the
+    // service-cardinality-bounded edge list. L1 normalization (each
+    // vector rescaled to 1e12 total by integer floor division) instead
+    // of the textbook L2 keeps every iterate exactly representable, so
+    // both engines reach bit-identical fixpoints; raw propagations run
+    // in DECIMAL(38,0)/HUGEINT (score·weight ≤ 1e20 at sf100, ×1e12
+    // ≤ 1e32 — in range on both). localCheckpoint per round keeps the
+    // 8-step lineage flat.
+    "trace_hits" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
+        val edges = sp.as("c")
+          .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
+          .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("service"))
+          .union(edges.select(col("dst"))).distinct().localCheckpoint()
+        val sc = nodes.agg(count(lit(1)).as("s_cnt"))
+        val init = nodes.crossJoin(broadcast(sc))
+          .select(col("service"), expr("1000000000000 div s_cnt").as("v"))
+          .localCheckpoint()
+        // propagate scores along edges from the `from` endpoint to the
+        // `to` endpoint, then L1-renormalize to 1e12 total
+        def propagate(score: DataFrame, from: String, to: String): DataFrame = {
+          val raw = score.join(edges, col("service") === col(from))
+            .select(col(to).as("svc"),
+              (col("v").cast(DecimalType(38, 0))
+                * col("w").cast(DecimalType(38, 0))).as("c"))
+            .groupBy("svc").agg(sum("c").as("raw"))
+          val tot = raw.agg(sum("raw").as("tot"))
+          nodes.join(raw, col("service") === col("svc"), "left")
+            .crossJoin(broadcast(tot))
+            .select(col("service"),
+              coalesce(expr("raw * 1000000000000 div tot"), lit(0L)).as("v"))
+            .localCheckpoint()
+        }
+        var h = init
+        var a = init
+        for (_ <- 1 to 4) {
+          a = propagate(h, "src", "dst")
+          h = propagate(a, "dst", "src")
+        }
+        a.select(col("service"), expr("v div 1000000").as("authority_ppm"))
+          .join(h.select(col("service"), expr("v div 1000000").as("hub_ppm")),
+            "service")
+          .orderBy(desc("authority_ppm"), col("service"))
+      },
+      {
+        val iters = (1 to 4).map { i =>
+          val prev = if (i == 1) "h0" else s"h${i - 1}"
+          s""",
+             |ar$i AS (
+             |  SELECT e.dst AS service, SUM(CAST(h.v AS HUGEINT) * e.w) AS raw
+             |  FROM $prev h JOIN e ON h.service = e.src GROUP BY 1),
+             |at$i AS (SELECT SUM(raw) AS tot FROM ar$i),
+             |a$i AS (
+             |  SELECT n.service,
+             |    COALESCE(CAST(r.raw * 1000000000000 // t.tot AS BIGINT), 0) AS v
+             |  FROM nodes n LEFT JOIN ar$i r ON n.service = r.service, at$i t),
+             |hr$i AS (
+             |  SELECT e.src AS service, SUM(CAST(a.v AS HUGEINT) * e.w) AS raw
+             |  FROM a$i a JOIN e ON a.service = e.dst GROUP BY 1),
+             |ht$i AS (SELECT SUM(raw) AS tot FROM hr$i),
+             |h$i AS (
+             |  SELECT n.service,
+             |    COALESCE(CAST(r.raw * 1000000000000 // t.tot AS BIGINT), 0) AS v
+             |  FROM nodes n LEFT JOIN hr$i r ON n.service = r.service, ht$i t)"""
+            .stripMargin
+        }.mkString
+        cte(s"""
+          |, e AS MATERIALIZED (
+          |  SELECT p.service AS src, c.service AS dst, COUNT(*) AS w
+          |  FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+          |  GROUP BY 1, 2),
+          |nodes AS (SELECT src AS service FROM e UNION SELECT dst FROM e),
+          |sc AS (SELECT COUNT(*) AS s_cnt FROM nodes),
+          |h0 AS (SELECT service, 1000000000000 // s_cnt AS v FROM nodes, sc)$iters
+          |SELECT a4.service,
+          |  CAST(a4.v // 1000000 AS BIGINT) AS authority_ppm,
+          |  CAST(h4.v // 1000000 AS BIGINT) AS hub_ppm
+          |FROM a4 JOIN h4 ON a4.service = h4.service
+          |ORDER BY authority_ppm DESC, a4.service""".stripMargin)
       })
   )
 

@@ -703,6 +703,140 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_welch_ttest") {
+    it("matches the brute-force unequal-variance t on the test data") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_linestatus"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      def stats(st: String): (Long, Double, Double) = {
+        val xs = rows.filter(_._1 == st).map(_._2)
+        val n = xs.length.toLong
+        val s = xs.map(BigInt(_)).sum
+        val ss = xs.map(x => BigInt(x) * x).sum
+        val mean = s.toDouble / n.toDouble
+        val v = (ss.toDouble - (s * s).toDouble / n.toDouble) / (n - 1).toDouble
+        (n, mean, v)
+      }
+      val (n1, mean1, var1) = stats("F")
+      val (n2, mean2, var2) = stats("O")
+      val (se1, se2) = (var1 / n1.toDouble, var2 / n2.toDouble)
+      val expT = (mean1 - mean2) / math.sqrt(se1 + se2)
+      val expDf = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1).toDouble + se2 * se2 / (n2 - 1).toDouble)
+      val Array((gn1, gn2, gm1, gm2, t, df)) =
+        SparkEntry.allDefs("q_welch_ttest").fn(spark, sfDir)
+          .as[(Long, Long, Double, Double, Double, Double)].collect()
+      (gn1, gn2) shouldBe ((n1, n2))
+      gm1 shouldBe mean1 +- math.abs(mean1) * 1e-12
+      gm2 shouldBe mean2 +- math.abs(mean2) * 1e-12
+      t shouldBe expT +- math.abs(expT) * 1e-9
+      df shouldBe expDf +- math.abs(expDf) * 1e-9
+    }
+  }
+
+  describe("q_jarque_bera") {
+    it("matches brute-force central moments per group") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val got = SparkEntry.allDefs("q_jarque_bera").fn(spark, sfDir)
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      got.keySet shouldBe Set("A", "N", "R")
+      for (flag <- Seq("A", "N", "R")) {
+        val xs = rows.filter(_._1 == flag).map(_._2.toDouble)
+        val n = xs.length.toDouble
+        val mu = xs.sum / n
+        def m(p: Int) = xs.map(x => math.pow(x - mu, p)).sum / n
+        val skew = m(3) / math.pow(m(2), 1.5)
+        val kurtEx = m(4) / (m(2) * m(2)) - 3.0
+        val jb = n / 6.0 * (skew * skew + kurtEx * kurtEx / 4.0)
+        val (_, gn, gs, gk, gjb) = got(flag)
+        gn shouldBe xs.length.toLong
+        gs shouldBe skew +- 1e-6
+        gk shouldBe kurtEx +- 1e-6
+        gjb shouldBe jb +- math.abs(jb) * 1e-4
+      }
+    }
+  }
+
+  describe("q_levene") {
+    it("matches the brute-force Brown-Forsythe F over group medians") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val byFlag = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      // z = |2x - med2| per row, med2 = sum of the two central order stats
+      val zs = rows.map { case (flag, x) =>
+        val xs = byFlag(flag)
+        val med2 = xs((xs.length - 1) / 2) + xs(xs.length / 2)
+        (flag, math.abs(2 * x - med2))
+      }
+      val n = zs.length.toDouble
+      val sz = zs.map(z => BigInt(z._2)).sum
+      val szz = zs.map(z => BigInt(z._2) * z._2).sum
+      val g = zs.groupBy(_._1).view
+        .mapValues(v => (v.length.toLong, v.map(z => BigInt(z._2)).sum)).toMap
+      def term(p: (Long, BigInt)) = (p._2 * p._2).toDouble / p._1.toDouble
+      val ssb = term(g("A")) + term(g("N")) + term(g("R")) -
+        (sz * sz).toDouble / n
+      val sst = szz.toDouble - (sz * sz).toDouble / n
+      val expF = (ssb / 2.0) / ((sst - ssb) / (n - 3.0))
+      val Array((gn, gssb, gssw, f)) =
+        SparkEntry.allDefs("q_levene").fn(spark, sfDir)
+          .as[(Long, Double, Double, Double)].collect()
+      gn shouldBe zs.length.toLong
+      gssb shouldBe ssb +- math.abs(ssb) * 1e-9
+      gssw shouldBe (sst - ssb) +- math.abs(sst - ssb) * 1e-9
+      f shouldBe expF +- math.abs(expF) * 1e-9
+    }
+  }
+
+  describe("trace_hits") {
+    it("matches an exact-integer L1-normalized reference iteration") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("span_id"), col("parent_span_id"), col("service"))
+        .as[(Long, Option[Long], String)].collect()
+      val svc = sp.map(r => r._1 -> r._3).toMap
+      val edges = sp.flatMap { case (_, parent, child) =>
+        parent.flatMap(svc.get).map(p => (p, child))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
+      val sCnt = nodes.length.toLong
+      def propagate(score: Map[String, Long], inv: Boolean): Map[String, Long] = {
+        val raw = edges.toSeq
+          .map { case ((u, v), w) =>
+            if (inv) u -> BigInt(score(v)) * w else v -> BigInt(score(u)) * w
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val tot = raw.values.sum
+        nodes.map { v =>
+          v -> raw.get(v).map(r => (r * BigInt(1000000000000L) / tot).toLong)
+            .getOrElse(0L)
+        }.toMap
+      }
+      var h = nodes.map(_ -> 1000000000000L / sCnt).toMap
+      var a = h
+      for (_ <- 1 to 4) {
+        a = propagate(h, inv = false)
+        h = propagate(a, inv = true)
+      }
+      val got = SparkEntry.allDefs("trace_hits").fn(spark, sfDir)
+        .as[(String, Long, Long)].collect()
+      got.map(r => r._1 -> r._2).toMap shouldBe a.map { case (k, v) => k -> v / 1000000L }
+      got.map(r => r._1 -> r._3).toMap shouldBe h.map { case (k, v) => k -> v / 1000000L }
+      // floor losses only: both vectors stay within 1% of 1e6 ppm
+      got.map(_._2).sum should be >= 990000L
+      got.map(_._2).sum should be <= 1000000L
+      got.map(_._3).sum should be >= 990000L
+      got.map(_._3).sum should be <= 1000000L
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -534,5 +534,33 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_count")
       p should not include "Join"
     }
+
+    it("q_welch_ttest is a single map-combined pass with no join") {
+      val p = plan("q_welch_ttest")
+      p should include("partial_sum")
+      p should not include "Join"
+    }
+
+    it("q_jarque_bera is one grouped pass of power sums, no join") {
+      val p = plan("q_jarque_bera")
+      p should include("partial_sum")
+      p should not include "Join"
+    }
+
+    it("q_levene sums deviations over the grid with a broadcast median") {
+      val p = plan("q_levene")
+      // full-data work is the (flag, qty) grid groupBy; the 3-row
+      // median relation broadcasts back onto the grid
+      p should include("_sw_shard")
+      p should include("BroadcastHashJoin")
+      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_hits iterates over the checkpointed edge list") {
+      val p = plan("trace_hits")
+      p should include("Scan ExistingRDD")
+      p should not include "CartesianProduct"
+    }
   }
 }
