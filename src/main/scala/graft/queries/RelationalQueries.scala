@@ -2716,7 +2716,77 @@ object RelationalQueries {
         |  FROM agg)
         |SELECT n, ssb, sst - ssb AS ssw,
         |  (ssb / 2.0) / ((sst - ssb) / CAST(n - 3 AS DOUBLE)) AS f_stat
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin),
+
+    // C125: directional association rules — q_basket_pairs exposes the
+    // symmetric pair stats; rules add the DIRECTION: confidence(a→b) =
+    // P(b ∈ basket | a ∈ basket), the quantity a recommender actually
+    // thresholds. Same scale shape (per-basket pair Generate fan-out,
+    // map-combined item/basket counts, broadcast corpus total); each
+    // surviving pair emits both rule directions via one 2-way Generate,
+    // and everything downstream of the pair counts is exact floor-ppm
+    // on count ratios. Min support 3 baskets; top-100 by confidence.
+    "q_assoc_rules" -> QueryDef.sql(
+      (s, dir) => {
+        val baskets = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        val pairs = baskets
+          .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+          .select(col("a"),
+            explode(expr("slice(items, i + 2, size(items) - i - 1)")).as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("pair_orders"))
+          .filter(col("pair_orders") >= 3)
+        val items = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(countDistinct(col("l_orderkey")).as("item_orders"))
+        val nb = Tables.lineitem(s, dir)
+          .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        val rules = pairs
+          .select(explode(array(
+            struct(col("a").as("antecedent"), col("b").as("consequent"),
+              col("pair_orders")),
+            struct(col("b").as("antecedent"), col("a").as("consequent"),
+              col("pair_orders")))).as("r"))
+          .select("r.antecedent", "r.consequent", "r.pair_orders")
+        rules
+          .join(items.withColumnRenamed("item_orders", "orders_ante"),
+            col("antecedent") === col("pk")).drop("pk")
+          .join(items.withColumnRenamed("item_orders", "orders_cons"),
+            col("consequent") === col("pk")).drop("pk")
+          .crossJoin(broadcast(nb))
+          .select(col("antecedent"), col("consequent"), col("pair_orders"),
+            expr("pair_orders * 1000000 div orders_ante")
+              .as("confidence_ppm"),
+            expr("CAST(pair_orders AS DECIMAL(38,0)) * n_baskets * 1000000" +
+              " div (CAST(orders_ante AS DECIMAL(38,0)) * orders_cons)")
+              .as("lift_ppm"))
+          .orderBy(desc("confidence_ppm"), desc("pair_orders"),
+            col("antecedent"), col("consequent"))
+          .limit(100)
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS pair_orders
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, pair_orders FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, pair_orders FROM pairs),
+        |items AS (SELECT pk, COUNT(*) AS item_orders FROM li GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM li)
+        |SELECT antecedent, consequent, pair_orders,
+        |  pair_orders * 1000000 // a.item_orders AS confidence_ppm,
+        |  CAST(CAST(pair_orders AS HUGEINT) * n_baskets * 1000000
+        |    // (CAST(a.item_orders AS HUGEINT) * c.item_orders) AS BIGINT)
+        |    AS lift_ppm
+        |FROM rules JOIN items a ON rules.antecedent = a.pk
+        |JOIN items c ON rules.consequent = c.pk, nb
+        |ORDER BY confidence_ppm DESC, pair_orders DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

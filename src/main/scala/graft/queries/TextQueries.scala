@@ -3164,7 +3164,79 @@ object TextQueries {
         |  CAST(floor_alloc AS BIGINT) AS floor_alloc,
         |  CAST(floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
-        |FROM ranked, short ORDER BY lang""".stripMargin)
+        |FROM ranked, short ORDER BY lang""".stripMargin),
+
+    // B37-class: asymmetric shingle CONTAINMENT — |S(a)∩S(b)| / |S(a)|,
+    // the quote/subset detector Jaccard misses (a short doc fully
+    // embedded in a long one has low Jaccard but containment 1.0).
+    // Candidates ride the same shingle equi-join as dedup_ngram_jaccard
+    // (never all-pairs); the score is EXACT floor-ppm off the distinct
+    // shingle counts, so no double ever enters the output. Directional:
+    // both (a⊂b) and (b⊂a) rows survive the threshold independently.
+    // At corpus scale the shingle join takes the standard
+    // frequency-cap (drop shingles in >F docs) — the 150-doc demo
+    // doesn't need it, the banded-minhash surfaces show the shape.
+    "text_containment" -> QueryDef.sql(
+      (s, dir) => {
+        val sh = shingles(s, dir, 150, doubled = false)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d_sub"), col("y.doc_id").as("d_super"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("d_sub"), col("n").as("n_sub")),
+            "d_sub")
+          .select(col("d_sub"), col("d_super"),
+            expr("i * 1000000 div n_sub").as("containment_ppm"))
+          .filter(col("containment_ppm") >= 500000)
+          .orderBy(desc("containment_ppm"), col("d_sub"), col("d_super"))
+      },
+      shinglesSql(150, doubled = false) +
+        """,
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (SELECT x.doc_id AS d_sub, y.doc_id AS d_super, COUNT(*) AS i
+          |      FROM sh x JOIN sh y
+          |        ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT d_sub, d_super,
+          |  CAST(i.i * 1000000 // sz.n AS BIGINT) AS containment_ppm
+          |FROM i JOIN sz ON i.d_sub = sz.doc_id
+          |WHERE i.i * 1000000 // sz.n >= 500000
+          |ORDER BY containment_ppm DESC, d_sub, d_super""".stripMargin),
+
+    // B38-class: feature-hashing collision audit — the hashing trick
+    // (token → md5 → bucket mod 1024) that turns unbounded vocab into
+    // fixed-width training features, plus the question every user of it
+    // asks: how loaded are the hot buckets and how many distinct terms
+    // collide there. One explode + one (bucket) map-combined shuffle;
+    // the md5-prefix bucket id is the cross-engine-stable hash idiom
+    // the minhash oracle already proves. Top-20 buckets by distinct
+    // terms; counts exact.
+    "text_hashed_features" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).filter(col("doc_id") < 300)
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        toks
+          .select(col("tok"),
+            expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 1024")
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(countDistinct("tok").as("n_terms"), count(lit(1)).as("n_tokens"))
+          .orderBy(desc("n_terms"), desc("n_tokens"), col("bucket"))
+          .limit(20)
+      },
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 300),
+        |b AS (
+        |  SELECT tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM toks)
+        |SELECT bucket, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS n_tokens
+        |FROM b GROUP BY 1
+        |ORDER BY n_terms DESC, n_tokens DESC, bucket LIMIT 20""".stripMargin)
   )
 
   /** Deterministic messy-URL synthesis shared by both engines; the only

@@ -3464,7 +3464,80 @@ object TraceQueries {
           |  CAST(h4.v // 1000000 AS BIGINT) AS hub_ppm
           |FROM a4 JOIN h4 ON a4.service = h4.service
           |ORDER BY authority_ppm DESC, a4.service""".stripMargin)
-      })
+      }),
+
+    // C124: multi-touch attribution — which channels get credit for a
+    // conversion ('purchase' events), under the three standard models
+    // at once: first-touch, last-touch, and linear (1e6/k ppm split
+    // across the k touches of the converting journey). A journey = the
+    // touch events between consecutive purchases of one user (cum_prev
+    // = purchases strictly before the event indexes the journey; only
+    // journeys that actually closed get credit). Two window shuffles —
+    // one per-user prefix count, one per-(user, journey) rank — both
+    // user-keyed so partitions stay small however many users exist;
+    // credits are exact integers end to end.
+    "trace_attribution" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("trace_id", "span_id", "service",
+          "start_us")
+        val w = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val marked = sp.withColumn("cum_prev",
+          coalesce(sum(when(col("service") === "purchase", 1L).otherwise(0L))
+            .over(w), lit(0L)))
+        val nConv = marked.filter(col("service") === "purchase")
+          .groupBy("trace_id").agg(count(lit(1)).as("n_conv"))
+        val touches = marked
+          .filter(col("service").isin("view", "click", "signup"))
+          .join(nConv, "trace_id")
+          .filter(col("cum_prev") < col("n_conv"))
+        val jw = Window.partitionBy("trace_id", "cum_prev")
+        val ranked = touches
+          .withColumn("rn",
+            row_number().over(jw.orderBy(col("start_us"), col("span_id"))))
+          .withColumn("rnd",
+            row_number().over(
+              jw.orderBy(col("start_us").desc, col("span_id").desc)))
+          .withColumn("k", count(lit(1)).over(jw))
+        ranked.groupBy(col("service").as("channel"))
+          .agg(
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_touch"),
+            sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("last_touch"),
+            sum(expr("1000000 div k")).as("linear_ppm"),
+            count(lit(1)).as("touches"))
+          .orderBy("channel")
+      },
+      cte("""
+        |, m AS (
+        |  SELECT trace_id, span_id, service, start_us,
+        |    COALESCE(SUM(CASE WHEN service = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY trace_id ORDER BY start_us, span_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_prev
+        |  FROM spans),
+        |nc AS (SELECT trace_id, COUNT(*) AS n_conv FROM m
+        |       WHERE service = 'purchase' GROUP BY 1),
+        |t AS (
+        |  SELECT m.trace_id, m.cum_prev, m.service, m.start_us, m.span_id
+        |  FROM m JOIN nc ON m.trace_id = nc.trace_id
+        |  WHERE m.service IN ('view', 'click', 'signup')
+        |    AND m.cum_prev < nc.n_conv),
+        |r AS (
+        |  SELECT service,
+        |    ROW_NUMBER() OVER (PARTITION BY trace_id, cum_prev
+        |                       ORDER BY start_us, span_id) AS rn,
+        |    ROW_NUMBER() OVER (PARTITION BY trace_id, cum_prev
+        |                       ORDER BY start_us DESC, span_id DESC) AS rnd,
+        |    COUNT(*) OVER (PARTITION BY trace_id, cum_prev) AS k
+        |  FROM t)
+        |SELECT service AS channel,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(SUM(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch,
+        |  CAST(SUM(1000000 // k) AS BIGINT) AS linear_ppm,
+        |  COUNT(*) AS touches
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

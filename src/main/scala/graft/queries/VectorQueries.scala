@@ -996,7 +996,73 @@ object VectorQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
         |       CAST(50 AS BIGINT) AS n_truth,
         |       ROUND(CAST(COUNT(*) AS DOUBLE) / 50, 6) AS candidate_recall
-        |FROM ranked WHERE ro <= 5 AND rp <= 50""".stripMargin)
+        |FROM ranked WHERE ro <= 5 AND rp <= 50""".stripMargin),
+
+    // Contrastive-training hard-example mining: per anchor, the hardest
+    // positive (lowest cosine among same-label vectors — the pair the
+    // model most needs to pull together) and the hardest negative
+    // (highest cosine among other-label vectors — the pair it most
+    // needs to push apart), plus the triplet violation margin. The
+    // extremes come from one grouped pass over the candidate pairs; the
+    // arg-ids from a second conditional-min pass keyed on score
+    // equality (deterministic tie-break = min cand id on both engines).
+    // Demo corpus capped at 300 like the neardup surfaces — at corpus
+    // scale candidates come from the LSH/IVF bucket joins instead of
+    // the id-bounded pair join (ann_topk_lsh shows the shape); the
+    // mining passes are unchanged.
+    "embed_triplet_mining" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val n = VectorOps.withNorms(emb).filter(col("vec_id") < 300)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val a = n.select(col("vec_id").as("anchor"), col("v").as("v1"),
+          col("nrm").as("n1"), col("label").as("l1"))
+        val b = n.select(col("vec_id").as("cand"), col("v").as("v2"),
+          col("nrm").as("n2"), col("label").as("l2"))
+        val pairs = a.join(broadcast(b), col("anchor") =!= col("cand"))
+          .select(col("anchor"), col("cand"),
+            (col("l1") === col("l2")).as("same"),
+            round(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")),
+              6).as("score"))
+        val ext = pairs.groupBy("anchor").agg(
+          min(when(col("same"), col("score"))).as("pos_score"),
+          max(when(!col("same"), col("score"))).as("neg_score"))
+          .filter(col("pos_score").isNotNull && col("neg_score").isNotNull)
+        pairs.join(ext, "anchor")
+          .groupBy(col("anchor"), col("pos_score"), col("neg_score"))
+          .agg(
+            min(when(col("same") && col("score") === col("pos_score"),
+              col("cand"))).as("hard_pos"),
+            min(when(!col("same") && col("score") === col("neg_score"),
+              col("cand"))).as("hard_neg"))
+          .select(col("anchor"), col("hard_pos"), col("hard_neg"),
+            col("pos_score"), col("neg_score"),
+            (col("neg_score") - col("pos_score")).as("violation"))
+          .orderBy(desc("violation"), col("anchor"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings WHERE vec_id < 300),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
+        |        a.label = b.label AS same,
+        |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |ext AS (SELECT anchor,
+        |          MIN(CASE WHEN same THEN score END) AS pos_score,
+        |          MAX(CASE WHEN NOT same THEN score END) AS neg_score
+        |        FROM p GROUP BY 1
+        |        HAVING pos_score IS NOT NULL AND neg_score IS NOT NULL)
+        |SELECT p.anchor,
+        |  MIN(CASE WHEN p.same AND p.score = x.pos_score THEN p.cand END)
+        |    AS hard_pos,
+        |  MIN(CASE WHEN NOT p.same AND p.score = x.neg_score THEN p.cand END)
+        |    AS hard_neg,
+        |  x.pos_score, x.neg_score,
+        |  x.neg_score - x.pos_score AS violation
+        |FROM p JOIN ext x ON p.anchor = x.anchor
+        |GROUP BY p.anchor, x.pos_score, x.neg_score
+        |ORDER BY violation DESC, p.anchor""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

@@ -837,6 +837,146 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_attribution") {
+    it("matches a brute-force journey replay on the test events") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("trace_id"), col("span_id"), col("service"),
+          col("start_us"))
+        .as[(String, Long, String, Long)].collect()
+      val touchSet = Set("view", "click", "signup")
+      val first = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val last = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val linear = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val touches = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((_, evs) <- sp.groupBy(_._1)) {
+        var cur = Vector.empty[String]
+        for (e <- evs.sortBy(x => (x._4, x._2))) {
+          if (e._3 == "purchase") {
+            if (cur.nonEmpty) {
+              first(cur.head) += 1
+              last(cur.last) += 1
+              cur.foreach { c =>
+                linear(c) += 1000000L / cur.size
+                touches(c) += 1
+              }
+            }
+            cur = Vector.empty
+          } else if (touchSet(e._3)) cur :+= e._3
+        }
+        // touches after the final purchase belong to an unclosed journey
+      }
+      val got = SparkEntry.allDefs("trace_attribution").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect()
+      got.map(r => r._1 -> r._2).toMap shouldBe first.toMap
+      got.map(r => r._1 -> r._3).toMap shouldBe last.toMap
+      got.map(r => r._1 -> r._4).toMap shouldBe linear.toMap
+      got.map(r => r._1 -> r._5).toMap shouldBe touches.toMap
+      // every closed journey hands out exactly one first and one last
+      got.map(_._2).sum shouldBe got.map(_._3).sum
+    }
+  }
+
+  describe("q_assoc_rules") {
+    it("matches brute-force confidence/lift rule mining") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .as[(Long, Long)].collect()
+      val items = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val nB = li.map(_._1).distinct.length.toLong
+      val pairCounts = li.groupBy(_._1).values.flatMap { b =>
+        val pks = b.map(_._2).distinct.sorted
+        for (i <- pks.indices; j <- i + 1 until pks.length)
+          yield (pks(i), pks(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 3L)
+      val rules = pairCounts.toSeq.flatMap { case ((a, b), po) =>
+        Seq((a, b, po), (b, a, po))
+      }.map { case (ante, cons, po) =>
+        val conf = po * 1000000L / items(ante)
+        val lift = (BigInt(po) * nB * 1000000 /
+          (BigInt(items(ante)) * items(cons))).toLong
+        (ante, cons, po, conf, lift)
+      }.sortBy(r => (-r._4, -r._3, r._1, r._2)).take(100)
+      val got = SparkEntry.allDefs("q_assoc_rules").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe rules
+    }
+  }
+
+  describe("text_containment") {
+    it("matches brute-force directional shingle containment") {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val sh = docs.map { case (id, t) =>
+        val toks = t.trim.split("\\s+")
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val expected = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+        i = (sa & sb).size.toLong
+        ppm = i * 1000000L / sa.size if ppm >= 500000L
+      } yield (a, b, ppm)).sortBy(r => (-r._3, r._1, r._2))
+      val got = SparkEntry.allDefs("text_containment").fn(spark, sfDir)
+        .as[(Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("text_hashed_features") {
+    it("matches a brute-force md5 hashing-trick audit") {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+        .select(col("text")).as[String].collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(tok: String): Long = {
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 1024
+      }
+      val toks = docs.flatMap(_.trim.split("\\s+"))
+      val expected = toks.groupBy(bucket).view
+        .mapValues(ts => (ts.distinct.length.toLong, ts.length.toLong))
+        .toSeq.map { case (b, (nt, nk)) => (b, nt, nk) }
+        .sortBy(r => (-r._2, -r._3, r._1)).take(20)
+      val got = SparkEntry.allDefs("text_hashed_features").fn(spark, sfDir)
+        .as[(Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("embed_triplet_mining") {
+    it("matches brute-force hard-example mining with exact tie-breaks") {
+      val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast("array<double>"),
+          col("label"))
+        .as[(Long, Array[Double], Int)].collect()
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val norms = embs.map(e =>
+        e._1 -> math.sqrt(e._2.foldLeft(0.0)((acc, x) => acc + x * x))).toMap
+      def score(a: Array[Double], b: Array[Double], na: Double, nb: Double) =
+        round6(a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2) / (na * nb))
+      val expected = embs.flatMap { case (aid, av, al) =>
+        val cands = embs.filter(_._1 != aid).map { case (cid, cv, cl) =>
+          (cid, cl == al, score(av, cv, norms(aid), norms(cid)))
+        }
+        val pos = cands.filter(_._2)
+        val neg = cands.filterNot(_._2)
+        if (pos.isEmpty || neg.isEmpty) None
+        else {
+          val ps = pos.map(_._3).min
+          val ns = neg.map(_._3).max
+          Some((aid, pos.filter(_._3 == ps).map(_._1).min,
+            neg.filter(_._3 == ns).map(_._1).min, ps, ns, ns - ps))
+        }
+      }.sortBy(r => (-r._6, r._1)).toSeq
+      val got = SparkEntry.allDefs("embed_triplet_mining").fn(spark, sfDir)
+        .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -562,5 +562,35 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("Scan ExistingRDD")
       p should not include "CartesianProduct"
     }
+
+    it("trace_attribution rides user-keyed window shuffles only") {
+      val p = plan("trace_attribution")
+      p should include("Window")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_assoc_rules fans pairs out through codegen'd Generates") {
+      val p = plan("q_assoc_rules")
+      p should include("Generate posexplode")
+      p should not include "CartesianProduct"
+    }
+
+    it("text_containment joins on the shingle key, never all pairs") {
+      val p = plan("text_containment")
+      p should include("partial_count")
+      p should not include "CartesianProduct"
+    }
+
+    it("text_hashed_features is one bucket-keyed pass with no join") {
+      val p = plan("text_hashed_features")
+      p should include("partial_count")
+      p should not include "Join"
+    }
+
+    it("embed_triplet_mining broadcasts the id-bounded candidate set") {
+      val p = plan("embed_triplet_mining")
+      p should include("BroadcastNestedLoopJoin")
+      p should not include "CartesianProduct"
+    }
   }
 }
