@@ -3537,7 +3537,134 @@ object TraceQueries {
         |    AS last_touch,
         |  CAST(SUM(1000000 // k) AS BIGINT) AS linear_ppm,
         |  COUNT(*) AS touches
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C126: lead-lag cross-correlation — which service's traffic LEADS
+    // another's (the capacity-planning / incident-ordering signal a
+    // pure same-hour correlation can't see). Full data collapses to the
+    // |services|×|hours| hourly grid in one map-combined pass; the ±6h
+    // lag fan-out (13× a tiny relation) and the per-(pair, lag) Pearson
+    // sums ride that grid. All sums exact BIGINT; the correlation is
+    // the fixed-shape double finish (identical association order both
+    // engines); best lag per ordered pair by (corr DESC, lag) — the
+    // deterministic argmax. At many-service scale the pair join blocks
+    // by service-pair buckets; the grid shape is unchanged.
+    "trace_xcorr_lag" -> QueryDef.sql(
+      (s, dir) => {
+        val hourly = spans(s, dir)
+          .groupBy(col("service"),
+            expr(s"(start_us - $T0) div $HourUs").as("h"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val x = hourly.select(col("service").as("sx"), col("h").as("hx"),
+          col("c").as("cx"))
+          .withColumn("lag", explode(sequence(lit(-6L), lit(6L))))
+        val y = hourly.select(col("service").as("sy"), col("h").as("hy"),
+          col("c").as("cy"))
+        val agg = x.join(y,
+            col("hy") === col("hx") + col("lag") && col("sx") < col("sy"))
+          .groupBy("sx", "sy", "lag")
+          .agg(count(lit(1)).as("n"),
+            sum("cx").as("sxs"), sum("cy").as("sys"),
+            sum(col("cx") * col("cy")).as("sxy"),
+            sum(col("cx") * col("cx")).as("sxx"),
+            sum(col("cy") * col("cy")).as("syy"))
+          .filter(col("n") >= 8)
+        val scored = agg
+          .withColumn("vx",
+            (col("n") * col("sxx") - col("sxs") * col("sxs")).cast("double"))
+          .withColumn("vy",
+            (col("n") * col("syy") - col("sys") * col("sys")).cast("double"))
+          .filter(col("vx") > 0 && col("vy") > 0)
+          .withColumn("corr",
+            (col("n") * col("sxy") - col("sxs") * col("sys")).cast("double") /
+              (sqrt(col("vx")) * sqrt(col("vy"))))
+        val w = Window.partitionBy("sx", "sy")
+          .orderBy(col("corr").desc, col("lag"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("sx").as("service_x"), col("sy").as("service_y"),
+            col("lag").as("best_lag"), col("n").as("n_hours"), col("corr"))
+          .orderBy("service_x", "service_y")
+      },
+      cte(s"""
+        |, hr AS MATERIALIZED (
+        |  SELECT service, CAST((start_us - $T0) // $HourUs AS BIGINT) AS h,
+        |         COUNT(*) AS c
+        |  FROM spans GROUP BY 1, 2),
+        |j AS (
+        |  SELECT x.service AS sx, y.service AS sy, l.lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x.c) AS BIGINT) AS sxs, CAST(SUM(y.c) AS BIGINT) AS sys,
+        |    CAST(SUM(x.c * y.c) AS BIGINT) AS sxy,
+        |    CAST(SUM(x.c * x.c) AS BIGINT) AS sxx,
+        |    CAST(SUM(y.c * y.c) AS BIGINT) AS syy
+        |  FROM hr x
+        |  CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) l
+        |  JOIN hr y ON y.h = x.h + l.lag AND x.service < y.service
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 8),
+        |sc AS (
+        |  SELECT sx, sy, lag, n,
+        |    CAST(n * sxx - sxs * sxs AS DOUBLE) AS vx,
+        |    CAST(n * syy - sys * sys AS DOUBLE) AS vy,
+        |    CAST(n * sxy - sxs * sys AS DOUBLE) AS num
+        |  FROM j),
+        |r AS (
+        |  SELECT sx, sy, lag, n, num / (sqrt(vx) * sqrt(vy)) AS corr
+        |  FROM sc WHERE vx > 0 AND vy > 0),
+        |b AS (
+        |  SELECT sx, sy, lag, n, corr,
+        |    ROW_NUMBER() OVER (PARTITION BY sx, sy ORDER BY corr DESC, lag)
+        |      AS rn
+        |  FROM r)
+        |SELECT sx AS service_x, sy AS service_y,
+        |  CAST(lag AS BIGINT) AS best_lag, n AS n_hours, corr
+        |FROM b WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+
+    // C127: Nelson-Aalen discrete hazard — the survival-analysis view
+    // of latency: of the requests still running at duration 2^b, what
+    // fraction finish in that bucket (hazard), and how does risk
+    // accumulate (cumulative hazard)? Dodges the Kaplan-Meier product
+    // (not exactly representable) by the estimator that SUMS hazards —
+    // exact floor-ppm end to end. One map-combined (service, dur_bits)
+    // grid pass over the spans; at-risk counts are a ≤64-row suffix
+    // sum per service, cumulative hazard the matching prefix sum.
+    "trace_hazard" -> QueryDef.sql(
+      (s, dir) => {
+        val grid = spans(s, dir)
+          .groupBy(col("service"),
+            length(conv(col("duration_us"), 10, 2)).cast("long")
+              .as("dur_bits"))
+          .agg(count(lit(1)).as("events"))
+        val wDesc = Window.partitionBy("service").orderBy(col("dur_bits").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.partitionBy("service").orderBy(col("dur_bits"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.withColumn("at_risk", sum("events").over(wDesc))
+          .withColumn("hazard_ppm", expr("events * 1000000 div at_risk"))
+          .withColumn("cumhaz_ppm", sum("hazard_ppm").over(wAsc))
+          .select("service", "dur_bits", "at_risk", "events", "hazard_ppm",
+            "cumhaz_ppm")
+          .orderBy("service", "dur_bits")
+      },
+      cte("""
+        |, grid AS (
+        |  SELECT service, CAST(length(bin(duration_us)) AS BIGINT) AS dur_bits,
+        |         COUNT(*) AS events
+        |  FROM spans GROUP BY 1, 2),
+        |ar AS (
+        |  SELECT service, dur_bits, events,
+        |    CAST(SUM(events) OVER (PARTITION BY service ORDER BY dur_bits DESC)
+        |      AS BIGINT) AS at_risk
+        |  FROM grid),
+        |hz AS (
+        |  SELECT service, dur_bits, at_risk, events,
+        |    events * 1000000 // at_risk AS hazard_ppm
+        |  FROM ar)
+        |SELECT service, dur_bits, at_risk, events,
+        |  CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+        |  CAST(SUM(hazard_ppm) OVER (PARTITION BY service ORDER BY dur_bits)
+        |    AS BIGINT) AS cumhaz_ppm
+        |FROM hz ORDER BY service, dur_bits""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

@@ -1062,7 +1062,83 @@ object VectorQueries {
         |  x.neg_score - x.pos_score AS violation
         |FROM p JOIN ext x ON p.anchor = x.anchor
         |GROUP BY p.anchor, x.pos_score, x.neg_score
-        |ORDER BY violation DESC, p.anchor""".stripMargin)
+        |ORDER BY violation DESC, p.anchor""".stripMargin),
+
+    // Local Outlier Factor — density-based outlier scoring (the
+    // data-cleaning primitive centroid distance misses: a point can be
+    // far from its centroid yet sit in a dense local cluster). k=5
+    // kNN over EXACT milli-quantized integer distances (the PQ idiom),
+    // reach-dists and their sums stay integers, and the
+    // 1/lrd harmonic sum is floored per term at 1e18 scale — so LOF
+    // lands as a deterministic integer ppm on both engines with no
+    // order-dependent double summation anywhere. lof_ppm ≈ 1e6 for
+    // inliers, ≫1e6 for density outliers. Demo corpus id-capped at
+    // 300; at scale candidates come from the LSH/IVF bucket joins.
+    "embed_lof" -> QueryDef.sql(
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+              .as("q"))
+        val a = q.select(col("vec_id").as("aid"), col("q").as("qa"))
+        val b = q.select(col("vec_id").as("bid"), col("q").as("qb"))
+        val d2 = aggregate(
+          zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        val pairs = a.join(broadcast(b), col("aid") =!= col("bid"))
+          .select(col("aid"), col("bid"), d2.as("d2"))
+        val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
+        val knn = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).localCheckpoint()
+        val kdist = knn.groupBy(col("aid").as("kv")).agg(max("d2").as("kdist"))
+        val ri = knn.join(kdist, col("bid") === col("kv"))
+          .groupBy("aid")
+          .agg(greatest(sum(greatest(col("d2"), col("kdist"))), lit(1L))
+            .as("ri"))
+        val sInv = knn.select(col("aid"), col("bid"))
+          .join(ri.select(col("aid").as("bid2"), col("ri").as("ri_b")),
+            col("bid") === col("bid2"))
+          .groupBy("aid")
+          .agg(sum(expr("1000000000000000000 div ri_b")).as("s_inv"))
+        sInv.join(ri, "aid")
+          .join(kdist, col("aid") === col("kv"))
+          .select(col("aid").as("vec_id"), col("kdist"),
+            col("ri").as("reach_sum"),
+            expr("CAST(ri AS DECIMAL(38,0)) * s_inv div 5000000000000")
+              .as("lof_ppm"))
+          .orderBy(desc("lof_ppm"), col("vec_id"))
+      },
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 300),
+        |p AS MATERIALIZED (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
+        |         * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS d2
+        |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+        |knn AS MATERIALIZED (
+        |  SELECT aid, bid, d2 FROM (
+        |    SELECT aid, bid, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn
+        |    FROM p) t
+        |  WHERE rn <= 5),
+        |kd AS (SELECT aid AS kv, MAX(d2) AS kdist FROM knn GROUP BY 1),
+        |ri AS (
+        |  SELECT knn.aid,
+        |    GREATEST(CAST(SUM(GREATEST(knn.d2, kd.kdist)) AS BIGINT), 1) AS ri
+        |  FROM knn JOIN kd ON knn.bid = kd.kv GROUP BY 1),
+        |s AS (
+        |  SELECT knn.aid,
+        |    CAST(SUM(1000000000000000000 // rb.ri) AS HUGEINT) AS s_inv
+        |  FROM knn JOIN ri rb ON knn.bid = rb.aid GROUP BY 1)
+        |SELECT r.aid AS vec_id, kd.kdist, r.ri AS reach_sum,
+        |  CAST(CAST(r.ri AS HUGEINT) * s.s_inv // 5000000000000 AS BIGINT)
+        |    AS lof_ppm
+        |FROM ri r JOIN s ON r.aid = s.aid JOIN kd ON r.aid = kd.kv
+        |ORDER BY lof_ppm DESC, vec_id""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

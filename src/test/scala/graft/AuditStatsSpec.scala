@@ -977,6 +977,116 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("embed_lof") {
+    it("matches a brute-force integer LOF with exact floor arithmetic") {
+      val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect()
+        .map { case (id, v) =>
+          id -> v.map(x => java.math.BigDecimal.valueOf(x * 1000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+        }
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).foldLeft(0L)((acc, p) =>
+          acc + (p._1 - p._2) * (p._1 - p._2))
+      val knn = embs.map { case (aid, qa) =>
+        aid -> embs.filter(_._1 != aid)
+          .map { case (bid, qb) => (bid, d2(qa, qb)) }
+          .sortBy(p => (p._2, p._1)).take(5)
+      }.toMap
+      val kdist = knn.map { case (a, nn) => a -> nn.map(_._2).max }
+      val ri = knn.map { case (a, nn) =>
+        a -> math.max(nn.map { case (b, d) => math.max(d, kdist(b)) }.sum, 1L)
+      }
+      val expected = knn.map { case (a, nn) =>
+        val sInv = nn.map { case (b, _) => 1000000000000000000L / ri(b) }.sum
+        (a, kdist(a), ri(a),
+          (BigInt(ri(a)) * sInv / BigInt(5000000000000L)).toLong)
+      }.toSeq.sortBy(r => (-r._4, r._1))
+      val got = SparkEntry.allDefs("embed_lof").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // inliers cluster near 1e6 ppm: the median LOF must
+      val mid = got.map(_._4).sorted.apply(got.size / 2)
+      mid should be >= 800000L
+      mid should be <= 1500000L
+    }
+  }
+
+  describe("trace_xcorr_lag") {
+    it("matches a brute-force lagged Pearson argmax per service pair") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("start_us")).as[(String, Long)].collect()
+      val t0 = 1704067200000000L
+      val hourUs = 3600000000L
+      val hourly = sp.groupBy(e => (e._1, (e._2 - t0) / hourUs)).view
+        .mapValues(_.length.toLong).toMap
+      val services = sp.map(_._1).distinct.sorted
+      val expected = (for {
+        sx <- services; sy <- services if sx < sy
+        best = (-6L to 6L).flatMap { lag =>
+          val joined = hourly.toSeq.collect {
+            case ((s, h), cx) if s == sx && hourly.contains((sy, h + lag)) =>
+              (cx, hourly((sy, h + lag)))
+          }
+          val n = joined.length.toLong
+          if (n < 8) None
+          else {
+            val (sxs, sys) = (joined.map(_._1).sum, joined.map(_._2).sum)
+            val sxy = joined.map(p => p._1 * p._2).sum
+            val sxx = joined.map(p => p._1 * p._1).sum
+            val syy = joined.map(p => p._2 * p._2).sum
+            val vx = (n * sxx - sxs * sxs).toDouble
+            val vy = (n * syy - sys * sys).toDouble
+            if (vx <= 0 || vy <= 0) None
+            else Some((lag, n,
+              (n * sxy - sxs * sys).toDouble / (math.sqrt(vx) * math.sqrt(vy))))
+          }
+        }.sortBy(r => (-r._3, r._1)).headOption
+        b <- best
+      } yield (sx, sy, b._1, b._2, b._3)).sortBy(r => (r._1, r._2))
+      val got = SparkEntry.allDefs("trace_xcorr_lag").fn(spark, sfDir)
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+      got.map(r => (r._1, r._2, r._3, r._4)) shouldBe
+        expected.map(r => (r._1, r._2, r._3, r._4))
+      got.zip(expected).foreach { case (g, e) =>
+        g._5 shouldBe e._5 +- 1e-9
+      }
+    }
+  }
+
+  describe("trace_hazard") {
+    it("matches brute-force Nelson-Aalen suffix/prefix sums") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("duration_us")).as[(String, Long)].collect()
+      val grid = sp.groupBy(e =>
+        (e._1, java.lang.Long.toBinaryString(e._2).length.toLong)).view
+        .mapValues(_.length.toLong).toMap
+      val expected = grid.keys.map(_._1).toSeq.distinct.sorted.flatMap { svc =>
+        val bits = grid.keys.filter(_._1 == svc).map(_._2).toSeq.sorted
+        var cum = 0L
+        bits.map { b =>
+          val events = grid((svc, b))
+          val atRisk = bits.filter(_ >= b).map(x => grid((svc, x))).sum
+          val hz = events * 1000000L / atRisk
+          cum += hz
+          (svc, b, atRisk, events, hz, cum)
+        }
+      }
+      val got = SparkEntry.allDefs("trace_hazard").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // the largest bucket's at-risk set is exactly its own events
+      got.groupBy(_._1).values.foreach { rows =>
+        val lastRow = rows.maxBy(_._2)
+        lastRow._3 shouldBe lastRow._4
+        lastRow._5 shouldBe 1000000L
+      }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

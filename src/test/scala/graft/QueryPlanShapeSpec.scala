@@ -592,5 +592,26 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("BroadcastNestedLoopJoin")
       p should not include "CartesianProduct"
     }
+
+    it("embed_lof broadcasts the id-bounded pair join and checkpoints knn") {
+      val p = plan("embed_lof")
+      p should include("Scan ExistingRDD")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_xcorr_lag collapses to the hourly grid before the lag fan-out") {
+      val p = plan("trace_xcorr_lag")
+      // the only full-data pass is the (service, hour) groupBy feeding
+      // the checkpoint; the ±6 lag join rides the tiny grid
+      p should include("Scan ExistingRDD")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_hazard is one grid pass plus service-bounded windows") {
+      val p = plan("trace_hazard")
+      p should include("partial_count")
+      p should include("Window")
+      p should not include "Join"
+    }
   }
 }
