@@ -77,6 +77,43 @@ object ShardedWindow {
       .drop("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
   }
 
+  /** Running `min(value)` over each `keys` partition in `order` —
+    * prefix minimum is associative, so the same two-phase scan applies:
+    * local running min inside each (key, shard), one min per sub-shard,
+    * EXCLUSIVE prefix-min of those totals as the carried-in offset
+    * (null for the first shard — `least` skips nulls), then
+    * least(local, offset). Same monotone-shard contract as
+    * [[runningSum]]. */
+  def runningMin(
+      df: DataFrame,
+      keys: Seq[String],
+      shard: Column,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    checkReserved(df)
+    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    val localW = Window
+      .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged.withColumn("_sw_local", min(col("_sw_v")).over(localW))
+    val totals = tagged
+      .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .agg(min(col("_sw_v")).as("_sw_total"))
+    val offW = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_sw_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_sw_off", min(col("_sw_total")).over(offW))
+      .select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off")): _*)
+    local
+      .join(broadcast(offsets), keys :+ "_sw_shard")
+      .withColumn(out, least(col("_sw_local"), col("_sw_off")))
+      .drop("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
+  }
+
   /** `row_number()` over each `keys` partition in `order` (a running
     * COUNT(1)), sharded the same way; `order` must totally order rows
     * within each key for the numbering to be deterministic. Returns

@@ -2786,7 +2786,88 @@ object RelationalQueries {
         |FROM rules JOIN items a ON rules.antecedent = a.pk
         |JOIN items c ON rules.consequent = c.pk, nb
         |ORDER BY confidence_ppm DESC, pair_orders DESC, antecedent, consequent
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin),
+
+    // C129: cohort lifetime value — customers grouped by first-order
+    // month, revenue accumulated along cohort age: the (cohort, age) →
+    // cumulative-LTV-per-customer matrix a growth dashboard plots. Two
+    // map-combined full-data passes (first-order month per customer,
+    // then the (cohort, age) revenue rollup); the cumulative sum rides
+    // the ≤ #months-wide matrix per cohort. Revenue in exact cents;
+    // per-customer LTV by integer floor division.
+    "q_cohort_ltv" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+        val first = o.groupBy("o_custkey").agg(min("ym").as("ym0"))
+        val sized = first.groupBy("ym0").agg(count(lit(1)).as("cohort_size"))
+        val aged = o.join(first, "o_custkey")
+          .groupBy(col("ym0").as("cohort_ym"), (col("ym") - col("ym0")).as("age"))
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+        val w = Window.partitionBy("cohort_ym").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aged.withColumn("cum_cents", sum("rev_cents").over(w))
+          .join(sized.withColumnRenamed("ym0", "cohort_ym"), "cohort_ym")
+          .select(col("cohort_ym"), col("age"), col("n_orders"),
+            col("rev_cents"),
+            expr("cum_cents div cohort_size").as("ltv_cents_per_cust"))
+          .orderBy("cohort_ym", "age")
+      },
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(ym) AS ym0 FROM o GROUP BY 1),
+        |s AS (SELECT ym0, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+        |a AS (
+        |  SELECT f.ym0 AS cohort_ym, o.ym - f.ym0 AS age, COUNT(*) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_ym, age, n_orders, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_ym ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM a)
+        |SELECT cohort_ym, age, n_orders, rev_cents,
+        |  CAST(cum_cents // s.cohort_size AS BIGINT) AS ltv_cents_per_cust
+        |FROM c JOIN s ON c.cohort_ym = s.ym0 ORDER BY 1, 2""".stripMargin),
+
+    // C130: gaps-and-islands — longest consecutive-month order streak
+    // per customer, reported as a streak-length histogram (the
+    // retention-habit view). The classic island key ym − row_number()
+    // is constant exactly along consecutive runs; windows partition by
+    // customer (millions of small partitions — no ShardedWindow
+    // needed), everything downstream is map-combined counts.
+    "q_order_streaks" -> QueryDef.sql(
+      (s, dir) => {
+        val cm = Tables.orders(s, dir).select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+          .distinct()
+        val w = Window.partitionBy("o_custkey").orderBy("ym")
+        cm.withColumn("island", col("ym") - row_number().over(w))
+          .groupBy("o_custkey", "island").agg(count(lit(1)).as("len"))
+          .groupBy("o_custkey").agg(max("len").as("best_streak"))
+          .groupBy("best_streak").agg(count(lit(1)).as("n_customers"))
+          .orderBy("best_streak")
+      },
+      """WITH cm AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+        |  FROM orders),
+        |i AS (
+        |  SELECT o_custkey,
+        |    ym - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ym)
+        |      AS island
+        |  FROM cm),
+        |st AS (SELECT o_custkey, island, COUNT(*) AS len FROM i GROUP BY 1, 2),
+        |b AS (SELECT o_custkey, MAX(len) AS best_streak FROM st GROUP BY 1)
+        |SELECT best_streak, COUNT(*) AS n_customers
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -3664,7 +3664,63 @@ object TraceQueries {
         |  CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
         |  CAST(SUM(hazard_ppm) OVER (PARTITION BY service ORDER BY dur_bits)
         |    AS BIGINT) AS cumhaz_ppm
-        |FROM hz ORDER BY service, dur_bits""".stripMargin))
+        |FROM hz ORDER BY service, dur_bits""".stripMargin)),
+
+    // C128: queueing wait profile (Lindley recursion) — if each service
+    // were a single server, how long would arrivals queue? The
+    // textbook recursion W' = max(0, W + S − A) is sequential, but its
+    // closed form is a prefix trick: W_n = P_n − min_{k≤n} P_k with
+    // P_n = (cumsum(S) − S_n) − (t_n − t_first) — i.e. ONE running sum
+    // and ONE running min, both associative, both through the
+    // ShardedWindow two-phase scan (runningMin is this surface's
+    // engine addition: exclusive prefix-min offsets carried across
+    // sub-shards). No lag(), no sequential pass — the recursion
+    // distributes. Everything exact integer micros.
+    "trace_queue_wait" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir)
+          .select("service", "span_id", "start_us", "duration_us")
+        val t0 = sp.groupBy(col("service").as("svc0"))
+          .agg(min("start_us").as("t_first"))
+        val withT0 = sp.join(broadcast(t0), col("service") === col("svc0"))
+          .drop("svc0")
+        val shard = expr(s"(start_us - $T0) div $HourUs")
+        val order = Seq(col("start_us"), col("span_id"))
+        val p = ShardedWindow.runningSum(withT0, Seq("service"), shard,
+            order, col("duration_us"), "cum_s")
+          .withColumn("p",
+            col("cum_s") - col("duration_us") - (col("start_us") - col("t_first")))
+        val m = ShardedWindow.runningMin(p, Seq("service"), shard,
+          order, col("p"), "m")
+        m.withColumn("wait_us", col("p") - col("m"))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_events"),
+            max("wait_us").as("max_wait_us"),
+            expr("sum(wait_us) div count(1)").as("mean_wait_us"),
+            expr("sum(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) * 1000000" +
+              " div count(1)").as("busy_ppm"))
+          .orderBy("service")
+      },
+      cte("""
+        |, base AS (
+        |  SELECT service, span_id, start_us, duration_us,
+        |    SUM(duration_us) OVER w - duration_us
+        |      - (start_us - MIN(start_us) OVER (PARTITION BY service)) AS p
+        |  FROM spans
+        |  WINDOW w AS (PARTITION BY service ORDER BY start_us, span_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |wt AS (
+        |  SELECT service,
+        |    p - MIN(p) OVER (PARTITION BY service ORDER BY start_us, span_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS wait_us
+        |  FROM base)
+        |SELECT service, COUNT(*) AS n_events,
+        |  CAST(MAX(wait_us) AS BIGINT) AS max_wait_us,
+        |  CAST(SUM(wait_us) // COUNT(*) AS BIGINT) AS mean_wait_us,
+        |  CAST(SUM(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS busy_ppm
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

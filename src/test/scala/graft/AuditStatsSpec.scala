@@ -1087,6 +1087,83 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_queue_wait") {
+    it("the prefix-trick waits equal the sequential Lindley recursion") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("span_id"), col("start_us"),
+          col("duration_us"))
+        .as[(String, Long, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).map { case (svc, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        // the actual sequential recursion the query claims to equal
+        var w = 0L
+        var waits = Vector(0L)
+        for (i <- 1 until sorted.length) {
+          val arrivalGap = sorted(i)._3 - sorted(i - 1)._3
+          w = math.max(0L, w + sorted(i - 1)._4 - arrivalGap)
+          waits :+= w
+        }
+        val n = waits.length.toLong
+        (svc, n, waits.max, waits.sum / n,
+          waits.count(_ > 0L) * 1000000L / n)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_queue_wait").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_cohort_ltv") {
+    it("matches a brute-force cohort matrix with exact cents") {
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long"),
+          expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+        .as[(Long, Long, Long)].collect()
+      val first = o.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val size = first.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val aged = o.groupBy(r => (first(r._1), r._2 - first(r._1))).view
+        .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+      val expected = aged.keys.toSeq.sorted.map { case (cy, age) =>
+        val cum = aged.collect {
+          case ((c, a), (_, rev)) if c == cy && a <= age => rev
+        }.sum
+        (cy, age, aged((cy, age))._1, aged((cy, age))._2, cum / size(cy))
+      }
+      val got = SparkEntry.allDefs("q_cohort_ltv").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_order_streaks") {
+    it("matches brute-force longest consecutive-month runs") {
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long"))
+        .as[(Long, Long)].collect()
+      val best = o.groupBy(_._1).view.mapValues { rs =>
+        val yms = rs.map(_._2).distinct.sorted
+        var (bestLen, cur) = (1L, 1L)
+        for (i <- 1 until yms.length) {
+          cur = if (yms(i) == yms(i - 1) + 1) cur + 1 else 1L
+          bestLen = math.max(bestLen, cur)
+        }
+        bestLen
+      }.toMap
+      val expected = best.values.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .map { case (len, n) => (len, n) }.sortBy(_._1)
+      val got = SparkEntry.allDefs("q_order_streaks").fn(spark, sfDir)
+        .as[(Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -613,5 +613,27 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("Window")
       p should not include "Join"
     }
+
+    it("trace_queue_wait distributes both scans through ShardedWindow") {
+      val p = plan("trace_queue_wait")
+      // the running sum AND the running min ride (service, _sw_shard)
+      // sub-shards — never one task per service
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_cohort_ltv is two map-combined passes plus a cohort-bounded window") {
+      val p = plan("q_cohort_ltv")
+      p should include("partial_sum")
+      p should include("Window")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_order_streaks windows per customer and counts map-side") {
+      val p = plan("q_order_streaks")
+      p should include("Window")
+      p should include("partial_count")
+      p should not include "Join"
+    }
   }
 }
