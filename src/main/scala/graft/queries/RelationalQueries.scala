@@ -2867,7 +2867,117 @@ object RelationalQueries {
         |st AS (SELECT o_custkey, island, COUNT(*) AS len FROM i GROUP BY 1, 2),
         |b AS (SELECT o_custkey, MAX(len) AS best_streak FROM st GROUP BY 1)
         |SELECT best_streak, COUNT(*) AS n_customers
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // C131: 1-D Wasserstein (earth mover's) distance — the INTEGRAL of
+    // the CDF gap between the two linestatus quantity distributions,
+    // where q_ks_test reports only its max: how much probability mass
+    // must move, and how far. On the domain-bounded grid the discrete
+    // W1 = Σ_x |F1(x) − F2(x)|·Δx is exact floor-ppm end to end: one
+    // map-combined grid pass, cumulatives through ShardedWindow,
+    // pairwise Δx to the next grid value via lead() on the ≤50-row
+    // grid. Output in ppm·quantity units.
+    "q_wasserstein" -> QueryDef.sql(
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(col("l_linestatus").as("st"),
+            expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
+        val grid = rows.groupBy("qty").agg(
+          sum(when(col("st") === "F", 1L).otherwise(0L)).as("cnt_f"),
+          sum(when(col("st") === "O", 1L).otherwise(0L)).as("cnt_o"))
+        val cum = ShardedWindow.runningSum(
+          ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
+            Seq(col("qty")), col("cnt_f"), "cum_f"),
+          Seq.empty, expr("qty div 10"), Seq(col("qty")), col("cnt_o"), "cum_o")
+        val tot = grid.agg(sum("cnt_f").as("n_f"), sum("cnt_o").as("n_o"))
+        val wGrid = Window.orderBy("qty")
+        cum.crossJoin(broadcast(tot))
+          .withColumn("dx",
+            coalesce(lead("qty", 1).over(wGrid) - col("qty"), lit(0L)))
+          .withColumn("gap_ppm",
+            abs(expr("cum_f * 1000000 div n_f") -
+              expr("cum_o * 1000000 div n_o")))
+          .agg(max("n_f").as("n_f"), max("n_o").as("n_o"),
+            sum(col("gap_ppm") * col("dx")).as("w1_ppm"),
+            max("gap_ppm").as("ks_ppm"))
+      },
+      """WITH rows_ AS (
+        |  SELECT l_linestatus AS st, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT qty,
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
+        |  FROM rows_ GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt_f) AS BIGINT) AS n_f,
+        |               CAST(SUM(cnt_o) AS BIGINT) AS n_o FROM grid),
+        |c AS (
+        |  SELECT qty,
+        |    CAST(SUM(cnt_f) OVER (ORDER BY qty) AS BIGINT) AS cum_f,
+        |    CAST(SUM(cnt_o) OVER (ORDER BY qty) AS BIGINT) AS cum_o,
+        |    COALESCE(LEAD(qty, 1) OVER (ORDER BY qty) - qty, 0) AS dx
+        |  FROM grid),
+        |g AS (
+        |  SELECT dx,
+        |    ABS(cum_f * 1000000 // n_f - cum_o * 1000000 // n_o) AS gap_ppm
+        |  FROM c, tot)
+        |SELECT (SELECT n_f FROM tot) AS n_f, (SELECT n_o FROM tot) AS n_o,
+        |  CAST(SUM(gap_ppm * dx) AS BIGINT) AS w1_ppm,
+        |  CAST(MAX(gap_ppm) AS BIGINT) AS ks_ppm
+        |FROM g""".stripMargin),
+
+    // C132: two-proportion z-test — does the "large order line" rate
+    // (quantity > 25) differ between the F and O populations: the
+    // binary-outcome companion to q_welch_ttest. ONE map-combined
+    // conditional-count pass; pooled-variance z as the fixed-shape
+    // double finish over five exact integers.
+    "q_prop_ztest" -> QueryDef.sql(
+      (s, dir) => {
+        val y = Tables.lineitem(s, dir)
+          .select(col("l_linestatus").as("st"),
+            (expr("CAST(ROUND(l_quantity, 0) AS BIGINT)") > 25).as("big"))
+        y.agg(
+            sum(when(col("st") === "F", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("st") === "O", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("st") === "F" && col("big"), 1L).otherwise(0L))
+              .as("x1"),
+            sum(when(col("st") === "O" && col("big"), 1L).otherwise(0L))
+              .as("x2"))
+          .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+          .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+          .withColumn("pp",
+            (col("x1") + col("x2")).cast("double") /
+              (col("n1") + col("n2")).cast("double"))
+          .select(col("n1"), col("n2"), col("x1"), col("x2"),
+            col("p1"), col("p2"),
+            ((col("p1") - col("p2")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("n1").cast("double")
+                  + lit(1.0) / col("n2").cast("double")))).as("z"))
+      },
+      """WITH y AS (
+        |  SELECT l_linestatus AS st,
+        |    CAST(ROUND(l_quantity, 0) AS BIGINT) > 25 AS big
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN st = 'F' AND big THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x1,
+        |    CAST(SUM(CASE WHEN st = 'O' AND big THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x2
+        |  FROM y),
+        |m AS (
+        |  SELECT n1, n2, x1, x2,
+        |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+        |  FROM agg)
+        |SELECT n1, n2, x1, x2, p1, p2,
+        |  (p1 - p2) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+        |FROM m""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -3236,7 +3236,44 @@ object TextQueries {
         |  FROM toks)
         |SELECT bucket, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS n_tokens
         |FROM b GROUP BY 1
-        |ORDER BY n_terms DESC, n_tokens DESC, bucket LIMIT 20""".stripMargin)
+        |ORDER BY n_terms DESC, n_tokens DESC, bucket LIMIT 20""".stripMargin),
+
+    // B41-class: calibration / reliability diagram — every learned or
+    // heuristic quality score feeding a filter pipeline needs this
+    // audit: bucket the score into deciles, compare mean score
+    // ("confidence") against the observed outcome rate per bucket.
+    // Here the exact-ppm alphabetic ratio plays the score and lang=en
+    // the outcome; the machinery (decile bucketing, per-bucket
+    // accuracy-vs-confidence gap, all floor-ppm integers off one
+    // map-combined pass) is the production ECE shape.
+    "corpus_calibration" -> QueryDef.sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(
+            expr("length(regexp_replace(text, '[^a-z]', '')) * 1000000" +
+              " div length(text)").as("score_ppm"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        d.groupBy(expr("score_ppm div 100000").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(pos) * 1000000 div count(1)").as("acc_ppm"),
+            expr("sum(score_ppm) div count(1)").as("conf_ppm"))
+          .withColumn("gap_ppm", col("acc_ppm") - col("conf_ppm"))
+          .orderBy("bucket")
+      },
+      """WITH d AS (
+        |  SELECT
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1000000
+        |      // length(text) AS score_ppm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT score_ppm // 100000 AS bucket, COUNT(*) AS n_docs,
+        |    CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+        |    CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS conf_ppm
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, n_docs, acc_ppm, conf_ppm,
+        |  acc_ppm - conf_ppm AS gap_ppm
+        |FROM g ORDER BY bucket""".stripMargin)
   )
 
   /** Deterministic messy-URL synthesis shared by both engines; the only

@@ -1164,6 +1164,77 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("q_wasserstein") {
+    it("matches the brute-force CDF-gap integral and the KS max") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_linestatus"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val f = rows.filter(_._1 == "F").map(_._2)
+      val o = rows.filter(_._1 == "O").map(_._2)
+      val grid = rows.map(_._2).distinct.sorted
+      val (nf, no) = (f.length.toLong, o.length.toLong)
+      var (cumF, cumO, w1, ks) = (0L, 0L, 0L, 0L)
+      for (i <- grid.indices) {
+        cumF += f.count(_ == grid(i))
+        cumO += o.count(_ == grid(i))
+        val gap = math.abs(cumF * 1000000L / nf - cumO * 1000000L / no)
+        val dx = if (i + 1 < grid.length) grid(i + 1) - grid(i) else 0L
+        w1 += gap * dx
+        ks = math.max(ks, gap)
+      }
+      val Array((gn1, gn2, gw1, gks)) =
+        SparkEntry.allDefs("q_wasserstein").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long)].collect()
+      (gn1, gn2, gw1, gks) shouldBe ((nf, no, w1, ks))
+    }
+  }
+
+  describe("q_prop_ztest") {
+    it("matches the brute-force pooled two-proportion z") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_linestatus"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"))
+        .as[(String, Long)].collect()
+      val n1 = rows.count(_._1 == "F").toLong
+      val n2 = rows.count(_._1 == "O").toLong
+      val x1 = rows.count(r => r._1 == "F" && r._2 > 25).toLong
+      val x2 = rows.count(r => r._1 == "O" && r._2 > 25).toLong
+      val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+      val pp = (x1 + x2).toDouble / (n1 + n2)
+      val z = (p1 - p2) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+      val Array((gn1, gn2, gx1, gx2, gp1, gp2, gz)) =
+        SparkEntry.allDefs("q_prop_ztest").fn(spark, sfDir)
+          .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      (gn1, gn2, gx1, gx2) shouldBe ((n1, n2, x1, x2))
+      gp1 shouldBe p1 +- 1e-15
+      gp2 shouldBe p2 +- 1e-15
+      gz shouldBe z +- math.abs(z) * 1e-12
+    }
+  }
+
+  describe("corpus_calibration") {
+    it("matches a brute-force floor-ppm reliability diagram") {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("text"), col("lang")).as[(String, String)].collect()
+      val scored = docs.map { case (t, lang) =>
+        (t.count(c => c >= 'a' && c <= 'z').toLong * 1000000L / t.length,
+          if (lang == "en") 1L else 0L)
+      }
+      val expected = scored.groupBy(_._1 / 100000L).toSeq.map {
+        case (b, rs) =>
+          val n = rs.length.toLong
+          val acc = rs.map(_._2).sum * 1000000L / n
+          val conf = rs.map(_._1).sum / n
+          (b, n, acc, conf, acc - conf)
+      }.sortBy(_._1)
+      val got = SparkEntry.allDefs("corpus_calibration").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

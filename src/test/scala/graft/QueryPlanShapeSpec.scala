@@ -635,5 +635,23 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_count")
       p should not include "Join"
     }
+
+    it("q_wasserstein cumulates the grid through ShardedWindow") {
+      val p = plan("q_wasserstein")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_prop_ztest is one conditional-count pass with no join") {
+      val p = plan("q_prop_ztest")
+      p should include("partial_sum")
+      p should not include "Join"
+    }
+
+    it("corpus_calibration buckets scores in one map-combined pass") {
+      val p = plan("corpus_calibration")
+      p should include("partial_count")
+      p should not include "Join"
+    }
   }
 }
