@@ -503,6 +503,24 @@ object StreamingQueries {
     * function of the data for any batch partitioning — which is what
     * lets a plain batch oracle hash-check a 4-batch replay where
     * every batch interleaves old and new versions of most keys. */
+  /** C124 as a stream: per-user journey credits emit on the watermark
+    * seal; the landed per-user channel rows batch-aggregate to the
+    * final per-channel report (exact-integer credits make that sum
+    * partitioning-independent). */
+  private def runAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val credits = SpanBufferStream.attributionCredits(
+        spanStream(ss, dir, richOps = false), gapSeconds = GapSeconds)
+      .toDF("channel", "first_touch", "last_touch", "linear_ppm", "touches")
+    runToParquet(s, credits, "attribution")
+      .groupBy("channel")
+      .agg(sum("first_touch").as("first_touch"),
+        sum("last_touch").as("last_touch"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("touches").as("touches"))
+      .orderBy("channel")
+  }
+
   private def runUpsert(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val base = upsertLayout(ss, dir)
@@ -816,6 +834,51 @@ object StreamingQueries {
          |WHERE window_start_us + ${GapSeconds * 1000000} <= final_wm
          |GROUP BY window_start_us, service
          |ORDER BY window_start_us, service""".stripMargin),
+
+    // C124 as a stream (see SpanBufferStream.attributionCredits): a
+    // user's multi-touch credits emit when the watermark passes their
+    // last event + gap — the batch attribution SQL restricted to
+    // SEALED users is the exact oracle (credits are exact integers, so
+    // the landed per-channel sum is partitioning-independent).
+    "streaming_attribution" -> QueryDef.sql(runAttribution,
+      s"""WITH s AS (SELECT CAST(user_id AS VARCHAR) AS trace_id,
+         |             event_id AS span_id, event_type AS service,
+         |             epoch_us(ts) AS start_us
+         |           FROM events),
+         |g AS (SELECT max(start_us) // 1000 AS gm_ms FROM s),
+         |sealed AS (SELECT trace_id FROM s, g GROUP BY trace_id, gm_ms
+         |           HAVING max(start_us) // 1000 + ${GapSeconds * 1000}
+         |                  < gm_ms - ${GapSeconds * 1000}),
+         |m AS (
+         |  SELECT s.trace_id, s.span_id, s.service, s.start_us,
+         |    COALESCE(SUM(CASE WHEN s.service = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY s.trace_id ORDER BY s.start_us, s.span_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_prev
+         |  FROM s JOIN sealed ON s.trace_id = sealed.trace_id),
+         |nc AS (SELECT trace_id, COUNT(*) AS n_conv FROM m
+         |       WHERE service = 'purchase' GROUP BY 1),
+         |t AS (
+         |  SELECT m.trace_id, m.cum_prev, m.service, m.start_us, m.span_id
+         |  FROM m JOIN nc ON m.trace_id = nc.trace_id
+         |  WHERE m.service IN ('view', 'click', 'signup')
+         |    AND m.cum_prev < nc.n_conv),
+         |r AS (
+         |  SELECT service,
+         |    ROW_NUMBER() OVER (PARTITION BY trace_id, cum_prev
+         |                       ORDER BY start_us, span_id) AS rn,
+         |    ROW_NUMBER() OVER (PARTITION BY trace_id, cum_prev
+         |                       ORDER BY start_us DESC, span_id DESC) AS rnd,
+         |    COUNT(*) OVER (PARTITION BY trace_id, cum_prev) AS k
+         |  FROM t)
+         |SELECT service AS channel,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS first_touch,
+         |  CAST(SUM(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS last_touch,
+         |  CAST(SUM(1000000 // k) AS BIGINT) AS linear_ppm,
+         |  COUNT(*) AS touches
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // C84: streaming CDC keep-latest upsert (see runUpsert) — a
     // 4-batch MOD-interleaved replay merges into a versioned state

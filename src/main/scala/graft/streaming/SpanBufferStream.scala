@@ -163,6 +163,84 @@ object SpanBufferStream {
       .drop("event_time").as[Span]
   }
 
+  /** One buffered touch/conversion event of an in-flight journey. */
+  case class AttrEvent(service: String, startUs: Long, spanId: Long)
+
+  /** Accumulation state for one user's attribution journeys. */
+  case class AttrState(events: Seq[AttrEvent], lastEventUs: Long)
+
+  /** Multi-touch attribution as a stream (batch C124 made incremental):
+    * per-user events accumulate in state; when the watermark passes the
+    * user's last event + gap (the same seal rule as [[assemble]]) the
+    * user's journeys replay and the credits emit — one row per channel:
+    * (channel, first_touch, last_touch, linear_ppm, touches). Credits
+    * are exact integers (linear = 1e6 div k per touch), so any
+    * downstream per-channel sum is batch-partitioning-independent; the
+    * oracle is the batch attribution SQL restricted to sealed users. */
+  def attributionCredits(
+      spans: Dataset[Span],
+      gapSeconds: Long): Dataset[(String, Long, Long, Long, Long)] = {
+    val s = spans.sparkSession
+    import s.implicits._
+    val gapMs = gapSeconds * 1000L
+    val withTime = spans
+      .select(struct(spans.columns.map(col).toIndexedSeq: _*).as("_1"),
+        timestamp_micros(col("startUs")).as("_2"))
+      .withWatermark("_2", s"$gapSeconds seconds")
+      .as[(Span, java.sql.Timestamp)]
+    withTime
+      .groupByKey(_._1.traceId)
+      .flatMapGroupsWithState[AttrState, (String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, incoming: Iterator[(Span, java.sql.Timestamp)], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get.events
+            state.remove()
+            journeyCredits(evs)
+          } else {
+            val fresh = incoming
+              .map(t => AttrEvent(t._1.service, t._1.startUs, t._1.spanId.toLong))
+              .toSeq
+            val prev = state.getOption.map(_.events).getOrElse(Seq.empty)
+            val all = prev ++ fresh
+            val lastUs =
+              (state.getOption.map(_.lastEventUs).getOrElse(0L) +: fresh.map(_.startUs)).max
+            state.update(AttrState(all, lastUs))
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Replay one sealed user's journeys (the exact batch C124 rule:
+    * touches between consecutive purchases, only closed journeys
+    * credited) into per-channel credit rows. */
+  private def journeyCredits(
+      evs: Seq[AttrEvent]): Iterator[(String, Long, Long, Long, Long)] = {
+    val touch = Set("view", "click", "signup")
+    val first = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val last = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val linear = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val touches = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var cur = Vector.empty[String]
+    for (e <- evs.sortBy(x => (x.startUs, x.spanId))) {
+      if (e.service == "purchase") {
+        if (cur.nonEmpty) {
+          first(cur.head) += 1
+          last(cur.last) += 1
+          cur.foreach { c =>
+            linear(c) += 1000000L / cur.size
+            touches(c) += 1
+          }
+        }
+        cur = Vector.empty
+      } else if (touch(e.service)) cur :+= e.service
+    }
+    touches.keys.toSeq.sorted.iterator
+      .map(ch => (ch, first(ch), last(ch), linear(ch), touches(ch)))
+  }
+
   /** Sealed buffers → flat processed spans, applying the reference read
     * pipeline at ingest time (a capability the reference defers to the
     * reader; doing it once at indexing amortizes it at 100 TB scale). */

@@ -1235,6 +1235,44 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("streaming_attribution") {
+    it("equals the batch journey replay restricted to sealed users") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("trace_id"), col("span_id"), col("service"),
+          col("start_us"))
+        .as[(String, Long, String, Long)].collect()
+      val globalMaxMs = sp.map(_._4).max / 1000L
+      val gapMs = 60000L
+      val sealed_ = sp.groupBy(_._1).collect {
+        case (u, evs) if evs.map(_._4).max / 1000L + gapMs < globalMaxMs - gapMs => u
+      }.toSet
+      val touchSet = Set("view", "click", "signup")
+      val first = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val last = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val linear = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val touches = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((u, evs) <- sp.groupBy(_._1) if sealed_(u)) {
+        var cur = Vector.empty[String]
+        for (e <- evs.sortBy(x => (x._4, x._2))) {
+          if (e._3 == "purchase") {
+            if (cur.nonEmpty) {
+              first(cur.head) += 1; last(cur.last) += 1
+              cur.foreach { c => linear(c) += 1000000L / cur.size; touches(c) += 1 }
+            }
+            cur = Vector.empty
+          } else if (touchSet(e._3)) cur :+= e._3
+        }
+      }
+      val got = SparkEntry.allDefs("streaming_attribution").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect()
+      got.map(r => r._1 -> r._2).toMap shouldBe first.toMap
+      got.map(r => r._1 -> r._3).toMap shouldBe last.toMap
+      got.map(r => r._1 -> r._4).toMap shouldBe linear.toMap
+      got.map(r => r._1 -> r._5).toMap shouldBe touches.toMap
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)
