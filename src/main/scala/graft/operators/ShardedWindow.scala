@@ -114,6 +114,44 @@ object ShardedWindow {
       .drop("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
   }
 
+  /** EXCLUSIVE running `max(value)` — the max over all STRICTLY
+    * PRECEDING rows (null on each key's first row), the scan interval
+    * merging needs ("does this interval start after every previous one
+    * ended?"). Sharded identically: the local window takes the
+    * (unboundedPreceding, -1) frame, and the carried-in offset is the
+    * max over WHOLE previous sub-shards (which are entirely preceding,
+    * so inclusive shard totals are correct); greatest() skips the
+    * nulls at shard starts. */
+  def runningMaxExclusive(
+      df: DataFrame,
+      keys: Seq[String],
+      shard: Column,
+      order: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    checkReserved(df)
+    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    val localW = Window
+      .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tagged.withColumn("_sw_local", max(col("_sw_v")).over(localW))
+    val totals = tagged
+      .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
+      .agg(max(col("_sw_v")).as("_sw_total"))
+    val offW = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_sw_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_sw_off", max(col("_sw_total")).over(offW))
+      .select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off")): _*)
+    local
+      .join(broadcast(offsets), keys :+ "_sw_shard")
+      .withColumn(out, greatest(col("_sw_local"), col("_sw_off")))
+      .drop("_sw_shard", "_sw_v", "_sw_local", "_sw_off")
+  }
+
   /** `row_number()` over each `keys` partition in `order` (a running
     * COUNT(1)), sharded the same way; `order` must totally order rows
     * within each key for the numbering to be deterministic. Returns

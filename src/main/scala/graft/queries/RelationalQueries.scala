@@ -2977,7 +2977,42 @@ object RelationalQueries {
         |SELECT n1, n2, x1, x2, p1, p2,
         |  (p1 - p2) / sqrt(pp * (1.0 - pp)
         |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    // C136: EXACT rolling 30-day distinct customers — distinct-over-
+    // sliding-window, the aggregation windows can't express (distinct
+    // doesn't decompose over frames). The exact distributed form:
+    // a customer is active on day d iff some order day lands in
+    // [d−29, d] iff d lands in [day, day+29] — so each distinct
+    // (customer, order-day) fans out to the ≤30 window days it covers
+    // (one codegen'd Generate, bounded 30×) and a map-combined
+    // distinct count per day finishes. Linear at any scale, no
+    // per-day re-scan, no approximate sketch needed.
+    "q_rolling_distinct" -> QueryDef.sql(
+      (s, dir) => {
+        val du = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+              .cast("long").as("day"))
+          .distinct()
+        val mx = du.agg(max("day").as("mxd"))
+        du.withColumn("d", explode(sequence(col("day"), col("day") + 29)))
+          .crossJoin(broadcast(mx))
+          .filter(col("d") <= col("mxd"))
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct("o_custkey").as("active_customers"))
+          .orderBy("day")
+      },
+      """WITH du AS (
+        |  SELECT DISTINCT o_custkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+        |  FROM orders),
+        |mx AS (SELECT MAX(day) AS mxd FROM du),
+        |f AS (
+        |  SELECT o_custkey, day + t.i AS d
+        |  FROM du CROSS JOIN (SELECT unnest(range(0, 30)) AS i) t)
+        |SELECT d AS day, COUNT(DISTINCT o_custkey) AS active_customers
+        |FROM f, mx WHERE d <= mxd GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -3720,7 +3720,120 @@ object TraceQueries {
         |  CAST(SUM(wait_us) // COUNT(*) AS BIGINT) AS mean_wait_us,
         |  CAST(SUM(CASE WHEN wait_us > 0 THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS busy_ppm
-        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C134: incident timeline — merge overlapping SLO-breach intervals
+    // into incidents (the on-call view: not "how many slow spans" but
+    // "how many distinct outage windows, and how long"). Classic
+    // interval merging, distributed: an interval opens a NEW incident
+    // iff it starts after the max end of every strictly-preceding
+    // interval — an EXCLUSIVE running max (this surface's engine
+    // addition: ShardedWindow.runningMaxExclusive, whole-previous-
+    // sub-shard offsets are correct because they're entirely
+    // preceding), then incident ids are the running sum of those break
+    // flags. Both scans hold #(service, hour-shard) parallelism.
+    "trace_incidents" -> QueryDef.sql(
+      (s, dir) => {
+        val br = spans(s, dir).filter(col("duration_us") > 100000L)
+          .select(col("service"), col("span_id"), col("start_us"),
+            (col("start_us") + col("duration_us")).as("end_us"))
+        val shard = expr(s"(start_us - $T0) div $HourUs")
+        val order = Seq(col("start_us"), col("span_id"))
+        val brk = ShardedWindow.runningMaxExclusive(br, Seq("service"), shard,
+            order, col("end_us"), "prev_end")
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("start_us") > col("prev_end"),
+              1L).otherwise(0L))
+        ShardedWindow.runningSum(brk, Seq("service"), shard, order,
+            col("brk"), "island")
+          .groupBy("service", "island")
+          .agg(min("start_us").as("i_start"), max("end_us").as("i_end"),
+            count(lit(1)).as("n_spans"))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_incidents"),
+            max(col("i_end") - col("i_start")).as("longest_us"),
+            sum(col("i_end") - col("i_start")).as("total_us"),
+            max("n_spans").as("max_spans_per_incident"))
+          .orderBy("service")
+      },
+      cte("""
+        |, br AS (
+        |  SELECT service, span_id, start_us, start_us + duration_us AS end_us
+        |  FROM spans WHERE duration_us > 100000),
+        |x AS (
+        |  SELECT service, span_id, start_us, end_us,
+        |    MAX(end_us) OVER (PARTITION BY service ORDER BY start_us, span_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM br),
+        |b AS (
+        |  SELECT service, span_id, start_us, end_us,
+        |    CASE WHEN prev_end IS NULL OR start_us > prev_end
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |i AS (
+        |  SELECT service, start_us, end_us,
+        |    SUM(brk) OVER (PARTITION BY service ORDER BY start_us, span_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM b),
+        |g AS (SELECT service, island, MIN(start_us) AS i_start,
+        |        MAX(end_us) AS i_end, COUNT(*) AS n_spans
+        |      FROM i GROUP BY 1, 2)
+        |SELECT service, COUNT(*) AS n_incidents,
+        |  CAST(MAX(i_end - i_start) AS BIGINT) AS longest_us,
+        |  CAST(SUM(i_end - i_start) AS BIGINT) AS total_us,
+        |  CAST(MAX(n_spans) AS BIGINT) AS max_spans_per_incident
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C135: KMV distinct-count sketch with MEASURED error — the
+    // third distinct sketch (after HLL and exact bitmaps), the one
+    // whose state is mergeable by trivial set-union of k hashes. The
+    // 64th-smallest md5 hash per service comes through a HASH-RANGE
+    // sharded rank (the shard key h div 2^26 is monotone in h — rank
+    // by hash distributes like rank by value); estimate = (k−1)·2^32
+    // div h_k, with the exact-below-k fallback; err_ppm quantifies the
+    // sketch against the exact distinct in the same output row.
+    "trace_kmv_distinct" -> QueryDef.sql(
+      (s, dir) => {
+        val du = spans(s, dir).select("service", "trace_id").distinct()
+          .withColumn("h",
+            expr("CAST(conv(substring(md5(trace_id), 1, 8), 16, 10) AS BIGINT)"))
+        val exact = du.groupBy("service").agg(count(lit(1)).as("exact_distinct"))
+        val kth = ShardedWindow.rowNumber(du, Seq("service"),
+            expr("h div 67108864"), Seq(col("h"), col("trace_id")), "rn")
+          .filter(col("rn") === 64)
+          .select(col("service"), col("h").as("h_k"))
+        exact.join(kth, Seq("service"), "left")
+          .select(col("service"), col("exact_distinct"),
+            coalesce(expr("63 * 4294967296 div h_k"), col("exact_distinct"))
+              .as("kmv_estimate"))
+          .withColumn("err_ppm",
+            expr("abs(kmv_estimate - exact_distinct) * 1000000" +
+              " div exact_distinct"))
+          .orderBy("service")
+      },
+      cte("""
+        |, du AS (SELECT DISTINCT service, trace_id FROM spans),
+        |h AS (
+        |  SELECT service, trace_id,
+        |    CAST(('0x' || substr(md5(trace_id), 1, 8)) AS BIGINT) AS h
+        |  FROM du),
+        |e AS (SELECT service, COUNT(*) AS exact_distinct FROM h GROUP BY 1),
+        |k AS (
+        |  SELECT service, h_k FROM (
+        |    SELECT service, h AS h_k,
+        |      ROW_NUMBER() OVER (PARTITION BY service ORDER BY h, trace_id)
+        |        AS rn
+        |    FROM h) t
+        |  WHERE rn = 64),
+        |f AS (
+        |  SELECT e.service, e.exact_distinct,
+        |    CAST(COALESCE(63 * 4294967296 // k.h_k, e.exact_distinct)
+        |      AS BIGINT) AS kmv_estimate
+        |  FROM e LEFT JOIN k ON e.service = k.service)
+        |SELECT service, exact_distinct, kmv_estimate,
+        |  CAST(ABS(kmv_estimate - exact_distinct) * 1000000
+        |    // exact_distinct AS BIGINT) AS err_ppm
+        |FROM f ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

@@ -1273,6 +1273,80 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_incidents") {
+    it("matches brute-force overlapping-interval merging") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .filter(col("duration_us") > 100000L)
+        .select(col("service"), col("span_id"), col("start_us"),
+          (col("start_us") + col("duration_us")).as("end_us"))
+        .as[(String, Long, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).map { case (svc, ivs) =>
+        val sorted = ivs.sortBy(i => (i._3, i._2))
+        var incidents = Vector.empty[(Long, Long, Long)] // (start, end, n)
+        for (iv <- sorted) {
+          incidents.lastOption match {
+            case Some((s0, e0, n)) if iv._3 <= e0 =>
+              incidents = incidents.init :+
+                ((s0, math.max(e0, iv._4), n + 1))
+            case _ => incidents :+= ((iv._3, iv._4, 1L))
+          }
+        }
+        (svc, incidents.length.toLong,
+          incidents.map(i => i._2 - i._1).max,
+          incidents.map(i => i._2 - i._1).sum,
+          incidents.map(_._3).max)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_incidents").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("trace_kmv_distinct") {
+    it("matches a brute-force k-minimum-values sketch") {
+      val du = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("trace_id")).distinct()
+        .as[(String, String)].collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val expected = du.groupBy(_._1).map { case (svc, us) =>
+        val exact = us.length.toLong
+        val hs = us.map(u => (h(u._2), u._2)).sortBy(identity)
+        val est =
+          if (hs.length < 64) exact
+          else 63L * 4294967296L / hs(63)._1
+        (svc, exact, est, math.abs(est - exact) * 1000000L / exact)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_kmv_distinct").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_rolling_distinct") {
+    it("matches brute-force 30-day rolling distinct counts") {
+      val du = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+            .cast("long"))
+        .as[(Long, Long)].collect().distinct
+      val mxd = du.map(_._2).max
+      val expected = (du.map(_._2).min to mxd).map { d =>
+        (d, du.filter(r => r._2 >= d - 29 && r._2 <= d)
+          .map(_._1).distinct.length.toLong)
+      }.filter(_._2 > 0)
+      val got = SparkEntry.allDefs("q_rolling_distinct").fn(spark, sfDir)
+        .as[(Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -653,5 +653,24 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_count")
       p should not include "Join"
     }
+
+    it("trace_incidents merges intervals through sharded scans") {
+      val p = plan("trace_incidents")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("trace_kmv_distinct ranks hashes through hash-range sub-shards") {
+      val p = plan("trace_kmv_distinct")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_rolling_distinct fans windows out through one Generate") {
+      val p = plan("q_rolling_distinct")
+      p should include("Generate explode")
+      p should include("partial_count")
+      p should not include "SortMergeJoin"
+    }
   }
 }

@@ -64,6 +64,22 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
         expected.orderBy("k", "ord").collect()
     }
 
+    it("runningMaxExclusive matches max().over(unboundedPreceding, -1)") {
+      import spark.implicits._
+      val rnd = new Random(29)
+      val rows = (1 to 2000).map { i =>
+        (s"k${rnd.nextInt(4)}", i.toLong, rnd.nextInt(1000).toLong - 500)
+      }
+      val df = rows.toDF("k", "ord", "v")
+      val expected = df.withColumn("m",
+        max("v").over(Window.partitionBy("k").orderBy("ord")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      val actual = ShardedWindow.runningMaxExclusive(
+        df, Seq("k"), expr("ord div 100"), Seq(col("ord")), col("v"), "m")
+      actual.orderBy("k", "ord").collect() shouldBe
+        expected.orderBy("k", "ord").collect()
+    }
+
     it("rowNumber matches row_number() on a total order") {
       import spark.implicits._
       val df = (1 to 500).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
