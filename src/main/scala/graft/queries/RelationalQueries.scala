@@ -3012,7 +3012,114 @@ object RelationalQueries {
         |  SELECT o_custkey, day + t.i AS d
         |  FROM du CROSS JOIN (SELECT unnest(range(0, 30)) AS i) t)
         |SELECT d AS day, COUNT(DISTINCT o_custkey) AS active_customers
-        |FROM f, mx WHERE d <= mxd GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f, mx WHERE d <= mxd GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // C137: column profiling — the data-quality report every pipeline
+    // runs before trusting a new table: nulls, distincts, min/max and
+    // the modal value per column. One value-grouped pass per profiled
+    // column (exact; a production profiler would sketch all columns in
+    // a single pass — the per-column groupBy here is the exact
+    // reference); the modal value is the (count, value) struct max,
+    // which both engines express deterministically (max count, then
+    // max value). Numeric columns profile as digit strings so the
+    // report schema is uniform.
+    "q_data_profile" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").cast("string")
+            .as("quantity"),
+          col("l_suppkey").cast("string").as("suppkey"))
+        val profiles = Seq("returnflag", "linestatus", "quantity", "suppkey")
+          .map { c =>
+            li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+              .agg(
+                count(when(col("v").isNotNull, 1)).as("n_distinct"),
+                coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+                  .as("n_nulls"),
+                min("v").as("min_val"), max("v").as("max_val"),
+                max(struct(col("cnt"), col("v"))).as("top"))
+              .select(lit(c).as("column_name"), col("n_distinct"),
+                col("n_nulls"), col("min_val"), col("max_val"),
+                col("top").getField("v").as("top_value"),
+                col("top").getField("cnt").as("top_count"))
+          }
+        profiles.reduce(_ unionAll _).orderBy("column_name")
+      },
+      {
+        def block(c: String) =
+          s"""g_$c AS (SELECT $c AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+             |p_$c AS (
+             |  SELECT '$c' AS column_name,
+             |    CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+             |      AS n_distinct,
+             |    CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0)
+             |      AS BIGINT) AS n_nulls,
+             |    MIN(v) AS min_val, MAX(v) AS max_val,
+             |    (SELECT MAX(v) FROM g_$c
+             |     WHERE cnt = (SELECT MAX(cnt) FROM g_$c)) AS top_value,
+             |    (SELECT CAST(MAX(cnt) AS BIGINT) FROM g_$c) AS top_count
+             |  FROM g_$c)""".stripMargin
+        val cols = Seq("returnflag", "linestatus", "quantity", "suppkey")
+        s"""WITH li AS (
+           |  SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           |    CAST(CAST(ROUND(l_quantity, 0) AS BIGINT) AS VARCHAR)
+           |      AS quantity,
+           |    CAST(l_suppkey AS VARCHAR) AS suppkey
+           |  FROM lineitem),
+           |${cols.map(block).mkString(",\n")}
+           |${cols.map(c => s"SELECT * FROM p_$c").mkString("\nUNION ALL\n")}
+           |ORDER BY column_name""".stripMargin
+      }),
+
+    // C138: referential-integrity audit — orphan-row counts for every
+    // foreign-key relationship (the DQ gate a warehouse load runs):
+    // one left join + conditional count per relationship, dimension
+    // keys distinct'd first. The synthetic tables are clean, so the
+    // audit proves zeros — the machinery is what ships.
+    "q_integrity_audit" -> QueryDef.sql(
+      (s, dir) => {
+        def check(name: String, fact: DataFrame, dim: DataFrame): DataFrame =
+          fact.join(dim.distinct(), fact.col("k") === dim.col("rk"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("rk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("relationship"), col("n_rows"),
+              col("n_orphans"),
+              expr("n_orphans * 1000000 div n_rows").as("orphan_ppm"))
+        val checks = Seq(
+          check("lineitem_orders",
+            Tables.lineitem(s, dir).select(col("l_orderkey").as("k")),
+            Tables.orders(s, dir).select(col("o_orderkey").as("rk"))),
+          check("lineitem_part",
+            Tables.lineitem(s, dir).select(col("l_partkey").as("k")),
+            Tables.part(s, dir).select(col("p_partkey").as("rk"))),
+          check("orders_customer",
+            Tables.orders(s, dir).select(col("o_custkey").as("k")),
+            Tables.customer(s, dir).select(col("c_custkey").as("rk"))),
+          check("supplier_nation",
+            Tables.supplier(s, dir).select(col("s_nationkey").as("k")),
+            Tables.nation(s, dir).select(col("n_nationkey").as("rk"))))
+        checks.reduce(_ unionAll _).orderBy("relationship")
+      },
+      {
+        def block(name: String, fk: String, ft: String, pk: String, dt: String) =
+          s"""SELECT '$name' AS relationship,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN d.rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphans,
+             |  CAST(SUM(CASE WHEN d.rk IS NULL THEN 1 ELSE 0 END) * 1000000
+             |    // COUNT(*) AS BIGINT) AS orphan_ppm
+             |FROM (SELECT $fk AS k FROM $ft) f
+             |LEFT JOIN (SELECT DISTINCT $pk AS rk FROM $dt) d ON f.k = d.rk"""
+            .stripMargin
+        Seq(
+          block("lineitem_orders", "l_orderkey", "lineitem", "o_orderkey", "orders"),
+          block("lineitem_part", "l_partkey", "lineitem", "p_partkey", "part"),
+          block("orders_customer", "o_custkey", "orders", "c_custkey", "customer"),
+          block("supplier_nation", "s_nationkey", "supplier", "n_nationkey", "nation"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+      })
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

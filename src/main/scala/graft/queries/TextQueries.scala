@@ -3273,8 +3273,105 @@ object TextQueries {
         |  FROM d GROUP BY 1)
         |SELECT bucket, n_docs, acc_ppm, conf_ppm,
         |  acc_ppm - conf_ppm AS gap_ppm
-        |FROM g ORDER BY bucket""".stripMargin)
+        |FROM g ORDER BY bucket""".stripMargin),
+
+    // B42-class: retrieval evaluation — MRR, precision@10 and NDCG@10
+    // for a token-overlap retriever against a same-source relevance
+    // rule: the metric harness every RAG/retrieval pipeline needs.
+    // Scores are exact intersection counts off one (query-token ×
+    // candidate-token) equi-join; rank discounts 1/log2(r+1) enter as
+    // SHARED floor-ppm literals (the q_benford discipline — never a
+    // runtime log), so MRR/P@10/NDCG all land as exact integers.
+    "text_retrieval_eval" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val qs = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("q_id"), col("source").as("q_src"),
+            col("text"))
+        val cands = docs.filter(col("doc_id") >= 20 && col("doc_id") < 520)
+          .select(col("doc_id").as("c_id"), col("source").as("c_src"),
+            col("text"))
+        val qt = qs.select(col("q_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")).distinct()
+        val ct = cands.select(col("c_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok")).distinct()
+        val scores = qt.join(ct, "tok")
+          .groupBy("q_id", "c_id").agg(count(lit(1)).as("score"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("c_id"))
+        val ranked = scores
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .join(broadcast(qs.select("q_id", "q_src")), "q_id")
+          .join(cands.select("c_id", "c_src"), "c_id")
+          .withColumn("rel", (col("q_src") === col("c_src")).cast("long"))
+        val rtot = qs.join(cands, col("q_src") === col("c_src"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_rel_pool"))
+        val per = ranked.groupBy("q_id").agg(
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sum(col("rel")).as("n_rel_top10"),
+          sum(expr(s"rel * ($DiscountCase)")).as("dcg"))
+        per.join(rtot, "q_id")
+          .select(col("q_id"),
+            coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
+            coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_ppm"),
+            expr("n_rel_top10 * 100000").as("p10_ppm"),
+            expr(s"dcg * 1000000 div ($IdcgCase)").as("ndcg_ppm"))
+          .orderBy("q_id")
+      },
+      s"""WITH d AS (SELECT doc_id, source, text FROM documents),
+         |q AS (SELECT doc_id AS q_id, source AS q_src, text FROM d
+         |      WHERE doc_id < 20),
+         |c AS (SELECT doc_id AS c_id, source AS c_src, text FROM d
+         |      WHERE doc_id >= 20 AND doc_id < 520),
+         |qt AS (SELECT DISTINCT q_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM q),
+         |ct AS (SELECT DISTINCT c_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM c),
+         |sc AS (SELECT q_id, c_id, COUNT(*) AS score
+         |       FROM qt JOIN ct USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT q_id, c_id, score,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY score DESC, c_id) AS rank
+         |      FROM sc QUALIFY rank <= 10),
+         |rr AS (SELECT r.q_id, r.rank,
+         |         CASE WHEN q.q_src = c.c_src THEN 1 ELSE 0 END AS rel
+         |       FROM r JOIN q ON r.q_id = q.q_id JOIN c ON r.c_id = c.c_id),
+         |pool AS (SELECT q_id, COUNT(*) AS n_rel_pool
+         |         FROM q JOIN c ON q.q_src = c.c_src GROUP BY 1),
+         |per AS (SELECT q_id,
+         |          MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |          CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         |          CAST(SUM(rel * ($DiscountCase)) AS BIGINT) AS dcg
+         |        FROM rr GROUP BY 1)
+         |SELECT per.q_id,
+         |  COALESCE(first_rel, 0) AS first_rel_rank,
+         |  COALESCE(1000000 // first_rel, 0) AS rr_ppm,
+         |  n_rel_top10 * 100000 AS p10_ppm,
+         |  CAST(dcg * 1000000 // ($IdcgCaseSql) AS BIGINT) AS ndcg_ppm
+         |FROM per JOIN pool ON per.q_id = pool.q_id
+         |ORDER BY per.q_id""".stripMargin)
   )
+
+  /** floor(1e6 / log2(rank+1)) for rank 1..10 — shared literal rank
+    * discounts (never a runtime log; the q_benford discipline). Lazy:
+    * referenced while `defs` initializes. */
+  private lazy val DiscountCase: String =
+    """CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+      | WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+      | WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029
+      | ELSE 289064 END""".stripMargin.replace("\n", "")
+
+  /** Cumulative discount table: ideal DCG for least(n_rel_pool, 10)
+    * relevant results (WHEN 0 guards an empty pool — dcg is 0 there,
+    * any nonzero divisor keeps the ppm at 0). */
+  private lazy val IdcgCase: String =
+    """CASE least(n_rel_pool, 10) WHEN 0 THEN 1000000 WHEN 1 THEN 1000000
+      | WHEN 2 THEN 1630929 WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+      | WHEN 5 THEN 2948457 WHEN 6 THEN 3304664 WHEN 7 THEN 3637997
+      | WHEN 8 THEN 3953461 WHEN 9 THEN 4254490
+      | ELSE 4543554 END""".stripMargin.replace("\n", "")
+
+  private lazy val IdcgCaseSql: String = IdcgCase
 
   /** Deterministic messy-URL synthesis shared by both engines; the only
     * dialect difference is the integer-division path-id cast fragment,

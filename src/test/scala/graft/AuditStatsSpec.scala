@@ -1347,6 +1347,88 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("text_retrieval_eval") {
+    it("the discount literals are floor(1e6 / log2(rank + 1))") {
+      val expected = (1 to 10).map(r =>
+        math.floor(1e6 / (math.log(r + 1) / math.log(2))).toLong)
+      expected shouldBe Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+        356207L, 333333L, 315464L, 301029L, 289064L)
+      // and the idcg table is its prefix sum
+      expected.scanLeft(0L)(_ + _).drop(1) shouldBe Seq(1000000L, 1630929L,
+        2130929L, 2561605L, 2948457L, 3304664L, 3637997L, 3953461L,
+        4254490L, 4543554L)
+    }
+    it("matches a brute-force MRR/P@10/NDCG replay") {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect()
+      def tokset(t: String) = t.trim.split("\\s+").toSet
+      val disc = (1 to 10).map(r =>
+        math.floor(1e6 / (math.log(r + 1) / math.log(2))).toLong)
+      val qs = docs.filter(_._1 < 20)
+      val cands = docs.filter(d => d._1 >= 20 && d._1 < 520)
+      val expected = qs.sortBy(_._1).map { case (qid, qsrc, qt) =>
+        val qtoks = tokset(qt)
+        val scored = cands.map { case (cid, csrc, ct) =>
+          (cid, csrc, (qtoks & tokset(ct)).size.toLong)
+        }.filter(_._3 > 0)
+          .sortBy(r => (-r._3, r._1)).take(10)
+        val rels = scored.zipWithIndex.map { case ((_, csrc, _), i) =>
+          (i + 1, if (csrc == qsrc) 1L else 0L)
+        }
+        val firstRel = rels.find(_._2 == 1L).map(_._1.toLong).getOrElse(0L)
+        val dcg = rels.map { case (r, rel) => rel * disc(r - 1) }.sum
+        val pool = cands.count(_._2 == qsrc).toLong
+        val idcg = disc.take(math.min(pool, 10L).toInt).sum max 1000000L
+        (qid, firstRel,
+          if (firstRel == 0) 0L else 1000000L / firstRel,
+          rels.map(_._2).sum * 100000L,
+          dcg * 1000000L / (if (pool == 0) 1000000L else disc.take(math.min(pool, 10L).toInt).sum))
+      }
+      val got = SparkEntry.allDefs("text_retrieval_eval").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected.toSeq
+    }
+  }
+
+  describe("q_data_profile") {
+    it("matches a brute-force per-column profile") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").cast("string"),
+          col("l_suppkey").cast("string"))
+        .as[(String, String, String, String)].collect()
+      val colVals = Map(
+        "returnflag" -> li.map(_._1), "linestatus" -> li.map(_._2),
+        "quantity" -> li.map(_._3), "suppkey" -> li.map(_._4))
+      val expected = colVals.toSeq.sortBy(_._1).map { case (c, vs) =>
+        val byVal = vs.groupBy(identity).view.mapValues(_.length.toLong)
+        val topCnt = byVal.values.max
+        val top = byVal.filter(_._2 == topCnt).keys.max
+        (c, byVal.size.toLong, 0L, vs.min, vs.max, top, topCnt)
+      }
+      val got = SparkEntry.allDefs("q_data_profile").fn(spark, sfDir)
+        .as[(String, Long, Long, String, String, String, Long)]
+        .collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_integrity_audit") {
+    it("proves zero orphans with the right row totals") {
+      val got = SparkEntry.allDefs("q_integrity_audit").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      got.keySet shouldBe Set("lineitem_orders", "lineitem_part",
+        "orders_customer", "supplier_nation")
+      val nLi = Tables.lineitem(spark, sfDir).count()
+      got("lineitem_orders") shouldBe ((nLi, 0L, 0L))
+      got("lineitem_part") shouldBe ((nLi, 0L, 0L))
+      got("orders_customer")._2 shouldBe 0L
+      got("supplier_nation")._2 shouldBe 0L
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -672,5 +672,23 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_count")
       p should not include "SortMergeJoin"
     }
+
+    it("text_retrieval_eval scores through the token equi-join") {
+      val p = plan("text_retrieval_eval")
+      p should include("Window")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_data_profile is per-column grouped passes with no join") {
+      val p = plan("q_data_profile")
+      p should include("partial_count")
+      p should not include "Join"
+    }
+
+    it("q_integrity_audit left-joins distinct'd dimension keys") {
+      val p = plan("q_integrity_audit")
+      p should include("LeftOuter")
+      p should not include "CartesianProduct"
+    }
   }
 }
