@@ -3119,7 +3119,48 @@ object RelationalQueries {
           block("orders_customer", "o_custkey", "orders", "c_custkey", "customer"),
           block("supplier_nation", "s_nationkey", "supplier", "n_nationkey", "nation"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
-      })
+      }),
+
+    // C140: k-anonymity audit — before customer attributes feed a
+    // training corpus, how re-identifiable are they? Equivalence
+    // classes over the quasi-identifier tuple (nation, market segment,
+    // $1k balance band), then for each k threshold the classes and
+    // records at risk (class size < k). One map-combined class-size
+    // pass; the 4 thresholds fan out over the tiny class relation.
+    // The privacy companion to text_redact_pii.
+    "q_kanonymity" -> QueryDef.sql(
+      (s, dir) => {
+        val classes = Tables.customer(s, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(ROUND(c_acctbal, 0) AS BIGINT) div 1000").as("bal_band"))
+          .agg(count(lit(1)).as("sz"))
+        classes
+          .withColumn("k", explode(array(lit(2L), lit(5L), lit(10L), lit(20L))))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+              .as("classes_at_risk"),
+            sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+              .as("records_at_risk"),
+            expr("sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000" +
+              " div sum(sz)").as("risk_ppm"))
+          .orderBy("k")
+      },
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal, 0) AS BIGINT) // 1000 AS bal_band,
+        |    COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |f AS (SELECT k, sz FROM classes
+        |      CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) t)
+        |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_at_risk,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS records_at_risk,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000
+        |    // SUM(sz) AS BIGINT) AS risk_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

@@ -3833,7 +3833,78 @@ object TraceQueries {
         |SELECT service, exact_distinct, kmv_estimate,
         |  CAST(ABS(kmv_estimate - exact_distinct) * 1000000
         |    // exact_distinct AS BIGINT) AS err_ppm
-        |FROM f ORDER BY 1""".stripMargin))
+        |FROM f ORDER BY 1""".stripMargin)),
+
+    // C139: rolling-origin forecast backtest — is the volume forecast
+    // (C77) actually any good? For every day d, fit the OLS line on
+    // all STRICTLY PRIOR days (expanding window: the four regression
+    // sums are exclusive-frame running sums over the per-service daily
+    // grid) and score |actual − predicted|. The prediction stays a
+    // RATIONAL (ŷ·n·den = sy·den + num·(n·d − sx)), so the error is an
+    // exact floor division — no per-engine float drift across the
+    // hundreds of tiny regressions. Grid is #days per service, so the
+    // windows are bounded; the one full-data pass is the daily rollup.
+    "trace_forecast_backtest" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = spans(s, dir)
+          .groupBy(col("service"),
+            expr(s"(start_us - $T0) div 86400000000").as("d"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("service").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sums = daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("d").over(w))
+          .withColumn("sy", sum("c").over(w))
+          .withColumn("sxy", sum(col("d") * col("c")).over(w))
+          .withColumn("sxx", sum(col("d") * col("d")).over(w))
+          .filter(col("n") >= 2)
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .filter(col("den") > 0)
+        val err = sums
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("err",
+            expr("abs(CAST(c AS DECIMAL(38,0)) * n * den" +
+              " - (CAST(sy AS DECIMAL(38,0)) * den" +
+              "    + CAST(num AS DECIMAL(38,0)) * (n * d - sx)))" +
+              " div (CAST(n AS DECIMAL(38,0)) * den)"))
+        err.groupBy("service")
+          .agg(count(lit(1)).as("n_backtests"),
+            expr("sum(err) div count(1)").as("mae"),
+            max("err").as("max_err"))
+          .orderBy("service")
+      },
+      cte("""
+        |, daily AS (
+        |  SELECT service, (start_us - 1704067200000000) // 86400000000 AS d,
+        |         COUNT(*) AS c
+        |  FROM spans GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT service, d, c,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(d) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(d * c) OVER w AS BIGINT) AS sxy,
+        |    CAST(SUM(d * d) OVER w AS BIGINT) AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY service ORDER BY d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |fit AS (
+        |  SELECT service, d, c, n, sx, sy, sxy, sxx,
+        |    n * sxx - sx * sx AS den,
+        |    n * sxy - sx * sy AS num
+        |  FROM sums WHERE n >= 2 AND n * sxx - sx * sx > 0),
+        |e AS (
+        |  SELECT service,
+        |    ABS(CAST(c AS HUGEINT) * n * den
+        |        - (CAST(sy AS HUGEINT) * den
+        |           + CAST(num AS HUGEINT) * (n * d - sx)))
+        |      // (CAST(n AS HUGEINT) * den) AS err
+        |  FROM fit)
+        |SELECT service, COUNT(*) AS n_backtests,
+        |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae,
+        |  CAST(MAX(err) AS BIGINT) AS max_err
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

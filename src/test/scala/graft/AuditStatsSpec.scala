@@ -1429,6 +1429,63 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_forecast_backtest") {
+    it("matches a brute-force expanding-window OLS backtest") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), expr(s"(start_us - 1704067200000000) div 86400000000"))
+        .as[(String, Long)].collect()
+      val expected = sp.groupBy(_._1).map { case (svc, evs) =>
+        val daily = evs.groupBy(_._2).view.mapValues(_.length.toLong)
+          .toSeq.sortBy(_._1)
+        val errs = daily.indices.drop(0).flatMap { i =>
+          val prior = daily.take(i)
+          if (prior.length < 2) None
+          else {
+            val n = BigInt(prior.length)
+            val sx = prior.map(p => BigInt(p._1)).sum
+            val sy = prior.map(p => BigInt(p._2)).sum
+            val sxy = prior.map(p => BigInt(p._1) * p._2).sum
+            val sxx = prior.map(p => BigInt(p._1) * p._1).sum
+            val den = n * sxx - sx * sx
+            if (den <= 0) None
+            else {
+              val num = n * sxy - sx * sy
+              val (d, c) = daily(i)
+              val errScaled =
+                (BigInt(c) * n * den - (sy * den + num * (n * d - sx))).abs
+              Some(errScaled / (n * den))
+            }
+          }
+        }
+        (svc, errs.length.toLong, (errs.sum / errs.length).toLong,
+          errs.max.toLong)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_forecast_backtest").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_kanonymity") {
+    it("matches a brute-force equivalence-class risk census") {
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+          expr("CAST(ROUND(c_acctbal, 0) AS BIGINT) div 1000"))
+        .as[(Long, String, Long)].collect()
+      val classes = cust.groupBy(identity).values.map(_.length.toLong).toSeq
+      val total = classes.sum
+      val expected = Seq(2L, 5L, 10L, 20L).map { k =>
+        val risky = classes.filter(_ < k)
+        (k, classes.length.toLong, risky.length.toLong, risky.sum,
+          risky.sum * 1000000L / total)
+      }
+      val got = SparkEntry.allDefs("q_kanonymity").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -690,5 +690,20 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("LeftOuter")
       p should not include "CartesianProduct"
     }
+
+    it("trace_forecast_backtest expands sums over the daily grid") {
+      val p = plan("trace_forecast_backtest")
+      // one full-data rollup; the regressions window the bounded grid
+      p should include("partial_count")
+      p should include("Window")
+      p should not include "Join"
+    }
+
+    it("q_kanonymity is one class-size pass plus a 4-way Generate") {
+      val p = plan("q_kanonymity")
+      p should include("partial_count")
+      p should include("Generate explode")
+      p should not include "Join"
+    }
   }
 }
