@@ -666,11 +666,13 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
-    it("q_rolling_distinct fans windows out through one Generate") {
+    it("q_rolling_distinct sweeps coverage intervals, never a 30x fan-out") {
       val p = plan("q_rolling_distinct")
+      // per-customer interval islands (Window), then the bounded
+      // change-point expansion (Generate) — no corpus-wide distinct
+      p should include("Window")
       p should include("Generate explode")
-      p should include("partial_count")
-      p should not include "SortMergeJoin"
+      p should not include "CartesianProduct"
     }
 
     it("text_retrieval_eval scores through the token equi-join") {
