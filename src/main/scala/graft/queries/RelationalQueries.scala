@@ -3185,7 +3185,87 @@ object RelationalQueries {
         |    AS records_at_risk,
         |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) * 1000000
         |    // SUM(sz) AS BIGINT) AS risk_ppm
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // C141b/C142: decision-stump split finder — the inner loop of tree
+    // learning: for every candidate threshold t on quantity, the
+    // Gini impurity of the (x ≤ t) split predicting returnflag='R',
+    // entirely on the domain-bounded grid: per-value class counts in
+    // one map-combined pass, prefix sums through ShardedWindow, and
+    // the impurity as exact floor-ppm (squared class counts in
+    // DECIMAL(38,0) over nL²/nR²). Emits the full split profile
+    // ordered by threshold — the argmin is the reader's one-liner,
+    // and the whole curve is what a tree library actually consumes.
+    "q_gini_split" -> QueryDef.sql(
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        val grid = rows.groupBy("qty").agg(
+          count(lit(1)).as("cnt"), sum("pos").as("p"))
+        val cum = ShardedWindow.runningSum(
+          ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
+            Seq(col("qty")), col("cnt"), "cum_n"),
+          Seq.empty, expr("qty div 10"), Seq(col("qty")), col("p"), "cum_p")
+        val tot = grid.agg(sum("cnt").as("n"), sum("p").as("pt"))
+        def giniPpm(pos: String, n: String): String =
+          s"1000000 - (CAST($pos AS DECIMAL(38,0)) * $pos" +
+            s" + CAST($n - $pos AS DECIMAL(38,0)) * ($n - $pos)) * 1000000" +
+            s" div (CAST($n AS DECIMAL(38,0)) * $n)"
+        cum.crossJoin(broadcast(tot))
+          .withColumn("n_l", col("cum_n"))
+          .withColumn("p_l", col("cum_p"))
+          .withColumn("n_r", col("n") - col("cum_n"))
+          .withColumn("p_r", col("pt") - col("cum_p"))
+          .filter(col("n_l") > 0 && col("n_r") > 0)
+          .withColumn("gini_l", expr(giniPpm("p_l", "n_l")))
+          .withColumn("gini_r", expr(giniPpm("p_r", "n_r")))
+          .withColumn("gini_parent", expr(giniPpm("pt", "n")))
+          .select(col("qty").as("threshold"),
+            col("n_l"), col("n_r"),
+            expr("(n_l * gini_l + n_r * gini_r) div n").as("split_gini_ppm"),
+            col("gini_parent").as("parent_gini_ppm"))
+          .withColumn("gain_ppm",
+            col("parent_gini_ppm") - col("split_gini_ppm"))
+          .orderBy("threshold")
+      },
+      """WITH rows_ AS (
+        |  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem),
+        |grid AS (
+        |  SELECT qty, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS p
+        |  FROM rows_ GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |               CAST(SUM(p) AS BIGINT) AS pt FROM grid),
+        |c AS (
+        |  SELECT qty,
+        |    CAST(SUM(cnt) OVER (ORDER BY qty) AS BIGINT) AS n_l,
+        |    CAST(SUM(p) OVER (ORDER BY qty) AS BIGINT) AS p_l
+        |  FROM grid),
+        |sp AS (
+        |  SELECT qty AS threshold, n_l, p_l, n - n_l AS n_r, pt - p_l AS p_r,
+        |         n, pt
+        |  FROM c, tot WHERE n_l > 0 AND n - n_l > 0),
+        |g AS (
+        |  SELECT threshold, n_l, n_r, n,
+        |    1000000 - (CAST(p_l AS HUGEINT) * p_l
+        |      + CAST(n_l - p_l AS HUGEINT) * (n_l - p_l)) * 1000000
+        |      // (CAST(n_l AS HUGEINT) * n_l) AS gini_l,
+        |    1000000 - (CAST(p_r AS HUGEINT) * p_r
+        |      + CAST(n_r - p_r AS HUGEINT) * (n_r - p_r)) * 1000000
+        |      // (CAST(n_r AS HUGEINT) * n_r) AS gini_r,
+        |    1000000 - (CAST(pt AS HUGEINT) * pt
+        |      + CAST(n - pt AS HUGEINT) * (n - pt)) * 1000000
+        |      // (CAST(n AS HUGEINT) * n) AS gini_parent
+        |  FROM sp)
+        |SELECT threshold, n_l, n_r,
+        |  CAST((n_l * gini_l + n_r * gini_r) // n AS BIGINT)
+        |    AS split_gini_ppm,
+        |  CAST(gini_parent AS BIGINT) AS parent_gini_ppm,
+        |  CAST(gini_parent - (n_l * gini_l + n_r * gini_r) // n AS BIGINT)
+        |    AS gain_ppm
+        |FROM g ORDER BY threshold""".stripMargin)
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

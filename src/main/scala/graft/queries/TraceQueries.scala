@@ -3904,7 +3904,81 @@ object TraceQueries {
         |SELECT service, COUNT(*) AS n_backtests,
         |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mae,
         |  CAST(MAX(err) AS BIGINT) AS max_err
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C141: X̄-R control chart (SPC) — the classical process-stability
+    // view of latency: consecutive size-5 subgroups per service (the
+    // sharded row_number makes the grouping deterministic AND
+    // distributed), subgroup mean + range, control limits from the
+    // standard A2/D3/D4(n=5) constants as ×1000 literals (0.577 →
+    // 577 — never a runtime table lookup), and the out-of-control
+    // counts per service. Everything exact integer micros: subgroup
+    // means are sum div 5, grand lines floor divisions, limits
+    // milli-scaled literal products.
+    "trace_control_chart" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("service", "span_id", "start_us",
+          "duration_us")
+        val numbered = ShardedWindow.rowNumber(sp, Seq("service"),
+          expr(s"(start_us - $T0) div $HourUs"),
+          Seq(col("start_us"), col("span_id")), "rn")
+        val sub = numbered
+          .withColumn("grp", expr("(rn - 1) div 5"))
+          .groupBy("service", "grp")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(duration_us) div 5").as("xbar"),
+            (max("duration_us") - min("duration_us")).as("r"))
+          .filter(col("n") === 5)
+        val lines = sub.groupBy("service")
+          .agg(count(lit(1)).as("n_subgroups"),
+            expr("sum(xbar) div count(1)").as("xbar_bar"),
+            expr("sum(r) div count(1)").as("rbar"))
+          .withColumn("ucl_x", expr("xbar_bar + 577 * rbar div 1000"))
+          .withColumn("lcl_x", expr("xbar_bar - 577 * rbar div 1000"))
+          .withColumn("ucl_r", expr("2114 * rbar div 1000"))
+        sub.join(broadcast(lines), "service")
+          .groupBy(col("service"))
+          .agg(max("n_subgroups").as("n_subgroups"),
+            max("xbar_bar").as("xbar_bar"), max("rbar").as("rbar"),
+            max("ucl_x").as("ucl_x"), max("lcl_x").as("lcl_x"),
+            max("ucl_r").as("ucl_r"),
+            sum(when(col("xbar") > col("ucl_x") ||
+              col("xbar") < col("lcl_x"), 1L).otherwise(0L)).as("ooc_mean"),
+            sum(when(col("r") > col("ucl_r"), 1L).otherwise(0L))
+              .as("ooc_range"))
+          .orderBy("service")
+      },
+      cte("""
+        |, numbered AS (
+        |  SELECT service, duration_us,
+        |    ROW_NUMBER() OVER (PARTITION BY service
+        |                       ORDER BY start_us, span_id) AS rn
+        |  FROM spans),
+        |sub AS (
+        |  SELECT service, (rn - 1) // 5 AS grp, COUNT(*) AS n,
+        |    CAST(SUM(duration_us) // 5 AS BIGINT) AS xbar,
+        |    CAST(MAX(duration_us) - MIN(duration_us) AS BIGINT) AS r
+        |  FROM numbered GROUP BY 1, 2 HAVING COUNT(*) = 5),
+        |lines AS (
+        |  SELECT service, COUNT(*) AS n_subgroups,
+        |    CAST(SUM(xbar) // COUNT(*) AS BIGINT) AS xbar_bar,
+        |    CAST(SUM(r) // COUNT(*) AS BIGINT) AS rbar
+        |  FROM sub GROUP BY 1),
+        |lim AS (
+        |  SELECT service, n_subgroups, xbar_bar, rbar,
+        |    xbar_bar + 577 * rbar // 1000 AS ucl_x,
+        |    xbar_bar - 577 * rbar // 1000 AS lcl_x,
+        |    2114 * rbar // 1000 AS ucl_r
+        |  FROM lines)
+        |SELECT s.service, MAX(n_subgroups) AS n_subgroups,
+        |  MAX(xbar_bar) AS xbar_bar, MAX(rbar) AS rbar,
+        |  MAX(ucl_x) AS ucl_x, MAX(lcl_x) AS lcl_x, MAX(ucl_r) AS ucl_r,
+        |  CAST(SUM(CASE WHEN s.xbar > lim.ucl_x OR s.xbar < lim.lcl_x
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS ooc_mean,
+        |  CAST(SUM(CASE WHEN s.r > lim.ucl_r THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ooc_range
+        |FROM sub s JOIN lim ON s.service = lim.service
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

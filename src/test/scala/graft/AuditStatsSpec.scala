@@ -1486,6 +1486,66 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_control_chart") {
+    it("matches a brute-force X-bar/R chart with SPC(n=5) literals") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("span_id"), col("start_us"),
+          col("duration_us"))
+        .as[(String, Long, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).flatMap { case (svc, evs) =>
+        val subs = evs.sortBy(e => (e._3, e._2)).map(_._4)
+          .grouped(5).filter(_.length == 5).toSeq
+          .map(g => (g.sum / 5, g.max - g.min))
+        if (subs.isEmpty) None
+        else {
+          val xbb = subs.map(_._1).sum / subs.length
+          val rb = subs.map(_._2).sum / subs.length
+          val (uclX, lclX, uclR) =
+            (xbb + 577 * rb / 1000, xbb - 577 * rb / 1000, 2114 * rb / 1000)
+          Some((svc, subs.length.toLong, xbb, rb, uclX, lclX, uclR,
+            subs.count(s => s._1 > uclX || s._1 < lclX).toLong,
+            subs.count(_._2 > uclR).toLong))
+        }
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_control_chart").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_gini_split") {
+    it("matches a brute-force split-impurity profile") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(expr("CAST(ROUND(l_quantity, 0) AS BIGINT)"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as[(Long, Long)].collect()
+      val n = BigInt(rows.length)
+      val pt = BigInt(rows.map(_._2).sum)
+      def gini(pos: BigInt, m: BigInt): BigInt =
+        BigInt(1000000) - (pos * pos + (m - pos) * (m - pos)) * 1000000 / (m * m)
+      val thresholds = rows.map(_._1).distinct.sorted
+      val expected = thresholds.flatMap { t =>
+        val nl = BigInt(rows.count(_._1 <= t))
+        val pl = BigInt(rows.filter(_._1 <= t).map(_._2).sum)
+        val (nr, pr) = (n - nl, pt - pl)
+        if (nl == 0 || nr == 0) None
+        else {
+          val split = (nl * gini(pl, nl) + nr * gini(pr, nr)) / n
+          Some((t, nl.toLong, nr.toLong, split.toLong,
+            gini(pt, n).toLong, (gini(pt, n) - split).toLong))
+        }
+      }.toSeq
+      val got = SparkEntry.allDefs("q_gini_split").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // gain is non-negative at the argmin and the profile is unimodal-ish:
+      // at least one threshold must strictly beat the parent or tie
+      got.map(_._6).max should be >= 0L
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

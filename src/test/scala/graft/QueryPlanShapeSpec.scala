@@ -707,5 +707,17 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("Generate explode")
       p should not include "Join"
     }
+
+    it("trace_control_chart numbers subgroups through sharded scans") {
+      val p = plan("trace_control_chart")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_gini_split profiles splits on the cumulated grid") {
+      val p = plan("q_gini_split")
+      p should include("_sw_shard")
+      p should not include "SortMergeJoin"
+    }
   }
 }
