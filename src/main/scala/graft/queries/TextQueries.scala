@@ -3352,6 +3352,93 @@ object TextQueries {
          |ORDER BY per.q_id""".stripMargin)
   )
 
+  /** Threshold-sweep and fertility surfaces appended by wave 26. */
+  val wave26Defs: Map[String, QueryDef] = Map(
+    // B43: dedup threshold tuning curve — before committing a Jaccard
+    // cutoff, the curve every dedup rollout reads: pairs flagged, docs
+    // lost and corpus shrink at each candidate threshold. Pair
+    // jaccards (exact floor-ppm) compute ONCE off the shingle
+    // equi-join; the 7 thresholds fan out over the tiny pair relation
+    // via one Generate; "docs lost" follows keep-lowest-id semantics
+    // (distinct higher ids among flagged pairs — dedup_exact's rule).
+    "corpus_dedup_sweep" -> QueryDef.sql(
+      (s, dir) => {
+        val sh = shingles(s, dir, 150, doubled = false)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val nd = sz.agg(count(lit(1)).as("n_docs"))
+        val pairs = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+          .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+          .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+          .select(col("d1"), col("d2"),
+            expr("i * 1000000 div (n1 + n2 - i)").as("j_ppm"))
+        pairs
+          .withColumn("t", explode(array(
+            (3 to 9).map(k => lit(k * 100000L)): _*)))
+          .groupBy("t")
+          .agg(sum(when(col("j_ppm") >= col("t"), 1L).otherwise(0L))
+            .as("n_pairs"),
+            countDistinct(when(col("j_ppm") >= col("t"), col("d2")))
+              .as("docs_lost"))
+          .crossJoin(broadcast(nd))
+          .select(col("t").as("threshold_ppm"), col("n_pairs"),
+            col("docs_lost"),
+            expr("docs_lost * 1000000 div n_docs").as("shrink_ppm"))
+          .orderBy("threshold_ppm")
+      },
+      shinglesSql(150, doubled = false) +
+        """,
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM sz),
+          |p AS (
+          |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+          |  FROM sh x JOIN sh y
+          |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (
+          |  SELECT d1, d2, i.i * 1000000 // (a.n + b.n - i.i) AS j_ppm
+          |  FROM p i JOIN sz a ON i.d1 = a.doc_id
+          |  JOIN sz b ON i.d2 = b.doc_id),
+          |f AS (SELECT t * 100000 AS t, d2, j_ppm FROM j
+          |      CROSS JOIN (SELECT unnest(range(3, 10)) AS t) th)
+          |SELECT CAST(t AS BIGINT) AS threshold_ppm,
+          |  CAST(SUM(CASE WHEN j_ppm >= t THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_pairs,
+          |  CAST(COUNT(DISTINCT CASE WHEN j_ppm >= t THEN d2 END) AS BIGINT)
+          |    AS docs_lost,
+          |  CAST(COUNT(DISTINCT CASE WHEN j_ppm >= t THEN d2 END) * 1000000
+          |    // (SELECT n_docs FROM nd) AS BIGINT) AS shrink_ppm
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // B44: tokenizer fertility — the multilingual budget metric: how
+    // many BPE-ish tokens a language costs per whitespace token and
+    // per 100 chars (fertility drives both training mix and serving
+    // cost). One map-combined pass, exact floor-ppm ratios.
+    "text_fertility" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(tokCount(col("text"))).as("ws_tokens"),
+          sum(regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+            .cast("long")).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"),
+          expr("bpe_tokens * 1000000 div ws_tokens").as("fertility_ppm"),
+          expr("bpe_tokens * 100000000 div chars").as("tokens_per_100c_ppm"))
+        .orderBy("lang"),
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')))
+        |    * 1000000
+        |    // SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')))
+        |    * 100000000 // SUM(length(text)) AS BIGINT)
+        |    AS tokens_per_100c_ppm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** floor(1e6 / log2(rank+1)) for rank 1..10 — shared literal rank
     * discounts (never a runtime log; the q_benford discipline). Lazy:
     * referenced while `defs` initializes. */

@@ -3978,7 +3978,98 @@ object TraceQueries {
         |  CAST(SUM(CASE WHEN s.r > lim.ucl_r THEN 1 ELSE 0 END) AS BIGINT)
         |    AS ooc_range
         |FROM sub s JOIN lim ON s.service = lim.service
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // C143: canary release comparison — split traffic by a
+    // deterministic md5 bucket (8/16 baseline vs canary, the
+    // trace_orphan_rate hash idiom), then per service answer BOTH
+    // questions a rollout gate asks: is the latency shift
+    // statistically significant (Welch t over exact conditional sums,
+    // |t| > 1.96) and is it practically significant (|Δmean| > 5% of
+    // baseline — decided on EXACT cross-multiplied integer sums, no
+    // double ever enters the flag). One map-combined pass.
+    "trace_canary_diff" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select(col("service"), col("duration_us"),
+          (substring(md5(col("span_id").cast("string").cast("binary")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7")).as("is_base"))
+        val agg = sp.groupBy("service").agg(
+          sum(when(col("is_base"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("is_base"), col("duration_us")).otherwise(0L))
+            .as("s_b"),
+          sum(when(!col("is_base"), col("duration_us")).otherwise(0L))
+            .as("s_c"),
+          sum(when(col("is_base"),
+            col("duration_us").cast(DecimalType(38, 0)) * col("duration_us"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ss_b"),
+          sum(when(!col("is_base"),
+            col("duration_us").cast(DecimalType(38, 0)) * col("duration_us"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ss_c"))
+        agg
+          .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
+          .withColumn("mean_c", col("s_c").cast("double") / col("n_c").cast("double"))
+          .withColumn("se",
+            ((col("ss_b").cast("double")
+              - (col("s_b") * col("s_b")).cast("double") / col("n_b").cast("double"))
+              / (col("n_b") - 1).cast("double") / col("n_b").cast("double"))
+              + ((col("ss_c").cast("double")
+                - (col("s_c") * col("s_c")).cast("double") / col("n_c").cast("double"))
+                / (col("n_c") - 1).cast("double") / col("n_c").cast("double")))
+          .withColumn("t_stat",
+            (col("mean_c") - col("mean_b")) / sqrt(col("se")))
+          .select(col("service"), col("n_b"), col("n_c"),
+            col("mean_b"), col("mean_c"), col("t_stat"),
+            (abs(col("t_stat")) > 1.96).cast("long").as("significant"),
+            (expr("abs(CAST(s_c AS DECIMAL(38,0)) * n_b" +
+              " - CAST(s_b AS DECIMAL(38,0)) * n_c) * 20") >
+              expr("CAST(s_b AS DECIMAL(38,0)) * n_c"))
+              .cast("long").as("practical"))
+          .orderBy("service")
+      },
+      cte("""
+        |, sp AS (
+        |  SELECT service, duration_us,
+        |    substr(md5(CAST(span_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') AS is_base
+        |  FROM spans),
+        |agg AS (
+        |  SELECT service,
+        |    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(SUM(CASE WHEN is_base THEN duration_us ELSE 0 END)
+        |      AS BIGINT) AS s_b,
+        |    CAST(SUM(CASE WHEN NOT is_base THEN duration_us ELSE 0 END)
+        |      AS BIGINT) AS s_c,
+        |    SUM(CASE WHEN is_base
+        |        THEN CAST(duration_us AS HUGEINT) * duration_us
+        |        ELSE 0 END) AS ss_b,
+        |    SUM(CASE WHEN NOT is_base
+        |        THEN CAST(duration_us AS HUGEINT) * duration_us
+        |        ELSE 0 END) AS ss_c
+        |  FROM sp GROUP BY 1),
+        |m AS (
+        |  SELECT service, n_b, n_c,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+        |    ((CAST(ss_b AS DOUBLE)
+        |        - CAST(s_b * s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |       / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      + ((CAST(ss_c AS DOUBLE)
+        |        - CAST(s_c * s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |       / CAST(n_c - 1 AS DOUBLE) / CAST(n_c AS DOUBLE)) AS se,
+        |    s_b, s_c
+        |  FROM agg)
+        |SELECT service, n_b, n_c, mean_b, mean_c,
+        |  (mean_c - mean_b) / sqrt(se) AS t_stat,
+        |  CAST(CASE WHEN ABS((mean_c - mean_b) / sqrt(se)) > 1.96
+        |       THEN 1 ELSE 0 END AS BIGINT) AS significant,
+        |  CAST(CASE WHEN ABS(CAST(s_c AS HUGEINT) * n_b
+        |                     - CAST(s_b AS HUGEINT) * n_c) * 20
+        |                 > CAST(s_b AS HUGEINT) * n_c
+        |       THEN 1 ELSE 0 END AS BIGINT) AS practical
+        |FROM m ORDER BY 1""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

@@ -1546,6 +1546,94 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_canary_diff") {
+    it("matches a brute-force hash-split Welch comparison") {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def isBase(spanId: Long): Boolean = {
+        val hex = md.digest(spanId.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        hex.head < '8'
+      }
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("span_id"), col("duration_us"))
+        .as[(String, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).map { case (svc, evs) =>
+        val (b, c) = evs.partition(e => isBase(e._2))
+        def stats(xs: Array[(String, Long, Long)]) = {
+          val n = xs.length.toLong
+          val s = xs.map(e => BigInt(e._3)).sum
+          val ss = xs.map(e => BigInt(e._3) * e._3).sum
+          (n, s, ss)
+        }
+        val (nb, sb, ssb) = stats(b)
+        val (nc, sc, ssc) = stats(c)
+        val (mb, mc) = (sb.toDouble / nb, sc.toDouble / nc)
+        val se = ((ssb.toDouble - (sb * sb).toDouble / nb) / (nb - 1) / nb) +
+          ((ssc.toDouble - (sc * sc).toDouble / nc) / (nc - 1) / nc)
+        val t = (mc - mb) / math.sqrt(se)
+        val practical = (sc * nb - sb * nc).abs * 20 > sb * nc
+        (svc, nb, nc, mb, mc, t, if (math.abs(t) > 1.96) 1L else 0L,
+          if (practical) 1L else 0L)
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_canary_diff").fn(spark, sfDir)
+        .as[(String, Long, Long, Double, Double, Double, Long, Long)]
+        .collect().toSeq
+      got.map(r => (r._1, r._2, r._3, r._7, r._8)) shouldBe
+        expected.map(r => (r._1, r._2, r._3, r._7, r._8))
+      got.zip(expected).foreach { case (g, e) =>
+        g._4 shouldBe e._4 +- math.abs(e._4) * 1e-12
+        g._5 shouldBe e._5 +- math.abs(e._5) * 1e-12
+        g._6 shouldBe e._6 +- math.abs(e._6).max(1e-9) * 1e-9
+      }
+    }
+  }
+
+  describe("corpus_dedup_sweep") {
+    it("is monotone in the threshold and anchored to brute jaccard") {
+      val rows = SparkEntry.allDefs("corpus_dedup_sweep").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      rows.map(_._1) shouldBe (3 to 9).map(_ * 100000L)
+      // fewer pairs and fewer lost docs as the threshold rises
+      rows.sliding(2).foreach { case Seq(a, b) =>
+        b._2 should be <= a._2
+        b._3 should be <= a._3
+      }
+      // anchor one threshold to a brute-force jaccard computation
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val sh = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      }
+      val flagged = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        i = (sa & sb).size.toLong
+        j = i * 1000000L / (sa.size + sb.size - i) if j >= 500000L
+      } yield (a, b)).toSeq
+      val t5 = rows.find(_._1 == 500000L).get
+      t5._2 shouldBe flagged.length.toLong
+      t5._3 shouldBe flagged.map(_._2).distinct.length.toLong
+    }
+  }
+
+  describe("text_fertility") {
+    it("matches a brute-force per-language fertility report") {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("lang"), col("text")).as[(String, String)].collect()
+      val re = "[a-z]+|[0-9]|[^a-z0-9\\s]".r
+      val expected = docs.groupBy(_._1).toSeq.map { case (lang, ds) =>
+        val chars = ds.map(_._2.length.toLong).sum
+        val ws = ds.map(_._2.trim.split("\\s+").length.toLong).sum
+        val bpe = ds.map(d => re.findAllIn(d._2).length.toLong).sum
+        (lang, ds.length.toLong, bpe * 1000000L / ws,
+          bpe * 100000000L / chars)
+      }.sortBy(_._1)
+      val got = SparkEntry.allDefs("text_fertility").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -719,5 +719,23 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("_sw_shard")
       p should not include "SortMergeJoin"
     }
+
+    it("trace_canary_diff is one conditional-sum pass over the split") {
+      val p = plan("trace_canary_diff")
+      p should include("partial_sum")
+      p should not include "Join"
+    }
+
+    it("corpus_dedup_sweep computes pair jaccards once, thresholds ride") {
+      val p = plan("corpus_dedup_sweep")
+      p should include("Generate explode")
+      p should not include "CartesianProduct"
+    }
+
+    it("text_fertility is one map-combined language pass") {
+      val p = plan("text_fertility")
+      p should include("partial_count")
+      p should not include "Join"
+    }
   }
 }
