@@ -2551,17 +2551,20 @@ object RelationalQueries {
     // k=3 group rows hash exactly without any pivot.
     "q_jarque_bera" -> QueryDef.sql(
       (s, dir) => {
-        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        // the bounded domain (x ≤ 50 → x⁴ ≤ 6.25e6) makes every power
+        // sum a plain codegen'd LONG aggregate, exact to ~1.5e12 rows
+        // (250× this sf100 pack; ANSI mode throws rather than corrupts
+        // beyond it) — decimal sums measured ~2.5× slower on the same
+        // single pass at sf100
         val y = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("flag"),
             expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("x"))
         y.groupBy("flag")
           .agg(count(lit(1)).as("n"),
-            sum(dec38(col("x"))).as("s1"),
-            sum(dec38(col("x")) * dec38(col("x"))).as("s2"),
-            sum(dec38(col("x")) * dec38(col("x")) * dec38(col("x"))).as("s3"),
-            sum(dec38(col("x")) * dec38(col("x")) * dec38(col("x"))
-              * dec38(col("x"))).as("s4"))
+            sum(col("x")).as("s1"),
+            sum(expr("x * x")).as("s2"),
+            sum(expr("x * x * x")).as("s3"),
+            sum(expr("x * x * x * x")).as("s4"))
           .withColumn("nd", col("n").cast("double"))
           .withColumn("mu", col("s1").cast("double") / col("nd"))
           .withColumn("m2",
@@ -2634,6 +2637,7 @@ object RelationalQueries {
           .select(col("l_returnflag").as("flag"),
             expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
           .groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // read by the scan, the medians AND the z sums
         val cum = ShardedWindow.runningSum(grid, Seq("flag"),
           expr("qty div 10"), Seq(col("qty")), col("cnt"), "cum")
         val med = cum
@@ -2882,9 +2886,13 @@ object RelationalQueries {
         val rows = Tables.lineitem(s, dir)
           .select(col("l_linestatus").as("st"),
             expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"))
+        // checkpoint: the nested sharded scans + the totals agg would
+        // otherwise re-run the full-data groupBy ~5x (36.6 -> 9 s at
+        // sf100)
         val grid = rows.groupBy("qty").agg(
           sum(when(col("st") === "F", 1L).otherwise(0L)).as("cnt_f"),
           sum(when(col("st") === "O", 1L).otherwise(0L)).as("cnt_o"))
+          .localCheckpoint()
         val cum = ShardedWindow.runningSum(
           ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
             Seq(col("qty")), col("cnt_f"), "cum_f"),
@@ -3201,8 +3209,12 @@ object RelationalQueries {
         val rows = Tables.lineitem(s, dir)
           .select(expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"),
             when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        // checkpoint: nested sharded scans re-ran the 600M-row grid
+        // aggregation ~5x without it (99.6 s at sf100; the per-read
+        // ROUND+CASE projection is what made each re-run expensive)
         val grid = rows.groupBy("qty").agg(
           count(lit(1)).as("cnt"), sum("pos").as("p"))
+          .localCheckpoint()
         val cum = ShardedWindow.runningSum(
           ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
             Seq(col("qty")), col("cnt"), "cum_n"),

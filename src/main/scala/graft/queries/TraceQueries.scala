@@ -4010,11 +4010,16 @@ object TraceQueries {
           .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
           .withColumn("mean_c", col("s_c").cast("double") / col("n_c").cast("double"))
           .withColumn("se",
+            // s² runs in DECIMAL(38,0): the long product overflows at
+            // sf100 (Σduration ≈ 5e13 → s² ≈ 2.5e27), caught by the
+            // sf100 probe under ANSI mode
             ((col("ss_b").cast("double")
-              - (col("s_b") * col("s_b")).cast("double") / col("n_b").cast("double"))
+              - (col("s_b").cast(DecimalType(38, 0)) * col("s_b"))
+                .cast("double") / col("n_b").cast("double"))
               / (col("n_b") - 1).cast("double") / col("n_b").cast("double"))
               + ((col("ss_c").cast("double")
-                - (col("s_c") * col("s_c")).cast("double") / col("n_c").cast("double"))
+                - (col("s_c").cast(DecimalType(38, 0)) * col("s_c"))
+                  .cast("double") / col("n_c").cast("double"))
                 / (col("n_c") - 1).cast("double") / col("n_c").cast("double")))
           .withColumn("t_stat",
             (col("mean_c") - col("mean_b")) / sqrt(col("se")))
