@@ -2126,7 +2126,11 @@ object RelationalQueries {
             expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("qty"),
             expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
         def rank2(valueCol: String, out: String): DataFrame = {
+          // checkpoint: the sharded scan reads the grid twice, and each
+          // re-run re-scanned the full pairs projection (the sf100
+          // grid-recompute lesson)
           val grid = pairs.groupBy("flag", valueCol).agg(count(lit(1)).as("cnt"))
+            .localCheckpoint()
           ShardedWindow.runningSum(grid, Seq("flag"),
             expr(s"$valueCol div 1000000"), Seq(col(valueCol)), col("cnt"), "cum")
             .select(col("flag").as(s"${out}_flag"), col(valueCol).as(s"${out}_v"),
@@ -2198,6 +2202,7 @@ object RelationalQueries {
         val grid = rows.groupBy("qty").agg(
           count(lit(1)).as("cnt"),
           sum(when(col("st") === "F", 1L).otherwise(0L)).as("cnt_f"))
+          .localCheckpoint() // the sharded scan reads its input twice
         val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
         val ranked = ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
             Seq(col("qty")), col("cnt"), "cum")
@@ -2266,6 +2271,7 @@ object RelationalQueries {
           sum(when(col("flag") === "A", 1L).otherwise(0L)).as("cnt_a"),
           sum(when(col("flag") === "N", 1L).otherwise(0L)).as("cnt_n"),
           sum(when(col("flag") === "R", 1L).otherwise(0L)).as("cnt_r"))
+          .localCheckpoint() // the sharded scan reads its input twice
         val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
         val ranked = ShardedWindow.runningSum(grid, Seq.empty, expr("qty div 10"),
             Seq(col("qty")), col("cnt"), "cum")
@@ -2343,6 +2349,7 @@ object RelationalQueries {
             expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) div 1000000")
               .as("band"))
           .groupBy("flag", "qty", "band").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // read by both sides of the cell pair join
         val a = cells.select(col("flag"), col("qty").as("q1"),
           col("band").as("b1"), col("cnt").as("c1"))
         val b = cells.select(col("flag").as("flag2"), col("qty").as("q2"),
