@@ -3284,7 +3284,116 @@ object RelationalQueries {
         |  CAST(gini_parent AS BIGINT) AS parent_gini_ppm,
         |  CAST(gini_parent - (n_l * gini_l + n_r * gini_r) // n AS BIGINT)
         |    AS gain_ppm
-        |FROM g ORDER BY threshold""".stripMargin)
+        |FROM g ORDER BY threshold""".stripMargin),
+
+    // C145: two-way variance decomposition — how much of price
+    // variance is the return flag, how much the line status, and how
+    // much their INTERACTION (the unbalanced Type-I split): SSA =
+    // Σs_i²/n_i − s²/n, SSB on the other margin, SSW = Σy² −
+    // Σs_ij²/n_ij, SSAB the remainder. ONE conditional-sum pass pivots
+    // the 3×2 cells into a single row (the q_anova discipline), so
+    // every Σs²/n is a FIXED-SHAPE double expression — no
+    // order-dependent double summation; empty cells (TPC-H pairs A/R
+    // only with F) contribute literal 0 terms.
+    "q_two_way_anova" -> QueryDef.sql(
+      (s, dir) => {
+        val dec38 = (c: Column) => c.cast(DecimalType(38, 0))
+        val zero = lit(0).cast(DecimalType(38, 0))
+        val y = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("fa"),
+            col("l_linestatus").as("fb"),
+            expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+              .as("cents"))
+        val cellKeys = Seq("A" -> "F", "A" -> "O", "N" -> "F",
+          "N" -> "O", "R" -> "F", "R" -> "O")
+        def cellCond(a: String, b: String): Column =
+          col("fa") === a && col("fb") === b
+        val aggs =
+          cellKeys.flatMap { case (a, b) =>
+            Seq(
+              sum(when(cellCond(a, b), 1L).otherwise(0L)).as(s"n_$a$b"),
+              sum(when(cellCond(a, b), dec38(col("cents"))).otherwise(zero))
+                .as(s"s_$a$b"))
+          } ++ Seq(
+            count(lit(1)).as("n"),
+            sum(dec38(col("cents"))).as("s"),
+            sum(dec38(col("cents")) * col("cents")).as("ss"))
+        val one = y.agg(aggs.head, aggs.tail: _*)
+        // s²/n as a double, 0 for an empty group — identical shape in SQL
+        def t(sCol: String, nCol: String): String =
+          s"CASE WHEN $nCol = 0 THEN 0.0 ELSE " +
+            s"CAST($sCol * $sCol AS DOUBLE) / CAST($nCol AS DOUBLE) END"
+        def margin(pairs: Seq[(String, String)]): (String, String) = (
+          pairs.map { case (n, _) => n }.mkString("(", " + ", ")"),
+          pairs.map { case (_, s0) => s0 }.mkString("(", " + ", ")"))
+        val (aF, aO, nF, nO, rF, rO) = ("AF", "AO", "NF", "NO", "RF", "RO")
+        val tA = Seq("A", "N", "R").map { f =>
+          val (nm, sm) = margin(Seq(s"n_${f}F" -> s"s_${f}F",
+            s"n_${f}O" -> s"s_${f}O"))
+          t(sm, nm)
+        }.mkString("(", " + ", ")")
+        val tB = Seq("F", "O").map { st =>
+          val (nm, sm) = margin(Seq(s"n_A$st" -> s"s_A$st",
+            s"n_N$st" -> s"s_N$st", s"n_R$st" -> s"s_R$st"))
+          t(sm, nm)
+        }.mkString("(", " + ", ")")
+        val tC = Seq(aF, aO, nF, nO, rF, rO)
+          .map(c => t(s"s_$c", s"n_$c")).mkString("(", " + ", ")")
+        val tG = t("s", "n")
+        one
+          .withColumn("ssa", expr(s"$tA - $tG"))
+          .withColumn("ssb", expr(s"$tB - $tG"))
+          .withColumn("ssab", expr(s"$tC - $tA - $tB + $tG"))
+          .withColumn("ssw", expr(s"CAST(ss AS DOUBLE) - $tC"))
+          .select(col("n"), col("ssa"), col("ssb"), col("ssab"), col("ssw"),
+            (col("ssab") /
+              (col("ssa") + col("ssb") + col("ssab") + col("ssw")))
+              .as("interaction_share"))
+      },
+      {
+        def cond(a: String, b: String, v: String) =
+          s"CASE WHEN fa = '$a' AND fb = '$b' THEN $v ELSE 0 END"
+        val cells = Seq("A" -> "F", "A" -> "O", "N" -> "F", "N" -> "O",
+          "R" -> "F", "R" -> "O")
+        val aggs = cells.map { case (a, b) =>
+          s"""    CAST(SUM(${cond(a, b, "1")}) AS BIGINT) AS n_$a$b,
+             |    SUM(${cond(a, b, "CAST(cents AS HUGEINT)")}) AS s_$a$b"""
+            .stripMargin
+        }.mkString(",\n")
+        def t(sCol: String, nCol: String): String =
+          s"CASE WHEN $nCol = 0 THEN 0.0 ELSE " +
+            s"CAST($sCol * $sCol AS DOUBLE) / CAST($nCol AS DOUBLE) END"
+        val tA = Seq("A", "N", "R").map { f =>
+          t(s"(s_${f}F + s_${f}O)", s"(n_${f}F + n_${f}O)")
+        }.mkString("(", " + ", ")")
+        val tB = Seq("F", "O").map { st =>
+          t(s"(s_A$st + s_N$st + s_R$st)", s"(n_A$st + n_N$st + n_R$st)")
+        }.mkString("(", " + ", ")")
+        val tC = cells.map { case (a, b) => t(s"s_$a$b", s"n_$a$b") }
+          .mkString("(", " + ", ")")
+        val tG = t("s", "n")
+        s"""WITH y AS (
+           |  SELECT l_returnflag AS fa, l_linestatus AS fb,
+           |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |agg AS (
+           |  SELECT
+           |$aggs,
+           |    COUNT(*) AS n,
+           |    SUM(CAST(cents AS HUGEINT)) AS s,
+           |    SUM(CAST(cents AS HUGEINT) * cents) AS ss
+           |  FROM y),
+           |d AS (
+           |  SELECT n,
+           |    $tA - $tG AS ssa,
+           |    $tB - $tG AS ssb,
+           |    $tC - $tA - $tB + $tG AS ssab,
+           |    CAST(ss AS DOUBLE) - $tC AS ssw
+           |  FROM agg)
+           |SELECT n, ssa, ssb, ssab, ssw,
+           |  ssab / (ssa + ssb + ssab + ssw) AS interaction_share
+           |FROM d""".stripMargin
+      })
   )
 
   /** floor(1e6*log10(1+1/d)) for d=1..9, as shared literals (never a

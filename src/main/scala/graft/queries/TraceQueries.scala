@@ -4074,7 +4074,58 @@ object TraceQueries {
         |                     - CAST(s_b AS HUGEINT) * n_c) * 20
         |                 > CAST(s_b AS HUGEINT) * n_c
         |       THEN 1 ELSE 0 END AS BIGINT) AS practical
-        |FROM m ORDER BY 1""".stripMargin))
+        |FROM m ORDER BY 1""".stripMargin)),
+
+    // C144: saturation curve — does latency rise with live concurrency?
+    // The sweep-line concurrency level at each span's START (its +1
+    // event's running sum over the ±1 boundary stream — one
+    // ShardedWindow scan; ends order before starts at a tie so a
+    // back-to-back handoff doesn't double-count) buckets spans into
+    // log2 concurrency bands, and each (service, band) reports volume
+    // and exact floor-mean latency. The queueing-theory companion to
+    // trace_queue_wait: W_n predicts waits, this MEASURES the
+    // level→latency relation.
+    "trace_saturation_curve" -> QueryDef.sql(
+      (s, dir) => {
+        val sp = spans(s, dir).select("service", "span_id", "start_us",
+          "duration_us")
+        val starts = sp.select(col("service"), col("span_id"),
+          col("start_us").as("t"), lit(1L).as("delta"),
+          col("duration_us").as("dur"))
+        val ends = sp.select(col("service"), col("span_id"),
+          (col("start_us") + col("duration_us")).as("t"),
+          lit(-1L).as("delta"), lit(null).cast("long").as("dur"))
+        val levels = ShardedWindow.runningSum(starts.unionAll(ends),
+          Seq("service"), expr(s"(t - $T0) div $HourUs"),
+          Seq(col("t"), col("delta"), col("span_id")), col("delta"), "lvl")
+        levels.filter(col("delta") === 1L)
+          .groupBy(col("service"),
+            length(conv(col("lvl"), 10, 2)).cast("long").as("lvl_bits"))
+          .agg(count(lit(1)).as("n_spans"),
+            expr("sum(dur) div count(1)").as("mean_us"))
+          .orderBy("service", "lvl_bits")
+      },
+      cte("""
+        |, ev AS (
+        |  SELECT service, span_id, start_us AS t, 1 AS delta,
+        |         duration_us AS dur
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT service, span_id, start_us + duration_us AS t, -1 AS delta,
+        |         NULL AS dur
+        |  FROM spans),
+        |lv AS (
+        |  SELECT service, delta, dur,
+        |    CAST(SUM(delta) OVER (PARTITION BY service
+        |      ORDER BY t, delta, span_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS lvl
+        |  FROM ev)
+        |SELECT service, CAST(length(bin(lvl)) AS BIGINT) AS lvl_bits,
+        |  COUNT(*) AS n_spans,
+        |  CAST(SUM(dur) // COUNT(*) AS BIGINT) AS mean_us
+        |FROM lv WHERE delta = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared

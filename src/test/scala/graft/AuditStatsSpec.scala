@@ -1634,6 +1634,73 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_saturation_curve") {
+    it("matches a brute-force concurrency sweep") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("span_id"), col("start_us"),
+          col("duration_us"))
+        .as[(String, Long, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).toSeq.flatMap { case (svc, evs) =>
+        val events = evs.flatMap(e =>
+          Seq((e._3, 1L, e._2, e._4), (e._3 + e._4, -1L, e._2, 0L)))
+          .sortBy(x => (x._1, x._2, x._3))
+        var lvl = 0L
+        val starts = events.flatMap { case (_, d, _, dur) =>
+          lvl += d
+          if (d == 1L) Some((java.lang.Long.toBinaryString(lvl).length.toLong,
+            dur))
+          else None
+        }
+        starts.groupBy(_._1).toSeq.map { case (bits, xs) =>
+          (svc, bits, xs.length.toLong, xs.map(_._2).sum / xs.length)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val got = SparkEntry.allDefs("trace_saturation_curve").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("q_two_way_anova") {
+    it("matches brute-force Type-I sums and they add to SST") {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as[(String, String, Long)].collect()
+      val n = rows.length.toDouble
+      def tOf(xs: Array[Long]): Double =
+        if (xs.isEmpty) 0.0
+        else {
+          val s = xs.map(BigInt(_)).sum
+          (s * s).toDouble / xs.length
+        }
+      val all = rows.map(_._3)
+      val tG = tOf(all)
+      val tA = Seq("A", "N", "R")
+        .map(f => tOf(rows.filter(_._1 == f).map(_._3))).sum
+      val tB = Seq("F", "O")
+        .map(st => tOf(rows.filter(_._2 == st).map(_._3))).sum
+      val tC = (for (f <- Seq("A", "N", "R"); st <- Seq("F", "O"))
+        yield tOf(rows.filter(r => r._1 == f && r._2 == st).map(_._3))).sum
+      val ss = rows.map(r => BigInt(r._3) * r._3).sum.toDouble
+      val (ssa, ssb, ssab, ssw) =
+        (tA - tG, tB - tG, tC - tA - tB + tG, ss - tC)
+      val Array((gn, ga, gb, gab, gw, share)) =
+        SparkEntry.allDefs("q_two_way_anova").fn(spark, sfDir)
+          .as[(Long, Double, Double, Double, Double, Double)].collect()
+      gn shouldBe rows.length.toLong
+      ga shouldBe ssa +- math.abs(ssa) * 1e-9
+      gb shouldBe ssb +- math.abs(ssb) * 1e-9
+      gab shouldBe ssab +- math.abs(ssab).max(1.0) * 1e-6
+      gw shouldBe ssw +- math.abs(ssw) * 1e-9
+      // the four components reassemble the total sum of squares
+      val sst = ss - tG
+      (ga + gb + gab + gw) shouldBe sst +- math.abs(sst) * 1e-9
+      share shouldBe (gab / (ga + gb + gab + gw)) +- 1e-12
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -737,5 +737,17 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_count")
       p should not include "Join"
     }
+
+    it("trace_saturation_curve sweeps levels through sharded scans") {
+      val p = plan("trace_saturation_curve")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
+    it("q_two_way_anova pivots all cells into one conditional pass") {
+      val p = plan("q_two_way_anova")
+      p should include("partial_sum")
+      p should not include "Join"
+    }
   }
 }
