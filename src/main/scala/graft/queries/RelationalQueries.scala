@@ -3202,7 +3202,7 @@ object RelationalQueries {
         |    // SUM(sz) AS BIGINT) AS risk_ppm
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // C141b/C142: decision-stump split finder — the inner loop of tree
+    // C142: decision-stump split finder — the inner loop of tree
     // learning: for every candidate threshold t on quantity, the
     // Gini impurity of the (x ≤ t) split predicting returnflag='R',
     // entirely on the domain-bounded grid: per-value class counts in

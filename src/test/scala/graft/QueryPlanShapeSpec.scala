@@ -504,10 +504,10 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
   describe("round-9 rank-statistics plan shapes") {
     it("q_mann_whitney ranks only the domain-bounded qty grid") {
       val p = plan("q_mann_whitney")
-      // full-data work is one map-combined groupBy; ranks ride the
-      // 50-value grid through ShardedWindow sub-shards
+      // the full-data groupBy runs once behind the grid checkpoint
+      // (Scan ExistingRDD); ranks ride ShardedWindow sub-shards
       p should include("_sw_shard")
-      p should include("partial_count")
+      p should include("Scan ExistingRDD")
       p should not include "SortMergeJoin"
       p should not include "CartesianProduct"
     }
@@ -515,7 +515,7 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
     it("q_kruskal_wallis pivots the k groups into one conditional-sum pass") {
       val p = plan("q_kruskal_wallis")
       p should include("_sw_shard")
-      p should include("partial_count")
+      p should include("Scan ExistingRDD")
       p should not include "SortMergeJoin"
       p should not include "CartesianProduct"
     }
