@@ -1138,7 +1138,64 @@ object VectorQueries {
         |  CAST(CAST(r.ri AS HUGEINT) * s.s_inv // 5000000000000 AS BIGINT)
         |    AS lof_ppm
         |FROM ri r JOIN s ON r.aid = s.aid JOIN kd ON r.aid = kd.kv
-        |ORDER BY lof_ppm DESC, vec_id""".stripMargin)
+        |ORDER BY lof_ppm DESC, vec_id""".stripMargin),
+
+    // B45: embedding centroid drift — has the representation of each
+    // class moved between two corpus snapshots (here the even/odd
+    // vec_id halves)? Per-label squared centroid distance kept EXACT
+    // as a rational: Σ_pos (s_a·n_b − s_b·n_a)² div (n_a·n_b)², with
+    // the milli-quantized integer element sums (the PQ idiom) in
+    // DECIMAL(38,0). One posexplode + one (label, pos) map-combined
+    // shuffle — the monitoring primitive behind embedding-model
+    // regression alerts.
+    "embed_centroid_drift" -> QueryDef.sql(
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .select(col("label").cast("long").as("label"),
+            (col("vec_id") % 2).as("half"),
+            posexplode(expr(
+              "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+              .as(Seq("pos", "v")))
+        val cells = q.groupBy("label", "pos")
+          .agg(
+            sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("half") === 0, expr("CAST(v AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s_a"),
+            sum(when(col("half") === 1, expr("CAST(v AS DECIMAL(38,0))"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s_b"))
+        cells
+          .withColumn("term",
+            expr("(s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a)"))
+          .groupBy("label")
+          .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+            sum("term").as("num"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            expr("num div (CAST(n_a AS DECIMAL(38,0)) * n_b" +
+              " * CAST(n_a AS DECIMAL(38,0)) * n_b)").as("drift_sq_milli"))
+          .orderBy("label")
+      },
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+        |    CAST(t.i AS BIGINT) - 1 AS pos,
+        |    CAST(ROUND(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000, 0)
+        |      AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+        |cells AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN half = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_a,
+        |    SUM(CASE WHEN half = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_b
+        |  FROM q GROUP BY 1, 2),
+        |d AS (
+        |  SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    SUM((s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a)) AS num
+        |  FROM cells GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CAST(num // (CAST(n_a AS HUGEINT) * n_b * n_a * n_b) AS BIGINT)
+        |    AS drift_sq_milli
+        |FROM d ORDER BY label""".stripMargin)
   )
 
   /** DuckDB SQL for [[VectorOps.annTopKPq]]: identical milli-quantized

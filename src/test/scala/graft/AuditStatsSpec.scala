@@ -1701,6 +1701,57 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("embed_centroid_drift") {
+    it("matches a brute-force rational centroid distance") {
+      val embs = Tables.embeddings(spark, sfDir)
+        .select(col("label").cast("long"), col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Long, Array[Double])].collect()
+        .map { case (l, id, v) =>
+          (l, id % 2, v.map(x => java.math.BigDecimal.valueOf(x * 1000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
+        }
+      val expected = embs.groupBy(_._1).toSeq.map { case (label, vs) =>
+        val a = vs.filter(_._2 == 0).map(_._3)
+        val b = vs.filter(_._2 == 1).map(_._3)
+        val (na, nb) = (BigInt(a.length), BigInt(b.length))
+        val num = (0 until 64).map { p =>
+          val sa = a.map(v => BigInt(v(p))).sum
+          val sb = b.map(v => BigInt(v(p))).sum
+          val d = sa * nb - sb * na
+          d * d
+        }.sum
+        (label, na.toLong, nb.toLong, (num / (na * nb * na * nb)).toLong)
+      }.sortBy(_._1)
+      val got = SparkEntry.allDefs("embed_centroid_drift").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("corpus_ngram_coverage") {
+    it("matches brute-force held-out coverage per n") {
+      val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      def grams(t: String, n: Int): Set[String] =
+        t.trim.split("\\s+").sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      val expected = (1 to 3).map { n =>
+        val train = docs.filter(_._1 % 2 == 0)
+          .flatMap(d => grams(d._2, n)).toSet
+        val test = docs.filter(_._1 % 2 == 1)
+          .flatMap(d => grams(d._2, n)).toSet
+        val cov = (test & train).size.toLong
+        (n.toLong, test.size.toLong, cov, cov * 1000000L / test.size)
+      }
+      val got = SparkEntry.allDefs("corpus_ngram_coverage").fn(spark, sfDir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // coverage falls with n: trigram coverage can't beat unigram
+      got.map(_._4).sliding(2).foreach { case Seq(a, b) => b should be <= a }
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

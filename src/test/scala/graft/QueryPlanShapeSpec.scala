@@ -749,5 +749,18 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("partial_sum")
       p should not include "Join"
     }
+
+    it("embed_centroid_drift map-combines the (label, pos) cells") {
+      val p = plan("embed_centroid_drift")
+      p should include("partial_sum")
+      p should include("Generate posexplode")
+      p should not include "Join"
+    }
+
+    it("corpus_ngram_coverage anti-joins distinct sets, never all pairs") {
+      val p = plan("corpus_ngram_coverage")
+      p should include("Scan ExistingRDD") // token-gram relation checkpointed
+      p should not include "CartesianProduct"
+    }
   }
 }
