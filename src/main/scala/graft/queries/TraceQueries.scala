@@ -3733,29 +3733,13 @@ object TraceQueries {
     // preceding), then incident ids are the running sum of those break
     // flags. Both scans hold #(service, hour-shard) parallelism.
     "trace_incidents" -> QueryDef.sql(
-      (s, dir) => {
-        val br = spans(s, dir).filter(col("duration_us") > 100000L)
-          .select(col("service"), col("span_id"), col("start_us"),
-            (col("start_us") + col("duration_us")).as("end_us"))
-        val shard = expr(s"(start_us - $T0) div $HourUs")
-        val order = Seq(col("start_us"), col("span_id"))
-        val brk = ShardedWindow.runningMaxExclusive(br, Seq("service"), shard,
-            order, col("end_us"), "prev_end")
-          .withColumn("brk",
-            when(col("prev_end").isNull || col("start_us") > col("prev_end"),
-              1L).otherwise(0L))
-        ShardedWindow.runningSum(brk, Seq("service"), shard, order,
-            col("brk"), "island")
-          .groupBy("service", "island")
-          .agg(min("start_us").as("i_start"), max("end_us").as("i_end"),
-            count(lit(1)).as("n_spans"))
+      (s, dir) => mergedIncidents(s, dir)
           .groupBy("service")
           .agg(count(lit(1)).as("n_incidents"),
             max(col("i_end") - col("i_start")).as("longest_us"),
             sum(col("i_end") - col("i_start")).as("total_us"),
             max("n_spans").as("max_spans_per_incident"))
-          .orderBy("service")
-      },
+          .orderBy("service"),
       cte("""
         |, br AS (
         |  SELECT service, span_id, start_us, start_us + duration_us AS end_us
@@ -4125,8 +4109,91 @@ object TraceQueries {
         |  COUNT(*) AS n_spans,
         |  CAST(SUM(dur) // COUNT(*) AS BIGINT) AS mean_us
         |FROM lv WHERE delta = 1
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // C146: MTBF / MTTR / availability — the reliability headline
+    // numbers off the merged incident timeline (C134's machinery,
+    // shared via mergedIncidents): MTTR = mean incident duration,
+    // MTBF = uptime per incident ((window − downtime) div n),
+    // availability = uptime share in ppm, window = each service's
+    // observed span [min start, max end]. All exact integer micros.
+    "trace_mtbf_mttr" -> QueryDef.sql(
+      (s, dir) => {
+        val win = spans(s, dir).groupBy("service")
+          .agg(min("start_us").as("w_start"),
+            max(col("start_us") + col("duration_us")).as("w_end"))
+        mergedIncidents(s, dir)
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_incidents"),
+            sum(col("i_end") - col("i_start")).as("downtime_us"))
+          .join(broadcast(win), "service")
+          .select(col("service"), col("n_incidents"),
+            expr("downtime_us div n_incidents").as("mttr_us"),
+            expr("(w_end - w_start - downtime_us) div n_incidents")
+              .as("mtbf_us"),
+            expr("(w_end - w_start - downtime_us) * 1000000" +
+              " div (w_end - w_start)").as("availability_ppm"))
+          .orderBy("service")
+      },
+      cte("""
+        |, br AS (
+        |  SELECT service, span_id, start_us, start_us + duration_us AS end_us
+        |  FROM spans WHERE duration_us > 100000),
+        |x AS (
+        |  SELECT service, span_id, start_us, end_us,
+        |    MAX(end_us) OVER (PARTITION BY service ORDER BY start_us, span_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM br),
+        |b AS (
+        |  SELECT service, span_id, start_us, end_us,
+        |    CASE WHEN prev_end IS NULL OR start_us > prev_end
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |i AS (
+        |  SELECT service, start_us, end_us,
+        |    SUM(brk) OVER (PARTITION BY service ORDER BY start_us, span_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM b),
+        |g AS (SELECT service, island, MIN(start_us) AS i_start,
+        |        MAX(end_us) AS i_end
+        |      FROM i GROUP BY 1, 2),
+        |d AS (SELECT service, COUNT(*) AS n_incidents,
+        |        CAST(SUM(i_end - i_start) AS BIGINT) AS downtime_us
+        |      FROM g GROUP BY 1),
+        |w AS (SELECT service, MIN(start_us) AS w_start,
+        |        MAX(start_us + duration_us) AS w_end
+        |      FROM spans GROUP BY 1)
+        |SELECT d.service, n_incidents,
+        |  CAST(downtime_us // n_incidents AS BIGINT) AS mttr_us,
+        |  CAST((w_end - w_start - downtime_us) // n_incidents AS BIGINT)
+        |    AS mtbf_us,
+        |  CAST((w_end - w_start - downtime_us) * 1000000
+        |    // (w_end - w_start) AS BIGINT) AS availability_ppm
+        |FROM d JOIN w ON d.service = w.service ORDER BY 1""".stripMargin))
   )
+
+  /** Merged SLO-breach incident intervals per service (see C134):
+    * exclusive running max → break flags → island running sum, both
+    * through sharded scans. Shared by trace_incidents and
+    * trace_mtbf_mttr. Returns (service, island, i_start, i_end,
+    * n_spans). */
+  private def mergedIncidents(s: SparkSession, dir: String): DataFrame = {
+    val br = spans(s, dir).filter(col("duration_us") > 100000L)
+      .select(col("service"), col("span_id"), col("start_us"),
+        (col("start_us") + col("duration_us")).as("end_us"))
+    val shard = expr(s"(start_us - $T0) div $HourUs")
+    val order = Seq(col("start_us"), col("span_id"))
+    val brk = ShardedWindow.runningMaxExclusive(br, Seq("service"), shard,
+        order, col("end_us"), "prev_end")
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("start_us") > col("prev_end"),
+          1L).otherwise(0L))
+    ShardedWindow.runningSum(brk, Seq("service"), shard, order,
+        col("brk"), "island")
+      .groupBy("service", "island")
+      .agg(min("start_us").as("i_start"), max("end_us").as("i_end"),
+        count(lit(1)).as("n_spans"))
+  }
 
   /** Inverse Poisson(1) CDF over a uniform ppm draw — cuts are shared
     * floor(1e6·CDF) literals (never a runtime exp()). */

@@ -1752,6 +1752,39 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_mtbf_mttr") {
+    it("matches brute-force reliability math off merged incidents") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("service"), col("span_id"), col("start_us"),
+          col("duration_us"))
+        .as[(String, Long, Long, Long)].collect()
+      val expected = sp.groupBy(_._1).flatMap { case (svc, evs) =>
+        val win = (evs.map(_._3).min,
+          evs.map(e => e._3 + e._4).max)
+        val ivs = evs.filter(_._4 > 100000L)
+          .map(e => (e._3, e._3 + e._4, e._2)).sortBy(i => (i._1, i._3))
+        if (ivs.isEmpty) None
+        else {
+          var merged = Vector.empty[(Long, Long)]
+          for (iv <- ivs) merged.lastOption match {
+            case Some((s0, e0)) if iv._1 <= e0 =>
+              merged = merged.init :+ ((s0, math.max(e0, iv._2)))
+            case _ => merged :+= ((iv._1, iv._2))
+          }
+          val down = merged.map(m => m._2 - m._1).sum
+          val n = merged.length.toLong
+          val w = win._2 - win._1
+          Some((svc, n, down / n, (w - down) / n,
+            (w - down) * 1000000L / w))
+        }
+      }.toSeq.sortBy(_._1)
+      val got = SparkEntry.allDefs("trace_mtbf_mttr").fn(spark, sfDir)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("text_kcore") {
     it("the 6-round peel reaches a true 3-core on the test corpus") {
       val core = SparkEntry.allDefs("text_kcore").fn(spark, sfDir)

@@ -762,5 +762,11 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should include("Scan ExistingRDD") // token-gram relation checkpointed
       p should not include "CartesianProduct"
     }
+
+    it("trace_mtbf_mttr rides the sharded incident merge") {
+      val p = plan("trace_mtbf_mttr")
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
   }
 }
