@@ -226,9 +226,10 @@ object RelationalQueries {
         Tables.customer(s, dir)
           .join(Tables.orders(s, dir).filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
             col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+          .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_inactive"))
           .orderBy("c_nationkey"),
-      """SELECT c_nationkey, COUNT(*) AS n_inactive
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS n_inactive
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
@@ -257,12 +258,13 @@ object RelationalQueries {
       (s, dir) => {
         val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
         Tables.customer(s, dir)
-          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          .select(col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_custkey"), col("c_acctbal"),
             row_number().over(w).cast("long").as("rnk"))
           .filter(col("rnk") <= 3)
           .orderBy("c_nationkey", "rnk")
       },
-      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal, rnk FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,
         |         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer) t
@@ -312,12 +314,14 @@ object RelationalQueries {
         val fromCust = n.join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"), "left_semi")
         val fromSupp = n.join(Tables.supplier(s, dir), col("n_nationkey") === col("s_nationkey"), "left_semi")
         fromCust.select("n_nationkey", "n_name").union(fromSupp.select("n_nationkey", "n_name"))
-          .distinct().orderBy("n_nationkey")
+          .distinct()
+          .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+          .orderBy("n_nationkey")
       },
-      """SELECT n_nationkey, n_name FROM nation
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
         |UNION
-        |SELECT n_nationkey, n_name FROM nation
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
         |ORDER BY n_nationkey""".stripMargin),
 
@@ -669,10 +673,11 @@ object RelationalQueries {
       (s, dir) =>
         Tables.embeddings(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
-          .select(col("vec_id"), col("pos").cast("int").as("pos"), col("val"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("val").cast("double").as("val"))
           .orderBy("vec_id", "pos"),
-      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
-        |  unnest(embedding) AS val
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
         |FROM embeddings WHERE vec_id < 20
         |ORDER BY vec_id, pos""".stripMargin),
 
@@ -923,14 +928,14 @@ object RelationalQueries {
     // any/every flags per nation (index-bitmap building blocks)
     "q_bitagg" -> QueryDef.sql(
       (s, dir) => Tables.customer(s, dir)
-        .groupBy("c_nationkey")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
         .agg(
           bit_or(col("c_custkey") % 256).as("or_mask"),
           bit_and(col("c_custkey") % 256).as("and_mask"),
           max(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("any_negative"),
           min(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("all_building"))
         .orderBy("c_nationkey"),
-      """SELECT c_nationkey,
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(bit_or(c_custkey % 256) AS BIGINT) AS or_mask,
         |  CAST(bit_and(c_custkey % 256) AS BIGINT) AS and_mask,
         |  CAST(MAX(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_negative,
@@ -1201,8 +1206,9 @@ object RelationalQueries {
           .withColumn("effective_to", lead("o_orderdate", 1).over(w))
           .withColumn("is_current", col("effective_to").isNull)
           .select(col("o_custkey"), col("o_orderstatus"),
-            col("o_orderdate").as("effective_from"), col("effective_to"),
-            col("is_current"))
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("effective_from"),
+            date_format(col("effective_to"), "yyyy-MM-dd").as("effective_to"),
+            col("is_current").cast("long").as("is_current"))
           .orderBy("o_custkey", "effective_from", "o_orderstatus")
       },
       """WITH changes AS (
@@ -1214,11 +1220,11 @@ object RelationalQueries {
         |  SELECT * FROM changes
         |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
         |SELECT o_custkey, o_orderstatus,
-        |  o_orderdate AS effective_from,
-        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey) AS effective_to,
-        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |  strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+        |  strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS effective_to,
+        |  CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS BIGINT) AS is_current
         |FROM kept
         |ORDER BY o_custkey, effective_from, o_orderstatus""".stripMargin),
 

@@ -1545,12 +1545,21 @@ object TextQueries {
         .withColumn("ok_word_len", col("cpt_pm").between(48000L, 60000L))
         .withColumn("keep", col("ok_len") && col("ok_word_len") && col("has_stopwords"))
         .drop("n_chars")
+        // canonical-four output types: flags as BIGINT 0/1 on both
+        // engines (the r8 HUGEINT/-0.0 lesson generalized: only
+        // VARCHAR/BIGINT/DOUBLE/DECIMAL ever reach the driver hash)
+        .select(col("doc_id"), col("n_tokens"), col("cpt_pm"),
+          col("has_stopwords").cast("long").as("has_stopwords"),
+          col("ok_len").cast("long").as("ok_len"),
+          col("ok_word_len").cast("long").as("ok_word_len"),
+          col("keep").cast("long").as("keep"))
         .orderBy("doc_id"),
-      s"""SELECT doc_id, n_tokens, cpt_pm, has_stopwords,
-         |  n_tokens BETWEEN 20 AND 90 AS ok_len,
-         |  cpt_pm BETWEEN 48000 AND 60000 AS ok_word_len,
-         |  (n_tokens BETWEEN 20 AND 90) AND (cpt_pm BETWEEN 48000 AND 60000)
-         |    AND has_stopwords AS keep
+      s"""SELECT doc_id, n_tokens, cpt_pm,
+         |  CAST(has_stopwords AS BIGINT) AS has_stopwords,
+         |  CAST(n_tokens BETWEEN 20 AND 90 AS BIGINT) AS ok_len,
+         |  CAST(cpt_pm BETWEEN 48000 AND 60000 AS BIGINT) AS ok_word_len,
+         |  CAST((n_tokens BETWEEN 20 AND 90) AND (cpt_pm BETWEEN 48000 AND 60000)
+         |    AND has_stopwords AS BIGINT) AS keep
          |FROM (SELECT doc_id,
          |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          |        length(trim(text)) * 10000 // len(regexp_split_to_array(trim(text), '\\s+')) AS cpt_pm,
@@ -1692,7 +1701,7 @@ object TextQueries {
         scored.join(broadcast(prior), col("source") === col("p_source"))
           .withColumn("blended", round(lit(0.7) * col("q") + lit(0.3) * col("prior"), 6))
           .select(col("doc_id"), col("source"), col("q"), col("prior"),
-            col("blended"), (col("blended") >= 0.822).as("keep"))
+            col("blended"), (col("blended") >= 0.822).cast("long").as("keep"))
           .orderBy("doc_id")
       },
       """WITH scored AS (
@@ -1706,7 +1715,7 @@ object TextQueries {
         |          FROM scored GROUP BY 1)
         |SELECT doc_id, source, q, prior,
         |  ROUND(0.7 * q + 0.3 * prior, 6) AS blended,
-        |  ROUND(0.7 * q + 0.3 * prior, 6) >= 0.822 AS keep
+        |  CAST(ROUND(0.7 * q + 0.3 * prior, 6) >= 0.822 AS BIGINT) AS keep
         |FROM scored JOIN prior USING (source)
         |ORDER BY doc_id""".stripMargin),
 
@@ -2804,7 +2813,7 @@ object TextQueries {
         |  GROUP BY 1, 2)
         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-        |  COUNT(*) * 1000000 // SUM(c) AS ttr_ppm,
+        |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
         |    // COUNT(*) AS hapax_ppm
         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin),
@@ -3501,7 +3510,7 @@ object TextQueries {
         |ds AS (SELECT DISTINCT n, half, gr FROM lv),
         |tr AS (SELECT n, gr FROM ds WHERE half = 0),
         |te AS (SELECT n, gr FROM ds WHERE half = 1)
-        |SELECT te.n AS n, COUNT(*) AS test_ngrams,
+        |SELECT CAST(te.n AS BIGINT) AS n, COUNT(*) AS test_ngrams,
         |  CAST(SUM(CASE WHEN tr.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS covered,
         |  CAST(SUM(CASE WHEN tr.gr IS NOT NULL THEN 1 ELSE 0 END) * 1000000

@@ -3017,7 +3017,7 @@ object TraceQueries {
       },
       cte("""
         |, h AS (SELECT service, start_us // 3600000000 AS hr,
-        |          SUM(duration_us) // COUNT(*) AS mean_us
+        |          CAST(SUM(duration_us) // COUNT(*) AS BIGINT) AS mean_us
         |        FROM spans GROUP BY 1, 2),
         |l AS (SELECT service, hr, mean_us,
         |        lag(mean_us, 1) OVER w AS m1, lag(mean_us, 2) OVER w AS m2,

@@ -427,10 +427,18 @@ object VectorQueries {
           .groupBy("i", "j")
           .agg(count(lit(1)).as("n_vecs"), sum("xi").as("sx"), sum("xj").as("sy"),
             sum(col("xi") * col("xj")).as("sxy"))
+          // cov in micro-units as an EXACT integer: (n*sxy - sx*sy) div n^2
+          // (elements pre-scaled by 1e3, so products carry 1e6 — the div by
+          // n^2 leaves micro-units directly). DECIMAL(38,0) legs because at
+          // 100 TB n*sxy ~ 1e30; `div` truncates toward zero on BOTH engines
+          // (verified against DuckDB `//`). Never ROUND-on-double: at sf0.01
+          // three tiny negative cells rounded to -0.0 in DuckDB vs +0.0 in
+          // Spark and failed the driver's representation hash (r8 verdict).
           .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n_vecs"),
-            round((col("sxy").cast("double") / col("n_vecs") -
-              (col("sx").cast("double") / col("n_vecs")) *
-                (col("sy").cast("double") / col("n_vecs"))) / 1000000.0, 6).as("cov"))
+            expr("""CAST((CAST(n_vecs AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                        - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)))
+                    div (CAST(n_vecs AS DECIMAL(38,0)) * CAST(n_vecs AS DECIMAL(38,0)))
+                    AS BIGINT)""").as("cov_micro"))
           .orderBy("i", "j")
       },
       """WITH e AS (SELECT vec_id,
@@ -446,8 +454,9 @@ object VectorQueries {
         |        CAST(SUM(xi * xj) AS BIGINT) AS sxy
         |      FROM p GROUP BY 1, 2)
         |SELECT i, j, n_vecs,
-        |  ROUND((CAST(sxy AS DOUBLE) / n_vecs -
-        |         (CAST(sx AS DOUBLE) / n_vecs) * (CAST(sy AS DOUBLE) / n_vecs)) / 1000000.0, 6) AS cov
+        |  CAST((CAST(n_vecs AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+        |    // (CAST(n_vecs AS HUGEINT) * CAST(n_vecs AS HUGEINT)) AS BIGINT) AS cov_micro
         |FROM a ORDER BY i, j""".stripMargin),
 
     // B49: product-quantization ANN — codebook training (integer

@@ -71,18 +71,17 @@ class CorpusStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       rows.length shouldBe 64 * 65 / 2
       val diag = rows.filter(r => r.getLong(0) == r.getLong(1))
       diag.length shouldBe 64
-      diag.foreach(r => r.getDouble(3) should be >= 0.0)
-      // cross-check one diagonal entry against a direct computation
+      diag.foreach(r => r.getLong(3) should be >= 0L)
+      // cross-check one diagonal entry against a direct exact computation:
+      // cov_micro = (n*sxx - sx*sx) div n^2 in arbitrary-precision integers
       val x1 = Tables.embeddings(spark, sfDir)
         .select(expr("CAST(ROUND(CAST(embedding[0] AS DOUBLE) * 1000, 0) AS BIGINT)").as("q"))
         .agg(count(lit(1)).as("n"), sum("q").as("s"), sum(col("q") * col("q")).as("ss"))
         .head
-      val (n, sx, sxx) = (x1.getLong(0), x1.getLong(1), x1.getLong(2))
-      val expected = BigDecimal(
-        (sxx.toDouble / n - (sx.toDouble / n) * (sx.toDouble / n)) / 1000000.0)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val got = rows.find(r => r.getLong(0) == 1 && r.getLong(1) == 1).get.getDouble(3)
-      got shouldBe expected +- 1e-9
+      val (n, sx, sxx) = (BigInt(x1.getLong(0)), BigInt(x1.getLong(1)), BigInt(x1.getLong(2)))
+      val expected = ((n * sxx - sx * sx) / (n * n)).toLong
+      val got = rows.find(r => r.getLong(0) == 1 && r.getLong(1) == 1).get.getLong(3)
+      got shouldBe expected
     }
     it("generates pairs row-locally — no join in the plan") {
       val p = plan("embed_covariance")
