@@ -178,6 +178,84 @@ object MultimodalOps {
       encode(col("text"), "UTF-8").as("payload"),
       col("source"))
 
+  /** Mixed real-codec corpus: doc_id mod 3 picks the modality, and
+    * every payload is a REAL wire format whose decoded numbers are
+    * pure arithmetic in doc_id — PNG ([[syntheticImages]] formulas),
+    * RIFF/WAVE PCM16 ([[syntheticAudio]] formulas), YUV4MPEG2
+    * ([[syntheticVideo]] formulas) — so a mixed-type feature pass is
+    * engine-externally checkable end to end. Rendered
+    * partition-locally; payloads never shuffle. */
+  def syntheticMixedMedia(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val w = 16 + (id % 32).toInt
+            val h = 16 + ((id * 7) % 32).toInt
+            val rgb = (((id % 256) << 16) | (((id * 3) % 256) << 8) | ((id * 7) % 256)).toInt
+            (id, "image", renderPng(w, h, rgb), "syn")
+          case 1 =>
+            val n = (4000 + id % 1000).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((id * 31 + i * 7919L) % 65536 - 32768).toShort)
+            (id, "audio", renderWav(16000, samples), "syn")
+          case _ =>
+            val n = (8 + id % 5).toInt
+            val frames = Array.tabulate(n) { f =>
+              val buf = new Array[Byte](16 * 16 * 3 / 2)
+              var i = 0
+              while (i < 256) { buf(i) = ((id * 13 + f * 101 + i * 7L) % 256).toByte; i += 1 }
+              var j = 0
+              while (j < 64) {
+                buf(256 + j) = ((id * 17 + f * 19 + j * 3L) % 256).toByte
+                buf(320 + j) = ((id * 23 + f * 29 + j * 5L) % 256).toByte
+                j += 1
+              }
+              buf
+            }
+            (id, "video", renderY4m(16, 16, frames), "syn")
+        }
+      })
+      .toDF("media_id", "media_type", "payload", "source")
+  }
+
+  /** Uniform feature row from REAL per-type decoders (no stub):
+    * n_units = pixels for images, samples for audio, frames for
+    * video; duration_ms exact floor arithmetic. */
+  final case class MediaRealFeatureRow(
+      media_id: Long, media_type: String, width: Long, height: Long,
+      duration_ms: Long, n_units: Long)
+
+  /** Type-dispatched REAL decode over a mixed media corpus — the
+    * strict-codec counterpart of [[decodeFeatures]]: images through
+    * ImageIO, audio through [[decodeWav]], video through
+    * [[decodeY4m]]; undecodable payloads are dropped. Partition-local
+    * batches; payloads never shuffle. */
+  def decodeMediaFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select("media_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, mt, payload) =>
+        mt match {
+          case "image" => decodeImage(payload).map(img =>
+            MediaRealFeatureRow(id, mt, img.getWidth.toLong, img.getHeight.toLong,
+              0L, img.getWidth.toLong * img.getHeight))
+          case "audio" => decodeWav(payload).map(clip =>
+            MediaRealFeatureRow(id, mt, 0L, 0L,
+              clip.samples.length.toLong * 1000L / clip.sampleRate,
+              clip.samples.length.toLong))
+          case "video" => decodeY4m(payload).map(clip =>
+            MediaRealFeatureRow(id, mt, clip.width.toLong, clip.height.toLong,
+              clip.frames.length * 1000L / 25, clip.frames.length.toLong))
+          case _ => None
+        }
+      })
+      .toDF()
+  }
+
   /** One small feature row per media item. */
   final case class MediaFeatureRow(
       media_id: Long, media_type: String, n_bytes: Long,

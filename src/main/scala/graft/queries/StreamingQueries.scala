@@ -211,20 +211,38 @@ object StreamingQueries {
       .orderBy("window_start_us", "service", "operation")
   }
 
-  /** Streaming latency percentiles per (window, service) — the
-    * haystack-trends-style rollup with t-digest sketch state
-    * ([[SpanBufferStream.latencyQuantilesStream]]). Rows-only by the
-    * same contract as the batch `trace_latency_quantiles_approx`: the
-    * sketch is approximate, and its merge order (and therefore the
-    * last ulp of the estimate) depends on partitioning — sketch
-    * behavior is spec-verified, the driver checks shape. */
+  /** Streaming latency percentiles per (window, service) — EXACT and
+    * driver-checked since r9: the stream carries only the MERGEABLE
+    * ingredients (per-(window, service, duration) counts) through the
+    * state store under the watermark, lands them in the file sink,
+    * and the non-incremental percentile selection runs batch-side
+    * over the landed counts via ExactQuantiles.percentilesFromCounts
+    * (the C54 machinery; the streaming_topk stream-aggregates /
+    * serving-layer-ranks split). The t-digest sketch variant
+    * ([[SpanBufferStream.latencyQuantilesStream]]) stays the declared
+    * approximate scale sibling for unbounded-cardinality value
+    * domains, spec-covered — exactly how text_cms_topk pairs with
+    * text_top_terms_approx. */
   private def runLatencyQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
-    val rolled = SpanBufferStream.latencyQuantilesStream(
-      spanStream(ss, dir, richOps = false), windowSeconds = GapSeconds, gapSeconds = GapSeconds)
+    val windowed = spanStream(ss, dir, richOps = false)
+      .withColumn("event_time", timestamp_micros(col("startUs")))
+      .withWatermark("event_time", s"$GapSeconds seconds")
+      .groupBy(window(col("event_time"), s"$GapSeconds seconds"),
+        col("service"), col("durationUs"))
+      .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("service"), col("p50"), col("p95"), col("p99"), col("n_spans"))
-    runToParquet(s, rolled, "latency_quantiles")
+        col("service"), col("durationUs"), col("n"))
+    val landed = runToParquet(s, windowed, "latency_quantiles")
+    graft.operators.ExactQuantiles.percentilesFromCounts(
+      landed, keys = Seq("window_start_us", "service"),
+      value = col("durationUs"), weight = col("n"),
+      pcts = Seq(
+        graft.operators.ExactQuantiles.Disc("p50_us", 1, 2),
+        graft.operators.ExactQuantiles.Disc("p95_us", 19, 20),
+        graft.operators.ExactQuantiles.Disc("p99_us", 99, 100)),
+      countOut = Some("n_spans"))
+      .select("window_start_us", "service", "p50_us", "p95_us", "p99_us", "n_spans")
       .orderBy("window_start_us", "service")
   }
 
@@ -657,9 +675,25 @@ object StreamingQueries {
          |HAVING window_start_us + ${GapSeconds * 1000000} <= wm_us
          |ORDER BY window_start_us, service, operation""".stripMargin),
 
-    // watermark-evicted t-digest state; rows-only (sketch approximate
-    // by contract, like the batch _approx entry)
-    "streaming_latency_quantiles" -> QueryDef.rowsOnly(runLatencyQuantiles),
+    // exact windowed percentiles: mergeable counts through the state
+    // store, ExactQuantiles selection over the landed sink (see
+    // runLatencyQuantiles); windows seal on window_end <= watermark
+    "streaming_latency_quantiles" -> QueryDef.sql(runLatencyQuantiles,
+      s"""WITH s AS (SELECT epoch_us(ts) AS start_us, event_type AS service,
+         |             CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+         |           FROM events),
+         |g AS (SELECT (max(start_us) // 1000 - ${GapSeconds * 1000}) * 1000 AS wm_us FROM s),
+         |w AS (SELECT start_us - start_us % ${GapSeconds * 1000000} AS window_start_us,
+         |        service, duration_us FROM s)
+         |SELECT window_start_us, service,
+         |  quantile_disc(duration_us, 0.5) AS p50_us,
+         |  quantile_disc(duration_us, 0.95) AS p95_us,
+         |  quantile_disc(duration_us, 0.99) AS p99_us,
+         |  COUNT(*) AS n_spans
+         |FROM w, g
+         |GROUP BY window_start_us, service, wm_us
+         |HAVING window_start_us + ${GapSeconds * 1000000} <= wm_us
+         |ORDER BY window_start_us, service""".stripMargin),
 
     // stream-static broadcast enrichment: counts equal the batch join
     "streaming_enrich" -> QueryDef.sql(runStreamEnrich,

@@ -910,20 +910,192 @@ object TraceQueries {
         |ORDER BY 1, 2, 3, 4""".stripMargin),
 
     // A18–A20 composite: full reference read pipeline over every trace
-    "trace_processed" -> QueryDef.rowsOnly(
+    // (readers/TraceProcessor.scala:34-41), DRIVER-CHECKED via a
+    // deterministic-fields projection. On the chain-shaped demo
+    // relation the tree pipeline reduces to a linear scan the oracle
+    // replays exactly (the r3 trace_call_graph precedent): a parent
+    // with a single different-service child merges into one span
+    // (spanId/start/duration of the server=child, kind 'merged'),
+    // the walk then skips past the pair; a merged span whose aux
+    // event times are out of order carries clock skew
+    // delta = sr - (cd-sd)/2 - cs, shifting itself and its same-
+    // service direct child. Per trace the projection emits span
+    // count, merged count, root span id, and the sums of the
+    // post-pipeline start/duration — so the hash pins the dedup,
+    // merge, skew-shift, and root-identity stages bit-exactly.
+    // Scale shape: ONE traceId shuffle, then partition-local trees.
+    "trace_processed" -> QueryDef.sql(
       (s, dir) => {
         val processed = TraceDataset.processedSpans(
           TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit(""))))
-        processed.groupBy("traceId").count().orderBy("traceId")
-      }),
+        processed.groupBy(col("traceId").as("trace_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("kind") === "merged", 1L).otherwise(0L)).as("n_merged"),
+            min(when(col("parentSpanId") === "", col("spanId"))).as("root_span_id"),
+            sum("startUs").as("sum_start_us"),
+            sum("durationUs").as("sum_duration_us"))
+          .orderBy("trace_id")
+      },
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trace_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |         event_id AS span_id, event_type AS service,
+        |         epoch_us(ts) AS start_us,
+        |         CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |  FROM events),
+        |mg AS (
+        |  -- per position: does a client/server merge start here, and if
+        |  -- so the merged node's fields and (nullable) clock-skew delta
+        |  SELECT c.trace_id, c.pos,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |              THEN 1 ELSE 0 END AS merged,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |              THEN CAST(n.span_id AS VARCHAR)
+        |              ELSE CAST(c.span_id AS VARCHAR) END AS espan,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |              THEN n.service ELSE c.service END AS esvc,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |              THEN n.start_us ELSE c.start_us END AS ebase,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |              THEN n.duration_us ELSE c.duration_us END AS edur,
+        |         CASE WHEN n.pos IS NOT NULL AND n.service <> c.service
+        |                   AND NOT (n.duration_us > c.duration_us
+        |                            OR (c.start_us < n.start_us
+        |                                AND c.start_us + c.duration_us
+        |                                    > n.start_us + n.duration_us))
+        |              THEN NULLIF(n.start_us
+        |                          - (c.duration_us - n.duration_us) // 2
+        |                          - c.start_us, 0)
+        |         END AS delta
+        |  FROM chain c LEFT JOIN chain n
+        |    ON n.trace_id = c.trace_id AND n.pos = c.pos + 1),
+        |scan AS (
+        |  SELECT trace_id, pos, merged, espan, esvc, edur,
+        |         ebase - COALESCE(delta, 0) AS estart, delta AS prev_delta
+        |  FROM mg WHERE pos = 1
+        |  UNION ALL
+        |  SELECT m.trace_id, m.pos, m.merged, m.espan, m.esvc, m.edur,
+        |         m.ebase
+        |           - CASE WHEN s.prev_delta IS NOT NULL AND m.esvc = s.esvc
+        |                  THEN s.prev_delta ELSE 0 END
+        |           - COALESCE(m.delta, 0),
+        |         m.delta
+        |  FROM scan s JOIN mg m
+        |    ON m.trace_id = s.trace_id
+        |   AND m.pos = s.pos + (CASE WHEN s.merged = 1 THEN 2 ELSE 1 END))
+        |SELECT trace_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(merged) AS BIGINT) AS n_merged,
+        |  MIN(CASE WHEN pos = 1 THEN espan END) AS root_span_id,
+        |  CAST(SUM(estart) AS BIGINT) AS sum_start_us,
+        |  CAST(SUM(edur) AS BIGINT) AS sum_duration_us
+        |FROM scan GROUP BY trace_id ORDER BY trace_id""".stripMargin),
 
-    // Repairing variant (InvalidRoot/InvalidParent/Orphaned enabled)
-    "trace_repaired" -> QueryDef.rowsOnly(
+    // Repairing variant (InvalidRoot/InvalidParent/Orphaned enabled),
+    // DRIVER-CHECKED: the demo traces are well-formed, so the surface
+    // IMPOSES a deterministic breakage — the span at pos n div 2 + 1
+    // loses its parent — giving every n>=2 trace two roots. The
+    // repair path then must synthesize the auto-generated root
+    // (InvalidRootTransformer's many-roots arm: id traceId +
+    // '-autogen-root', start = earliest head start, duration = max
+    // head end - that) and re-parent both segment heads under it,
+    // after which the merge/skew pipeline runs per segment. The
+    // oracle re-derives all of it: the same projection as
+    // trace_processed over a two-segment scan plus the autogen row's
+    // closed-form fields — so the hash pins the repair arithmetic,
+    // not just row counts.
+    "trace_repaired" -> QueryDef.sql(
       (s, dir) => {
-        val sp = TraceDataset.toSpanDataset(spans(s, dir).withColumn("kind", lit("")))
-        TraceDataset.transformTraces(sp)(graft.trace.TraceTransforms.repairingPipeline)
-          .groupBy("traceId").count().orderBy("traceId")
-      }),
+        val w = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        val broken = spans(s, dir).withColumn("kind", lit(""))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("trace_id")))
+          .withColumn("parent_span_id",
+            when(col("n") >= 2 && col("pos") === expr("n div 2 + 1"),
+              lit(null).cast("long")).otherwise(col("parent_span_id")))
+          .drop("pos", "n")
+        TraceDataset.transformTraces(TraceDataset.toSpanDataset(broken))(
+            graft.trace.TraceTransforms.repairingPipeline)
+          .groupBy(col("traceId").as("trace_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("kind") === "merged", 1L).otherwise(0L)).as("n_merged"),
+            min(when(col("parentSpanId") === "", col("spanId"))).as("root_span_id"),
+            sum("startUs").as("sum_start_us"),
+            sum("durationUs").as("sum_duration_us"))
+          .orderBy("trace_id")
+      },
+      """WITH RECURSIVE chain0 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS trace_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |         event_id AS span_id, event_type AS service,
+        |         epoch_us(ts) AS start_us,
+        |         CAST(ROUND(value * 1000, 0) AS BIGINT) AS duration_us
+        |  FROM events),
+        |chain AS (
+        |  SELECT *, n // 2 + 1 AS mid,
+        |         CASE WHEN n >= 2 AND pos >= n // 2 + 1 THEN 2 ELSE 1 END AS seg
+        |  FROM chain0),
+        |mg AS (
+        |  SELECT c.trace_id, c.pos, c.seg, c.mid, c.n,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |              THEN 1 ELSE 0 END AS merged,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |              THEN CAST(n2.span_id AS VARCHAR)
+        |              ELSE CAST(c.span_id AS VARCHAR) END AS espan,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |              THEN n2.service ELSE c.service END AS esvc,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |              THEN n2.start_us ELSE c.start_us END AS ebase,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |              THEN n2.duration_us ELSE c.duration_us END AS edur,
+        |         CASE WHEN n2.pos IS NOT NULL AND n2.service <> c.service
+        |                   AND NOT (n2.duration_us > c.duration_us
+        |                            OR (c.start_us < n2.start_us
+        |                                AND c.start_us + c.duration_us
+        |                                    > n2.start_us + n2.duration_us))
+        |              THEN NULLIF(n2.start_us
+        |                          - (c.duration_us - n2.duration_us) // 2
+        |                          - c.start_us, 0)
+        |         END AS delta
+        |  FROM chain c LEFT JOIN chain n2
+        |    ON n2.trace_id = c.trace_id AND n2.pos = c.pos + 1
+        |   AND n2.seg = c.seg),
+        |scan AS (
+        |  SELECT trace_id, pos, seg, merged, espan, esvc, edur,
+        |         ebase - COALESCE(delta, 0) AS estart, delta AS prev_delta
+        |  FROM mg WHERE pos = 1 OR pos = mid
+        |  UNION ALL
+        |  SELECT m.trace_id, m.pos, m.seg, m.merged, m.espan, m.esvc, m.edur,
+        |         m.ebase
+        |           - CASE WHEN s.prev_delta IS NOT NULL AND m.esvc = s.esvc
+        |                  THEN s.prev_delta ELSE 0 END
+        |           - COALESCE(m.delta, 0),
+        |         m.delta
+        |  FROM scan s JOIN mg m
+        |    ON m.trace_id = s.trace_id AND m.seg = s.seg
+        |   AND m.pos = s.pos + (CASE WHEN s.merged = 1 THEN 2 ELSE 1 END)),
+        |segagg AS (
+        |  SELECT trace_id, COUNT(*) AS cnt, SUM(merged) AS mrg,
+        |         SUM(estart) AS st, SUM(edur) AS du
+        |  FROM scan GROUP BY 1),
+        |meta AS (
+        |  SELECT trace_id, MAX(n) AS n, MIN(start_us) AS min_start,
+        |         MAX(CASE WHEN pos = 1 OR pos = mid
+        |                  THEN start_us + duration_us END) AS max_head_end,
+        |         MIN(CASE WHEN pos = 1 THEN CAST(span_id AS VARCHAR) END)
+        |           AS first_span
+        |  FROM chain GROUP BY 1)
+        |SELECT m.trace_id,
+        |  CAST(s.cnt + CASE WHEN m.n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
+        |  CAST(s.mrg AS BIGINT) AS n_merged,
+        |  CASE WHEN m.n >= 2 THEN m.trace_id || '-autogen-root'
+        |       ELSE m.first_span END AS root_span_id,
+        |  CAST(s.st + CASE WHEN m.n >= 2 THEN m.min_start ELSE 0 END AS BIGINT)
+        |    AS sum_start_us,
+        |  CAST(s.du + CASE WHEN m.n >= 2 THEN m.max_head_end - m.min_start
+        |              ELSE 0 END AS BIGINT) AS sum_duration_us
+        |FROM segagg s JOIN meta m ON s.trace_id = m.trace_id
+        |ORDER BY m.trace_id""".stripMargin),
 
     // Skew-safe aggregation: salted two-phase result must equal the plain
     // groupBy — which is exactly what the oracle computes
@@ -1119,29 +1291,71 @@ object TraceQueries {
         |  CAST(MAX(v) AS BIGINT) AS y_peak
         |FROM y GROUP BY doc_id, n ORDER BY media_id""".stripMargin),
 
-    // B12 surface: multimodal decode/feature plumbing (real ImageIO
-    // for decodable images, declared stub for audio/video). Same 20k
-    // demo cap as media_image_decode.
-    "media_features" -> QueryDef.rowsOnly(
-      (s, dir) => graft.operators.MultimodalOps.decodeFeatures(
-        graft.operators.MultimodalOps.syntheticMedia(
+    // B12 surface, DRIVER-CHECKED since r9: multimodal feature
+    // extraction over a MIXED corpus of real wire formats (PNG / WAV /
+    // Y4M by doc_id mod 3, every decoded number pure arithmetic in
+    // doc_id), type-dispatched to the real codecs
+    // (MultimodalOps.decodeMediaFeatures). The oracle re-derives
+    // width/height/duration/units per modality from the generator
+    // formulas, so the hash proves the per-type dispatch AND each
+    // codec round trip in one surface. Payloads render and decode
+    // partition-locally (never shuffled); same 20k demo cap as
+    // media_image_decode (161 us/image measured justification). The
+    // tolerant stub path (decodeFeatures over arbitrary bytes) stays
+    // spec-covered in MultimodalOpsSpec.
+    "media_features" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.decodeMediaFeatures(
+        graft.operators.MultimodalOps.syntheticMixedMedia(
           Tables.documents(s, dir).filter(col("doc_id") < 20000)))
-        .orderBy("media_id")),
+        .orderBy("media_id"),
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+        |       WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 32
+        |       WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |       WHEN 1 THEN (4000 + doc_id % 1000) * 1000 // 16000
+        |       ELSE (8 + doc_id % 5) * 1000 // 25 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN (16 + doc_id % 32) * (16 + (doc_id * 7) % 32)
+        |       WHEN 1 THEN 4000 + doc_id % 1000
+        |       ELSE 8 + doc_id % 5 END AS BIGINT) AS n_units
+        |FROM documents WHERE doc_id < 20000 ORDER BY media_id""".stripMargin),
 
-    // B12 surface: aspect-preserving image resize (real Graphics2D
-    // resample for decodable payloads; these synthetic text payloads
-    // take the declared stub path), emitting only the bounded
-    // metadata so the checker never sees binary payloads. Same 20k
-    // demo cap as media_image_decode.
-    "media_resized" -> QueryDef.rowsOnly(
-      (s, dir) => graft.operators.MultimodalOps.resizeImages(
-        graft.operators.MultimodalOps.syntheticMedia(
-          Tables.documents(s, dir).filter(col("doc_id") < 20000)),
-        maxW = 256, maxH = 256)
-        .filter(col("media_type") === "image")
-        .select(col("media_id"), col("width"), col("height"),
-          length(col("payload")).cast("long").as("n_bytes"))
-        .orderBy("media_id")),
+    // B12 surface, DRIVER-CHECKED since r9: aspect-preserving image
+    // resize through the REAL resample path (Graphics2D bilinear draw
+    // + PNG re-encode), then a REAL re-decode of the resized payload.
+    // Source PNGs are solid-color with arithmetic dims (the
+    // media_image_decode generator), so the oracle re-derives the
+    // fit-scaled output dims (floor(d * min(1, 24/w, 24/h)) — the
+    // identical IEEE expression on both engines) and the preserved
+    // fill color (bilinear resample of a constant image is that
+    // constant) — the hash proves decode -> resample -> re-encode ->
+    // decode end to end. Payloads stay partition-local; same 20k cap.
+    "media_resized" -> QueryDef.sql(
+      (s, dir) => graft.operators.MultimodalOps.decodeImageStats(
+        graft.operators.MultimodalOps.resizeImages(
+          graft.operators.MultimodalOps.syntheticImages(
+            Tables.documents(s, dir).filter(col("doc_id") < 20000))
+            .withColumn("media_type", lit("image"))
+            .withColumn("source", lit("syn")),
+          maxW = 24, maxH = 24)
+          .select(col("media_id"), col("payload")))
+        .orderBy("media_id"),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 32 AS DOUBLE) AS w,
+        |         CAST(16 + (doc_id * 7) % 32 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id < 20000)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(FLOOR(w * LEAST(1.0, 24.0 / w, 24.0 / h)) AS BIGINT) AS width,
+        |  CAST(FLOOR(h * LEAST(1.0, 24.0 / w, 24.0 / h)) AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS r,
+        |  CAST((doc_id * 3) % 256 AS BIGINT) AS g,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS b
+        |FROM d ORDER BY media_id""".stripMargin),
 
     // Span-tree depth by pointer doubling (graft.operators.TreeOps):
     // ceil(log2 depth) self-join rounds instead of the reference's

@@ -41,6 +41,44 @@ class MultimodalOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("decodeMediaFeatures over the mixed real-codec corpus") {
+    it("type-dispatches to the real codec and recovers every closed form") {
+      val mixed = MultimodalOps.syntheticMixedMedia(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < 30))
+      val feats = MultimodalOps.decodeMediaFeatures(mixed)
+        .orderBy("media_id").collect()
+      feats.length shouldBe 30 // strict decode drops nothing: every payload is real
+      feats.foreach { r =>
+        val id = r.getAs[Long]("media_id")
+        (id % 3) match {
+          case 0 =>
+            r.getAs[String]("media_type") shouldBe "image"
+            r.getAs[Long]("width") shouldBe 16 + id % 32
+            r.getAs[Long]("height") shouldBe 16 + (id * 7) % 32
+            r.getAs[Long]("n_units") shouldBe (16 + id % 32) * (16 + (id * 7) % 32)
+          case 1 =>
+            r.getAs[String]("media_type") shouldBe "audio"
+            val n = 4000 + id % 1000
+            r.getAs[Long]("n_units") shouldBe n
+            r.getAs[Long]("duration_ms") shouldBe n * 1000 / 16000
+          case _ =>
+            r.getAs[String]("media_type") shouldBe "video"
+            val n = 8 + id % 5
+            (r.getAs[Long]("width"), r.getAs[Long]("height")) shouldBe ((16L, 16L))
+            r.getAs[Long]("n_units") shouldBe n
+            r.getAs[Long]("duration_ms") shouldBe n * 1000 / 25
+        }
+      }
+    }
+    it("drops undecodable payloads instead of inventing stub features") {
+      import spark.implicits._
+      val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "spec"),
+        (2L, "audio", Array[Byte](4, 5), "spec"))
+        .toDF("media_id", "media_type", "payload", "source")
+      MultimodalOps.decodeMediaFeatures(junk).count() shouldBe 0L
+    }
+  }
+
   describe("real ImageIO codec (java.desktop, headless)") {
     it("round-trips every planted synthetic PNG to its arithmetic geometry and color") {
       val docs = Tables.documents(spark, sfDir)
