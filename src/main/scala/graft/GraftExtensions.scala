@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
+import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
         exprs => LshBandKeys(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(
+      (FunctionIdentifier("lsh_band_keys_lin"), LshBandKeysLin.info,
+        exprs => LshBandKeysLin(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
       (FunctionIdentifier("pack_blob"), PackBlob.info,
         exprs => PackBlob(exprs(0), exprs(1))))
     ext.injectFunction(
@@ -52,6 +55,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_band_keys"), LshBandKeys.info,
       exprs => LshBandKeys(exprs(0), exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_band_keys_lin"), LshBandKeysLin.info,
+      exprs => LshBandKeysLin(exprs(0), exprs(1), exprs(2)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pack_blob"), PackBlob.info,
       exprs => PackBlob(exprs(0), exprs(1)))

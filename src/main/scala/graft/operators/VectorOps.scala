@@ -431,6 +431,85 @@ object VectorOps {
       .filter(col("score") >= threshold)
   }
 
+  /** Corpus-size LSH dial: the bit width that keeps EXPECTED bucket
+    * occupancy ~64 (bits = ceil(log2(N/64)), clamped to [2, 16]) so the
+    * per-band candidate volume grows LINEARLY in N — ~bands · (N/64) ·
+    * C(64,2) pairs — instead of quadratically the way any fixed width
+    * does. Pure integer ladder (never float log: ln-based log2 can
+    * land an ulp past an exact power of two and ceil to the wrong
+    * width on one engine); [[lshBitsSqlCase]] renders the identical
+    * ladder for the oracle. */
+  def lshBitsForCount(n: Long): Int = {
+    var b = 2
+    while (b < 16 && n > (64L << b)) b += 1
+    b
+  }
+
+  /** DuckDB CASE ladder equivalent to [[lshBitsForCount]] over a count
+    * expression. */
+  def lshBitsSqlCase(cntExpr: String): String =
+    (2 to 15).map(b => s"WHEN $cntExpr <= ${64L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 16 END")
+
+  /** DuckDB CTE fragment computing per-(vec_id, band) keys of the
+    * [[graft.functions.LshBandKeysLin]] family with a RUNTIME bit
+    * width: expects upstream CTEs `n(vec_id, v, ...)` (v DOUBLE[dim])
+    * and `k(bits BIGINT)`; emits `keys(vec_id, band, bkey)`. The
+    * weight lambda is the verbatim SQL mirror of
+    * [[graft.functions.LshBandKeysLin.weight]]; the fold is
+    * `list_reduce(..., (x, y) -> x + y)` = the expression's
+    * left-to-right accumulation (see its scaladoc for the signed-zero
+    * note). */
+  def lshLinKeysSql(dim: Int, bands: Int): String =
+    s"""sb AS (
+       |  SELECT n.vec_id, b.band, t.bit,
+       |    list_reduce(list_transform(range(0, $dim),
+       |      i -> n.v[CAST(i + 1 AS INT)] *
+       |           (CAST((((b.band * k.bits + t.bit) * 31 + i * 17 + 7) % 8191)
+       |                 * (((b.band * k.bits + t.bit) * 31 + i * 17 + 7) % 8191)
+       |                 * (b.band * k.bits + t.bit + 13) % 8191 % 2001 - 1000
+       |            AS DOUBLE) / 1000.0)),
+       |      (x, y) -> x + y) AS s
+       |  FROM n, k, unnest(range(0, $bands)) b(band), unnest(range(0, k.bits)) t(bit)),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bkey
+       |  FROM sb GROUP BY vec_id, band)""".stripMargin
+
+  /** Near-duplicate pairs over the FULL corpus with the bit width
+    * derived from the corpus size ([[lshBitsForCount]]) — the primary
+    * registered form since r9 (the id-capped exact all-pairs form is a
+    * spec anchor only): at every scale factor the expected bucket holds
+    * ~64 vectors, candidates ≈ bands · N/64 · C(64,2) (linear in N),
+    * signatures compute in the scan stage (native codegen'd
+    * expression), candidates come from a skinny banded equi-join (two
+    * longs on the wire), and vectors rejoin by id only for the exact
+    * cosine verify. The one count() is a parquet-footer job. */
+  def cosineNearDupPairsAuto(
+      embeddings: DataFrame, threshold: Double, dim: Int, bands: Int): DataFrame = {
+    val s = embeddings.sparkSession
+    graft.GraftExtensions.register(s)
+    val bits = lshBitsForCount(embeddings.count())
+    val n = withNorms(embeddings)
+    val skinny = n
+      .filter(expr(
+        s"CASE WHEN size(v) = $dim THEN true " +
+          s"ELSE raise_error('lsh_band_keys_lin: vector dim <> declared $dim') END"))
+      .select(col("vec_id"),
+        explode(expr(s"lsh_band_keys_lin(v, $bits, $bands)")).as("bucket"))
+    val cand = skinny.select(col("vec_id").as("d1"), col("bucket").as("b1"))
+      .join(skinny.select(col("vec_id").as("d2"), col("bucket").as("b2")),
+        col("b1") === col("b2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+    cand
+      .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
+      .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
     * the corpus into centroid cells, then drop every vector with a
     * lower-id near-duplicate (cosine ≥ threshold) in its OWN cell —

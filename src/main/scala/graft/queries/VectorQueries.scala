@@ -28,16 +28,33 @@ object VectorQueries {
         |SELECT q_id, neighbor_id, score, rnk FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin),
 
-    // B5: embedding-cosine near-duplicate pairs
+    // B5 PRIMARY (r9): embedding-cosine near-duplicate pairs over the
+    // FULL corpus — banded LSH candidates with the bit width derived
+    // from the corpus size (bits = ceil(log2(N/64)), integer ladder on
+    // both engines), exact cosine verify on the survivors. Expected
+    // bucket occupancy stays ~64 at EVERY scale factor, so candidate
+    // volume is linear in N — this is the plan that runs at 100 TB,
+    // and it is what the bench now measures. The weight family is the
+    // oracle-expressible integer mix (lsh_band_keys_lin); the oracle
+    // recomputes bits, every plane dot, the banded join, and the
+    // verify. The id-capped exact all-pairs form
+    // (VectorOps.cosineNearDupPairs) is a spec anchor only
+    // (VectorOpsSpec recall/equivalence assertions).
     "neardup_cosine" -> QueryDef.sql(
-      (s, dir) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir), 300, 0.4),
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
-        |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => VectorOps.cosineNearDupPairsAuto(
+        Tables.embeddings(s, dir), 0.4, 64, bands = 6).orderBy("d1", "d2"),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT ${VectorOps.lshBitsSqlCase("COUNT(*)")} AS bits FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |${VectorOps.lshLinKeysSql(64, 6)},
+         |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         |         FROM keys a JOIN keys b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT c.d1, c.d2,
+         |  ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
+         |FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2
+         |WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
+         |ORDER BY d1, d2""".stripMargin),
 
     // B5 scale path: near-dup pairs via LSH buckets — candidates only
     // within a bucket, exact cosine verify. Oracle embeds the same
@@ -366,25 +383,30 @@ object VectorQueries {
            |        (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
       }),
 
-    // SemDeDup semantic dedup: centroid cells bound the quadratic,
-    // within-cell cosine ≥ 0.4 drops the higher id. Per-cell census
-    // output. The oracle replays assignment (argmax cosine over the 16
-    // seed centroids, c_id tie-break — same margins as the hash-green
-    // ann_topk_ivf) and the greedy min-id drop rule. The demo corpus is
-    // capped at 2000 vectors (the full corpus at sf0.1) with cells
-    // pinned at 16 so the within-cell pair volume is fixed across scale
-    // factors — at production scale the dial is nCentroids ∝ √N (see
-    // semDeDup scaladoc), which keeps per-cell membership constant; an
-    // UNCAPPED run with pinned cells is quadratic in corpus size by
-    // construction (≈10^11 pairs at the 2M-vector sf100 pack).
+    // SemDeDup semantic dedup, PRIMARY (r9): centroid cells bound the
+    // quadratic, within-cell cosine ≥ 0.4 drops the higher id.
+    // Per-cell census output. UNCAPPED since r9 with the production
+    // dial LIVE: nCentroids = max(4, floor(√N / 2)) computed from the
+    // corpus count on BOTH engines (IEEE sqrt is correctly rounded, so
+    // floor agrees everywhere — unlike float log), which keeps
+    // per-cell membership ~2√N and the within-cell pair volume
+    // O(N^1.5) — SemDeDup's own scaling answer (50k cells for LAION).
+    // The oracle replays the dial, the assignment (argmax cosine over
+    // the seed centroids, c_id tie-break — same margins as the
+    // hash-green ann_topk_ivf) and the greedy min-id drop rule.
     "dedup_semantic" -> QueryDef.sql(
-      (s, dir) => VectorOps.semDeDup(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
-        nCentroids = 16, threshold = 0.4),
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val k = math.max(4L,
+          math.floor(math.sqrt(emb.count().toDouble) / 2).toLong).toInt
+        VectorOps.semDeDup(emb, nCentroids = k, threshold = 0.4)
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kk AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) / 2) AS BIGINT)) AS k
+        |       FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
         |      WHERE sqrt(list_dot_product(v, v)) > 0),
-        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n, kk WHERE vec_id < kk.k),
         |aff AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
         |          ROW_NUMBER() OVER (PARTITION BY n.vec_id
         |            ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC, c.c_id) AS crnk

