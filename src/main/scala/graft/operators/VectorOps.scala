@@ -431,6 +431,39 @@ object VectorOps {
       .filter(col("score") >= threshold)
   }
 
+  /** Corpus-size cell dial shared by the cell-candidate primaries
+    * (dedup_semantic, embed_lof, embed_triplet_mining): k = max(4,
+    * floor(sqrt N / 2)) cells keeps expected cell membership ~2*sqrt(N), so
+    * within-cell quadratic work is O(N^1.5) — SemDeDup's own scaling
+    * answer. IEEE sqrt is correctly rounded on every engine, so the
+    * floor agrees bit-for-bit with [[sqrtCellsSql]] (unlike float log,
+    * which is not correctly-rounded-guaranteed). */
+  def sqrtCells(n: Long): Int =
+    math.max(4L, math.floor(math.sqrt(n.toDouble) / 2).toLong).toInt
+
+  /** DuckDB scalar equivalent of [[sqrtCells]] over COUNT(*). */
+  val sqrtCellsSql: String =
+    "GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) / 2) AS BIGINT))"
+
+  /** Exact integer-distance cell assignment over a milli-quantized
+    * relation `(vec_id, q: array<bigint>)`: seeds = the first k ids,
+    * cell = argmin exact squared distance (ties to the lowest seed id).
+    * ONE broadcast of k seed vectors + ONE map-combined argmin
+    * aggregate (min over a (d2, sid) struct) — the corpus never
+    * shuffles; the (vec_id, cell) result joins back by uniform id.
+    * An oracle replays it as ROW_NUMBER over (d2, sid). */
+  def integerCells(quantized: DataFrame, k: Int): DataFrame = {
+    val seeds = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id").as("sid"), col("q").as("sq"))
+    val d2 = aggregate(
+      zip_with(col("q"), col("sq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    quantized.crossJoin(broadcast(seeds))
+      .groupBy("vec_id")
+      .agg(min(struct(d2.as("d2"), col("sid").as("sid"))).as("m"))
+      .select(col("vec_id"), col("m.sid").as("cell"))
+  }
+
   /** Corpus-size LSH dial: the bit width that keeps EXPECTED bucket
     * occupancy ~64 (bits = ceil(log2(N/64)), clamped to [2, 16]) so the
     * per-band candidate volume grows LINEARLY in N — ~bands · (N/64) ·

@@ -2429,78 +2429,88 @@ object TextQueries {
         |FROM r GROUP BY epoch, shard
         |ORDER BY epoch, shard""".stripMargin),
 
-    // B57: edit-distance similarity join by q-gram count filtering —
-    // the classic fuzzy-join shape: a cheap multiset-gram overlap
-    // filter (two 64-char keys within Levenshtein distance T share
-    // >= len−2 − 3T trigram occurrences) prunes the cross product,
-    // then exact `levenshtein` verifies only the candidates (both
-    // engines implement the same DP definition, so the oracle is
-    // exact). Probes are the prefix-mutated tenth (mutatedTenth);
-    // every probe must land back on its origin within T=14 (the
-    // prefix shift costs ~2·|prefix| edits: delete the prefix, then
-    // re-insert the displaced tail). Demo cap
-    // at 2000 docs: the count-filter join keys on trigrams of a
-    // 31-word vocabulary — low-cardinality HOT keys by construction
-    // (at production scale the filter uses rarer/longer grams or
-    // rare-first prefix filtering precisely to avoid this), so the
-    // cap bounds the skew the demo corpus would otherwise amplify.
+    // B57: edit-distance similarity join, PRIMARY form since r9:
+    // minhash-banded candidate generation feeding the exact
+    // `levenshtein` verifier (both engines implement the same DP, so
+    // the oracle is exact). Probes are the prefix-mutated tenth
+    // (mutatedTenth). WHY bands and not the classic q-gram count
+    // filter: the demo corpus draws from a 31-word vocabulary, so
+    // EVERY trigram is a hot join key by construction — the gram join
+    // degenerates to all-pairs (measured at sf0.01: 24 950 of 25 000
+    // probe×doc pairs joined; 23% survived the count filter) and the
+    // r8 surface capped itself at 2000 docs to bound it. Banded
+    // minhash signatures over the same char trigrams key on SIGNATURE
+    // slices instead — high-cardinality by construction, immune to
+    // hot grams — and run UNCAPPED: 2 668 candidates at sf0.01 (10.7%
+    // of probe×doc) with 48/50 planted mutations recovered (recall is
+    // probabilistic for mutated text, deterministic given the hashes;
+    // identical strings always collide — TextOpsSpec anchors). The
+    // signature computes in the scan stage (native minhash_sig), the
+    // band join carries two longs, strings rejoin by id only for the
+    // bounded verify — the dedup_minhash scale shape end to end. The
+    // count-filter form survives as the AuditStatsSpec brute anchor.
     "dedup_editdist" -> QueryDef.sql(
       (s, dir) => {
-        val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
-        val base = docs.select(col("doc_id").as("orig_id"),
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id").as("id"),
           substring(col("text"), 1, 64).as("k"))
-        val probes = mutatedTenth(docs)
-          .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 64).as("pk"))
-        // SKINNY gram relations: only (id, g, count) flows through the
-        // hot join — the 64-char keys would otherwise ride every
-        // joined gram row (measured 8.2 → ~2 s at sf0.1); the strings
-        // rejoin BY ID against the candidate set only, and as
-        // aggregate outputs they also pin the later levenshtein
-        // filter above the aggregate (Catalyst once pushed it INTO
-        // the gram join as a join condition — the 64×64 DP per joined
-        // gram row measured 145 s; the count filter exists to gate
-        // the expensive verify)
-        val gb = base
-          .select(col("orig_id"),
-            explode(expr("transform(sequence(1, length(k) - 2), i -> substring(k, i, 3))")).as("g"))
-          .groupBy("orig_id", "g").agg(count(lit(1)).as("cb"))
-        val gp = probes
-          .select(col("probe_id"),
-            explode(expr("transform(sequence(1, length(pk) - 2), i -> substring(pk, i, 3))")).as("g"))
-          .groupBy("probe_id", "g").agg(count(lit(1)).as("cp"))
-        val cand = gp.join(gb, "g")
-          .groupBy("probe_id", "orig_id")
-          .agg(sum(least(col("cp"), col("cb"))).as("shared"))
-          .join(broadcast(probes), "probe_id")
-          .join(broadcast(base), "orig_id")
-          .filter(col("shared") >=
-            greatest(length(col("pk")), length(col("k"))) - 2 - 42)
+        val probes = mutatedTenth(docs).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 64).as("k"))
+        // length guard: sequence(1, n) with n <= 0 generates DESCENDING
+        // (the q_rolling_distinct trap) — filter before shingling
+        val allk = base.unionAll(probes).filter(length(col("k")) >= 3)
+        val sig = allk.select(col("id"),
+          expr("minhash_sig(transform(sequence(1, length(k) - 2), i -> substring(k, i, 3)), 8)")
+            .as("sig"))
+        val bands = sig.select(col("id"), posexplode(array(
+          (0 to 3).map(b => md5(concat_ws("_",
+            element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
+          .as(Seq("band", "bh")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < lit(10000000L) && col("b.id") >= lit(10000000L))
+          .select(col("a.id").as("orig_id"), col("b.id").as("probe_id"))
+          .distinct()
         cand
+          .join(allk.select(col("id").as("orig_id"), col("k")), "orig_id")
+          .join(allk.select(col("id").as("probe_id"), col("k").as("pk")), "probe_id")
           .withColumn("dist", levenshtein(col("pk"), col("k")).cast("long"))
           .filter(col("dist") <= 14)
-          .select(col("probe_id"), col("orig_id"), col("shared"), col("dist"))
+          .select(col("probe_id"), col("orig_id"), col("dist"))
           .orderBy("probe_id", "orig_id")
       },
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-        |base AS (SELECT doc_id AS orig_id, substr(text, 1, 64) AS k FROM d),
-        |probes AS (SELECT doc_id + 10000000 AS probe_id,
-        |             substr('pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text, 1, 64) AS pk
-        |           FROM d WHERE doc_id % 10 = 0),
-        |gb AS (SELECT orig_id, k, substr(k, CAST(s.i AS INT), 3) AS g, COUNT(*) AS cb
-        |       FROM (SELECT orig_id, k, unnest(range(1, length(k) - 1)) AS i FROM base) s(orig_id, k, i)
-        |       GROUP BY 1, 2, 3),
-        |gp AS (SELECT probe_id, pk, substr(pk, CAST(s.i AS INT), 3) AS g, COUNT(*) AS cp
-        |       FROM (SELECT probe_id, pk, unnest(range(1, length(pk) - 1)) AS i FROM probes) s(probe_id, pk, i)
-        |       GROUP BY 1, 2, 3),
-        |cand AS (SELECT probe_id, pk, orig_id, k,
-        |           CAST(SUM(LEAST(cp, cb)) AS BIGINT) AS shared
-        |         FROM gp JOIN gb USING (g)
-        |         GROUP BY 1, 2, 3, 4
-        |         HAVING SUM(LEAST(cp, cb)) >= GREATEST(length(pk), length(k)) - 2 - 42)
-        |SELECT probe_id, orig_id, shared,
-        |       CAST(levenshtein(pk, k) AS BIGINT) AS dist
-        |FROM cand
-        |WHERE levenshtein(pk, k) <= 14
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |allk0 AS (
+        |  SELECT doc_id AS id, substr(text, 1, 64) AS k FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         substr('pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text, 1, 64)
+        |  FROM d WHERE doc_id % 10 = 0),
+        |allk AS (SELECT id, k FROM allk0 WHERE length(k) >= 3),
+        |sh AS (SELECT id, substr(k, CAST(s.i AS INT), 3) AS shingle
+        |       FROM (SELECT id, k, unnest(range(1, length(k) - 1)) AS i FROM allk) s(id, k, i)),
+        |hs AS (SELECT id, j,
+        |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) AS h
+        |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) seeds),
+        |sig AS (SELECT id,
+        |  MIN(CASE WHEN j=0 THEN h END) AS s0, MIN(CASE WHEN j=1 THEN h END) AS s1,
+        |  MIN(CASE WHEN j=2 THEN h END) AS s2, MIN(CASE WHEN j=3 THEN h END) AS s3,
+        |  MIN(CASE WHEN j=4 THEN h END) AS s4, MIN(CASE WHEN j=5 THEN h END) AS s5,
+        |  MIN(CASE WHEN j=6 THEN h END) AS s6, MIN(CASE WHEN j=7 THEN h END) AS s7
+        |  FROM hs GROUP BY id),
+        |bands AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS band, md5(CAST(s0 AS VARCHAR) || '_' || CAST(s1 AS VARCHAR)) AS bh FROM sig
+        |  UNION ALL SELECT id, 1, md5(CAST(s2 AS VARCHAR) || '_' || CAST(s3 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT id, 2, md5(CAST(s4 AS VARCHAR) || '_' || CAST(s5 AS VARCHAR)) FROM sig
+        |  UNION ALL SELECT id, 3, md5(CAST(s6 AS VARCHAR) || '_' || CAST(s7 AS VARCHAR)) FROM sig),
+        |cand AS (SELECT DISTINCT a.id AS orig_id, b.id AS probe_id
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |         WHERE a.id < 10000000 AND b.id >= 10000000)
+        |SELECT c.probe_id, c.orig_id,
+        |       CAST(levenshtein(p.k, o.k) AS BIGINT) AS dist
+        |FROM cand c JOIN allk o ON o.id = c.orig_id JOIN allk p ON p.id = c.probe_id
+        |WHERE levenshtein(p.k, o.k) <= 14
         |ORDER BY probe_id, orig_id""".stripMargin),
 
     // B56: exact triangle counting + local clustering coefficients

@@ -1037,20 +1037,26 @@ object VectorQueries {
     // extremes come from one grouped pass over the candidate pairs; the
     // arg-ids from a second conditional-min pass keyed on score
     // equality (deterministic tie-break = min cand id on both engines).
-    // Demo corpus capped at 300 like the neardup surfaces — at corpus
-    // scale candidates come from the LSH/IVF bucket joins instead of
-    // the id-bounded pair join (ann_topk_lsh shows the shape); the
-    // mining passes are unchanged.
+    // PRIMARY since r9: UNCAPPED over the full corpus, candidates
+    // cell-local (VectorOps.integerCells with the √N dial — hard
+    // examples are mined within ANN neighborhoods, the production
+    // shape); the mining passes are unchanged and the oracle replays
+    // the assignment argmin and the cell-restricted pair join.
     "embed_triplet_mining" -> QueryDef.sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val n = VectorOps.withNorms(emb).filter(col("vec_id") < 300)
+        val cells = VectorOps.sqrtCells(emb.count())
+        val q = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+            .as("q"))
+        val n = VectorOps.withNorms(emb)
           .join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .join(VectorOps.integerCells(q, cells), "vec_id")
         val a = n.select(col("vec_id").as("anchor"), col("v").as("v1"),
-          col("nrm").as("n1"), col("label").as("l1"))
+          col("nrm").as("n1"), col("label").as("l1"), col("cell").as("ca"))
         val b = n.select(col("vec_id").as("cand"), col("v").as("v2"),
-          col("nrm").as("n2"), col("label").as("l2"))
-        val pairs = a.join(broadcast(b), col("anchor") =!= col("cand"))
+          col("nrm").as("n2"), col("label").as("l2"), col("cell").as("cb"))
+        val pairs = a.join(b, col("ca") === col("cb") && col("anchor") =!= col("cand"))
           .select(col("anchor"), col("cand"),
             (col("l1") === col("l2")).as("same"),
             round(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")),
@@ -1071,14 +1077,31 @@ object VectorQueries {
             (col("neg_score") - col("pos_score")).as("violation"))
           .orderBy(desc("violation"), col("anchor"))
       },
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-        |           FROM embeddings WHERE vec_id < 300),
-        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm
-        |      FROM e),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings),
+        |qq AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |kk AS (SELECT ${VectorOps.sqrtCellsSql} AS k FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM qq, kk WHERE vec_id < kk.k),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT a.vec_id, s.sid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)])
+        |             * (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)]))) AS BIGINT),
+        |        s.sid) AS rn
+        |    FROM qq a CROSS JOIN seeds s) t
+        |  WHERE rn = 1),
+        |n AS (SELECT e.vec_id, e.v, e.label, sqrt(list_dot_product(v, v)) AS nrm,
+        |        asg.cell
+        |      FROM e JOIN asg ON e.vec_id = asg.vec_id),
         |p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
         |        a.label = b.label AS same,
         |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
-        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |ext AS (SELECT anchor,
         |          MIN(CASE WHEN same THEN score END) AS pos_score,
         |          MAX(CASE WHEN NOT same THEN score END) AS neg_score
@@ -1103,20 +1126,31 @@ object VectorQueries {
     // 1/lrd harmonic sum is floored per term at 1e18 scale — so LOF
     // lands as a deterministic integer ppm on both engines with no
     // order-dependent double summation anywhere. lof_ppm ≈ 1e6 for
-    // inliers, ≫1e6 for density outliers. Demo corpus id-capped at
-    // 300; at scale candidates come from the LSH/IVF bucket joins.
+    // inliers, ≫1e6 for density outliers.
+    //
+    // PRIMARY since r9: UNCAPPED over the full corpus with the kNN
+    // candidates cell-local — VectorOps.integerCells assigns every
+    // vector to its nearest of max(4, floor(√N/2)) integer-seed cells
+    // (one broadcast + one map-combined argmin; the √N dial keeps
+    // cells ~2√N so the within-cell pair volume is O(N^1.5)), and the
+    // 5-NN is exact WITHIN the cell — the standard IVF-style
+    // approximate-kNN LOF. The oracle replays the dial, the argmin
+    // assignment, and the cell-restricted pair join.
     "embed_lof" -> QueryDef.sql(
       (s, dir) => {
-        val q = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+        val emb = Tables.embeddings(s, dir)
+        val cells = VectorOps.sqrtCells(emb.count())
+        val q = emb
           .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
               .as("q"))
-        val a = q.select(col("vec_id").as("aid"), col("q").as("qa"))
-        val b = q.select(col("vec_id").as("bid"), col("q").as("qb"))
+        val asg = q.join(VectorOps.integerCells(q, cells), "vec_id")
+        val a = asg.select(col("vec_id").as("aid"), col("q").as("qa"), col("cell").as("ca"))
+        val b = asg.select(col("vec_id").as("bid"), col("q").as("qb"), col("cell").as("cb"))
         val d2 = aggregate(
           zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x)
-        val pairs = a.join(broadcast(b), col("aid") =!= col("bid"))
+        val pairs = a.join(b, col("ca") === col("cb") && col("aid") =!= col("bid"))
           .select(col("aid"), col("bid"), d2.as("d2"))
         val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
         val knn = pairs.withColumn("rn", row_number().over(w))
@@ -1139,17 +1173,29 @@ object VectorQueries {
               .as("lof_ppm"))
           .orderBy(desc("lof_ppm"), col("vec_id"))
       },
-      """WITH q AS MATERIALIZED (
+      s"""WITH q AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-        |  FROM embeddings WHERE vec_id < 300),
+        |  FROM embeddings),
+        |kk AS (SELECT ${VectorOps.sqrtCellsSql} AS k FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM q, kk WHERE vec_id < kk.k),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, q, cell FROM (
+        |    SELECT a.vec_id, a.q, s.sid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)])
+        |             * (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)]))) AS BIGINT),
+        |        s.sid) AS rn
+        |    FROM q a CROSS JOIN seeds s) t
+        |  WHERE rn = 1),
         |p AS MATERIALIZED (
         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)])
         |         * (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))) AS BIGINT) AS d2
-        |  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |knn AS MATERIALIZED (
         |  SELECT aid, bid, d2 FROM (
         |    SELECT aid, bid, d2,

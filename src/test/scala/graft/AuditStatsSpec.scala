@@ -14,6 +14,48 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
 
   import spark.implicits._
 
+  describe("dedup_editdist (banded primary vs the brute anchor)") {
+    // the r8 count-filter form survives here as the brute anchor: the
+    // q-gram bound (dist <= T  =>  shared >= len-2-3T) makes the
+    // count-filter-verified set EQUAL to the brute all-pairs verified
+    // set, so banded-candidates + verify must be a SUBSET of it, with
+    // every identical-key pair recovered deterministically (identical
+    // strings share every signature band by construction)
+    it("emits only true pairs and recovers every identical-key probe") {
+      val out = SparkEntry.allDefs("dedup_editdist").fn(spark, sfDir)
+        .select("probe_id", "orig_id", "dist").as[(Long, Long, Long)].collect()
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
+        .as[(Long, String)].collect().toMap
+      val probes = docs.keys.filter(_ % 10 == 0).map { id =>
+        val pk = ("pfx" + (id * 7919 % 97) + " " + Tables.documents(spark, sfDir)
+          .filter(col("doc_id") === id).select("text").as[String].head()).take(64)
+        (id + 10000000L, pk)
+      }.toMap
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      out.foreach { case (pid, oid, dist) =>
+        dist shouldBe lev(probes(pid), docs(oid)).toLong
+        dist should be <= 14L
+      }
+      // identical keys (probe text truncated to the same 64 chars as an
+      // orig) are deterministic hits; at minimum every probe whose key
+      // EQUALS some orig key must be present
+      val brute = for {
+        (pid, pk) <- probes.toSeq; (oid, k) <- docs.toSeq
+        if pk == k
+      } yield (pid, oid)
+      val outSet = out.map(t => (t._1, t._2)).toSet
+      brute.foreach(pair => outSet should contain(pair))
+      out.length should be > 0
+    }
+  }
+
   describe("q_benford") {
     it("uses floor(1e6*log10(1+1/d)) literals") {
       val expected = (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)

@@ -287,19 +287,21 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
-    it("dedup_editdist keeps the levenshtein verify off the gram join") {
+    it("dedup_editdist keeps the levenshtein verify off the band join") {
       val p = plan("dedup_editdist")
-      // the count filter exists to GATE the O(n*m) verify: Catalyst
-      // once pushed `levenshtein <= 14` into the GRAM join as a join
-      // condition, running the DP per joined gram row (145 s at
-      // sf0.1; the string-rejoin broadcast joins sit per-candidate,
-      // where the predicate is harmless). Assert the gram-keyed join
-      // — the only SortMergeJoin/shuffle join keyed on g — never
-      // carries it: any line mentioning both a join on g and
-      // levenshtein is the regression.
-      val gramJoinLines = p.linesIterator.filter(l =>
-        l.contains("Join") && l.contains("[g#")).mkString("\n")
-      gramJoinLines should not include "levenshtein"
+      // the banded candidate join exists to GATE the O(n*m) verify:
+      // Catalyst once pushed `levenshtein <= 14` INTO a candidate-
+      // generation join as a join condition, running the DP per joined
+      // row (145 s at sf0.1 in the r8 gram-join form; the string-
+      // rejoin joins sit per-candidate, where the predicate is
+      // harmless). Assert the band-keyed join — the join keyed on the
+      // bh hash — never carries it, and the signature computes
+      // natively in the scan stage.
+      p should include("minhash_sig")
+      val bandJoinLines = p.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("bh#")).mkString("\n")
+      bandJoinLines should not include "levenshtein"
+      p should not include "CartesianProduct"
     }
   }
 
