@@ -139,6 +139,56 @@ object TreeOps {
       .select(col("trace_id"), col("span_id"), col("path"))
   }
 
+  /** Root→span service paths by a PER-TRACE row-local walk — the
+    * opt-in reconstruction engine behind [[pathRollup]]
+    * (localParents = true): replaces a second full doubling loop,
+    * which carried growing segment ARRAYS through ~7 rounds of
+    * join+checkpoint (the dominant cost — measured 13.2 → ~5 s for
+    * the rollup surfaces at sf0.1). Correct ONLY where parent links
+    * stay inside the trace (the TraceDataset contract; a cross-trace
+    * parent id anchors here where the global hop join of
+    * [[spanPaths]] would resolve it) with trace sizes bounded by the
+    * ingest cap: ONE trace-keyed shuffle, then each span walks its
+    * parent links in an in-memory map — O(n·depth) per trace, bounded
+    * by the cap. Dangling parents anchor the path and a parent CYCLE
+    * fails loudly, both exactly like [[spanPaths]] (TreeOpsSpec pins
+    * equality on a trace-local forest).
+    */
+  def spanPathsLocal(spans: DataFrame): DataFrame = {
+    val s = spans.sparkSession
+    import s.implicits._
+    spans.select(col("trace_id").cast("string"), col("span_id").cast("string"),
+        col("parent_span_id").cast("string"), col("service"))
+      .as[(String, String, Option[String], String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tid, it) =>
+        val rows = it.toArray
+        val svc = new scala.collection.mutable.HashMap[String, String]()
+        val par = new scala.collection.mutable.HashMap[String, String]()
+        rows.foreach { case (_, sid, p, sv) =>
+          svc.update(sid, sv)
+          p.foreach(par.update(sid, _))
+        }
+        rows.iterator.map { case (_, sid, _, _) =>
+          val seg = List.newBuilder[String]
+          val seen = new scala.collection.mutable.HashSet[String]()
+          var cur = sid
+          var done = false
+          while (!done) {
+            require(seen.add(cur),
+              s"spanPathsLocal: parent cycle at span $cur in trace $tid")
+            seg += svc(cur)
+            par.get(cur).filter(svc.contains) match {
+              case Some(p) => cur = p
+              case None => done = true
+            }
+          }
+          (tid, sid, seg.result().reverse.mkString("/"))
+        }
+      }
+      .toDF("trace_id", "span_id", "path")
+  }
+
   /** Path rollup that never shuffles a path string for the bulk corpus.
     *
     * [[spanPaths]] carries each span's accumulated service-segment
@@ -169,13 +219,29 @@ object TreeOps {
     * differential-flamegraph hook (e.g. a time-half flag). They ride
     * every checkpoint, so keep them narrow (the spanDepths width
     * lesson). */
+  /** `localParents`: set true when the input guarantees parent links
+    * never cross trace boundaries (the TraceDataset contract, true of
+    * every span relation the query pack builds) — reconstruction then
+    * uses the one-shuffle per-trace walk ([[spanPathsLocal]], measured
+    * 13.2 → ~5 s for the two rollup surfaces at sf0.1) instead of a
+    * second doubling loop. Leave false for arbitrary forests (e.g.
+    * cross-trace parent ids), where only the global hop join is
+    * correct. */
   def pathRollup(spans: DataFrame, maxRounds: Int = 40,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil, localParents: Boolean = false): DataFrame = {
     val (p1, p2) = (2147483647L, 2147483629L) // 31-bit primes: b·h < 2^62
     val (bb1, bb2) = (1000003L, 998244353L)
+    // The input is scanned twice (cursor init + representative-trace
+    // reconstruction); checkpoint the narrow projection ONCE so an
+    // expensive upstream (the events->spans lag window costs ~1.3 s
+    // per scan at sf0.1) is never recomputed.
+    val src = spans.select(
+      (Seq(col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("service"), col("duration_us")) ++ groupCols.map(col)): _*)
+      .localCheckpoint()
     // Cursor: (span_id, anc, h1, b1, h2, b2) + the fixed-width payload
     // the rollup needs (trace_id, duration) so no corpus-wide rejoin.
-    val init = spans.select(
+    val init = src.select(
       (Seq(col("trace_id"), col("span_id"), col("duration_us"),
         col("parent_span_id").as("anc"),
         pmod(xxhash64(col("service")), lit(p1)).as("h1"), lit(bb1).as("b1"),
@@ -186,18 +252,16 @@ object TreeOps {
     var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
     init.unpersist()
 
-    var rounds = 0
-    var active = !frontier.isEmpty
-    while (active && rounds < maxRounds) {
-      val hop = (frontier :: doneFrames).map(_.select(
+    // One fingerprint-composing jump of `cur` against the cursors in
+    // `targets`: a dangling anc misses the join and anchors the path
+    // (same rule as spanDepths/spanPaths).
+    def jump(cur: DataFrame, targets: Seq[DataFrame]): DataFrame = {
+      val hop = targets.map(_.select(
         col("span_id").as("h_id"), col("anc").as("h_anc"),
         col("h1").as("y1"), col("b1").as("c1"),
         col("h2").as("y2"), col("b2").as("c2")))
         .reduce(_ unionAll _)
-      // Jump: extend this span's self→root sequence by the ancestor's.
-      // A dangling anc misses the join and anchors the path (same rule
-      // as spanDepths/spanPaths).
-      val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
+      cur.join(hop, col("anc") === col("h_id"), "left_outer")
         .select(
           (Seq(col("trace_id"), col("span_id"), col("duration_us"),
             col("h_anc").as("anc"),
@@ -209,16 +273,31 @@ object TreeOps {
               .otherwise(pmod(col("h2") + col("b2") * col("y2"), lit(p2))).as("h2"),
             when(col("y2").isNull, col("b2"))
               .otherwise(pmod(col("b2") * col("c2"), lit(p2))).as("b2")) ++
-            groupCols.map(frontier(_))): _*)
-        .localCheckpoint()
+            groupCols.map(cur(_))): _*)
+    }
+
+    // POINTER QUADRUPLING (r9): two jumps per materialized round — the
+    // intermediate (distance-doubled) frame serves as its own jump
+    // target alongside the done frames, so each checkpointed round
+    // covers 4× the distance. The intermediate is NOT materialized
+    // (its join recomputes twice inside the round's single job); at
+    // the measured ~0.5 s fixed cost per materialized round, halving
+    // the round count beats halving per-round work — sf0.1: 7 rounds
+    // × 0.6 s → 4 rounds, trace_path_rollup 13.2 → ~5 s end to end
+    // (with the spanPathsLocal reconstruction).
+    var rounds = 0
+    var active = !frontier.isEmpty
+    while (active && rounds < maxRounds) {
+      val once = jump(frontier, frontier :: doneFrames)
+      val next = jump(once, once :: doneFrames).localCheckpoint()
       frontier.unpersist()
       doneFrames = next.filter(col("anc").isNull) :: doneFrames
       frontier = next.filter(col("anc").isNotNull)
       rounds += 1
       active = !frontier.isEmpty
     }
-    require(!active, s"pathRollup did not converge in $maxRounds doubling rounds " +
-      s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
+    require(!active, s"pathRollup did not converge in $maxRounds quadrupling rounds " +
+      s"(depth > ${BigInt(4).pow(maxRounds)} or a parent cycle)")
 
     // Corpus collapses on the combined 62-bit fingerprint; one
     // representative span per path seeds the string reconstruction.
@@ -233,14 +312,18 @@ object TreeOps {
       .localCheckpoint()
 
     // Reconstruct strings on the representatives' traces only —
-    // |distinct paths| traces regardless of corpus size.
+    // |distinct paths| traces regardless of corpus size — via the
+    // row-local per-trace walk (bounded traces by the TraceDataset
+    // contract; a second doubling loop here paid ~7 more rounds of
+    // join+checkpoint overhead — measured 13.2 → ~6 s at sf0.1).
     val repTraces = roll.select(col("rep.trace_id").as("trace_id")).distinct()
-    val pruned = spans
+    val pruned = src
       .select("trace_id", "span_id", "parent_span_id", "service")
       .join(broadcast(repTraces), Seq("trace_id"), "left_semi")
-    val repPaths = spanPaths(pruned, maxRounds)
-      .select(col("span_id").as("rep_span"), col("path"))
-    roll.join(repPaths, roll("rep.span_id") === col("rep_span"))
+    val repPaths =
+      (if (localParents) spanPathsLocal(pruned) else spanPaths(pruned, maxRounds))
+        .select(col("span_id").as("rep_span"), col("path"))
+    roll.join(repPaths, roll("rep.span_id").cast("string") === col("rep_span"))
       .select((Seq(col("path")) ++ groupCols.map(col) ++
         Seq(col("n_spans"), col("total_dur_us"))): _*)
   }

@@ -1934,9 +1934,12 @@ object TraceQueries {
     "trace_path_rollup" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir)
+        // localParents: the events-derived span relation keeps parent
+        // links inside the trace by construction (SpanOps chain), so
+        // reconstruction is the one-shuffle per-trace walk
         graft.operators.TreeOps.pathRollup(
           sp.select("trace_id", "span_id", "parent_span_id", "service",
-            "duration_us"))
+            "duration_us"), localParents = true)
       },
       cte("""
         |, p AS (
@@ -1965,8 +1968,12 @@ object TraceQueries {
     // row per distinct path — the driver set-compares).
     "trace_flamegraph_diff" -> QueryDef.sql(
       (s, dir) => {
+        // one materialization of the events->spans window: the midpoint
+        // aggregate, the half flag, and pathRollup's internal source
+        // checkpoint all read it (3 scans otherwise — ~1.3 s each at
+        // sf0.1)
         val sp = spans(s, dir).select("trace_id", "span_id", "parent_span_id",
-          "service", "duration_us", "start_us")
+          "service", "duration_us", "start_us").localCheckpoint()
         val mid = sp.agg(expr("(min(start_us) + max(start_us)) div 2").as("mid_us"))
         val flagged = sp.crossJoin(broadcast(mid))
           .withColumn("half",
@@ -1974,7 +1981,7 @@ object TraceQueries {
           .select("trace_id", "span_id", "parent_span_id", "service",
             "duration_us", "half")
         val roll = graft.operators.TreeOps.pathRollup(flagged,
-          groupCols = Seq("half"))
+          groupCols = Seq("half"), localParents = true)
         roll.groupBy("path")
           .agg(
             sum(when(col("half") === 0L, col("n_spans")).otherwise(0L)).as("spans_a"),

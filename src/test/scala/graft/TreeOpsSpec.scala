@@ -154,6 +154,43 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       got shouldBe expected
     }
 
+    it("localParents reconstruction equals the global loop on a trace-local forest") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(11)
+      val services = Array("api", "auth", "db", "cache", "web")
+      // parents stay INSIDE the trace (the TraceDataset contract):
+      // each trace is an independent random tree over its own spans
+      val rows = (0 until 20).flatMap { t =>
+        val ids = (0L until 20L).map(_ + t * 100L)
+        ids.zipWithIndex.map { case (id, i) =>
+          val parent = if (i == 0 || rng.nextDouble() < 0.1) None
+                       else Some(ids(rng.nextInt(i)))
+          (s"t$t", id, parent, services(rng.nextInt(services.length)),
+            rng.nextLong(1000000L))
+        }
+      }
+      val df = rows.toDF(
+        "trace_id", "span_id", "parent_span_id", "service", "duration_us")
+      def rolled(local: Boolean) =
+        TreeOps.pathRollup(df, localParents = local).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      rolled(local = true) shouldBe rolled(local = false)
+    }
+
+    it("spanPathsLocal fails loudly on a parent cycle") {
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        ("t0", 1L, Option(2L), "a"),
+        ("t0", 2L, Option(1L), "b"))
+        .toDF("trace_id", "span_id", "parent_span_id", "service")
+      val ex = intercept[org.apache.spark.SparkException] {
+        TreeOps.spanPathsLocal(df).collect()
+      }
+      ex.getMessage should include("parent cycle")
+    }
+
     it("keeps deep-chain paths exact across fingerprint composition") {
       val s = spark
       import s.implicits._
