@@ -2200,6 +2200,14 @@ object RelationalQueries {
     // integers; only the final z goes through the identically-ordered
     // double/sqrt finish. Var uses the tie-corrected
     // n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))).
+    //
+    // SF ENVELOPE (the q_jarque_bera precedent): the ×2 rank sums
+    // (cnt_f·rank2) and the U statistics are plain LONG accumulators —
+    // exact to ~9.2e18, i.e. ≈ sf1000 for this corpus (r8 advice
+    // measured ~7e17 at sf100, 13× of headroom). Beyond that ANSI mode
+    // throws ARITHMETIC_OVERFLOW (loud, never silent); the fix at that
+    // scale is DECIMAL(38,0) legs like the tie3 term already uses,
+    // at the measured ~7× decimal-aggregate cost.
     "q_mann_whitney" -> QueryDef.sql(
       (s, dir) => {
         val rows = Tables.lineitem(s, dir)
@@ -2267,6 +2275,10 @@ object RelationalQueries {
     // through DECIMAL(38,0) squares (fits to sf100: (7e17)² < 1e38)
     // before the double divide; 12/4 = the literal 3.0. Tie-corrected
     // H divides by 1 − Σ(t³−t)/(n³−n).
+    //
+    // SF ENVELOPE: the per-group ×2 rank-sum accumulators themselves
+    // (cnt_j·rank2 sums) are plain LONGs — exact to ≈ sf1000 (same
+    // analysis as q_mann_whitney above); ANSI throws loudly beyond.
     "q_kruskal_wallis" -> QueryDef.sql(
       (s, dir) => {
         val rows = Tables.lineitem(s, dir)

@@ -3267,7 +3267,13 @@ object TextQueries {
     // map-combined pass) is the production ECE shape.
     "corpus_calibration" -> QueryDef.sql(
       (s, dir) => {
+        // empty-document guard (r8 advice): Spark's `div` yields NULL on
+        // a zero divisor where DuckDB's `//` raises — filter the
+        // zero-length rows out IDENTICALLY on both engines so an empty
+        // text can never make the two diverge (an unscorable document
+        // has no place in a reliability diagram anyway)
         val d = Tables.documents(s, dir)
+          .filter(length(col("text")) > 0)
           .select(
             expr("length(regexp_replace(text, '[^a-z]', '')) * 1000000" +
               " div length(text)").as("score_ppm"),
@@ -3284,7 +3290,7 @@ object TextQueries {
         |    length(regexp_replace(text, '[^a-z]', '', 'g')) * 1000000
         |      // length(text) AS score_ppm,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |g AS (
         |  SELECT score_ppm // 100000 AS bucket, COUNT(*) AS n_docs,
         |    CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,

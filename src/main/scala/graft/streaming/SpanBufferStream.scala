@@ -166,8 +166,17 @@ object SpanBufferStream {
   /** One buffered touch/conversion event of an in-flight journey. */
   case class AttrEvent(service: String, startUs: Long, spanId: Long)
 
-  /** Accumulation state for one user's attribution journeys. */
-  case class AttrState(events: Seq[AttrEvent], lastEventUs: Long)
+  /** Per-channel credit accumulator (closed journeys only). */
+  case class AttrAcc(first: Long, last: Long, linear: Long, touches: Long)
+
+  /** Accumulation state for one user's attribution journeys: credits of
+    * journeys already CLOSED under the watermark live in the compact
+    * per-channel map; only the unfolded event tail (open journey +
+    * not-yet-sealed purchases) buffers — state is O(open touches), not
+    * O(lifetime events) (the r8 advice: a user with continuous activity
+    * never times out, so an events-only state grew without bound). */
+  case class AttrState(
+      acc: Map[String, AttrAcc], tail: Seq[AttrEvent], lastEventUs: Long)
 
   /** Multi-touch attribution as a stream (batch C124 made incremental):
     * per-user events accumulate in state; when the watermark passes the
@@ -194,18 +203,31 @@ object SpanBufferStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, incoming: Iterator[(Span, java.sql.Timestamp)], state: GroupState[AttrState]) =>
           if (state.hasTimedOut) {
-            val evs = state.get.events
+            // all buffered events are under the watermark at timeout —
+            // fold everything (trailing open touches stay uncredited,
+            // the batch C124 closed-journeys-only rule)
+            val st = state.get
+            val (acc, _) = foldJourneys(st.acc, st.tail, Long.MaxValue)
             state.remove()
-            journeyCredits(evs)
+            acc.toSeq.sortBy(_._1).iterator
+              .map { case (ch, a) => (ch, a.first, a.last, a.linear, a.touches) }
           } else {
             val fresh = incoming
               .map(t => AttrEvent(t._1.service, t._1.startUs, t._1.spanId.toLong))
+              // non-touch, non-purchase services never influence credits
+              // — drop them before they ever reach state
+              .filter(e => touchServices(e.service) || e.service == "purchase")
               .toSeq
-            val prev = state.getOption.map(_.events).getOrElse(Seq.empty)
-            val all = prev ++ fresh
-            val lastUs =
-              (state.getOption.map(_.lastEventUs).getOrElse(0L) +: fresh.map(_.startUs)).max
-            state.update(AttrState(all, lastUs))
+            val prev = state.getOption
+              .getOrElse(AttrState(Map.empty, Seq.empty, 0L))
+            // journeys closed by a purchase at or before the watermark
+            // are FINAL (no future event can precede the watermark) —
+            // fold them into the compact per-channel accumulator now and
+            // keep only the unfolded tail in state
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (acc, tail) = foldJourneys(prev.acc, prev.tail ++ fresh, wmUs)
+            val lastUs = (prev.lastEventUs +: fresh.map(_.startUs)).max
+            state.update(AttrState(acc, tail, lastUs))
             state.setTimeoutTimestamp(
               math.max(lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
@@ -213,32 +235,43 @@ object SpanBufferStream {
       }
   }
 
-  /** Replay one sealed user's journeys (the exact batch C124 rule:
-    * touches between consecutive purchases, only closed journeys
-    * credited) into per-channel credit rows. */
-  private def journeyCredits(
-      evs: Seq[AttrEvent]): Iterator[(String, Long, Long, Long, Long)] = {
-    val touch = Set("view", "click", "signup")
-    val first = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val last = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val linear = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val touches = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+  private val touchServices = Set("view", "click", "signup")
+
+  /** Replay journeys over the (re-sorted) unfolded events (the exact
+    * batch C124 rule: touches between consecutive purchases, only
+    * closed journeys credited), folding every journey closed by a
+    * purchase at or before `sealedUs` into the per-channel accumulator.
+    * Returns the updated accumulator and the remaining UNFOLDED tail
+    * (open-journey touches plus purchases newer than the seal point);
+    * re-walking the tail on the next fold is what makes the
+    * incremental fold equal to the full replay under any within-
+    * watermark arrival order. */
+  private def foldJourneys(
+      acc0: Map[String, AttrAcc], evs: Seq[AttrEvent], sealedUs: Long)
+    : (Map[String, AttrAcc], Seq[AttrEvent]) = {
+    var acc = acc0
+    def add(ch: String)(f: AttrAcc => AttrAcc): Unit =
+      acc = acc.updated(ch, f(acc.getOrElse(ch, AttrAcc(0L, 0L, 0L, 0L))))
     var cur = Vector.empty[String]
+    var tail = Vector.empty[AttrEvent]
     for (e <- evs.sortBy(x => (x.startUs, x.spanId))) {
-      if (e.service == "purchase") {
+      if (e.service == "purchase" && e.startUs <= sealedUs) {
         if (cur.nonEmpty) {
-          first(cur.head) += 1
-          last(cur.last) += 1
+          add(cur.head)(a => a.copy(first = a.first + 1))
+          add(cur.last)(a => a.copy(last = a.last + 1))
           cur.foreach { c =>
-            linear(c) += 1000000L / cur.size
-            touches(c) += 1
+            add(c)(a => a.copy(
+              linear = a.linear + 1000000L / cur.size, touches = a.touches + 1))
           }
         }
         cur = Vector.empty
-      } else if (touch(e.service)) cur :+= e.service
+        tail = Vector.empty
+      } else {
+        if (touchServices(e.service)) cur :+= e.service
+        tail :+= e
+      }
     }
-    touches.keys.toSeq.sorted.iterator
-      .map(ch => (ch, first(ch), last(ch), linear(ch), touches(ch)))
+    (acc, tail)
   }
 
   /** Sealed buffers → flat processed spans, applying the reference read
