@@ -56,29 +56,39 @@ object TreeOps {
     var doneFrames = List(init.filter(col("anc").isNull).localCheckpoint())
     init.unpersist()
 
-    var rounds = 0
-    var active = !frontier.isEmpty
-    while (active && rounds < maxRounds) {
-      val hop = (frontier :: doneFrames).map(_.select(
+    // One cursor jump of `cur` against the cursors in `targets`: active
+    // rows jump to their ancestor's cursor; a dangling anc (parent id
+    // absent from the input) misses the join and resolves to
+    // done-at-current-dist.
+    def jump(cur: DataFrame, targets: Seq[DataFrame]): DataFrame = {
+      val hop = targets.map(_.select(
         col("span_id").as("h_id"), col("anc").as("h_anc"), col("dist").as("h_dist")))
         .reduce(_ unionAll _)
-      // Active rows jump to their ancestor's cursor. A dangling anc
-      // (parent id absent from the input) misses the join and resolves
-      // to done-at-current-dist.
-      val next = frontier.join(hop, col("anc") === col("h_id"), "left_outer")
+      cur.join(hop, col("anc") === col("h_id"), "left_outer")
         .select(
           col("span_id"),
           col("h_anc").as("anc"),
           (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
-        .localCheckpoint()
+    }
+
+    // POINTER QUADRUPLING (r9, the pathRollup lesson): two jumps per
+    // materialized round — the intermediate frame serves as its own
+    // jump target and recomputes inside the round's single job; at the
+    // measured ~0.5 s fixed cost per materialized round, halving the
+    // round count beats halving per-round work.
+    var rounds = 0
+    var active = !frontier.isEmpty
+    while (active && rounds < maxRounds) {
+      val once = jump(frontier, frontier :: doneFrames)
+      val next = jump(once, once :: doneFrames).localCheckpoint()
       frontier.unpersist()
       doneFrames = next.filter(col("anc").isNull) :: doneFrames
       frontier = next.filter(col("anc").isNotNull)
       rounds += 1
       active = !frontier.isEmpty
     }
-    require(!active, s"spanDepths did not converge in $maxRounds doubling rounds " +
-      s"(depth > ${BigInt(2).pow(maxRounds)} or a parent cycle)")
+    require(!active, s"spanDepths did not converge in $maxRounds quadrupling rounds " +
+      s"(depth > ${BigInt(4).pow(maxRounds)} or a parent cycle)")
     // NOTE: the round checkpoints stay live — the returned frame reads
     // the done frames (same contract as GraphOps.connectedComponents:
     // the caller may unpersist after consuming).
