@@ -2430,36 +2430,49 @@ object TextQueries {
         |ORDER BY epoch, shard""".stripMargin),
 
     // B57: edit-distance similarity join, PRIMARY form since r9:
-    // minhash-banded candidate generation feeding the exact
-    // `levenshtein` verifier (both engines implement the same DP, so
-    // the oracle is exact). Probes are the prefix-mutated tenth
-    // (mutatedTenth). WHY bands and not the classic q-gram count
-    // filter: the demo corpus draws from a 31-word vocabulary, so
-    // EVERY trigram is a hot join key by construction — the gram join
-    // degenerates to all-pairs (measured at sf0.01: 24 950 of 25 000
-    // probe×doc pairs joined; 23% survived the count filter) and the
-    // r8 surface capped itself at 2000 docs to bound it. Banded
-    // minhash signatures over the same char trigrams key on SIGNATURE
-    // slices instead — high-cardinality by construction, immune to
-    // hot grams — and run UNCAPPED: 2 668 candidates at sf0.01 (10.7%
-    // of probe×doc) with 48/50 planted mutations recovered (recall is
-    // probabilistic for mutated text, deterministic given the hashes;
-    // identical strings always collide — TextOpsSpec anchors). The
-    // signature computes in the scan stage (native minhash_sig), the
-    // band join carries two longs, strings rejoin by id only for the
-    // bounded verify — the dedup_minhash scale shape end to end. The
-    // count-filter form survives as the AuditStatsSpec brute anchor.
+    // exact-key collapse -> minhash-banded candidates over DISTINCT
+    // keys -> exact `levenshtein` verify (both engines implement the
+    // same DP, so the oracle is exact). Probes are the prefix-mutated
+    // tenth (mutatedTenth).
+    //
+    // WHY this shape: (1) the demo corpus draws from a 31-word
+    // vocabulary, so every trigram is a hot gram-join key by
+    // construction (measured at sf0.01: 24 950 of 25 000 probe x doc
+    // pairs joined; the r8 surface capped itself at 2000 docs to
+    // bound it) — banded minhash signatures key on signature slices
+    // instead, immune to hot grams; (2) the ScaleUp-derived packs
+    // replicate documents, so identical 64-char keys form TRUE
+    // duplicate groups (sf1: 50 000 docs but 4 764 distinct keys, max
+    // group 40) — pairing at the id level is output-quadratic in the
+    // group sizes (measured 67 s at sf1, one 9 243-member bucket in a
+    // single join task). The dedup ladder's own answer applies:
+    // collapse EXACT duplicates first, fuzzy-join the distinct-key
+    // representatives, and emit one row per (probe group, orig group)
+    // with the min-id representatives and both group sizes — work is
+    // bounded by distinct-key diversity (FLAT across ScaleUp factors)
+    // and the edit distance depends only on the keys, so the collapse
+    // is lossless. Signatures compute in the scan stage (native
+    // minhash_sig); the band join carries two longs; no trailing sort
+    // (group pairs are corpus-bulk — the trace_depth rule; the gate
+    // sorts before hashing). AuditStatsSpec brute-anchors every
+    // emitted pair; the uncollapsed count-filter form remains its
+    // in-memory reference.
     "dedup_editdist" -> QueryDef.sql(
       (s, dir) => {
         graft.GraftExtensions.register(s)
         val docs = Tables.documents(s, dir)
-        val base = docs.select(col("doc_id").as("id"),
-          substring(col("text"), 1, 64).as("k"))
-        val probes = mutatedTenth(docs).select(col("doc_id").as("id"),
-          substring(col("text"), 1, 64).as("k"))
         // length guard: sequence(1, n) with n <= 0 generates DESCENDING
         // (the q_rolling_distinct trap) — filter before shingling
-        val allk = base.unionAll(probes).filter(length(col("k")) >= 3)
+        val base = docs.select(col("doc_id").as("id"),
+          substring(col("text"), 1, 64).as("k"))
+          .filter(length(col("k")) >= 3)
+          .groupBy("k").agg(min("id").as("id"), count(lit(1)).as("n"))
+        val probes = mutatedTenth(docs).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 64).as("k"))
+          .filter(length(col("k")) >= 3)
+          .groupBy("k").agg(min("id").as("id"), count(lit(1)).as("n"))
+        val allk = base.select(col("id"), col("k"))
+          .unionAll(probes.select(col("id"), col("k")))
         val sig = allk.select(col("id"),
           expr("minhash_sig(transform(sequence(1, length(k) - 2), i -> substring(k, i, 3)), 8)")
             .as("sig"))
@@ -2473,21 +2486,27 @@ object TextQueries {
           .select(col("a.id").as("orig_id"), col("b.id").as("probe_id"))
           .distinct()
         cand
-          .join(allk.select(col("id").as("orig_id"), col("k")), "orig_id")
-          .join(allk.select(col("id").as("probe_id"), col("k").as("pk")), "probe_id")
+          .join(base.select(col("id").as("orig_id"), col("k"),
+            col("n").as("n_orig_dups")), "orig_id")
+          .join(probes.select(col("id").as("probe_id"), col("k").as("pk"),
+            col("n").as("n_probe_dups")), "probe_id")
           .withColumn("dist", levenshtein(col("pk"), col("k")).cast("long"))
           .filter(col("dist") <= 14)
-          .select(col("probe_id"), col("orig_id"), col("dist"))
-          .orderBy("probe_id", "orig_id")
+          .select(col("probe_id"), col("orig_id"), col("dist"),
+            col("n_probe_dups"), col("n_orig_dups"))
       },
       """WITH d AS (SELECT doc_id, text FROM documents),
-        |allk0 AS (
-        |  SELECT doc_id AS id, substr(text, 1, 64) AS k FROM d
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |         substr('pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text, 1, 64)
-        |  FROM d WHERE doc_id % 10 = 0),
-        |allk AS (SELECT id, k FROM allk0 WHERE length(k) >= 3),
+        |base AS (
+        |  SELECT k, MIN(id) AS id, COUNT(*) AS n FROM (
+        |    SELECT doc_id AS id, substr(text, 1, 64) AS k FROM d) t
+        |  WHERE length(k) >= 3 GROUP BY k),
+        |probes AS (
+        |  SELECT k, MIN(id) AS id, COUNT(*) AS n FROM (
+        |    SELECT doc_id + 10000000 AS id,
+        |           substr('pfx' || CAST(doc_id * 7919 % 97 AS VARCHAR) || ' ' || text, 1, 64) AS k
+        |    FROM d WHERE doc_id % 10 = 0) t
+        |  WHERE length(k) >= 3 GROUP BY k),
+        |allk AS (SELECT id, k FROM base UNION ALL SELECT id, k FROM probes),
         |sh AS (SELECT id, substr(k, CAST(s.i AS INT), 3) AS shingle
         |       FROM (SELECT id, k, unnest(range(1, length(k) - 1)) AS i FROM allk) s(id, k, i)),
         |hs AS (SELECT id, j,
@@ -2508,10 +2527,11 @@ object TextQueries {
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
         |         WHERE a.id < 10000000 AND b.id >= 10000000)
         |SELECT c.probe_id, c.orig_id,
-        |       CAST(levenshtein(p.k, o.k) AS BIGINT) AS dist
-        |FROM cand c JOIN allk o ON o.id = c.orig_id JOIN allk p ON p.id = c.probe_id
-        |WHERE levenshtein(p.k, o.k) <= 14
-        |ORDER BY probe_id, orig_id""".stripMargin),
+        |       CAST(levenshtein(p.k, o.k) AS BIGINT) AS dist,
+        |       CAST(p.n AS BIGINT) AS n_probe_dups,
+        |       CAST(o.n AS BIGINT) AS n_orig_dups
+        |FROM cand c JOIN base o ON o.id = c.orig_id JOIN probes p ON p.id = c.probe_id
+        |WHERE levenshtein(p.k, o.k) <= 14""".stripMargin),
 
     // B56: exact triangle counting + local clustering coefficients
     // over the term co-occurrence graph, by DEGREE ORIENTATION — the

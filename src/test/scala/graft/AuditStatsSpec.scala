@@ -21,17 +21,23 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     // set, so banded-candidates + verify must be a SUBSET of it, with
     // every identical-key pair recovered deterministically (identical
     // strings share every signature band by construction)
-    it("emits only true pairs and recovers every identical-key probe") {
+    it("emits only true group pairs with exact counts; identical-key groups always pair") {
       val out = SparkEntry.allDefs("dedup_editdist").fn(spark, sfDir)
-        .select("probe_id", "orig_id", "dist").as[(Long, Long, Long)].collect()
+        .select("probe_id", "orig_id", "dist", "n_probe_dups", "n_orig_dups")
+        .as[(Long, Long, Long, Long, Long)].collect()
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), substring(col("text"), 1, 64).as("k"))
-        .as[(Long, String)].collect().toMap
-      val probes = docs.keys.filter(_ % 10 == 0).map { id =>
+        .as[(Long, String)].collect()
+      val probeRows = docs.filter(_._1 % 10 == 0).map { case (id, _) =>
         val pk = ("pfx" + (id * 7919 % 97) + " " + Tables.documents(spark, sfDir)
           .filter(col("doc_id") === id).select("text").as[String].head()).take(64)
         (id + 10000000L, pk)
-      }.toMap
+      }
+      // exact-key collapse, exactly like the surface: (key -> min id, n)
+      val baseGroups = docs.groupBy(_._2).map { case (k, rs) =>
+        (rs.map(_._1).min, (k, rs.length.toLong)) }
+      val probeGroups = probeRows.groupBy(_._2).map { case (k, rs) =>
+        (rs.map(_._1).min, (k, rs.length.toLong)) }
       def lev(a: String, b: String): Int = {
         val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
         for (i <- 1 to a.length; j <- 1 to b.length)
@@ -39,19 +45,22 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
             d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
         d(a.length)(b.length)
       }
-      out.foreach { case (pid, oid, dist) =>
-        dist shouldBe lev(probes(pid), docs(oid)).toLong
+      out.foreach { case (pid, oid, dist, np, no) =>
+        val (pk, pn) = probeGroups(pid)
+        val (k, on) = baseGroups(oid)
+        dist shouldBe lev(pk, k).toLong
         dist should be <= 14L
+        np shouldBe pn
+        no shouldBe on
       }
-      // identical keys (probe text truncated to the same 64 chars as an
-      // orig) are deterministic hits; at minimum every probe whose key
-      // EQUALS some orig key must be present
-      val brute = for {
-        (pid, pk) <- probes.toSeq; (oid, k) <- docs.toSeq
-        if pk == k
-      } yield (pid, oid)
+      // identical keys share every signature band by construction, so
+      // a probe GROUP whose key equals an orig group's key must pair
       val outSet = out.map(t => (t._1, t._2)).toSet
-      brute.foreach(pair => outSet should contain(pair))
+      for {
+        (pid, (pk, _)) <- probeGroups
+        (oid, (k, _)) <- baseGroups
+        if pk == k
+      } outSet should contain((pid, oid))
       out.length should be > 0
     }
   }
