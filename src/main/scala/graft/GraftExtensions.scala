@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
+import graft.functions.{ArrDot, ArrL2Sq, FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("lsh_band_keys_lin"), LshBandKeysLin.info,
         exprs => LshBandKeysLin(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(
+      (FunctionIdentifier("arr_dot"), ArrDot.info, exprs => ArrDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("arr_l2sq"), ArrL2Sq.info, exprs => ArrL2Sq(exprs(0), exprs(1))))
+    ext.injectFunction(
       (FunctionIdentifier("pack_blob"), PackBlob.info,
         exprs => PackBlob(exprs(0), exprs(1))))
     ext.injectFunction(
@@ -58,6 +62,10 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_band_keys_lin"), LshBandKeysLin.info,
       exprs => LshBandKeysLin(exprs(0), exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("arr_dot"), ArrDot.info, exprs => ArrDot(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("arr_l2sq"), ArrL2Sq.info, exprs => ArrL2Sq(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pack_blob"), PackBlob.info,
       exprs => PackBlob(exprs(0), exprs(1)))

@@ -1147,9 +1147,7 @@ object VectorQueries {
         val asg = q.join(VectorOps.integerCells(q, cells), "vec_id")
         val a = asg.select(col("vec_id").as("aid"), col("q").as("qa"), col("cell").as("ca"))
         val b = asg.select(col("vec_id").as("bid"), col("q").as("qb"), col("cell").as("cb"))
-        val d2 = aggregate(
-          zip_with(col("qa"), col("qb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
+        val d2 = VectorOps.l2sq(col("qa"), col("qb"))
         val pairs = a.join(b, col("ca") === col("cb") && col("aid") =!= col("bid"))
           .select(col("aid"), col("bid"), d2.as("d2"))
         val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
