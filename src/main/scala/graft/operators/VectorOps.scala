@@ -656,8 +656,7 @@ object VectorOps {
     val queries = sv.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
     val qd = queries.join(cbDf, "m")
-      .withColumn("qd",
-        expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qd", l2sq(col("qsv"), col("cv")))
       .select("q_id", "m", "code", "qd")
     val adc = corpusCodes.join(broadcast(qd), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -692,8 +691,7 @@ object VectorOps {
     * exact integer squared distance, ties to the lowest code id. */
   private def pqAssign(sv: DataFrame, cbDf: DataFrame): DataFrame =
     sv.join(cbDf, "m")
-      .withColumn("d",
-        expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("d", l2sq(col("sv"), col("cv")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d"), col("code"))).as("bc"), first("sv").as("sv"))
       .select(col("vec_id"), col("m"), col("bc.code").as("code"), col("sv"))
@@ -770,7 +768,7 @@ object VectorOps {
     val qset = q.filter(queryPred).select(col("vec_id").as("q_id"), col("q"))
     val qcell = qset.crossJoin(broadcast(cent))
       .select(col("q_id"), col("cell"), col("q"), col("ccv"),
-        expr("aggregate(zip_with(q, ccv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("cd"))
+        l2sq(col("q"), col("ccv")).as("cd"))
     val wp = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
     val probed = qcell.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
@@ -780,8 +778,7 @@ object VectorOps {
         s"transform(sequence(0, ${m - 1}), mi -> struct(CAST(mi AS BIGINT) AS m, slice(q, mi * $sub + 1, $sub) AS sv))")).as("e"))
       .select(col("q_id"), col("cell"), col("e.m").as("m"), col("e.sv").as("qsv"))
     val lut = qsv.join(cbrDf, "m")
-      .withColumn("qd",
-        expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qd", l2sq(col("qsv"), col("cv")))
       .select("q_id", "cell", "m", "code", "qd")
     val adc = codesDf.join(broadcast(lut), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
