@@ -995,12 +995,31 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  /** In-memory replica of the r9 cell assignment behind the cell-local
+    * primaries: milli-quantize, k = max(4, floor(sqrt(N)/2)), seeds = the
+    * first k ids, cell = argmin exact integer d2 (ties to lowest seed). */
+  private def bruteCells(
+      embs: Seq[(Long, Array[Long])]): Map[Long, Long] = {
+    val k = math.max(4L, math.floor(math.sqrt(embs.size.toDouble) / 2).toLong)
+    val seeds = embs.filter(_._1 < k)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).foldLeft(0L)((acc, p) => acc + (p._1 - p._2) * (p._1 - p._2))
+    embs.map { case (id, q) =>
+      id -> seeds.map { case (sid, sq) => (d2(q, sq), sid) }.min._2
+    }.toMap
+  }
+
+  private def milliQ(v: Array[Double]): Array[Long] =
+    v.map(x => java.math.BigDecimal.valueOf(x * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+
   describe("embed_triplet_mining") {
-    it("matches brute-force hard-example mining with exact tie-breaks") {
-      val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    it("matches brute-force CELL-LOCAL hard-example mining with exact tie-breaks") {
+      val embs = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>"),
           col("label"))
         .as[(Long, Array[Double], Int)].collect()
+      val cells = bruteCells(embs.toSeq.map(e => (e._1, milliQ(e._2))))
       def round6(x: Double): Double =
         java.math.BigDecimal.valueOf(x)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
@@ -1009,9 +1028,11 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       def score(a: Array[Double], b: Array[Double], na: Double, nb: Double) =
         round6(a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2) / (na * nb))
       val expected = embs.flatMap { case (aid, av, al) =>
-        val cands = embs.filter(_._1 != aid).map { case (cid, cv, cl) =>
-          (cid, cl == al, score(av, cv, norms(aid), norms(cid)))
-        }
+        val cands = embs
+          .filter(e => e._1 != aid && cells(e._1) == cells(aid))
+          .map { case (cid, cv, cl) =>
+            (cid, cl == al, score(av, cv, norms(aid), norms(cid)))
+          }
         val pos = cands.filter(_._2)
         val neg = cands.filterNot(_._2)
         if (pos.isEmpty || neg.isEmpty) None
@@ -1029,19 +1050,17 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
   }
 
   describe("embed_lof") {
-    it("matches a brute-force integer LOF with exact floor arithmetic") {
-      val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    it("matches a brute-force CELL-LOCAL integer LOF with exact floor arithmetic") {
+      val embs = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .as[(Long, Array[Double])].collect()
-        .map { case (id, v) =>
-          id -> v.map(x => java.math.BigDecimal.valueOf(x * 1000)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
-        }
+        .map { case (id, v) => id -> milliQ(v) }
+      val cells = bruteCells(embs.toSeq)
       def d2(a: Array[Long], b: Array[Long]): Long =
         a.zip(b).foldLeft(0L)((acc, p) =>
           acc + (p._1 - p._2) * (p._1 - p._2))
       val knn = embs.map { case (aid, qa) =>
-        aid -> embs.filter(_._1 != aid)
+        aid -> embs.filter(e => e._1 != aid && cells(e._1) == cells(aid))
           .map { case (bid, qb) => (bid, d2(qa, qb)) }
           .sortBy(p => (p._2, p._1)).take(5)
       }.toMap
