@@ -2463,14 +2463,18 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         // length guard: sequence(1, n) with n <= 0 generates DESCENDING
         // (the q_rolling_distinct trap) — filter before shingling
+        // each grouped key frame is read three times (signature build,
+        // string rejoin, count rejoin) — materialize once
         val base = docs.select(col("doc_id").as("id"),
           substring(col("text"), 1, 64).as("k"))
           .filter(length(col("k")) >= 3)
           .groupBy("k").agg(min("id").as("id"), count(lit(1)).as("n"))
+          .localCheckpoint()
         val probes = mutatedTenth(docs).select(col("doc_id").as("id"),
           substring(col("text"), 1, 64).as("k"))
           .filter(length(col("k")) >= 3)
           .groupBy("k").agg(min("id").as("id"), count(lit(1)).as("n"))
+          .localCheckpoint()
         val allk = base.select(col("id"), col("k"))
           .unionAll(probes.select(col("id"), col("k")))
         val sig = allk.select(col("id"),
@@ -2480,6 +2484,8 @@ object TextQueries {
           (0 to 3).map(b => md5(concat_ws("_",
             element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
           .as(Seq("band", "bh")))
+          // both sides of the self-join read this subtree — materialize
+          .localCheckpoint()
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.id") < lit(10000000L) && col("b.id") >= lit(10000000L))
@@ -2490,8 +2496,13 @@ object TextQueries {
             col("n").as("n_orig_dups")), "orig_id")
           .join(probes.select(col("id").as("probe_id"), col("k").as("pk"),
             col("n").as("n_probe_dups")), "probe_id")
-          .withColumn("dist", levenshtein(col("pk"), col("k")).cast("long"))
-          .filter(col("dist") <= 14)
+          // BOUNDED levenshtein: the threshold arg turns the full 64x64
+          // DP into a banded one and returns -1 past the bound
+          // (measured 8.75 -> 1.56 s over the sf0.1 candidate set);
+          // within the bound the distance is exact, so survivors and
+          // values match the oracle's full DP + <= 14 filter
+          .withColumn("dist", levenshtein(col("pk"), col("k"), 14).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= 14)
           .select(col("probe_id"), col("orig_id"), col("dist"),
             col("n_probe_dups"), col("n_orig_dups"))
       },
