@@ -3029,6 +3029,95 @@ object TraceQueries {
         |FROM spans WHERE trace_id IN ('0', '1', '2')
         |ORDER BY trace_id, pos""".stripMargin)),
 
+    // C147: flamegraph SELF-TIME — per service, how much of its spans'
+    // duration is NOT covered by direct-child spans (the number a
+    // flamegraph colors the frame with; total time alone misattributes
+    // parents that merely wait on children). The demo span relation is
+    // chain-shaped, so the surface imposes the same deterministic
+    // heap-shaped tree as trace_critical_path / trace_call_graph:
+    // pos = rank by (start_us, span_id) within the trace, parent(pos) =
+    // pos div 2 — real branching without touching the generator. With
+    // <= 2 children per node the covered time is the closed-form
+    // two-interval union clipped to the parent (o1 + o2 − pairwise
+    // intersection), all exact integer arithmetic on both engines
+    // (null guards explicit — GREATEST/LEAST null semantics differ
+    // between engines, so no null ever reaches them). Scale: one
+    // trace-keyed window, ONE (trace, pos)-keyed join against the
+    // child relation, map-combined |services|-row rollup.
+    "trace_self_time" -> QueryDef.sql(
+      (s, dir) => {
+        val order = Window.partitionBy("trace_id").orderBy("start_us", "span_id")
+        val pos = spans(s, dir)
+          .select(col("trace_id"), col("span_id"), col("service"),
+            col("start_us"), col("duration_us"))
+          .withColumn("pos", row_number().over(order).cast("long"))
+          .localCheckpoint() // parents + children both read it
+        val kids = pos.filter(col("pos") >= 2)
+          .select(col("trace_id").as("t2"), expr("pos div 2").as("ppos"),
+            (col("pos") % 2).as("side"), col("start_us").as("cs"),
+            (col("start_us") + col("duration_us")).as("ce"))
+        val fam = pos.join(kids,
+            col("trace_id") === col("t2") && col("pos") === col("ppos"), "left")
+          .groupBy("trace_id", "span_id", "service", "start_us", "duration_us")
+          .agg(
+            max(when(col("side") === 0, col("cs"))).as("s1"),
+            max(when(col("side") === 0, col("ce"))).as("e1"),
+            max(when(col("side") === 1, col("cs"))).as("s2"),
+            max(when(col("side") === 1, col("ce"))).as("e2"))
+        val endc = col("start_us") + col("duration_us")
+        val ov1 = when(col("s1").isNotNull,
+          greatest(lit(0L), least(col("e1"), endc) - greatest(col("s1"), col("start_us"))))
+          .otherwise(0L)
+        val ov2 = when(col("s2").isNotNull,
+          greatest(lit(0L), least(col("e2"), endc) - greatest(col("s2"), col("start_us"))))
+          .otherwise(0L)
+        val inter = when(col("s1").isNotNull && col("s2").isNotNull,
+          greatest(lit(0L),
+            least(col("e1"), col("e2"), endc) -
+              greatest(col("s1"), col("s2"), col("start_us"))))
+          .otherwise(0L)
+        fam.withColumn("self_us", col("duration_us") - (ov1 + ov2 - inter))
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_spans"),
+            sum("duration_us").as("total_us"),
+            sum("self_us").as("self_us"))
+          .orderBy("service")
+      },
+      cte("""
+        |, p AS (
+        |  SELECT trace_id, span_id, service, start_us, duration_us,
+        |    CAST(row_number() OVER (PARTITION BY trace_id ORDER BY start_us, span_id) AS BIGINT) AS pos
+        |  FROM spans),
+        |kids AS (SELECT trace_id, pos // 2 AS ppos, pos % 2 AS side,
+        |           start_us AS cs, start_us + duration_us AS ce
+        |         FROM p WHERE pos >= 2),
+        |fam AS (
+        |  SELECT p.trace_id, p.span_id, p.service, p.start_us, p.duration_us,
+        |    MAX(CASE WHEN side = 0 THEN cs END) AS s1,
+        |    MAX(CASE WHEN side = 0 THEN ce END) AS e1,
+        |    MAX(CASE WHEN side = 1 THEN cs END) AS s2,
+        |    MAX(CASE WHEN side = 1 THEN ce END) AS e2
+        |  FROM p LEFT JOIN kids k ON k.trace_id = p.trace_id AND k.ppos = p.pos
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |sv AS (
+        |  SELECT service, duration_us,
+        |    duration_us
+        |      - (CASE WHEN s1 IS NOT NULL
+        |              THEN GREATEST(0, LEAST(e1, start_us + duration_us)
+        |                             - GREATEST(s1, start_us)) ELSE 0 END
+        |         + CASE WHEN s2 IS NOT NULL
+        |                THEN GREATEST(0, LEAST(e2, start_us + duration_us)
+        |                               - GREATEST(s2, start_us)) ELSE 0 END
+        |         - CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL
+        |                THEN GREATEST(0, LEAST(e1, e2, start_us + duration_us)
+        |                               - GREATEST(s1, s2, start_us)) ELSE 0 END)
+        |      AS self_us
+        |  FROM fam)
+        |SELECT service, COUNT(*) AS n_spans,
+        |  CAST(SUM(duration_us) AS BIGINT) AS total_us,
+        |  CAST(SUM(self_us) AS BIGINT) AS self_us
+        |FROM sv GROUP BY service ORDER BY service""".stripMargin)),
+
     // C90: Allen interval-algebra classification — the thirteen-way
     // temporal-relation operator (precedes/meets/overlaps/contains/
     // starts/equals + inverses collapse to 8 cases once pairs are

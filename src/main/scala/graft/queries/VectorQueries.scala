@@ -1215,6 +1215,71 @@ object VectorQueries {
         |FROM ri r JOIN s ON r.aid = s.aid JOIN kd ON r.aid = kd.kv
         |ORDER BY lof_ppm DESC, vec_id""".stripMargin),
 
+    // B-row (r9): cell-majority label-propagation eval — the
+    // weak-supervision diagnostic behind every label-spreading
+    // pipeline: predict each vector's label as the MAJORITY label
+    // among its cell mates (excluding itself; ties to the smallest
+    // label id), then emit the confusion matrix against truth.
+    // Candidates are cell-local (VectorOps.integerCells, the √N dial
+    // shared with embed_lof/embed_triplet_mining — at 100 TB the
+    // neighborhood comes from the ANN cell, not all-pairs);
+    // singleton-cell vectors are unscorable and drop
+    // deterministically. The oracle replays the dial, the integer
+    // argmin assignment, the vote counts, and the ROW_NUMBER argmax.
+    "embed_knn_label_eval" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cells = VectorOps.sqrtCells(emb.count())
+        val q = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+            .as("q"))
+        val asg = VectorOps.integerCells(q, cells)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val a = asg.select(col("vec_id").as("aid"), col("cell").as("ca"),
+          col("label").as("la"))
+        val b = asg.select(col("vec_id").as("bid"), col("cell").as("cb"),
+          col("label").as("lb"))
+        val votes = a.join(b, col("ca") === col("cb") && col("aid") =!= col("bid"))
+          .groupBy(col("aid"), col("la"), col("lb")).agg(count(lit(1)).as("n"))
+        val pred = votes.groupBy("aid", "la")
+          .agg(min(struct((-col("n")).as("negn"), col("lb").as("lb"))).as("m"))
+          .select(col("la").as("label"), col("m.lb").as("predicted"))
+        pred.groupBy("label", "predicted")
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(col("label").cast("long").as("label"),
+            col("predicted").cast("long").as("predicted"), col("n_vecs"))
+          .orderBy("label", "predicted")
+      },
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |kk AS (SELECT ${VectorOps.sqrtCellsSql} AS k FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM q, kk WHERE vec_id < kk.k),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT a.vec_id, s.sid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)])
+        |             * (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)]))) AS BIGINT),
+        |        s.sid) AS rn
+        |    FROM q a CROSS JOIN seeds s) t
+        |  WHERE rn = 1),
+        |al AS (SELECT asg.vec_id, asg.cell, e.label
+        |       FROM asg JOIN embeddings e ON asg.vec_id = e.vec_id),
+        |votes AS (SELECT a.vec_id AS aid, a.label AS la, b.label AS lb, COUNT(*) AS n
+        |          FROM al a JOIN al b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |          GROUP BY 1, 2, 3),
+        |pred AS (SELECT aid, la, lb FROM (
+        |  SELECT aid, la, lb,
+        |    ROW_NUMBER() OVER (PARTITION BY aid ORDER BY n DESC, lb) AS rn
+        |  FROM votes) t WHERE rn = 1)
+        |SELECT CAST(la AS BIGINT) AS label, CAST(lb AS BIGINT) AS predicted,
+        |  COUNT(*) AS n_vecs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // B45: embedding centroid drift — has the representation of each
     // class moved between two corpus snapshots (here the even/odd
     // vec_id halves)? Per-label squared centroid distance kept EXACT

@@ -65,6 +65,70 @@ class AuditStatsSpec extends AnyFunSpec with Matchers with SparkTestBase {
     }
   }
 
+  describe("trace_self_time") {
+    it("matches an in-memory heap-tree interval computation") {
+      val sp = graft.operators.SpanOps
+        .spansFromEvents(Tables.events(spark, sfDir))
+        .select(col("trace_id"), col("span_id"), col("service"),
+          col("start_us"), col("duration_us"))
+        .as[(String, Long, String, Long, Long)].collect()
+      val expected = scala.collection.mutable.Map
+        .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+      sp.groupBy(_._1).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._4, r._2)) // pos = rank by (start, span)
+        val n = ordered.length
+        for (p <- 1 to n) {
+          val (_, _, svc, st, du) = ordered(p - 1)
+          val end = st + du
+          val ch = Seq(2 * p, 2 * p + 1).filter(_ <= n).map(c => ordered(c - 1))
+            .map(c => (c._4, c._4 + c._5))
+          def ov(c: (Long, Long)) = math.max(0L, math.min(c._2, end) - math.max(c._1, st))
+          val covered = ch match {
+            case Seq() => 0L
+            case Seq(c) => ov(c)
+            case Seq(c1, c2) =>
+              val inter = math.max(0L,
+                math.min(math.min(c1._2, c2._2), end) -
+                  math.max(math.max(c1._1, c2._1), st))
+              ov(c1) + ov(c2) - inter
+          }
+          val (cn, ct, cs) = expected(svc)
+          expected(svc) = (cn + 1, ct + du, cs + (du - covered))
+        }
+      }
+      val got = SparkEntry.allDefs("trace_self_time").fn(spark, sfDir)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      got shouldBe expected.toMap
+      // self-time can never exceed total time
+      got.values.foreach { case (_, tot, self) => self should be <= tot }
+    }
+  }
+
+  describe("embed_knn_label_eval") {
+    it("matches brute cell-majority voting with smallest-label tie-break") {
+      val embs = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+        .as[(Long, Array[Double], Int)].collect()
+      val cells = bruteCells(embs.toSeq.map(e => (e._1, milliQ(e._2))))
+      val labels = embs.map(e => e._1 -> e._3).toMap
+      val expected = embs.flatMap { case (aid, _, la) =>
+        val mates = embs.filter(e => e._1 != aid && cells(e._1) == cells(aid))
+        if (mates.isEmpty) None
+        else {
+          val counts = mates.groupBy(_._3).map { case (l, g) => (l, g.length) }
+          val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          Some((la.toLong, best.toLong))
+        }
+      }.groupBy(identity).map { case ((l, p), g) => (l, p, g.length.toLong) }
+        .toSeq.sorted
+      val got = SparkEntry.allDefs("embed_knn_label_eval").fn(spark, sfDir)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      got shouldBe expected
+      labels.size should be >= got.map(_._3).sum.toInt // drops only singletons
+    }
+  }
+
   describe("q_benford") {
     it("uses floor(1e6*log10(1+1/d)) literals") {
       val expected = (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
