@@ -467,13 +467,226 @@ object VectorOps {
     * shuffles; the (vec_id, cell) result joins back by uniform id.
     * An oracle replays it as ROW_NUMBER over (d2, sid). */
   def integerCells(quantized: DataFrame, k: Int): DataFrame = {
+    // the argmin rides ONE primitive long: enc = d2 * 2^21 + sid, so
+    // min(enc) == argmin (d2, sid) while the aggregate stays a plain
+    // HashAggregate. A min(struct(d2, sid)) here planned as
+    // SortAggregate (struct isn't mutable-buffer-eligible) and SORTED
+    // the N x k crossJoin relation — still carrying both 512-byte
+    // arrays — a TB-scale spill that killed the 2M-vector sf100 run
+    // on disk. Bounds: sid < 2^21 (2M seeds) and milli-quantized
+    // d2 <= ~1.6e10 keep enc far inside long range; ANSI throws
+    // loudly if a pathological corpus exceeds it.
+    require(k < (1 << 21), s"integerCells: k=$k exceeds the 2^21 sid encoding bound")
     val seeds = quantized.filter(col("vec_id") < k)
       .select(col("vec_id").as("sid"), col("q").as("sq"))
-    val d2 = l2sq(col("q"), col("sq"))
     quantized.crossJoin(broadcast(seeds))
       .groupBy("vec_id")
-      .agg(min(struct(d2.as("d2"), col("sid").as("sid"))).as("m"))
-      .select(col("vec_id"), col("m.sid").as("cell"))
+      .agg(min(l2sq(col("q"), col("sq")) * lit(2097152L) + col("sid")).as("enc"))
+      .select(col("vec_id"), (col("enc") % 2097152L).as("cell"))
+  }
+
+  // ------------------------- cell-local quadratics (the sf100 lesson)
+  //
+  // The within-cell pairwise stages first shipped as DECLARATIVE skinny
+  // pair joins; correct, but the join EXPANDS O(N * cellsize) rows each
+  // carrying a 64-dim vector — at the 2M-vector sf100 pack that is a
+  // ~175 GB shuffle and the window/agg state behind it OOM'd the
+  // single-box run (measured: dedup_semantic died on disk, embed_lof /
+  // embed_triplet_mining / embed_knn_label_eval on executor memory).
+  // The TraceDataset contract generalizes: a quadratic whose domain is
+  // BOUNDED (cells ~ 2 sqrt(N) members by the sqrtCells dial) belongs
+  // partition-local — ONE cell-keyed shuffle moves each vector once
+  // (~1 GB at sf100), and the pairwise arithmetic runs as tight local
+  // loops that replicate the SQL expressions bit-for-bit (left-fold
+  // dots, valueOf-BigDecimal HALF_UP rounding, integer floor division
+  // — the AuditStatsSpec brute replays pin the equivalences).
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def d2Local(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Cell-local LOF (k = 5): one integerCells assignment, one
+    * cell-keyed shuffle, all kNN / reach-dist / lrd arithmetic inside
+    * the bounded cell — identical integers to the former pair-join
+    * form. Output (vec_id, kdist, reach_sum, lof_ppm). */
+  def lofCellLocal(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cells = sqrtCells(embeddings.count())
+    val q = milliQuantizedPublic(embeddings)
+    q.join(integerCells(q, cells), "vec_id")
+      .select(col("cell"), col("vec_id"), col("q"))
+      .as[(Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray.sortBy(_._2)
+        val n = m.length
+        if (n < 2) Iterator.empty
+        else {
+          // kNN per member: 5 smallest (d2, id) among cell mates
+          val knn = Array.tabulate(n) { i =>
+            val ds = new Array[(Long, Long)](n - 1)
+            var w = 0
+            var j = 0
+            while (j < n) {
+              if (j != i) { ds(w) = (d2Local(m(i)._3, m(j)._3), m(j)._2); w += 1 }
+              j += 1
+            }
+            scala.util.Sorting.stableSort(ds,
+              (x: (Long, Long), y: (Long, Long)) => x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
+            ds.take(5)
+          }
+          val idIdx = m.iterator.map(_._2).zipWithIndex.toMap
+          val kdist = knn.map(nn => nn.map(_._1).max)
+          val ri = knn.map { nn =>
+            math.max(nn.map { case (d, bid) => math.max(d, kdist(idIdx(bid))) }.sum, 1L)
+          }
+          (0 until n).iterator.map { i =>
+            val sInv = knn(i).map { case (_, bid) => 1000000000000000000L / ri(idIdx(bid)) }.sum
+            val lof = (BigInt(ri(i)) * BigInt(sInv) / BigInt(5000000000000L)).toLong
+            (m(i)._2, kdist(i), ri(i), lof)
+          }
+        }
+      }
+      .toDF("vec_id", "kdist", "reach_sum", "lof_ppm")
+      .orderBy(desc("lof_ppm"), col("vec_id"))
+  }
+
+  /** Shared milli-quantized (vec_id, q) projection (public twin of the
+    * PQ family's private helper). */
+  def milliQuantizedPublic(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+
+  /** Cell-local hard-example mining: per anchor, the lowest-scoring
+    * same-label mate and highest-scoring other-label mate (round6
+    * cosine, min-id tie-breaks) — identical doubles to the former
+    * pair-join form. Output (anchor, hard_pos, hard_neg, pos_score,
+    * neg_score, violation) ordered by (violation desc, anchor). */
+  def tripletCellLocal(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cells = sqrtCells(embeddings.count())
+    val q = milliQuantizedPublic(embeddings)
+    withNorms(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .join(integerCells(q, cells), "vec_id")
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("label"))
+      .as[(Long, Long, Array[Double], Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray.sortBy(_._2)
+        m.iterator.flatMap { case (_, aid, av, an, al) =>
+          var posScore = Double.NaN
+          var posId = Long.MaxValue
+          var negScore = Double.NaN
+          var negId = Long.MaxValue
+          m.foreach { case (_, cid, cv, cn, cl) =>
+            if (cid != aid) {
+              val sc = round6(dotLocal(av, cv) / (an * cn))
+              if (cl == al) {
+                if (posScore.isNaN || sc < posScore) { posScore = sc; posId = cid }
+                else if (sc == posScore && cid < posId) posId = cid
+              } else {
+                if (negScore.isNaN || sc > negScore) { negScore = sc; negId = cid }
+                else if (sc == negScore && cid < negId) negId = cid
+              }
+            }
+          }
+          if (posScore.isNaN || negScore.isNaN) None
+          else Some((aid, posId, negId, posScore, negScore, negScore - posScore))
+        }
+      }
+      .toDF("anchor", "hard_pos", "hard_neg", "pos_score", "neg_score", "violation")
+      .orderBy(desc("violation"), col("anchor"))
+  }
+
+  /** Cell-local majority-label prediction confusion matrix (the
+    * weak-supervision eval): ties to the smallest label; singleton
+    * cells drop. Output (label, predicted, n_vecs). */
+  def knnLabelEvalCellLocal(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cells = sqrtCells(embeddings.count())
+    val q = milliQuantizedPublic(embeddings)
+    val pred = embeddings.select(col("vec_id"), col("label"))
+      .join(integerCells(q, cells), "vec_id")
+      .select(col("cell"), col("vec_id"), col("label"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray
+        if (m.length < 2) Iterator.empty
+        else {
+          val total = scala.collection.mutable.HashMap.empty[Int, Long]
+          m.foreach { case (_, _, l) => total.update(l, total.getOrElse(l, 0L) + 1L) }
+          m.iterator.map { case (_, _, la) =>
+            var bestL = Int.MaxValue
+            var bestC = -1L
+            total.foreach { case (l, c) =>
+              val cc = if (l == la) c - 1 else c
+              if (cc > 0 && (cc > bestC || (cc == bestC && l < bestL))) {
+                bestC = cc; bestL = l
+              }
+            }
+            (la.toLong, bestL.toLong)
+          }
+        }
+      }
+      .toDF("label", "predicted")
+    pred.groupBy("label", "predicted").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "predicted")
+  }
+
+  /** Cell-local SemDeDup census: the same cosine-affinity assignment
+    * as [[semDeDup]] (broadcast centroid array), but the within-cell
+    * greedy min-id drop runs in a bounded local loop instead of a
+    * pair join. Output (c_id, n_vecs, n_dropped, n_kept). */
+  def semDeDupCellLocal(embeddings: DataFrame, nCentroids: Int, threshold: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val n = withNorms(embeddings).filter(col("nrm") > 0)
+    val cents = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = n.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("aff", affSorted)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"))
+      .filter(col("cell").isNotNull)
+    assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val m = it.toArray.sortBy(_._2)
+        var dropped = 0L
+        var j = 0
+        while (j < m.length) {
+          var i = 0
+          var hit = false
+          while (i < j && !hit) {
+            if (round6(dotLocal(m(i)._3, m(j)._3) / (m(i)._4 * m(j)._4)) >= threshold)
+              hit = true
+            i += 1
+          }
+          if (hit) dropped += 1
+          j += 1
+        }
+        (cell, m.length.toLong, dropped, m.length - dropped)
+      }
+      .toDF("c_id", "n_vecs", "n_dropped", "n_kept")
+      .orderBy("c_id")
   }
 
   /** Corpus-size LSH dial: the bit width that keeps EXPECTED bucket

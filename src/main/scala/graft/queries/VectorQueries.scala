@@ -399,7 +399,11 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         val k = math.max(4L,
           math.floor(math.sqrt(emb.count().toDouble) / 2).toLong).toInt
-        VectorOps.semDeDup(emb, nCentroids = k, threshold = 0.4)
+        // cell-LOCAL census (sf100 lesson: the declarative pair join
+        // expanded O(N*cellsize) vector-carrying rows and exhausted
+        // the single-box disk at 2M vectors; one cell shuffle + local
+        // loops compute the identical integers/doubles)
+        VectorOps.semDeDupCellLocal(emb, nCentroids = k, threshold = 0.4)
       },
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |kk AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) / 2) AS BIGINT)) AS k
@@ -1043,40 +1047,7 @@ object VectorQueries {
     // shape); the mining passes are unchanged and the oracle replays
     // the assignment argmin and the cell-restricted pair join.
     "embed_triplet_mining" -> QueryDef.sql(
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val cells = VectorOps.sqrtCells(emb.count())
-        val q = emb.select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
-            .as("q"))
-        val n = VectorOps.withNorms(emb)
-          .join(emb.select(col("vec_id"), col("label")), "vec_id")
-          .join(VectorOps.integerCells(q, cells), "vec_id")
-        val a = n.select(col("vec_id").as("anchor"), col("v").as("v1"),
-          col("nrm").as("n1"), col("label").as("l1"), col("cell").as("ca"))
-        val b = n.select(col("vec_id").as("cand"), col("v").as("v2"),
-          col("nrm").as("n2"), col("label").as("l2"), col("cell").as("cb"))
-        val pairs = a.join(b, col("ca") === col("cb") && col("anchor") =!= col("cand"))
-          .select(col("anchor"), col("cand"),
-            (col("l1") === col("l2")).as("same"),
-            round(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")),
-              6).as("score"))
-        val ext = pairs.groupBy("anchor").agg(
-          min(when(col("same"), col("score"))).as("pos_score"),
-          max(when(!col("same"), col("score"))).as("neg_score"))
-          .filter(col("pos_score").isNotNull && col("neg_score").isNotNull)
-        pairs.join(ext, "anchor")
-          .groupBy(col("anchor"), col("pos_score"), col("neg_score"))
-          .agg(
-            min(when(col("same") && col("score") === col("pos_score"),
-              col("cand"))).as("hard_pos"),
-            min(when(!col("same") && col("score") === col("neg_score"),
-              col("cand"))).as("hard_neg"))
-          .select(col("anchor"), col("hard_pos"), col("hard_neg"),
-            col("pos_score"), col("neg_score"),
-            (col("neg_score") - col("pos_score")).as("violation"))
-          .orderBy(desc("violation"), col("anchor"))
-      },
+      (s, dir) => VectorOps.tripletCellLocal(Tables.embeddings(s, dir)),
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
         |           FROM embeddings),
         |qq AS (SELECT vec_id,
@@ -1137,40 +1108,7 @@ object VectorQueries {
     // approximate-kNN LOF. The oracle replays the dial, the argmin
     // assignment, and the cell-restricted pair join.
     "embed_lof" -> QueryDef.sql(
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val cells = VectorOps.sqrtCells(emb.count())
-        val q = emb
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
-              .as("q"))
-        val asg = q.join(VectorOps.integerCells(q, cells), "vec_id")
-        val a = asg.select(col("vec_id").as("aid"), col("q").as("qa"), col("cell").as("ca"))
-        val b = asg.select(col("vec_id").as("bid"), col("q").as("qb"), col("cell").as("cb"))
-        val d2 = VectorOps.l2sq(col("qa"), col("qb"))
-        val pairs = a.join(b, col("ca") === col("cb") && col("aid") =!= col("bid"))
-          .select(col("aid"), col("bid"), d2.as("d2"))
-        val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
-        val knn = pairs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5).localCheckpoint()
-        val kdist = knn.groupBy(col("aid").as("kv")).agg(max("d2").as("kdist"))
-        val ri = knn.join(kdist, col("bid") === col("kv"))
-          .groupBy("aid")
-          .agg(greatest(sum(greatest(col("d2"), col("kdist"))), lit(1L))
-            .as("ri"))
-        val sInv = knn.select(col("aid"), col("bid"))
-          .join(ri.select(col("aid").as("bid2"), col("ri").as("ri_b")),
-            col("bid") === col("bid2"))
-          .groupBy("aid")
-          .agg(sum(expr("1000000000000000000 div ri_b")).as("s_inv"))
-        sInv.join(ri, "aid")
-          .join(kdist, col("aid") === col("kv"))
-          .select(col("aid").as("vec_id"), col("kdist"),
-            col("ri").as("reach_sum"),
-            expr("CAST(ri AS DECIMAL(38,0)) * s_inv div 5000000000000")
-              .as("lof_ppm"))
-          .orderBy(desc("lof_ppm"), col("vec_id"))
-      },
+      (s, dir) => VectorOps.lofCellLocal(Tables.embeddings(s, dir)),
       s"""WITH q AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding,
@@ -1227,29 +1165,7 @@ object VectorQueries {
     // deterministically. The oracle replays the dial, the integer
     // argmin assignment, the vote counts, and the ROW_NUMBER argmax.
     "embed_knn_label_eval" -> QueryDef.sql(
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val cells = VectorOps.sqrtCells(emb.count())
-        val q = emb.select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
-            .as("q"))
-        val asg = VectorOps.integerCells(q, cells)
-          .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        val a = asg.select(col("vec_id").as("aid"), col("cell").as("ca"),
-          col("label").as("la"))
-        val b = asg.select(col("vec_id").as("bid"), col("cell").as("cb"),
-          col("label").as("lb"))
-        val votes = a.join(b, col("ca") === col("cb") && col("aid") =!= col("bid"))
-          .groupBy(col("aid"), col("la"), col("lb")).agg(count(lit(1)).as("n"))
-        val pred = votes.groupBy("aid", "la")
-          .agg(min(struct((-col("n")).as("negn"), col("lb").as("lb"))).as("m"))
-          .select(col("la").as("label"), col("m.lb").as("predicted"))
-        pred.groupBy("label", "predicted")
-          .agg(count(lit(1)).as("n_vecs"))
-          .select(col("label").cast("long").as("label"),
-            col("predicted").cast("long").as("predicted"), col("n_vecs"))
-          .orderBy("label", "predicted")
-      },
+      (s, dir) => VectorOps.knnLabelEvalCellLocal(Tables.embeddings(s, dir)),
       s"""WITH q AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding,
