@@ -747,8 +747,24 @@ object VectorOps {
       embeddings: DataFrame, threshold: Double, dim: Int, bands: Int): DataFrame = {
     val s = embeddings.sparkSession
     graft.GraftExtensions.register(s)
-    val bits = lshBitsForCount(embeddings.count())
-    val n = withNorms(embeddings)
+    // EXACT-duplicate collapse first (the dedup ladder's own rule, and
+    // the dedup_editdist lesson applied to vectors): replicated corpora
+    // make identical embeddings form true duplicate groups whose
+    // pairwise expansion is output-quadratic — the 2M-vector sf100 pack
+    // (2 000 distinct embeddings x 1000 copies) would emit ~1e9
+    // identical-pair rows and died on disk. Identical vectors carry
+    // identical information; one representative (min vec_id) with the
+    // group size rides through the banded join, and the whole pipeline
+    // shrinks to the DISTINCT-vector count. On a duplicate-free corpus
+    // the collapse is a cheap passthrough.
+    val grouped = embeddings.groupBy("embedding")
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("ndup"))
+      .localCheckpoint() // counted for the dial + scanned for sigs/verify
+    val bits = lshBitsForCount(grouped.count())
+    val n = grouped
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("ndup"))
+      .withColumn("nrm", norm(col("v")))
     val skinny = n
       .filter(expr(
         s"CASE WHEN size(v) = $dim THEN true " +
@@ -761,10 +777,13 @@ object VectorOps {
       .select("d1", "d2")
       .distinct()
     cand
-      .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1")), "d1")
-      .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2")), "d2")
+      .join(n.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"),
+        col("ndup").as("n1_dups")), "d1")
+      .join(n.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"),
+        col("ndup").as("n2_dups")), "d2")
       .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"))
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("score"),
+        col("n1_dups"), col("n2_dups"))
       .filter(col("score") >= threshold)
   }
 

@@ -29,29 +29,35 @@ object VectorQueries {
         |ORDER BY q_id, rnk""".stripMargin),
 
     // B5 PRIMARY (r9): embedding-cosine near-duplicate pairs over the
-    // FULL corpus — banded LSH candidates with the bit width derived
-    // from the corpus size (bits = ceil(log2(N/64)), integer ladder on
-    // both engines), exact cosine verify on the survivors. Expected
-    // bucket occupancy stays ~64 at EVERY scale factor, so candidate
-    // volume is linear in N — this is the plan that runs at 100 TB,
-    // and it is what the bench now measures. The weight family is the
+    // FULL corpus — EXACT-duplicate vectors collapse to min-id
+    // representatives with group counts first (identical embeddings
+    // carry identical information; on replicated packs their pairwise
+    // expansion is output-quadratic — the sf100 lesson), then banded
+    // LSH candidates with the bit width derived from the DISTINCT
+    // count (bits = ceil(log2(N/64)), integer ladder on both engines)
+    // and exact cosine verify on the survivors. Expected bucket
+    // occupancy stays ~64 at EVERY scale factor, so candidate volume
+    // is linear in the distinct count — the plan that runs at 100 TB,
+    // and what the bench measures. The weight family is the
     // oracle-expressible integer mix (lsh_band_keys_lin); the oracle
-    // recomputes bits, every plane dot, the banded join, and the
-    // verify. The id-capped exact all-pairs form
-    // (VectorOps.cosineNearDupPairs) is a spec anchor only
-    // (VectorOpsSpec recall/equivalence assertions).
+    // recomputes the collapse, the dial, every plane dot, the banded
+    // join, and the verify. The id-capped exact all-pairs form
+    // (VectorOps.cosineNearDupPairs) is a spec anchor only.
     "neardup_cosine" -> QueryDef.sql(
       (s, dir) => VectorOps.cosineNearDupPairsAuto(
         Tables.embeddings(s, dir), 0.4, 64, bands = 6).orderBy("d1", "d2"),
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |k AS (SELECT ${VectorOps.lshBitsSqlCase("COUNT(*)")} AS bits FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s"""WITH g AS (SELECT embedding, MIN(vec_id) AS vec_id, COUNT(*) AS ndup
+         |           FROM embeddings GROUP BY embedding),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ndup FROM g),
+         |k AS (SELECT ${VectorOps.lshBitsSqlCase("COUNT(*)")} AS bits FROM g),
+         |n AS (SELECT vec_id, v, ndup, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |${VectorOps.lshLinKeysSql(64, 6)},
          |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
          |         FROM keys a JOIN keys b
          |           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
          |SELECT c.d1, c.d2,
-         |  ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
+         |  ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score,
+         |  x.ndup AS n1_dups, y.ndup AS n2_dups
          |FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2
          |WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
          |ORDER BY d1, d2""".stripMargin),

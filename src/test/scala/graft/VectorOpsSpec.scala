@@ -270,17 +270,40 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       VectorOps.lshBitsForCount(100000000L) shouldBe 16 // clamp
     }
 
-    it("emits only true pairs (verify admits no false positives) with 100% planted-dup recall") {
+    it("collapses planted exact duplicates into representative group counts") {
+      // identical vectors now collapse BEFORE the banded join (the
+      // sf100 lesson: their pairwise expansion is output-quadratic on
+      // replicated corpora) — the planted copies must surface as
+      // n_dups = 2 on the min-id representative, never as pairs
       val base = emb.filter(col("vec_id") < 50)
       val planted = base.withColumn("vec_id", col("vec_id") + lit(10000L))
       val corpus = emb.union(planted)
-      val pairs = VectorOps.cosineNearDupPairsAuto(corpus, 0.999, 64, bands = 6)
+      val out = VectorOps.cosineNearDupPairsAuto(corpus, 0.4, 64, bands = 6)
+        .collect()
+      out.foreach { r =>
+        val (d1, d2) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+        d2 should not be (d1 + 10000L) // copies merged, never paired
+        val expected1 = if (d1 < 50) 2L else 1L
+        r.getAs[Long]("n1_dups") shouldBe expected1
+        r.getAs[Long]("n2_dups") shouldBe (if (d2 < 50 && d2 >= 0) 2L else 1L)
+      }
+    }
+
+    it("recovers perturbed near-duplicates through the banded join") {
+      // near (not exact) duplicates survive the collapse as distinct
+      // representatives and must be found via shared bands: perturb one
+      // dimension by +0.001 — cosine stays >= 0.999, and most sign bits
+      // agree. Deterministic given the fixed weights; assert a recall
+      // floor rather than an exact set.
+      val base = emb.filter(col("vec_id") < 50)
+      val planted = base.withColumn("vec_id", col("vec_id") + lit(10000L))
+        .withColumn("embedding",
+          expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x + 0.001 ELSE x END AS FLOAT))"))
+      val corpus = emb.union(planted)
+      val pairs = VectorOps.cosineNearDupPairsAuto(corpus, 0.9, 64, bands = 6)
         .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-      // identical vectors agree on every sign bit of every weight
-      // family, so exact duplicates are found deterministically
-      val expected = (0L until 50L).map(i => (i, i + 10000L)).toSet
-      expected.subsetOf(pairs) shouldBe true
-      pairs.foreach { case (_, _) => } // non-empty checked above
+      val recovered = (0L until 50L).count(i => pairs.contains((i, i + 10000L)))
+      recovered should be >= 40
     }
 
     it("finds every pair the capped exact form finds within the cap (the demoted spec anchor)") {
