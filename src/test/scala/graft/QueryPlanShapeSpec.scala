@@ -294,14 +294,16 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       // generation join as a join condition, running the DP per joined
       // row (145 s at sf0.1 in the r8 gram-join form; the string-
       // rejoin joins sit per-candidate, where the predicate is
-      // harmless). Assert the band-keyed join — the join keyed on the
-      // bh hash — never carries it, and the signature computes
-      // natively in the scan stage.
-      p should include("minhash_sig")
+      // harmless). The signature/band subtrees are localCheckpointed
+      // (multi-consumer — the r9 perf pass), so the guard sees Scan
+      // ExistingRDD instead of minhash_sig; assert the band-keyed join
+      // never carries the DP and nothing degenerates to a product.
+      p should include("Scan ExistingRDD")
       val bandJoinLines = p.linesIterator.filter(l =>
         l.contains("Join") && l.contains("bh#")).mkString("\n")
       bandJoinLines should not include "levenshtein"
       p should not include "CartesianProduct"
+      p should include("levenshtein") // the verify survives, above the join
     }
   }
 
@@ -595,9 +597,14 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
-    it("embed_lof broadcasts the id-bounded pair join and checkpoints knn") {
+    it("embed_lof runs the bounded-cell quadratic partition-local") {
       val p = plan("embed_lof")
-      p should include("Scan ExistingRDD")
+      // r9 cell-local form: seed assignment broadcasts (BNLJ over the
+      // k-seed array side), then ONE cell-keyed MapGroups does the kNN
+      // / reach-dist arithmetic locally — no pair join, no window over
+      // an expanded pair relation, no product
+      p should include("BroadcastNestedLoopJoin")
+      p should include("MapGroups")
       p should not include "CartesianProduct"
     }
 
