@@ -195,7 +195,19 @@ object Bench {
       val noteJson = if (note.isEmpty) "" else s""","note":${jq(note)}"""
       s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(kvs, sig)},"errors":$errCompact,"sf":"$sfDir"$noteJson}"""
     }
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}"""
+    println(detailLine)
+    // The compact line drops the fastest entries by design, so the
+    // driver-recorded BENCH json is not per-query diffable round over
+    // round. Persist the full-precision detail line as an artifact too
+    // (committed per round as bench_detail_r{N}.json); best-effort —
+    // an unwritable path must never fail the bench.
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE",
+      "bench_detail_last.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailFile), detailLine + "\n")
+    catch { case _: Throwable => () }
     // hard budget: the tail window is 2000 chars and sbt's trailing
     // "[success] Total time: …" line eats ~80 of them, so the line must
     // fit 1915. Degrade in order: precision (3 → 2 → 1 significant

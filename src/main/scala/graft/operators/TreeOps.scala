@@ -231,24 +231,159 @@ object TreeOps {
     * lesson). */
   /** `localParents`: set true when the input guarantees parent links
     * never cross trace boundaries (the TraceDataset contract, true of
-    * every span relation the query pack builds) — reconstruction then
-    * uses the one-shuffle per-trace walk ([[spanPathsLocal]], measured
-    * 13.2 → ~5 s for the two rollup surfaces at sf0.1) instead of a
-    * second doubling loop. Leave false for arbitrary forests (e.g.
-    * cross-trace parent ids), where only the global hop join is
-    * correct. */
+    * every span relation the query pack builds) — BOTH the fingerprint
+    * pass and the string reconstruction then run as one-shuffle
+    * per-trace local walks ([[pathHashesLocal]] / [[spanPathsLocal]])
+    * instead of pointer-quadrupling join rounds (measured 6.6 → ~3 s
+    * for trace_path_rollup at sf0.1). Leave false for arbitrary
+    * forests (e.g. cross-trace parent ids), where only the global hop
+    * join is correct. */
+  /** `srcMaterialized`: set true when `spans` is already a cheap read
+    * (the caller checkpointed it, e.g. to share the scan with its own
+    * midpoint aggregate) — skips the internal checkpoint, saving one
+    * full-corpus write+read (~1.5-2 s at sf0.1 for the differential
+    * flamegraph, whose caller must materialize anyway). */
   def pathRollup(spans: DataFrame, maxRounds: Int = 40,
-      groupCols: Seq[String] = Nil, localParents: Boolean = false): DataFrame = {
-    val (p1, p2) = (2147483647L, 2147483629L) // 31-bit primes: b·h < 2^62
-    val (bb1, bb2) = (1000003L, 998244353L)
+      groupCols: Seq[String] = Nil, localParents: Boolean = false,
+      srcMaterialized: Boolean = false): DataFrame = {
     // The input is scanned twice (cursor init + representative-trace
     // reconstruction); checkpoint the narrow projection ONCE so an
     // expensive upstream (the events->spans lag window costs ~1.3 s
     // per scan at sf0.1) is never recomputed.
-    val src = spans.select(
+    val srcRaw = spans.select(
       (Seq(col("trace_id"), col("span_id"), col("parent_span_id"),
         col("service"), col("duration_us")) ++ groupCols.map(col)): _*)
+    val src = if (srcMaterialized) srcRaw else srcRaw.localCheckpoint()
+
+    // Per-span fingerprint relation (ph, trace_id, span_id,
+    // duration_us, groupCols…): ONE trace-keyed shuffle + linear local
+    // DFS under the TraceDataset contract (localParents — measured
+    // 6.6 → ~3 s for trace_path_rollup at sf0.1 vs the quadrupling
+    // loop's 4 materialized rounds), or the pointer-quadrupling cursor
+    // for arbitrary forests.
+    val fps =
+      if (localParents) pathHashesLocal(src, groupCols)
+      else pathHashesDoubling(src, groupCols, maxRounds)
+
+    // Corpus collapses on the combined 62-bit fingerprint; one
+    // representative span per path seeds the string reconstruction.
+    val roll = fps
+      .groupBy("ph", groupCols: _*)
+      .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"),
+        min(struct(col("trace_id"), col("span_id"))).as("rep"))
       .localCheckpoint()
+
+    // Reconstruct strings on the representatives' traces only —
+    // |distinct paths| traces regardless of corpus size — via the
+    // row-local per-trace walk (bounded traces by the TraceDataset
+    // contract; a second doubling loop here paid ~7 more rounds of
+    // join+checkpoint overhead — measured 13.2 → ~6 s at sf0.1).
+    val repTraces = roll.select(col("rep.trace_id").as("trace_id")).distinct()
+    val pruned = src
+      .select("trace_id", "span_id", "parent_span_id", "service")
+      .join(broadcast(repTraces), Seq("trace_id"), "left_semi")
+    val repPaths =
+      (if (localParents) spanPathsLocal(pruned) else spanPaths(pruned, maxRounds))
+        .select(col("span_id").as("rep_span"), col("path"))
+    roll.join(repPaths, roll("rep.span_id").cast("string") === col("rep_span"))
+      .select((Seq(col("path")) ++ groupCols.map(col) ++
+        Seq(col("n_spans"), col("total_dur_us"))): _*)
+  }
+
+  // Dual 31-bit prime moduli and bases of the path fingerprint
+  // h(seq) = Σ h(seg_i)·B^i over the self→root segment sequence —
+  // every b·h product stays inside ANSI-safe long range and the
+  // collision bound is ~k²/2^61 for k distinct paths.
+  private val (fpP1, fpP2) = (2147483647L, 2147483629L)
+  private val (fpB1, fpB2) = (1000003L, 998244353L)
+
+  /** Per-span path fingerprints by ONE trace-keyed shuffle + a linear
+    * local walk — the [[spanPathsLocal]] engine emitting fixed-width
+    * hash pairs instead of path strings, so the shuffled output stays
+    * narrow at any depth. Valid under the same contract (parent links
+    * stay in-trace, trace size bounded by the ingest cap): per-group
+    * work is O(spans) via memoized parent-chain resolution. Dangling
+    * parents anchor and a parent cycle fails loudly, exactly like the
+    * doubling cursor. Output: (ph, trace_id, span_id, duration_us,
+    * groupCols…) with trace_id/span_id as strings.
+    */
+  private def pathHashesLocal(src: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val pre = src.select(
+      (Seq(col("trace_id").cast("string"), col("span_id").cast("string"),
+        col("parent_span_id").cast("string"),
+        pmod(xxhash64(col("service")), lit(fpP1)).as("eh1"),
+        pmod(xxhash64(lit("graft-fp2"), col("service")), lit(fpP2)).as("eh2"),
+        col("duration_us")) ++ groupCols.map(col)): _*)
+    val preSchema = pre.schema
+    val outSchema = StructType(
+      Seq(StructField("ph", LongType, nullable = false),
+        StructField("trace_id", StringType),
+        StructField("span_id", StringType),
+        StructField("duration_us", preSchema("duration_us").dataType)) ++
+      groupCols.map(g => preSchema(g)))
+    val nGroup = groupCols.size
+    pre.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (tid: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val eh = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+        val par = new scala.collection.mutable.HashMap[String, String]()
+        rows.foreach { r =>
+          val sid = r.getString(1)
+          eh.update(sid, (r.getLong(3), r.getLong(4)))
+          if (!r.isNullAt(2)) par.update(sid, r.getString(2))
+        }
+        // memoized bottom-up resolution: each span's hash derives from
+        // its parent's in O(1), so the whole trace resolves in O(n)
+        val memo = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+        def resolve(sid0: String): (Long, Long) = {
+          var chain = List.empty[String]
+          val inFlight = new scala.collection.mutable.HashSet[String]()
+          var cur = sid0
+          var anchor: Option[(Long, Long)] = None
+          while (anchor.isEmpty && !memo.contains(cur)) {
+            require(inFlight.add(cur),
+              s"pathHashesLocal: parent cycle at span $cur in trace $tid")
+            chain ::= cur
+            par.get(cur).filter(eh.contains) match {
+              case Some(p) => cur = p
+              case None => anchor = Some((0L, 0L)) // root / dangling parent
+            }
+          }
+          var h = anchor.getOrElse(memo(cur))
+          chain.foreach { sid =>
+            val (e1, e2) = eh(sid)
+            h = (((e1 + fpB1 * h._1) % fpP1), ((e2 + fpB2 * h._2) % fpP2))
+            memo.update(sid, h)
+          }
+          h
+        }
+        rows.iterator.map { r =>
+          val (h1, h2) = resolve(r.getString(1))
+          Row.fromSeq(
+            Seq(h1 * fpP2 + h2, tid, r.getString(1), r.get(5)) ++
+            (0 until nGroup).map(i => r.get(6 + i)))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Per-span path fingerprints by the pointer-quadrupling cursor —
+    * correct for arbitrary forests (cross-trace parent ids, unbounded
+    * traces). The cursor is FIXED-WIDTH ((span_id, anc, h1, b1, h2,
+    * b2) plus the rollup payload) and composes under jumps exactly
+    * like concatenation: (h,b) ⊕ (h',b') = (h + b·h' mod p, b·b' mod
+    * p). Two jumps per materialized round — the intermediate
+    * (distance-doubled) frame serves as its own jump target and
+    * recomputes inside the round's single job; at the measured
+    * ~0.5 s fixed cost per materialized round, halving the round
+    * count beats halving per-round work (sf0.1: 7 rounds × 0.6 s →
+    * 4 rounds).
+    */
+  private def pathHashesDoubling(
+      src: DataFrame, groupCols: Seq[String], maxRounds: Int): DataFrame = {
+    val (p1, p2) = (fpP1, fpP2)
+    val (bb1, bb2) = (fpB1, fpB2)
     // Cursor: (span_id, anc, h1, b1, h2, b2) + the fixed-width payload
     // the rollup needs (trace_id, duration) so no corpus-wide rejoin.
     val init = src.select(
@@ -286,15 +421,6 @@ object TreeOps {
             groupCols.map(cur(_))): _*)
     }
 
-    // POINTER QUADRUPLING (r9): two jumps per materialized round — the
-    // intermediate (distance-doubled) frame serves as its own jump
-    // target alongside the done frames, so each checkpointed round
-    // covers 4× the distance. The intermediate is NOT materialized
-    // (its join recomputes twice inside the round's single job); at
-    // the measured ~0.5 s fixed cost per materialized round, halving
-    // the round count beats halving per-round work — sf0.1: 7 rounds
-    // × 0.6 s → 4 rounds, trace_path_rollup 13.2 → ~5 s end to end
-    // (with the spanPathsLocal reconstruction).
     var rounds = 0
     var active = !frontier.isEmpty
     while (active && rounds < maxRounds) {
@@ -308,33 +434,9 @@ object TreeOps {
     }
     require(!active, s"pathRollup did not converge in $maxRounds quadrupling rounds " +
       s"(depth > ${BigInt(4).pow(maxRounds)} or a parent cycle)")
-
-    // Corpus collapses on the combined 62-bit fingerprint; one
-    // representative span per path seeds the string reconstruction.
-    val ph = (col("h1") * p2 + col("h2")).as("ph")
-    val roll = doneFrames
-      .map(_.select((Seq(ph, col("trace_id"), col("span_id"),
-        col("duration_us")) ++ groupCols.map(col)): _*))
+    doneFrames
+      .map(_.select((Seq((col("h1") * p2 + col("h2")).as("ph"), col("trace_id"),
+        col("span_id"), col("duration_us")) ++ groupCols.map(col)): _*))
       .reduce(_ unionAll _)
-      .groupBy("ph", groupCols: _*)
-      .agg(count(lit(1)).as("n_spans"), sum("duration_us").as("total_dur_us"),
-        min(struct(col("trace_id"), col("span_id"))).as("rep"))
-      .localCheckpoint()
-
-    // Reconstruct strings on the representatives' traces only —
-    // |distinct paths| traces regardless of corpus size — via the
-    // row-local per-trace walk (bounded traces by the TraceDataset
-    // contract; a second doubling loop here paid ~7 more rounds of
-    // join+checkpoint overhead — measured 13.2 → ~6 s at sf0.1).
-    val repTraces = roll.select(col("rep.trace_id").as("trace_id")).distinct()
-    val pruned = src
-      .select("trace_id", "span_id", "parent_span_id", "service")
-      .join(broadcast(repTraces), Seq("trace_id"), "left_semi")
-    val repPaths =
-      (if (localParents) spanPathsLocal(pruned) else spanPaths(pruned, maxRounds))
-        .select(col("span_id").as("rep_span"), col("path"))
-    roll.join(repPaths, roll("rep.span_id").cast("string") === col("rep_span"))
-      .select((Seq(col("path")) ++ groupCols.map(col) ++
-        Seq(col("n_spans"), col("total_dur_us"))): _*)
   }
 }

@@ -574,13 +574,25 @@ object VectorOps {
     * same-label mate and highest-scoring other-label mate (round6
     * cosine, min-id tie-breaks) — identical doubles to the former
     * pair-join form. Output (anchor, hard_pos, hard_neg, pos_score,
-    * neg_score, violation) ordered by (violation desc, anchor). */
+    * neg_score, violation) ordered by (violation desc, anchor).
+    *
+    * Zero-norm vectors are filtered up front (0/0 would make the score
+    * NaN, which BigDecimal rounding rejects); the oracle carries the
+    * same `nrm > 0` predicate. Cost cuts vs the r9 loop (the sf100
+    * pole, 287 s): each unordered pair scores ONCE (the cosine is
+    * bit-symmetric: IEEE a·b and norms commute) and updates both
+    * anchors — the min-id tie rule is iteration-order-independent —
+    * and the expensive decimal rounding (BigDecimal.valueOf parses a
+    * string) runs lazily, only when the raw score sits within 1e-6 of
+    * an anchor's current extreme (half-up rounding moves a value by
+    * ≤5e-7, so anything farther can neither become the new extreme nor
+    * tie it). */
   def tripletCellLocal(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     val cells = sqrtCells(embeddings.count())
     val q = milliQuantizedPublic(embeddings)
-    withNorms(embeddings)
+    withNorms(embeddings).filter(col("nrm") > 0)
       .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
       .join(integerCells(q, cells), "vec_id")
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("label"))
@@ -588,25 +600,45 @@ object VectorOps {
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val m = it.toArray.sortBy(_._2)
-        m.iterator.flatMap { case (_, aid, av, an, al) =>
-          var posScore = Double.NaN
-          var posId = Long.MaxValue
-          var negScore = Double.NaN
-          var negId = Long.MaxValue
-          m.foreach { case (_, cid, cv, cn, cl) =>
-            if (cid != aid) {
-              val sc = round6(dotLocal(av, cv) / (an * cn))
-              if (cl == al) {
-                if (posScore.isNaN || sc < posScore) { posScore = sc; posId = cid }
-                else if (sc == posScore && cid < posId) posId = cid
-              } else {
-                if (negScore.isNaN || sc > negScore) { negScore = sc; negId = cid }
-                else if (sc == negScore && cid < negId) negId = cid
+        val n = m.length
+        val posScore = Array.fill(n)(Double.NaN)
+        val posId = Array.fill(n)(Long.MaxValue)
+        val negScore = Array.fill(n)(Double.NaN)
+        val negId = Array.fill(n)(Long.MaxValue)
+        def updPos(k: Int, cid: Long, sc: Double): Unit =
+          if (posScore(k).isNaN || sc < posScore(k)) { posScore(k) = sc; posId(k) = cid }
+          else if (sc == posScore(k) && cid < posId(k)) posId(k) = cid
+        def updNeg(k: Int, cid: Long, sc: Double): Unit =
+          if (negScore(k).isNaN || sc > negScore(k)) { negScore(k) = sc; negId(k) = cid }
+          else if (sc == negScore(k) && cid < negId(k)) negId(k) = cid
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val raw = dotLocal(m(i)._3, m(j)._3) / (m(i)._4 * m(j)._4)
+            if (m(i)._5 == m(j)._5) {
+              if (posScore(i).isNaN || posScore(j).isNaN ||
+                  raw <= posScore(i) + 1e-6 || raw <= posScore(j) + 1e-6) {
+                val sc = round6(raw)
+                updPos(i, m(j)._2, sc)
+                updPos(j, m(i)._2, sc)
+              }
+            } else {
+              if (negScore(i).isNaN || negScore(j).isNaN ||
+                  raw >= negScore(i) - 1e-6 || raw >= negScore(j) - 1e-6) {
+                val sc = round6(raw)
+                updNeg(i, m(j)._2, sc)
+                updNeg(j, m(i)._2, sc)
               }
             }
+            j += 1
           }
-          if (posScore.isNaN || negScore.isNaN) None
-          else Some((aid, posId, negId, posScore, negScore, negScore - posScore))
+          i += 1
+        }
+        (0 until n).iterator.flatMap { k =>
+          if (posScore(k).isNaN || negScore(k).isNaN) None
+          else Some((m(k)._2, posId(k), negId(k), posScore(k), negScore(k),
+            negScore(k) - posScore(k)))
         }
       }
       .toDF("anchor", "hard_pos", "hard_neg", "pos_score", "neg_score", "violation")
@@ -676,8 +708,13 @@ object VectorOps {
           var i = 0
           var hit = false
           while (i < j && !hit) {
-            if (round6(dotLocal(m(i)._3, m(j)._3) / (m(i)._4 * m(j)._4)) >= threshold)
-              hit = true
+            // decimal rounding (a string-parsing BigDecimal, several ×
+            // the 64-dim dot) runs only inside the ±1e-6 decision band:
+            // half-up rounding moves a value by ≤5e-7, so raw scores
+            // farther from the threshold decide without it
+            val raw = dotLocal(m(i)._3, m(j)._3) / (m(i)._4 * m(j)._4)
+            if (raw >= threshold + 1e-6) hit = true
+            else if (raw > threshold - 1e-6 && round6(raw) >= threshold) hit = true
             i += 1
           }
           if (hit) dropped += 1

@@ -2202,12 +2202,12 @@ object RelationalQueries {
     // n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))).
     //
     // SF ENVELOPE (the q_jarque_bera precedent): the ×2 rank sums
-    // (cnt_f·rank2) and the U statistics are plain LONG accumulators —
-    // exact to ~9.2e18, i.e. ≈ sf1000 for this corpus (r8 advice
-    // measured ~7e17 at sf100, 13× of headroom). Beyond that ANSI mode
-    // throws ARITHMETIC_OVERFLOW (loud, never silent); the fix at that
-    // scale is DECIMAL(38,0) legs like the tie3 term already uses,
-    // at the measured ~7× decimal-aggregate cost.
+    // (cnt_f·rank2) accumulators and every N²-scale product run through
+    // DECIMAL(38,0) / HUGEINT on the two engines (r9 advice closed),
+    // so internal math is exact far past any reachable corpus; the
+    // only remaining bound is the EMIT cast of the U statistics to
+    // BIGINT (U ~ N²/4 exceeds a long around sf2500), where ANSI
+    // throws loudly, never silently.
     "q_mann_whitney" -> QueryDef.sql(
       (s, dir) => {
         val rows = Tables.lineitem(s, dir)
@@ -2224,18 +2224,22 @@ object RelationalQueries {
         ranked
           .agg(sum(col("cnt_f")).as("n1"),
             sum(col("cnt") - col("cnt_f")).as("n2"),
-            sum(col("cnt_f") * col("rank2")).as("r1_x2"),
+            sum(dec38(col("cnt_f")) * dec38(col("rank2"))).as("r1_x2"),
             sum(dec38(col("cnt")) * dec38(col("cnt")) * dec38(col("cnt"))
               - dec38(col("cnt"))).as("tie3"))
           .withColumn("n", col("n1") + col("n2"))
-          .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1))
-          .select(col("n1"), col("n2"), col("u1_x2"),
-            (col("n1") * col("n2") * 2 - col("u1_x2")).as("u2_x2"),
-            ((col("u1_x2") - col("n1") * col("n2")).cast("double") /
+          .withColumn("u1_x2",
+            col("r1_x2") - dec38(col("n1")) * (dec38(col("n1")) + 1))
+          .select(col("n1"), col("n2"),
+            col("u1_x2").cast("long").as("u1_x2"),
+            (dec38(col("n1")) * dec38(col("n2")) * 2 - col("u1_x2"))
+              .cast("long").as("u2_x2"),
+            ((col("u1_x2") - dec38(col("n1")) * dec38(col("n2"))).cast("double") /
               (sqrt(col("n1").cast("double") * col("n2").cast("double") *
                 ((col("n") + 1).cast("double") -
                   col("tie3").cast("double") /
-                    (col("n") * (col("n") - 1)).cast("double")) / lit(12.0)) * 2))
+                    (dec38(col("n")) * (dec38(col("n")) - 1)).cast("double")) /
+                lit(12.0)) * 2))
               .as("z"))
       },
       """WITH rows_ AS (
@@ -2252,18 +2256,19 @@ object RelationalQueries {
         |agg AS (
         |  SELECT CAST(SUM(cnt_f) AS BIGINT) AS n1,
         |         CAST(SUM(cnt - cnt_f) AS BIGINT) AS n2,
-        |         CAST(SUM(cnt_f * rank2) AS BIGINT) AS r1_x2,
+        |         SUM(CAST(cnt_f AS HUGEINT) * rank2) AS r1_x2,
         |         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
         |  FROM ranked),
         |fin AS (
-        |  SELECT n1, n2, n1 + n2 AS n, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie3
+        |  SELECT n1, n2, n1 + n2 AS n,
+        |         r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_x2h, tie3
         |  FROM agg)
-        |SELECT n1, n2, u1_x2,
-        |  n1 * n2 * 2 - u1_x2 AS u2_x2,
-        |  CAST(u1_x2 - n1 * n2 AS DOUBLE) /
+        |SELECT n1, n2, CAST(u1_x2h AS BIGINT) AS u1_x2,
+        |  CAST(CAST(n1 AS HUGEINT) * n2 * 2 - u1_x2h AS BIGINT) AS u2_x2,
+        |  CAST(u1_x2h - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
         |    (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
         |       (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE)
-        |          / CAST(n * (n - 1) AS DOUBLE)) / 12.0) * 2) AS z
+        |          / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) / 12.0) * 2) AS z
         |FROM fin""".stripMargin),
 
     // C116: Kruskal-Wallis H — k-group (returnflag A/N/R) tie-aware
@@ -2276,9 +2281,10 @@ object RelationalQueries {
     // before the double divide; 12/4 = the literal 3.0. Tie-corrected
     // H divides by 1 − Σ(t³−t)/(n³−n).
     //
-    // SF ENVELOPE: the per-group ×2 rank-sum accumulators themselves
-    // (cnt_j·rank2 sums) are plain LONGs — exact to ≈ sf1000 (same
-    // analysis as q_mann_whitney above); ANSI throws loudly beyond.
+    // The per-group ×2 rank-sum accumulators run through DECIMAL(38,0)
+    // / HUGEINT like their squares (r9 advice closed) — no N²-scale
+    // long products remain anywhere in this surface; its outputs are
+    // N-scale counts and doubles only.
     "q_kruskal_wallis" -> QueryDef.sql(
       (s, dir) => {
         val rows = Tables.lineitem(s, dir)
@@ -2299,15 +2305,15 @@ object RelationalQueries {
         ranked
           .agg(sum(col("cnt_a")).as("na"), sum(col("cnt_n")).as("nn"),
             sum(col("cnt_r")).as("nr"),
-            sum(col("cnt_a") * col("rank2")).as("ra_x2"),
-            sum(col("cnt_n") * col("rank2")).as("rn_x2"),
-            sum(col("cnt_r") * col("rank2")).as("rr_x2"),
+            sum(dec38(col("cnt_a")) * dec38(col("rank2"))).as("ra_x2"),
+            sum(dec38(col("cnt_n")) * dec38(col("rank2"))).as("rn_x2"),
+            sum(dec38(col("cnt_r")) * dec38(col("rank2"))).as("rr_x2"),
             sum(dec38(col("cnt")) * dec38(col("cnt")) * dec38(col("cnt"))
               - dec38(col("cnt"))).as("tie3"))
           .withColumn("n", col("na") + col("nn") + col("nr"))
           .withColumn("h",
             lit(3.0) * (sq("ra_x2", "na") + sq("rn_x2", "nn") + sq("rr_x2", "nr")) /
-              (col("n") * (col("n") + 1)).cast("double") -
+              (dec38(col("n")) * (dec38(col("n")) + 1)).cast("double") -
               lit(3.0) * (col("n") + 1).cast("double"))
           .withColumn("tie_c",
             lit(1.0) - col("tie3").cast("double") /
@@ -2333,18 +2339,19 @@ object RelationalQueries {
         |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
         |         CAST(SUM(cnt_n) AS BIGINT) AS nn,
         |         CAST(SUM(cnt_r) AS BIGINT) AS nr,
-        |         CAST(SUM(cnt_a * rank2) AS BIGINT) AS ra_x2,
-        |         CAST(SUM(cnt_n * rank2) AS BIGINT) AS rn_x2,
-        |         CAST(SUM(cnt_r * rank2) AS BIGINT) AS rr_x2,
+        |         SUM(CAST(cnt_a AS HUGEINT) * rank2) AS ra_x2,
+        |         SUM(CAST(cnt_n AS HUGEINT) * rank2) AS rn_x2,
+        |         SUM(CAST(cnt_r AS HUGEINT) * rank2) AS rr_x2,
         |         SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
         |  FROM ranked),
         |fin AS (SELECT *, na + nn + nr AS n FROM agg),
         |hh AS (
         |  SELECT *,
-        |    3.0 * (CAST(CAST(ra_x2 AS HUGEINT) * ra_x2 AS DOUBLE) / CAST(na AS DOUBLE)
-        |         + CAST(CAST(rn_x2 AS HUGEINT) * rn_x2 AS DOUBLE) / CAST(nn AS DOUBLE)
-        |         + CAST(CAST(rr_x2 AS HUGEINT) * rr_x2 AS DOUBLE) / CAST(nr AS DOUBLE))
-        |      / CAST(n * (n + 1) AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+        |    3.0 * (CAST(ra_x2 * ra_x2 AS DOUBLE) / CAST(na AS DOUBLE)
+        |         + CAST(rn_x2 * rn_x2 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |         + CAST(rr_x2 * rr_x2 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |      / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(n + 1 AS DOUBLE) AS h
         |  FROM fin)
         |SELECT n, na, nn, nr, h,
         |  h / (1.0 - CAST(tie3 AS DOUBLE)

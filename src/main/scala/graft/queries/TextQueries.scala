@@ -3688,7 +3688,15 @@ object TextQueries {
     * positions. Shared by `dedup_incremental` and its streaming twin. */
   private[graft] def mutatedTenth(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      // ENVELOPE GUARD (r9 advice): the +10M offset discriminates probe
+      // ids from base ids in dedup_editdist / dedup_incremental — a
+      // corpus whose doc_ids reach 10M (≈ sf200 for the replicated
+      // packs) would silently collide probe and base ids on both
+      // engines; fail loudly at the source instead.
+      .select(when(col("doc_id") >= lit(10000000L),
+          raise_error(concat(lit("mutatedTenth: doc_id "), col("doc_id"),
+            lit(" breaches the 10M probe-offset envelope"))))
+        .otherwise(col("doc_id") + lit(10000000L)).as("doc_id"),
         concat(lit("pfx"), (col("doc_id") * 7919 % 97).cast("string"), lit(" "),
           col("text")).as("text"))
 

@@ -1980,8 +1980,11 @@ object TraceQueries {
             when(col("start_us") < col("mid_us"), 0L).otherwise(1L))
           .select("trace_id", "span_id", "parent_span_id", "service",
             "duration_us", "half")
+        // srcMaterialized: flagged is a cheap projection over the
+        // checkpointed sp (the half flag re-derives per scan for free),
+        // so pathRollup must not pay a second full-corpus checkpoint
         val roll = graft.operators.TreeOps.pathRollup(flagged,
-          groupCols = Seq("half"), localParents = true)
+          groupCols = Seq("half"), localParents = true, srcMaterialized = true)
         roll.groupBy("path")
           .agg(
             sum(when(col("half") === 0L, col("n_spans")).otherwise(0L)).as("spans_a"),

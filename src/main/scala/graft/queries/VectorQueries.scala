@@ -1074,7 +1074,8 @@ object VectorQueries {
         |  WHERE rn = 1),
         |n AS (SELECT e.vec_id, e.v, e.label, sqrt(list_dot_product(v, v)) AS nrm,
         |        asg.cell
-        |      FROM e JOIN asg ON e.vec_id = asg.vec_id),
+        |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+        |      WHERE sqrt(list_dot_product(v, v)) > 0),
         |p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
         |        a.label = b.label AS same,
         |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score

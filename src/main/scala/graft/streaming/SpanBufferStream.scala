@@ -169,14 +169,24 @@ object SpanBufferStream {
   /** Per-channel credit accumulator (closed journeys only). */
   case class AttrAcc(first: Long, last: Long, linear: Long, touches: Long)
 
+  /** Compact running summary of the one open (not yet purchase-closed)
+    * journey: first/last channel plus per-channel touch counts — all
+    * the attribution rule ever reads, so the open journey costs
+    * O(distinct channels) state no matter how many touches it has. */
+  case class OpenJourney(
+      first: String, last: String, counts: Map[String, Long], size: Long)
+
   /** Accumulation state for one user's attribution journeys: credits of
     * journeys already CLOSED under the watermark live in the compact
-    * per-channel map; only the unfolded event tail (open journey +
-    * not-yet-sealed purchases) buffers — state is O(open touches), not
-    * O(lifetime events) (the r8 advice: a user with continuous activity
-    * never times out, so an events-only state grew without bound). */
+    * per-channel map, the open journey's finalized (below-watermark)
+    * prefix lives in the compact [[OpenJourney]] summary, and only
+    * events still inside the watermark window (arrival-order not yet
+    * final) buffer in the tail — state is O(channels + watermark-window
+    * events), bounded even for a user who touches forever without a
+    * quiet period or a purchase. */
   case class AttrState(
-      acc: Map[String, AttrAcc], tail: Seq[AttrEvent], lastEventUs: Long)
+      acc: Map[String, AttrAcc], open: Option[OpenJourney],
+      tail: Seq[AttrEvent], lastEventUs: Long)
 
   /** Multi-touch attribution as a stream (batch C124 made incremental):
     * per-user events accumulate in state; when the watermark passes the
@@ -207,7 +217,8 @@ object SpanBufferStream {
             // fold everything (trailing open touches stay uncredited,
             // the batch C124 closed-journeys-only rule)
             val st = state.get
-            val (acc, _) = foldJourneys(st.acc, st.tail, Long.MaxValue)
+            val (acc, _, _) =
+              foldJourneys(st.acc, st.open, st.tail, Long.MaxValue)
             state.remove()
             acc.toSeq.sortBy(_._1).iterator
               .map { case (ch, a) => (ch, a.first, a.last, a.linear, a.touches) }
@@ -219,15 +230,18 @@ object SpanBufferStream {
               .filter(e => touchServices(e.service) || e.service == "purchase")
               .toSeq
             val prev = state.getOption
-              .getOrElse(AttrState(Map.empty, Seq.empty, 0L))
-            // journeys closed by a purchase at or before the watermark
-            // are FINAL (no future event can precede the watermark) —
-            // fold them into the compact per-channel accumulator now and
-            // keep only the unfolded tail in state
+              .getOrElse(AttrState(Map.empty, None, Seq.empty, 0L))
+            // events STRICTLY below the watermark are final in sort
+            // position (a late row may still carry the watermark
+            // timestamp itself, and with a smaller spanId it would sort
+            // before a same-timestamp purchase) — fold the final prefix
+            // into the compact accumulators now and keep only the
+            // still-mutable window tail in state
             val wmUs = state.getCurrentWatermarkMs() * 1000L
-            val (acc, tail) = foldJourneys(prev.acc, prev.tail ++ fresh, wmUs)
+            val (acc, open, tail) =
+              foldJourneys(prev.acc, prev.open, prev.tail ++ fresh, wmUs)
             val lastUs = (prev.lastEventUs +: fresh.map(_.startUs)).max
-            state.update(AttrState(acc, tail, lastUs))
+            state.update(AttrState(acc, open, tail, lastUs))
             state.setTimeoutTimestamp(
               math.max(lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
@@ -239,39 +253,45 @@ object SpanBufferStream {
 
   /** Replay journeys over the (re-sorted) unfolded events (the exact
     * batch C124 rule: touches between consecutive purchases, only
-    * closed journeys credited), folding every journey closed by a
-    * purchase at or before `sealedUs` into the per-channel accumulator.
-    * Returns the updated accumulator and the remaining UNFOLDED tail
-    * (open-journey touches plus purchases newer than the seal point);
-    * re-walking the tail on the next fold is what makes the
-    * incremental fold equal to the full replay under any within-
-    * watermark arrival order. */
-  private def foldJourneys(
-      acc0: Map[String, AttrAcc], evs: Seq[AttrEvent], sealedUs: Long)
-    : (Map[String, AttrAcc], Seq[AttrEvent]) = {
+    * closed journeys credited), folding everything STRICTLY below
+    * `sealedUs`: closed journeys into the per-channel credit
+    * accumulator, open-journey touches into the compact
+    * [[OpenJourney]] summary. Because events sort by (startUs, spanId)
+    * and every future arrival carries startUs >= sealedUs, the
+    * below-seal prefix of the sorted sequence is final — so the fold
+    * may consume it and return only the at-or-above-seal suffix as the
+    * tail, and re-walking that tail on the next fold equals the full
+    * replay under any within-watermark arrival order. */
+  private[graft] def foldJourneys(
+      acc0: Map[String, AttrAcc], open0: Option[OpenJourney],
+      evs: Seq[AttrEvent], sealedUs: Long)
+    : (Map[String, AttrAcc], Option[OpenJourney], Seq[AttrEvent]) = {
     var acc = acc0
     def add(ch: String)(f: AttrAcc => AttrAcc): Unit =
       acc = acc.updated(ch, f(acc.getOrElse(ch, AttrAcc(0L, 0L, 0L, 0L))))
-    var cur = Vector.empty[String]
-    var tail = Vector.empty[AttrEvent]
-    for (e <- evs.sortBy(x => (x.startUs, x.spanId))) {
-      if (e.service == "purchase" && e.startUs <= sealedUs) {
-        if (cur.nonEmpty) {
-          add(cur.head)(a => a.copy(first = a.first + 1))
-          add(cur.last)(a => a.copy(last = a.last + 1))
-          cur.foreach { c =>
-            add(c)(a => a.copy(
-              linear = a.linear + 1000000L / cur.size, touches = a.touches + 1))
+    val (below, tail) =
+      evs.sortBy(x => (x.startUs, x.spanId)).span(_.startUs < sealedUs)
+    var open = open0
+    for (e <- below) {
+      if (e.service == "purchase") {
+        open.foreach { oj =>
+          add(oj.first)(a => a.copy(first = a.first + 1))
+          add(oj.last)(a => a.copy(last = a.last + 1))
+          val share = 1000000L / oj.size
+          oj.counts.foreach { case (ch, n) =>
+            add(ch)(a => a.copy(
+              linear = a.linear + share * n, touches = a.touches + n))
           }
         }
-        cur = Vector.empty
-        tail = Vector.empty
-      } else {
-        if (touchServices(e.service)) cur :+= e.service
-        tail :+= e
+        open = None
+      } else if (touchServices(e.service)) {
+        val oj = open.getOrElse(OpenJourney(e.service, e.service, Map.empty, 0L))
+        open = Some(OpenJourney(oj.first, e.service,
+          oj.counts.updated(e.service, oj.counts.getOrElse(e.service, 0L) + 1L),
+          oj.size + 1))
       }
     }
-    (acc, tail)
+    (acc, open, tail)
   }
 
   /** Sealed buffers → flat processed spans, applying the reference read

@@ -185,4 +185,71 @@ class SpanBufferStreamSpec extends AnyFunSpec with Matchers with SparkTestBase {
       t1.head.spans.map(_.spanId).toSet shouldBe Set("a", "b")
     }
   }
+
+  describe("attribution journey fold (state-boundedness contract)") {
+    import SpanBufferStream.{AttrAcc, AttrEvent, OpenJourney}
+    val channels = Vector("view", "click", "signup")
+    def ev(i: Long, svc: String) = AttrEvent(svc, i * 1000000L, i)
+
+    it("keeps O(channels) state for a never-quiet, never-purchasing user") {
+      // 10k touches, watermark trailing 100 events behind — the exact
+      // scenario the r9 verdict flagged as the unbounded-state killer
+      var acc = Map.empty[String, AttrAcc]
+      var open: Option[OpenJourney] = None
+      var tail = Seq.empty[AttrEvent]
+      (0 until 100).foreach { chunk =>
+        val fresh = (0 until 100).map(j => ev(chunk * 100L + j, channels((chunk + j) % 3)))
+        val sealUs = (chunk * 100L + 100L - 100L) * 1000000L // wm lags 100 events
+        val (a, o, t) = SpanBufferStream.foldJourneys(acc, open, tail ++ fresh, sealUs)
+        acc = a; open = o; tail = t
+        tail.size should be <= 200 // at most the in-window suffix
+      }
+      acc shouldBe empty // no purchase ever closed a journey
+      open.get.size shouldBe 9900L // all below-watermark touches compacted
+      open.get.counts.keySet.subsetOf(channels.toSet) shouldBe true
+    }
+
+    it("incremental fold over advancing seals equals the full replay") {
+      val evs = Seq(
+        ev(1, "view"), ev(2, "click"), ev(3, "purchase"), ev(4, "signup"),
+        ev(5, "view"), ev(6, "purchase"), ev(7, "click"), ev(8, "view"),
+        ev(9, "purchase"), ev(10, "view"))
+      val (full, _, _) = SpanBufferStream.foldJourneys(
+        Map.empty, None, evs, Long.MaxValue)
+      // replay in 1-event chunks with the seal trailing 2 events behind
+      var acc = Map.empty[String, AttrAcc]
+      var open: Option[OpenJourney] = None
+      var tail = Seq.empty[AttrEvent]
+      evs.zipWithIndex.foreach { case (e, i) =>
+        val (a, o, t) = SpanBufferStream.foldJourneys(
+          acc, open, tail :+ e, math.max(0L, (i.toLong - 1L)) * 1000000L)
+        acc = a; open = o; tail = t
+      }
+      val (fin, _, _) = SpanBufferStream.foldJourneys(acc, open, tail, Long.MaxValue)
+      fin shouldBe full
+    }
+
+    it("seals strictly below the watermark (a tie-timestamped event may still arrive)") {
+      val purchase = ev(5, "purchase")
+      val (acc, open, tail) = SpanBufferStream.foldJourneys(
+        Map.empty, None, Seq(ev(1, "view"), purchase), purchase.startUs)
+      acc shouldBe empty // purchase AT the seal must not fold yet
+      tail should contain(purchase)
+      open.get.counts shouldBe Map("view" -> 1L)
+      // a late same-timestamp, smaller-spanId touch still joins the journey
+      val late = AttrEvent("click", purchase.startUs, purchase.spanId - 1)
+      val (acc2, _, _) = SpanBufferStream.foldJourneys(
+        acc, open, tail :+ late, Long.MaxValue)
+      acc2("click").touches shouldBe 1L
+    }
+
+    it("credits first/last/linear per the batch C124 rule") {
+      val evs = Seq(ev(1, "view"), ev(2, "click"), ev(3, "view"), ev(4, "purchase"))
+      val (acc, open, _) = SpanBufferStream.foldJourneys(
+        Map.empty, None, evs, Long.MaxValue)
+      open shouldBe None
+      acc("view") shouldBe AttrAcc(1L, 1L, 2L * (1000000L / 3L), 2L)
+      acc("click") shouldBe AttrAcc(0L, 0L, 1000000L / 3L, 1L)
+    }
+  }
 }
