@@ -274,12 +274,13 @@ object VectorOps {
     // GraphOps.connectedComponents already guards against)
     var prevCheckpoint: Option[DataFrame] = None
     (0 until iters).foreach { _ =>
-      val assigned = n.crossJoin(broadcast(centroidArray(cents)))
-        .withColumn("aff", affSorted)
-        // try_element_at: an empty centroid set (degenerate k-means)
-        // yields null cells, not an ANSI INVALID_ARRAY_INDEX error
-        .select(try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"), col("v"))
-        .filter(col("cell").isNotNull)
+      // typed local argmax (assignCellsLocal): the declarative
+      // transform + array_sort affinity ranking evaluates INTERPRETED
+      // and dominated every Lloyd round at corpus scale; an empty
+      // centroid set (degenerate k-means) yields no assignments, the
+      // old try_element_at null-cell rule
+      val assigned = assignCellsLocal(n, cents)
+        .select(col("cell"), col("v"))
         .as[(Long, Array[Double])]
       val next = assigned
         .groupByKey(_._1)
@@ -330,18 +331,15 @@ object VectorOps {
       if (kmeansIters > 0) kmeansCentroids(embeddings, nCentroids, kmeansIters)
       else n.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // one row: all centroids, sorted by c_id so the array is
-    // deterministic regardless of collect_list's partition order;
-    // affinity list per row, best cell first ((-cosine, c_id) sort)
-    val withCells = n.crossJoin(broadcast(centroidArray(cents))).withColumn("aff", affSorted)
-
-    // try_element_at: an empty centroid set (vec_ids not starting at 0,
-    // or fully-degenerate k-means) produces null cells — the join below
-    // then finds no candidates, instead of an ANSI INVALID_ARRAY_INDEX
-    // error killing the stage
-    val assigned = withCells.select(col("vec_id"), col("v"), col("nrm"),
-      try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"))
-    val probes = withCells.filter(queryPred)
+    // Bulk assignment: the typed local argmax ([[assignCellsLocal]] —
+    // the declarative transform + k-struct array_sort evaluates
+    // INTERPRETED and was the corpus-side pole; an empty centroid set
+    // yields no assignments, the old null-cell rule). Probe rows are
+    // FEW (queryPred), so they keep the sorted-affinity array — the
+    // nProbe slice needs the full ranking.
+    val assigned = assignCellsLocal(n, cents)
+    val probes = n.filter(queryPred)
+      .crossJoin(broadcast(centroidArray(cents))).withColumn("aff", affSorted)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(transform(slice(col("aff"), 1, nProbe), a => a("c_id"))).as("cell"))
 
@@ -682,6 +680,45 @@ object VectorOps {
       .orderBy("label", "predicted")
   }
 
+  /** Nearest-cell assignment by a typed local argmax over the
+    * broadcast centroid array — the codegen-immune twin of
+    * `affSorted`'s element 1. The declarative form pays an INTERPRETED
+    * transform lambda plus a full k-struct array_sort per row to take
+    * one element (measured: the dominant cost of dedup_semantic at
+    * sf100 — 2 M rows × ~700 centroids); the local loop runs the
+    * identical left-fold dots (dotLocal ≡ ArrDot) and the identical
+    * (max cosine, min c_id) rule, and its zero-sign tie handling
+    * matches the SQL oracle's comparison semantics. Emits (vec_id, v,
+    * nrm, cell); empty centroid sets yield an empty result (the
+    * try_element_at null-cell rule). */
+  private def assignCellsLocal(n: DataFrame, cents: DataFrame): DataFrame = {
+    val s = n.sparkSession
+    import s.implicits._
+    val cArr = cents.select(col("c_id"), col("cv"), col("cnrm"))
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cArr)
+    n.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        if (cs.isEmpty) Iterator.empty
+        else it.map { case (id, v, nr) =>
+          var bestCos = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val cos = dotLocal(v, cs(i)._2) / (nr * cs(i)._3)
+            if (cos > bestCos || (cos == bestCos && cs(i)._1 < bestId)) {
+              bestCos = cos; bestId = cs(i)._1
+            }
+            i += 1
+          }
+          (id, v, nr, bestId)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "cell")
+  }
+
   /** Cell-local SemDeDup census: the same cosine-affinity assignment
     * as [[semDeDup]] (broadcast centroid array), but the within-cell
     * greedy min-id drop runs in a bounded local loop instead of a
@@ -690,23 +727,46 @@ object VectorOps {
     val s = embeddings.sparkSession
     import s.implicits._
     val n = withNorms(embeddings).filter(col("nrm") > 0)
+      .localCheckpoint() // both the centroid slice and the bulk scan read it
     val cents = n.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = n.crossJoin(broadcast(centroidArray(cents)))
-      .withColumn("aff", affSorted)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        try_element_at(col("aff"), lit(1)).getField("c_id").as("cell"))
-      .filter(col("cell").isNotNull)
+    val assigned = assignCellsLocal(n, cents)
     assigned.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Long, Array[Double], Double)]
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
         val m = it.toArray.sortBy(_._2)
+        // EXACT-DUPLICATE SHORT-CIRCUIT (the neardup_cosine replication
+        // lesson): an earlier bit-identical vector scores within ulps
+        // of 1.0 — ≥ threshold + 1e-6 for any threshold this side of
+        // 0.999 — so the greedy scan's answer for such a j is "hit"
+        // without walking the cell. ScaleUp packs replicate rows, so
+        // without this the per-j linear scan walks ~half the cell to
+        // reach its first similar member (O(cellsize²) dots; the sf100
+        // pole). Distinct representatives still take the full scan.
+        val dupSafe = threshold <= 0.99
+        val firstSeen = new java.util.HashMap[java.lang.Integer,
+          scala.collection.mutable.ArrayBuffer[Int]]()
+        def hasEarlierCopy(j: Int): Boolean = {
+          val h = java.lang.Integer.valueOf(java.util.Arrays.hashCode(m(j)._3))
+          val bucket = firstSeen.get(h)
+          bucket != null && bucket.exists(i => java.util.Arrays.equals(m(i)._3, m(j)._3))
+        }
+        def record(j: Int): Unit = {
+          val h = java.lang.Integer.valueOf(java.util.Arrays.hashCode(m(j)._3))
+          var bucket = firstSeen.get(h)
+          if (bucket == null) {
+            bucket = new scala.collection.mutable.ArrayBuffer[Int](1)
+            firstSeen.put(h, bucket)
+          }
+          if (!bucket.exists(i => java.util.Arrays.equals(m(i)._3, m(j)._3)))
+            bucket += j
+        }
         var dropped = 0L
         var j = 0
         while (j < m.length) {
+          var hit = dupSafe && hasEarlierCopy(j)
           var i = 0
-          var hit = false
           while (i < j && !hit) {
             // decimal rounding (a string-parsing BigDecimal, several ×
             // the 64-dim dot) runs only inside the ±1e-6 decision band:
@@ -717,6 +777,7 @@ object VectorOps {
             else if (raw > threshold - 1e-6 && round6(raw) >= threshold) hit = true
             i += 1
           }
+          if (dupSafe) record(j)
           if (hit) dropped += 1
           j += 1
         }

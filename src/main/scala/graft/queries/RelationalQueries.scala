@@ -1913,11 +1913,21 @@ object RelationalQueries {
         val vals = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("flag"),
             expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+        // ONE corpus scan total: the corpus collapses to its (flag,
+        // cents) count relation, and BOTH median passes plus the final
+        // rollup run over count relations derived from it (|x − med|
+        // is a function of cents, so deviation counts re-group vc —
+        // the former per-row deviation join re-scanned the corpus).
+        // Checkpoints: each grid feeds a ShardedWindow scan, which
+        // reads its input twice (the q_gini_split sf100 lesson).
         val vc = vals.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val med = discMedian(vc, "cents", "med_c")
-        val ac = vals.join(broadcast(med), "flag")
-          .select(col("flag"), abs(col("cents") - col("med_c")).as("adev"))
-          .groupBy("flag", "adev").agg(count(lit(1)).as("cnt"))
+        val ac = vc.join(broadcast(med), "flag")
+          .select(col("flag"), abs(col("cents") - col("med_c")).as("adev"),
+            col("cnt"))
+          .groupBy("flag", "adev").agg(sum("cnt").as("cnt"))
+          .localCheckpoint()
         val mad = discMedian(ac, "adev", "mad_c")
         ac.join(broadcast(mad), "flag")
           .groupBy("flag", "mad_c")

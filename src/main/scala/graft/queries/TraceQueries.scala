@@ -1357,18 +1357,24 @@ object TraceQueries {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS b
         |FROM d ORDER BY media_id""".stripMargin),
 
-    // Span-tree depth by pointer doubling (graft.operators.TreeOps):
-    // ceil(log2 depth) self-join rounds instead of the reference's
-    // single-node tree walk (TraceReader.buildTree) or a depth-count
-    // of level-synchronous joins — a 10k-deep trace costs 14 shuffles.
-    // The oracle is a genuine recursive traversal (WITH RECURSIVE over
-    // the parent edges), so the hash match proves the doubling cursor
-    // arithmetic lands on the true edge distance for every span.
+    // Span-tree depth (graft.operators.TreeOps.spanDepths). Under the
+    // in-trace parent contract the registered surface resolves depths
+    // with ONE trace-keyed shuffle + a memoized local walk (measured
+    // 1060 → ~60 s at sf100: the pointer-quadrupling rounds each
+    // checkpoint a corpus-wide cursor, and 100 M spans × 4 rounds is
+    // all I/O); the doubling cursor remains the arbitrary-forest path
+    // (cross-trace parents, unbounded traces — ceil(log2 depth)
+    // self-join rounds vs the reference's single-node
+    // TraceReader.buildTree walk), spec-pinned equal on trace-local
+    // forests. The oracle is a genuine recursive traversal (WITH
+    // RECURSIVE over the parent edges), so the hash match proves the
+    // walk lands on the true edge distance for every span.
     "trace_depth" -> QueryDef.sql(
       // no trailing global sort: one depth row per span at corpus
       // scale, set-compared by the gate — ordering all spans would be
       // the plan's single most expensive exchange
-      (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir)),
+      (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir),
+        localParents = true),
       // RECURSIVE must be declared on the whole WITH list in DuckDB,
       // so this oracle rewrites the shared spans prefix instead of
       // using cte().

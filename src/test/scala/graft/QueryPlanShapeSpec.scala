@@ -789,10 +789,17 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "BroadcastNestedLoopJoin"
     }
 
-    it("dedup_semantic assigns cells against a broadcast centroid array") {
+    it("dedup_semantic assigns cells by the typed local argmax, never a pair join") {
       val p = plan("dedup_semantic")
-      p should include("BroadcastNestedLoopJoin") // the 1-row centroid-array broadcast
+      // r10 shape: assignCellsLocal (MapPartitions over a broadcast
+      // centroid array — the declarative 1-row-array BroadcastNestedLoop
+      // + interpreted affinity sort was the sf100 pole) feeding ONE
+      // cell-keyed MapGroups; no join of any kind touches the corpus
+      p should include("MapPartitions")
+      p should include("MapGroups")
       p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+      p should not include "SortMergeJoin"
     }
   }
 }

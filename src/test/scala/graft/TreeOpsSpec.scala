@@ -77,6 +77,44 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       }
     }
 
+    it("localParents walk equals the doubling cursor on a trace-local forest") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(23)
+      // per-trace random trees incl. a dangling-parent orphan per trace
+      // (parent id outside the trace's id block) — the boundary case
+      // where the walk must still charge the hop
+      val rows = (0 until 15).flatMap { t =>
+        val ids = (0L until 25L).map(_ + t * 1000L)
+        ids.zipWithIndex.map { case (id, i) =>
+          val parent =
+            if (i == 0) None
+            else if (i == 1) Some(999999L + t) // dangling
+            else Some(ids(rng.nextInt(i)))
+          (s"t$t", id, parent)
+        }
+      }
+      val df = rows.toDF("trace_id", "span_id", "parent_span_id")
+      def depths(local: Boolean) =
+        TreeOps.spanDepths(df, localParents = local).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val local = depths(local = true)
+      local shouldBe depths(local = false)
+      local(("t0", 0L)) shouldBe 0L // root
+      local(("t0", 1L)) shouldBe 1L // dangling parent still costs its hop
+    }
+
+    it("localParents walk fails loudly on a parent cycle") {
+      val s = spark
+      import s.implicits._
+      val df = Seq(("t", 1L, Some(2L)), ("t", 2L, Some(1L)))
+        .toDF("trace_id", "span_id", "parent_span_id")
+      val ex = intercept[org.apache.spark.SparkException] {
+        TreeOps.spanDepths(df, localParents = true).collect()
+      }
+      ex.getMessage should include("parent cycle")
+    }
+
     it("fails loudly on a parent cycle instead of spinning") {
       val s = spark
       import s.implicits._
