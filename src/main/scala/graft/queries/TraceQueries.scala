@@ -2367,6 +2367,60 @@ object TraceQueries {
         |GROUP BY service, n_hours
         |ORDER BY service""".stripMargin)),
 
+    // C148: Theil-Sen robust trend — the SLOPE companion to C65's
+    // Mann-Kendall direction test: per service, the median of all
+    // pairwise hourly-volume slopes (dy/dx over hour pairs), the
+    // outlier-immune rate estimate ops wants next to the tau ("is it
+    // trending" → "how fast"). Scale shape: the corpus collapses to
+    // the (service, hour) count grid in ONE map-combined aggregate
+    // (≤ retention-hours · |services| rows); the i<j pair relation is
+    // grid-bounded (90-day retention → ~2.3 M pairs/service), never
+    // touches span rows, and the median is a rank rule. Exactness: the
+    // slope double divides exact longs in identical operand order on
+    // both engines (the q_bollinger discipline); the median is the
+    // spelled lower-median rank (n+1) div 2 under the deterministic
+    // (slope, dy, dx) order — tied triples emit identical columns, so
+    // row_number ambiguity cannot reach the output. No floor-division
+    // of a negative dy ever happens: dy stays a raw long and the only
+    // integer division is on the positive rank.
+    "trace_theilsen_trend" -> QueryDef.sql(
+      (s, dir) => {
+        val grid = spans(s, dir)
+          .groupBy(col("service"), expr(s"start_us div $HourUs").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // both sides of the pair join read it
+        val pairs = grid.as("a").join(grid.as("b"),
+            col("a.service") === col("b.service") && col("a.h") < col("b.h"))
+          .select(col("a.service").as("service"),
+            (col("b.cnt") - col("a.cnt")).as("dy"),
+            (col("b.h") - col("a.h")).as("dx"))
+          .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+        val w = Window.partitionBy("service")
+          .orderBy(col("slope"), col("dy"), col("dx"))
+        pairs
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("service")))
+          .filter(expr("rn = (n_pairs + 1) div 2"))
+          .select(col("service"), col("n_pairs"), col("dy").as("med_dy"),
+            col("dx").as("med_dx"), col("slope").as("theil_slope"))
+          .orderBy("service")
+      },
+      cte("""
+        |, grid AS (SELECT service, start_us // 3600000000 AS h, COUNT(*) AS cnt
+        |           FROM spans GROUP BY 1, 2),
+        |p AS (SELECT a.service, b.cnt - a.cnt AS dy, b.h - a.h AS dx,
+        |        CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        |      FROM grid a JOIN grid b ON a.service = b.service AND a.h < b.h),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY slope, dy, dx) AS rn,
+        |        COUNT(*) OVER (PARTITION BY service) AS n_pairs
+        |      FROM p)
+        |SELECT service, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(dy AS BIGINT) AS med_dy, CAST(dx AS BIGINT) AS med_dx,
+        |       slope AS theil_slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY service""".stripMargin)),
+
     // Service-graph DIFF between the two halves of the retention
     // window — the trend question an operator asks the dependency
     // view: which edges appeared, which disappeared, and which got
