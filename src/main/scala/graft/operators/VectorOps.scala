@@ -690,7 +690,11 @@ object VectorOps {
     * (max cosine, min c_id) rule, and its zero-sign tie handling
     * matches the SQL oracle's comparison semantics. Emits (vec_id, v,
     * nrm, cell); empty centroid sets yield an empty result (the
-    * try_element_at null-cell rule). */
+    * try_element_at null-cell rule). Zero-norm rows/centroids are the
+    * callers' contract to exclude (semDeDup filters; embeddings carry
+    * no zero vectors by the testdata contract) — a NaN cosine never
+    * updates the running argmax here, where the old sort ranked NaN
+    * last, so the two forms agree only on NaN-free input. */
   private def assignCellsLocal(n: DataFrame, cents: DataFrame): DataFrame = {
     val s = n.sparkSession
     import s.implicits._
