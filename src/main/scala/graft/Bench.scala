@@ -207,7 +207,7 @@ object Bench {
       "bench_detail_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailFile), detailLine + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // hard budget: the tail window is 2000 chars and sbt's trailing
     // "[success] Total time: …" line eats ~80 of them, so the line must
     // fit 1915. Degrade in order: precision (3 → 2 → 1 significant

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   * that tie on the order columns must land in the same shard (true
   * whenever the shard is a pure function of a prefix of the order
   * key, as in all uses here).
+  *
+  * The shard expression must also be TOTAL on the caller's PRE-filter
+  * rows: the offsets join keys on `_sw_shard`, so
+  * InferFiltersFromConstraints derives `isnotnull(<shard expr>)` and
+  * may push it below the caller's own filters or into a join
+  * condition ahead of its non-equi legs — an ANSI-throwing
+  * subexpression (a division whose guard lives in that join
+  * condition, an overflowing cast) then fires on rows the caller
+  * believed filtered. Guard such shards with `when(...)` (Spark 4.1
+  * ANSI raises DIVIDE_BY_ZERO for double division too —
+  * trace_theilsen_trend is the precedent).
   */
 object ShardedWindow {
 

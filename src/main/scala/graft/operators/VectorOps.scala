@@ -515,6 +515,34 @@ object VectorOps {
     s
   }
 
+  /** Bounded driver collect of [[integerCells]]' seed set (the first k
+    * quantized vectors, k = the √N dial — ~700 × 64 longs at sf100),
+    * sorted by sid so a strict `<` scan realizes the (d2, min sid)
+    * tie rule. */
+  private[graft] def collectSeeds(q: DataFrame, k: Int): Array[(Long, Array[Long])] = {
+    val s = q.sparkSession
+    import s.implicits._
+    q.filter(col("vec_id") < k).as[(Long, Array[Long])].collect().sortBy(_._1)
+  }
+
+  /** Argmin cell over the broadcast seed array — the typed local twin
+    * of [[integerCells]]' min(d2·2^21 + sid) encoding: exact integer
+    * d2, ties to the lowest sid (seeds pre-sorted, strict `<`).
+    * Replaces the N×k crossJoin→hash-agg relation (2 M × ~700 rows at
+    * sf100) plus the corpus-wide join back with zero exchanges — the
+    * assignCellsLocal lesson applied to the integer family. */
+  private[graft] def seedArgmin(ss: Array[(Long, Array[Long])], qa: Array[Long]): Long = {
+    var bestD = Long.MaxValue
+    var bestSid = Long.MaxValue
+    var i = 0
+    while (i < ss.length) {
+      val d = d2Local(qa, ss(i)._2)
+      if (d < bestD) { bestD = d; bestSid = ss(i)._1 }
+      i += 1
+    }
+    bestSid
+  }
+
   /** Cell-local LOF (k = 5): one integerCells assignment, one
     * cell-keyed shuffle, all kNN / reach-dist / lrd arithmetic inside
     * the bounded cell — identical integers to the former pair-join
@@ -524,9 +552,13 @@ object VectorOps {
     import s.implicits._
     val cells = sqrtCells(embeddings.count())
     val q = milliQuantizedPublic(embeddings)
-    q.join(integerCells(q, cells), "vec_id")
-      .select(col("cell"), col("vec_id"), col("q"))
-      .as[(Long, Long, Array[Long])]
+    val bc = s.sparkContext.broadcast(collectSeeds(q, cells))
+    q.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val ss = bc.value
+        if (ss.isEmpty) Iterator.empty
+        else it.map { case (id, qa) => (seedArgmin(ss, qa), id, qa) }
+      }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val m = it.toArray.sortBy(_._2)
@@ -590,15 +622,35 @@ object VectorOps {
     import s.implicits._
     val cells = sqrtCells(embeddings.count())
     val q = milliQuantizedPublic(embeddings)
-    withNorms(embeddings).filter(col("nrm") > 0)
-      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
-      .join(integerCells(q, cells), "vec_id")
-      .select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("label"))
-      .as[(Long, Long, Array[Double], Double, Int)]
+    val bc = s.sparkContext.broadcast(collectSeeds(q, cells))
+    // v/nrm/label/q all derive per-row, so ONE projection feeds the
+    // local seed-argmin — the former three-join form exchanged the
+    // 512-byte vector rows three extra times before the cell shuffle
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .as[(Long, Array[Double], Int, Array[Long], Double)]
+      .mapPartitions { it =>
+        val ss = bc.value
+        if (ss.isEmpty) Iterator.empty
+        else it.map { case (id, v, label, qa, nr) =>
+          (seedArgmin(ss, qa), id, v, nr, label)
+        }
+      }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val m = it.toArray.sortBy(_._2)
         val n = m.length
+        // flat locals: the O(n²) loop reads these ~n²/2 times each —
+        // tuple-field pointer chases measurably dominate at 2800-member
+        // sf100 cells
+        val ids = Array.tabulate(n)(k => m(k)._2)
+        val vs = Array.tabulate(n)(k => m(k)._3)
+        val nr = Array.tabulate(n)(k => m(k)._4)
+        val lb = Array.tabulate(n)(k => m(k)._5)
         val posScore = Array.fill(n)(Double.NaN)
         val posId = Array.fill(n)(Long.MaxValue)
         val negScore = Array.fill(n)(Double.NaN)
@@ -611,22 +663,23 @@ object VectorOps {
           else if (sc == negScore(k) && cid < negId(k)) negId(k) = cid
         var i = 0
         while (i < n) {
+          val vi = vs(i); val ni = nr(i); val li = lb(i)
           var j = i + 1
           while (j < n) {
-            val raw = dotLocal(m(i)._3, m(j)._3) / (m(i)._4 * m(j)._4)
-            if (m(i)._5 == m(j)._5) {
+            val raw = dotLocal(vi, vs(j)) / (ni * nr(j))
+            if (li == lb(j)) {
               if (posScore(i).isNaN || posScore(j).isNaN ||
                   raw <= posScore(i) + 1e-6 || raw <= posScore(j) + 1e-6) {
                 val sc = round6(raw)
-                updPos(i, m(j)._2, sc)
-                updPos(j, m(i)._2, sc)
+                updPos(i, ids(j), sc)
+                updPos(j, ids(i), sc)
               }
             } else {
               if (negScore(i).isNaN || negScore(j).isNaN ||
                   raw >= negScore(i) - 1e-6 || raw >= negScore(j) - 1e-6) {
                 val sc = round6(raw)
-                updNeg(i, m(j)._2, sc)
-                updNeg(j, m(i)._2, sc)
+                updNeg(i, ids(j), sc)
+                updNeg(j, ids(i), sc)
               }
             }
             j += 1
@@ -635,7 +688,7 @@ object VectorOps {
         }
         (0 until n).iterator.flatMap { k =>
           if (posScore(k).isNaN || negScore(k).isNaN) None
-          else Some((m(k)._2, posId(k), negId(k), posScore(k), negScore(k),
+          else Some((ids(k), posId(k), negId(k), posScore(k), negScore(k),
             negScore(k) - posScore(k)))
         }
       }
@@ -651,10 +704,16 @@ object VectorOps {
     import s.implicits._
     val cells = sqrtCells(embeddings.count())
     val q = milliQuantizedPublic(embeddings)
-    val pred = embeddings.select(col("vec_id"), col("label"))
-      .join(integerCells(q, cells), "vec_id")
-      .select(col("cell"), col("vec_id"), col("label"))
-      .as[(Long, Long, Int)]
+    val bc = s.sparkContext.broadcast(collectSeeds(q, cells))
+    val pred = embeddings
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+      .as[(Long, Int, Array[Long])]
+      .mapPartitions { it =>
+        val ss = bc.value
+        if (ss.isEmpty) Iterator.empty
+        else it.map { case (id, label, qa) => (seedArgmin(ss, qa), id, label) }
+      }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val m = it.toArray
@@ -717,6 +776,13 @@ object VectorOps {
             }
             i += 1
           }
+          // every cosine NaN (zero-norm or NaN component) would leave
+          // the sentinel in place — a phantom cell the downstream
+          // grouping would silently absorb; fail loudly instead of
+          // relying on each caller's nrm > 0 contract (r10 advice)
+          require(bestId != Long.MaxValue,
+            s"assignCellsLocal: no finite cosine for vec_id=$id " +
+              s"(zero-norm or NaN embedding violates the input contract)")
           (id, v, nr, bestId)
         }
       }

@@ -1374,7 +1374,9 @@ object TraceQueries {
       // scale, set-compared by the gate — ordering all spans would be
       // the plan's single most expensive exchange
       (s, dir) => graft.operators.TreeOps.spanDepths(spans(s, dir),
-        localParents = true),
+        // traceContiguous: the events->spans window co-locates and
+        // block-orders each trace, so the walk runs exchange-free
+        localParents = true, traceContiguous = true),
       // RECURSIVE must be declared on the whole WITH list in DuckDB,
       // so this oracle rewrites the shared spans prefix instead of
       // using cte().
@@ -1945,7 +1947,7 @@ object TraceQueries {
         // reconstruction is the one-shuffle per-trace walk
         graft.operators.TreeOps.pathRollup(
           sp.select("trace_id", "span_id", "parent_span_id", "service",
-            "duration_us"), localParents = true)
+            "duration_us"), localParents = true, traceContiguous = true)
       },
       cte("""
         |, p AS (
@@ -1974,23 +1976,22 @@ object TraceQueries {
     // row per distinct path — the driver set-compares).
     "trace_flamegraph_diff" -> QueryDef.sql(
       (s, dir) => {
-        // one materialization of the events->spans window: the midpoint
-        // aggregate, the half flag, and pathRollup's internal source
-        // checkpoint all read it (3 scans otherwise — ~1.3 s each at
-        // sf0.1)
-        val sp = spans(s, dir).select("trace_id", "span_id", "parent_span_id",
-          "service", "duration_us", "start_us").localCheckpoint()
-        val mid = sp.agg(expr("(min(start_us) + max(start_us)) div 2").as("mid_us"))
-        val flagged = sp.crossJoin(broadcast(mid))
+        // ZERO corpus materializations (the r10 sf100 disk-traffic
+        // pole was this query's 100 M-row checkpoint write+read): the
+        // midpoint is min/max over start_us, which derives straight
+        // from events.ts with no window — a column-pruned scan of the
+        // raw parquet — so the expensive events->spans lag window runs
+        // exactly once, feeding pathRollup's single-pass walk.
+        val ev = Tables.events(s, dir)
+        val mid = ev.select(Tables.eventTimeUs(ev).as("start_us"))
+          .agg(expr("(min(start_us) + max(start_us)) div 2").as("mid_us"))
+        val flagged = spans(s, dir).crossJoin(broadcast(mid))
           .withColumn("half",
             when(col("start_us") < col("mid_us"), 0L).otherwise(1L))
           .select("trace_id", "span_id", "parent_span_id", "service",
             "duration_us", "half")
-        // srcMaterialized: flagged is a cheap projection over the
-        // checkpointed sp (the half flag re-derives per scan for free),
-        // so pathRollup must not pay a second full-corpus checkpoint
         val roll = graft.operators.TreeOps.pathRollup(flagged,
-          groupCols = Seq("half"), localParents = true, srcMaterialized = true)
+          groupCols = Seq("half"), localParents = true, traceContiguous = true)
         roll.groupBy("path")
           .agg(
             sum(when(col("half") === 0L, col("n_spans")).otherwise(0L)).as("spans_a"),
@@ -2395,11 +2396,22 @@ object TraceQueries {
             (col("b.cnt") - col("a.cnt")).as("dy"),
             (col("b.h") - col("a.h")).as("dx"))
           .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
-        val w = Window.partitionBy("service")
-          .orderBy(col("slope"), col("dy"), col("dx"))
-        pairs
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("service")))
+        // the median rank routes through ShardedWindow (shard =
+        // floor(slope·1024), a pure function of the leading order key)
+        // — a plain per-service window would sort the O(H²) pair
+        // relation (~2.3 M rows/service at 90-day retention) in ONE
+        // task per service; n_pairs is a broadcast grouped count for
+        // the same reason (r10 verdict item 5). The dx > 0 guard makes
+        // the shard TOTAL: InferFiltersFromConstraints turns SW's join
+        // key into isnotnull(shard-expr) and pushes it into the pair
+        // self-join's condition AHEAD of `a.h < b.h`, where an
+        // unguarded slope division sees dx = 0 and ANSI throws
+        // (Spark 4.1 raises DIVIDE_BY_ZERO for double division too)
+        val nPairs = pairs.groupBy("service").agg(count(lit(1)).as("n_pairs"))
+        val ranked = ShardedWindow.rowNumber(pairs, Seq("service"),
+          when(col("dx") > 0, floor(col("slope") * 1024)).otherwise(lit(0L)),
+          Seq(col("slope"), col("dy"), col("dx")), "rn")
+        ranked.join(broadcast(nPairs), "service")
           .filter(expr("rn = (n_pairs + 1) div 2"))
           .select(col("service"), col("n_pairs"), col("dy").as("med_dy"),
             col("dx").as("med_dx"), col("slope").as("theil_slope"))

@@ -328,6 +328,14 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "SortMergeJoin"
     }
 
+    it("trace_theilsen_trend ranks through ShardedWindow, never one task per service") {
+      val p = plan("trace_theilsen_trend")
+      // the median rank's sort is per (service, slope-shard) — the
+      // O(H²) pair relation never collapses onto one task per service
+      p should include("_sw_shard")
+      p should not include "CartesianProduct"
+    }
+
     it("q_gini ranks through ShardedWindow, never one task per nation") {
       val p = plan("q_gini")
       // the rank's sort is per (nation, spend-shard): partitioning
@@ -591,20 +599,24 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "Join"
     }
 
-    it("embed_triplet_mining broadcasts the id-bounded candidate set") {
+    it("embed_triplet_mining assigns cells join-free and mines in one MapGroups") {
       val p = plan("embed_triplet_mining")
-      p should include("BroadcastNestedLoopJoin")
+      // r11 fused form: v/nrm/label/q derive in ONE projection, the
+      // seed argmin is a broadcast-variable local loop (no
+      // crossJoin+hash-agg assignment relation, no join back), so the
+      // only exchange left is the cell shuffle into the pair loop
+      p should include("MapGroups")
+      p should not include "Join"
       p should not include "CartesianProduct"
     }
 
-    it("embed_lof runs the bounded-cell quadratic partition-local") {
+    it("embed_lof runs the bounded-cell quadratic partition-local and join-free") {
       val p = plan("embed_lof")
-      // r9 cell-local form: seed assignment broadcasts (BNLJ over the
-      // k-seed array side), then ONE cell-keyed MapGroups does the kNN
-      // / reach-dist arithmetic locally — no pair join, no window over
-      // an expanded pair relation, no product
-      p should include("BroadcastNestedLoopJoin")
+      // r11 fused form: local seed argmin rides the quantized
+      // projection (no BNLJ assignment, no join back); ONE cell-keyed
+      // MapGroups does the kNN / reach-dist arithmetic locally
       p should include("MapGroups")
+      p should not include "Join"
       p should not include "CartesianProduct"
     }
 

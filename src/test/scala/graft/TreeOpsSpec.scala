@@ -104,6 +104,78 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       local(("t0", 1L)) shouldBe 1L // dangling parent still costs its hop
     }
 
+    it("localParents walk groups binary ids by content, not identity") {
+      // 16-byte production-style ids: fresh Array[Byte] instances with
+      // equal content must land in one trace group and parent lookups
+      // must hit (r10 advice: identity-keyed maps silently missed)
+      val s = spark
+      import s.implicits._
+      def tid(): Array[Byte] = Array.fill[Byte](16)(7)
+      def sid(n: Byte): Array[Byte] = Array.fill[Byte](8)(n)
+      val df = Seq(
+        (tid(), sid(1), Option.empty[Array[Byte]]),
+        (tid(), sid(2), Option(sid(1))),
+        (tid(), sid(3), Option(sid(2))))
+        .toDF("trace_id", "span_id", "parent_span_id")
+      val out = TreeOps.spanDepths(df, localParents = true).collect()
+        .map(r => r.getAs[Array[Byte]](1)(0) -> r.getLong(2)).toMap
+      out shouldBe Map(1.toByte -> 0L, 2.toByte -> 1L, 3.toByte -> 2L)
+    }
+
+    it("localParents walk keeps a null trace_id apart from the string 'null'") {
+      val s = spark
+      import s.implicits._
+      // the null-trace chain and the "null"-keyed trace each contain a
+      // span id the other's chain references as parent: if the groups
+      // merged (String.valueOf(null) == "null"), depths would change
+      val df = Seq(
+        (Option.empty[String], 1L, Option.empty[Long]),
+        (Option.empty[String], 2L, Option(1L)),
+        (Option("null"), 1L, Option.empty[Long]),
+        (Option("null"), 3L, Option(2L))) // 2 exists only in the null trace
+        .toDF("trace_id", "span_id", "parent_span_id")
+      val out = TreeOps.spanDepths(df, localParents = true).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+      out((None, 2L)) shouldBe 1L
+      // span 3's parent 2 is ABSENT from trace "null": dangling => depth 1
+      out((Some("null"), 3L)) shouldBe 1L
+    }
+
+    it("traceContiguous walk equals the shuffled walk on partition-contiguous input") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(37)
+      val rows = (0 until 12).flatMap { t =>
+        val ids = (0L until 15L).map(_ + t * 100L)
+        ids.zipWithIndex.map { case (id, i) =>
+          val parent = if (i == 0) None else Some(ids(rng.nextInt(i)))
+          (s"t$t", id, parent)
+        }
+      }
+      val df = rows.toDF("trace_id", "span_id", "parent_span_id")
+        .repartition(3, org.apache.spark.sql.functions.col("trace_id"))
+        .sortWithinPartitions("trace_id")
+      def depths(contig: Boolean) =
+        TreeOps.spanDepths(df, localParents = true, traceContiguous = contig)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      depths(contig = true) shouldBe depths(contig = false)
+    }
+
+    it("traceContiguous walk fails loudly on interleaved trace blocks") {
+      val s = spark
+      import s.implicits._
+      // one partition, traces interleaved by span_id order: t-a, t-b, t-a
+      val df = Seq(
+        ("ta", 1L, Option.empty[Long]),
+        ("tb", 2L, Option.empty[Long]),
+        ("ta", 3L, Option(1L)))
+        .toDF("trace_id", "span_id", "parent_span_id").coalesce(1)
+      val ex = intercept[org.apache.spark.SparkException] {
+        TreeOps.spanDepths(df, localParents = true, traceContiguous = true).collect()
+      }
+      ex.getMessage should include("contiguity")
+    }
+
     it("localParents walk fails loudly on a parent cycle") {
       val s = spark
       import s.implicits._
@@ -214,6 +286,53 @@ class TreeOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
         TreeOps.pathRollup(df, localParents = local).collect()
           .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       rolled(local = true) shouldBe rolled(local = false)
+    }
+
+    it("traceContiguous rollup equals the shuffled rollup on partition-contiguous input") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(41)
+      val services = Array("api", "auth", "db")
+      val rows = (0 until 10).flatMap { t =>
+        val ids = (0L until 12L).map(_ + t * 50L)
+        ids.zipWithIndex.map { case (id, i) =>
+          val parent = if (i == 0) None else Some(ids(rng.nextInt(i)))
+          (s"t$t", id, parent, services(rng.nextInt(services.length)),
+            rng.nextLong(1000L), (t % 2).toLong)
+        }
+      }
+      val df = rows.toDF("trace_id", "span_id", "parent_span_id", "service",
+          "duration_us", "half")
+        .repartition(3, org.apache.spark.sql.functions.col("trace_id"))
+        .sortWithinPartitions("trace_id")
+      def rolled(contig: Boolean) =
+        TreeOps.pathRollup(df, groupCols = Seq("half"), localParents = true,
+            traceContiguous = contig).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+      rolled(contig = true) shouldBe rolled(contig = false)
+    }
+
+    it("localParents emits every (path, groupVal) cell when a path spans both groups") {
+      // the flamegraph case: one path occurs in BOTH halves inside the
+      // SAME trace — the walk must emit the path string once per
+      // (fingerprint, groupVals), or min(path) leaves a null cell
+      val s = spark
+      import s.implicits._
+      val df = Seq(
+        ("t0", 1L, Option.empty[Long], "api", 10L, 0L),
+        ("t0", 2L, Option(1L), "db", 20L, 0L),
+        ("t0", 3L, Option(1L), "db", 30L, 1L), // same path api/db, other half
+        ("t1", 9L, Option.empty[Long], "api", 5L, 1L))
+        .toDF("trace_id", "span_id", "parent_span_id", "service",
+          "duration_us", "half")
+      val got = TreeOps.pathRollup(df, groupCols = Seq("half"), localParents = true)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      got shouldBe Map(
+        ("api", 0L) -> (1L, 10L), ("api/db", 0L) -> (1L, 20L),
+        ("api/db", 1L) -> (1L, 30L), ("api", 1L) -> (1L, 5L))
     }
 
     it("spanPathsLocal fails loudly on a parent cycle") {

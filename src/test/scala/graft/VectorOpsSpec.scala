@@ -482,4 +482,33 @@ class VectorOpsSpec extends AnyFunSpec with Matchers with SparkTestBase {
       out.count(_.getString(0) == "proj") shouldBe 10
     }
   }
+
+  describe("seed-argmin cell assignment (the fused integerCells twin)") {
+    it("matches the declarative integerCells min-encoding, ties included") {
+      val s = spark
+      import s.implicits._
+      val rng = new scala.util.Random(31)
+      // rows 0 and 1 share one q vector and rows 2/3 another, so seed
+      // ties exist by construction (equal d2 → lowest sid must win);
+      // the rest are random 8-dim milli-scale vectors
+      val dup1 = Array.fill(8)(rng.nextLong(4000) - 2000)
+      val dup2 = Array.fill(8)(rng.nextLong(4000) - 2000)
+      val rows = (0L until 60L).map { id =>
+        val q =
+          if (id < 2) dup1.clone
+          else if (id < 4) dup2.clone
+          else Array.fill(8)(rng.nextLong(4000) - 2000)
+        (id, q)
+      }
+      val qdf = rows.toDF("vec_id", "q")
+      val k = 7
+      val expected = VectorOps.integerCells(qdf, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val seeds = VectorOps.collectSeeds(qdf, k)
+      val got = rows.map { case (id, q) =>
+        id -> VectorOps.seedArgmin(seeds, q)
+      }.toMap
+      got shouldBe expected
+    }
+  }
 }
