@@ -696,6 +696,67 @@ object VectorOps {
       .orderBy(desc("violation"), col("anchor"))
   }
 
+  /** Cell-local ε-NN graph degree census — the statistic an
+    * HNSW/NN-descent index build watches (how connected is the
+    * neighborhood graph at a given similarity threshold): per vector,
+    * the count of cell-mates with round6 cosine ≥ `threshold`, rolled
+    * into a (degree → n_vecs) histogram. Same fused shape as
+    * [[tripletCellLocal]]: one projection, broadcast-seed argmin
+    * assignment, one cell shuffle, pairwise arithmetic in a bounded
+    * local loop with each unordered pair scored ONCE (IEEE dot/norm
+    * products commute) and the BigDecimal rounding deferred to the
+    * ±1e-6 band around the threshold. Zero-norm vectors are excluded
+    * (NaN cosine; oracle carries the same nrm > 0 predicate).
+    * Output (degree, n_vecs) ordered by degree. */
+  def annGraphDegreeCellLocal(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cells = sqrtCells(embeddings.count())
+    val q = milliQuantizedPublic(embeddings)
+    val bc = s.sparkContext.broadcast(collectSeeds(q, cells))
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .as[(Long, Array[Double], Array[Long], Double)]
+      .mapPartitions { it =>
+        val ss = bc.value
+        if (ss.isEmpty) Iterator.empty
+        else it.map { case (id, v, qa, nr) => (seedArgmin(ss, qa), id, v, nr) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val m = it.toArray
+        val n = m.length
+        val vs = Array.tabulate(n)(k => m(k)._3)
+        val nr = Array.tabulate(n)(k => m(k)._4)
+        val deg = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val vi = vs(i); val ni = nr(i)
+          var j = i + 1
+          while (j < n) {
+            val raw = dotLocal(vi, vs(j)) / (ni * nr(j))
+            // defer the rounding to the decision band: half-up moves a
+            // value ≤ 5e-7, so anything ≥ t+1e-6 is surely an edge and
+            // anything ≤ t-1e-6 surely is not
+            val edge =
+              if (raw >= threshold + 1e-6) true
+              else if (raw <= threshold - 1e-6) false
+              else round6(raw) >= threshold
+            if (edge) { deg(i) += 1L; deg(j) += 1L }
+            j += 1
+          }
+          i += 1
+        }
+        deg.iterator.map(d => Tuple1(d))
+      }
+      .toDF("degree")
+      .groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("degree")
+  }
+
   /** Cell-local majority-label prediction confusion matrix (the
     * weak-supervision eval): ties to the smallest label; singleton
     * cells drop. Output (label, predicted, n_vecs). */

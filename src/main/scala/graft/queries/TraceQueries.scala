@@ -2594,6 +2594,53 @@ object TraceQueries {
         |  MIN(run_start_us) AS first_run_start_us
         |FROM runs GROUP BY service ORDER BY service""".stripMargin)),
 
+    // C149: retry-chain detection — the N+1 sibling every tracing UI
+    // ships as "retry storm": maximal runs of SAME-(service, operation)
+    // spans inside one trace whose start-to-start gaps stay within the
+    // retry horizon (1 day on this corpus' event cadence), reported per
+    // service as chain count, longest chain, and spans burned on
+    // retries (len − 1 per chain). Gaps-and-islands per
+    // (trace, service, operation): the break flag and its running sum
+    // share ONE window spec — a single sort inside the trace-grain
+    // partitioning (cardinality scales with the corpus, so no one-task
+    // key; the same posture as the events→spans lag window itself).
+    "trace_retry_chains" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("trace_id", "service", "operation")
+          .orderBy("start_us", "span_id")
+        val flagged = spans(s, dir)
+          .withColumn("brk",
+            when(col("start_us") - lag("start_us", 1).over(w) <= DayUs, 0L)
+              .otherwise(1L)) // null lag (chain head) lands here too
+          .withColumn("chain", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy("trace_id", "service", "operation", "chain")
+          .agg(count(lit(1)).as("len"))
+          .filter(col("len") >= 2)
+          .groupBy("service")
+          .agg(count(lit(1)).as("n_retry_chains"),
+            max("len").as("max_chain_len"),
+            sum(col("len") - 1L).as("n_retried_spans"))
+          .orderBy("service")
+      },
+      cte(s"""
+        |, r AS (
+        |  SELECT trace_id, service, operation, start_us, span_id,
+        |    CASE WHEN start_us - lag(start_us) OVER w <= $DayUs THEN 0 ELSE 1 END AS brk
+        |  FROM spans
+        |  WINDOW w AS (PARTITION BY trace_id, service, operation ORDER BY start_us, span_id)),
+        |c AS (
+        |  SELECT service, trace_id, operation,
+        |    SUM(brk) OVER (PARTITION BY trace_id, service, operation
+        |                   ORDER BY start_us, span_id) AS chain
+        |  FROM r),
+        |g AS (SELECT service, trace_id, operation, chain, COUNT(*) AS len
+        |      FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT service, COUNT(*) AS n_retry_chains,
+        |  CAST(MAX(len) AS BIGINT) AS max_chain_len,
+        |  CAST(SUM(len - 1) AS BIGINT) AS n_retried_spans
+        |FROM g WHERE len >= 2 GROUP BY service ORDER BY service""".stripMargin)),
+
     // Tail-based trace sampling — the collector policy: keep EVERY
     // trace that touched an error, plus a deterministic 10% of healthy
     // traces (md5 of trace_id, the same partition-independent keep

@@ -1096,6 +1096,47 @@ object VectorQueries {
         |GROUP BY p.anchor, x.pos_score, x.neg_score
         |ORDER BY violation DESC, p.anchor""".stripMargin),
 
+    // B92: ε-NN graph degree census — the connectivity statistic an
+    // HNSW/NN-descent index build watches: per vector, how many
+    // cell-mates clear the similarity threshold (round6 cosine ≥ 0.15
+    // on this corpus — its pairwise p90 sits at ~0.156), rolled into a
+    // (degree → n_vecs) histogram. A near-empty graph means the
+    // threshold prunes to brute force; a near-complete one means the
+    // index can't discriminate. Scale: the same fused cell shape as
+    // embed_triplet_mining — one projection, broadcast-seed argmin,
+    // ONE cell shuffle, bounded-cell local loop scoring each unordered
+    // pair once with rounding deferred to the ±1e-6 decision band. The
+    // oracle replays the dial, the argmin and the thresholded count.
+    "embed_ann_graph_degree" -> QueryDef.sql(
+      (s, dir) => VectorOps.annGraphDegreeCellLocal(Tables.embeddings(s, dir), 0.15),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qq AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |kk AS (SELECT ${VectorOps.sqrtCellsSql} AS k FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, q AS sq FROM qq, kk WHERE vec_id < kk.k),
+        |asg AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT a.vec_id, s.sid AS cell,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, 65),
+        |          i -> (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)])
+        |             * (a.q[CAST(i AS INT)] - s.sq[CAST(i AS INT)]))) AS BIGINT),
+        |        s.sid) AS rn
+        |    FROM qq a CROSS JOIN seeds s) t
+        |  WHERE rn = 1),
+        |n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(v, v)) AS nrm, asg.cell
+        |      FROM e JOIN asg ON e.vec_id = asg.vec_id
+        |      WHERE sqrt(list_dot_product(v, v)) > 0),
+        |deg AS (SELECT a.vec_id,
+        |          COUNT(*) FILTER (
+        |            ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.15)
+        |            AS degree
+        |        FROM n a LEFT JOIN n b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |        GROUP BY 1)
+        |SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Local Outlier Factor — density-based outlier scoring (the
     // data-cleaning primitive centroid distance misses: a point can be
     // far from its centroid yet sit in a dense local cluster). k=5
