@@ -227,37 +227,71 @@ object TextOps {
     * Output: (pos, sa_rank) — 1-based lexicographic rank per 0-based
     * suffix start. */
   def suffixArrayRanks(str: DataFrame, txtCol: String, maxIter: Int = 40): DataFrame = {
+    // Initial ranks pack the first EIGHT characters base-128 (128^8 =
+    // 2^56, inside long; lexicographic for the ASCII input contract;
+    // an absent character packs 0 — exactly the shorter-suffix-first
+    // rule), so the loop starts with 8-character context instead of 1.
+    // On natural-language text most 8-grams are already distinct, so
+    // the early-stop usually fires after 0–1 materialized rounds —
+    // the r10 bench regression was 12 driver-synchronized rounds of
+    // fixed job overhead at demo scale, not data volume.
+    val packed = (1 to 8)
+      .map(i => ascii(expr(s"substring(txt, p0 + $i, 1)")).cast("long"))
+      .reduceLeft((acc, c) => acc * 128L + c)
+    // No checkpoint on the seed frame: it is a trivial explode over the
+    // caller's (checkpointed) one-row string — each of the handful of
+    // scans below recomputes in ~0.1 s where the materialization itself
+    // cost ~0.4 s at bench scale. Callers own making `str` a cheap read.
     var r = str.select(col(txtCol).as("txt"))
       // empty-string guard: sequence(0, -1) DESCENDS (the §5 trap) and
       // would fabricate positions 0 and -1 for a zero-length input
       .filter(length(col("txt")) > 0)
       .select(explode(sequence(lit(0), length(col("txt")) - 1)).as("p0"), col("txt"))
-      .select(col("p0").cast("long").as("pos"),
-        ascii(expr("substring(txt, p0 + 1, 1)")).cast("long").as("rank"))
-      .localCheckpoint()
+      .select(col("p0").cast("long").as("pos"), packed.as("rank"))
     val n = r.count()
-    var k = 1L
-    var iter = 0
-    var done = r.select(countDistinct("rank")).head.getLong(0) == n
-    while (!done && k < n) {
-      iter += 1
-      require(iter <= maxIter, s"suffixArrayRanks did not converge in $maxIter rounds")
-      val shifted = r.select((col("pos") - k).as("pos"), col("rank").as("rank2"))
+
+    // One doubling step: rank the (rank(i), rank(i+kk)) pairs — ranks
+    // need only be ORDER-ISOMORPHIC integers between rounds, dense
+    // 1..m is what the per-step renumbering happens to produce.
+    def step(cur: DataFrame, kk: Long): DataFrame = {
+      val shifted = cur.select((col("pos") - kk).as("pos"), col("rank").as("rank2"))
         .filter(col("pos") >= 0)
-      val paired = r.join(shifted, Seq("pos"), "left")
+      val paired = cur.join(shifted, Seq("pos"), "left")
         .select(col("pos"), col("rank"), coalesce(col("rank2"), lit(-1L)).as("rank2"))
       val pairs = paired.select("rank", "rank2").distinct()
       val ranked = ShardedWindow.rowNumber(pairs, Seq.empty, expr("rank div 64"),
         Seq(col("rank"), col("rank2")), "new_rank")
-      val next = paired.join(ranked, Seq("rank", "rank2"))
+      paired.join(ranked, Seq("rank", "rank2"))
         .select(col("pos"), col("new_rank").as("rank"))
-        .localCheckpoint()
+    }
+
+    var k = 8L
+    var iter = 0
+    var roundRan = false
+    var done = r.select(countDistinct("rank")).head.getLong(0) == n
+    while (!done && k < n) {
+      iter += 1
+      require(iter <= maxIter, s"suffixArrayRanks did not converge in $maxIter rounds")
+      // QUADRUPLING (the TreeOps lesson): two steps per materialized
+      // round — the intermediate recomputes inside the round's single
+      // job, halving the dominant per-round fixed cost at bench scale.
+      val next = step(step(r, k), 2 * k).localCheckpoint()
       r.unpersist()
       r = next
-      k *= 2
+      roundRan = true
+      k *= 4
       done = r.select(countDistinct("rank")).head.getLong(0) == n
     }
-    r.select(col("pos"), col("rank").as("sa_rank"))
+    // Every round's renumbering already emits DENSE 1..m ranks, so the
+    // loop's last output satisfies the 1..n contract directly. Only
+    // the round-free exits — 8-gram seeds already unique, or k ≥ n at
+    // entry — still hold raw packed codes (a latent leak in the 1-char
+    // seed form too, for all-distinct-character inputs) and need the
+    // one extra two-phase renumber.
+    if (roundRan) r.select(col("pos"), col("rank").as("sa_rank"))
+    else ShardedWindow.rowNumber(r, Seq.empty, expr("rank div 64"),
+        Seq(col("rank")), "sa_rank")
+      .select(col("pos"), col("sa_rank"))
   }
 
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
