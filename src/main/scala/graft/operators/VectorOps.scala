@@ -565,28 +565,59 @@ object VectorOps {
         val n = m.length
         if (n < 2) Iterator.empty
         else {
-          // kNN per member: 5 smallest (d2, id) among cell mates
-          val knn = Array.tabulate(n) { i =>
-            val ds = new Array[(Long, Long)](n - 1)
-            var w = 0
-            var j = 0
+          // kNN per member: k smallest (d2, id) among cell mates by a
+          // PRIMITIVE top-k insertion scan — the former
+          // sort-all-distances form allocated and stableSorted n-1
+          // boxed tuples PER MEMBER (O(n² log n) per cell and the
+          // measured sf100 pole at ~2800-member cells); each unordered
+          // pair now also evaluates d2 exactly once and offers both
+          // endpoints. Identical (d2, then id) selection rule.
+          val ids = Array.tabulate(n)(x => m(x)._2)
+          val qs = Array.tabulate(n)(x => m(x)._3)
+          val kk = math.min(5, n - 1)
+          val nnD = Array.fill(n)(Array.fill(kk)(Long.MaxValue))
+          val nnI = Array.fill(n)(Array.fill(kk)(Long.MaxValue))
+          def offer(row: Int, d: Long, id: Long): Unit = {
+            val ds = nnD(row); val iz = nnI(row)
+            val last = kk - 1
+            if (d < ds(last) || (d == ds(last) && id < iz(last))) {
+              var p = last
+              while (p > 0 && (d < ds(p - 1) || (d == ds(p - 1) && id < iz(p - 1)))) {
+                ds(p) = ds(p - 1); iz(p) = iz(p - 1); p -= 1
+              }
+              ds(p) = d; iz(p) = id
+            }
+          }
+          var i = 0
+          while (i < n) {
+            val qi = qs(i)
+            var j = i + 1
             while (j < n) {
-              if (j != i) { ds(w) = (d2Local(m(i)._3, m(j)._3), m(j)._2); w += 1 }
+              val d = d2Local(qi, qs(j))
+              offer(i, d, ids(j))
+              offer(j, d, ids(i))
               j += 1
             }
-            scala.util.Sorting.stableSort(ds,
-              (x: (Long, Long), y: (Long, Long)) => x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))
-            ds.take(5)
+            i += 1
           }
-          val idIdx = m.iterator.map(_._2).zipWithIndex.toMap
-          val kdist = knn.map(nn => nn.map(_._1).max)
-          val ri = knn.map { nn =>
-            math.max(nn.map { case (d, bid) => math.max(d, kdist(idIdx(bid))) }.sum, 1L)
+          val idIdx = new scala.collection.mutable.HashMap[Long, Int]()
+          var x = 0
+          while (x < n) { idIdx.update(ids(x), x); x += 1 }
+          val kdist = Array.tabulate(n)(r => nnD(r)(kk - 1))
+          val ri = Array.tabulate(n) { r =>
+            var s = 0L
+            var b = 0
+            while (b < kk) {
+              s += math.max(nnD(r)(b), kdist(idIdx(nnI(r)(b)))); b += 1
+            }
+            math.max(s, 1L)
           }
-          (0 until n).iterator.map { i =>
-            val sInv = knn(i).map { case (_, bid) => 1000000000000000000L / ri(idIdx(bid)) }.sum
-            val lof = (BigInt(ri(i)) * BigInt(sInv) / BigInt(5000000000000L)).toLong
-            (m(i)._2, kdist(i), ri(i), lof)
+          (0 until n).iterator.map { r =>
+            var sInv = 0L
+            var b = 0
+            while (b < kk) { sInv += 1000000000000000000L / ri(idIdx(nnI(r)(b))); b += 1 }
+            val lof = (BigInt(ri(r)) * BigInt(sInv) / BigInt(5000000000000L)).toLong
+            (ids(r), kdist(r), ri(r), lof)
           }
         }
       }
