@@ -588,17 +588,36 @@ object VectorOps {
               ds(p) = d; iz(p) = id
             }
           }
-          var i = 0
-          while (i < n) {
-            val qi = qs(i)
-            var j = i + 1
-            while (j < n) {
-              val d = d2Local(qi, qs(j))
-              offer(i, d, ids(j))
-              offer(j, d, ids(i))
-              j += 1
+          def doPair(i: Int, j: Int): Unit = {
+            val d = d2Local(qs(i), qs(j))
+            offer(i, d, ids(j))
+            offer(j, d, ids(i))
+          }
+          // cache-blocked sweep (see tripletCellLocal): top-k offers
+          // are order-independent, so tiles keep both vector blocks
+          // in L2 instead of streaming RAM per pair
+          val B = 128
+          var bi = 0
+          while (bi < n) {
+            val biEnd = math.min(bi + B, n)
+            var i = bi
+            while (i < biEnd) {
+              var j = i + 1
+              while (j < biEnd) { doPair(i, j); j += 1 }
+              i += 1
             }
-            i += 1
+            var bj = biEnd
+            while (bj < n) {
+              val bjEnd = math.min(bj + B, n)
+              var i2 = bi
+              while (i2 < biEnd) {
+                var j2 = bj
+                while (j2 < bjEnd) { doPair(i2, j2); j2 += 1 }
+                i2 += 1
+              }
+              bj = bjEnd
+            }
+            bi = biEnd
           }
           val idIdx = new scala.collection.mutable.HashMap[Long, Int]()
           var x = 0
@@ -692,30 +711,54 @@ object VectorOps {
         def updNeg(k: Int, cid: Long, sc: Double): Unit =
           if (negScore(k).isNaN || sc > negScore(k)) { negScore(k) = sc; negId(k) = cid }
           else if (sc == negScore(k) && cid < negId(k)) negId(k) = cid
-        var i = 0
-        while (i < n) {
-          val vi = vs(i); val ni = nr(i); val li = lb(i)
-          var j = i + 1
-          while (j < n) {
-            val raw = dotLocal(vi, vs(j)) / (ni * nr(j))
-            if (li == lb(j)) {
-              if (posScore(i).isNaN || posScore(j).isNaN ||
-                  raw <= posScore(i) + 1e-6 || raw <= posScore(j) + 1e-6) {
-                val sc = round6(raw)
-                updPos(i, ids(j), sc)
-                updPos(j, ids(i), sc)
-              }
-            } else {
-              if (negScore(i).isNaN || negScore(j).isNaN ||
-                  raw >= negScore(i) - 1e-6 || raw >= negScore(j) - 1e-6) {
-                val sc = round6(raw)
-                updNeg(i, ids(j), sc)
-                updNeg(j, ids(i), sc)
-              }
+        def doPair(i: Int, j: Int): Unit = {
+          val raw = dotLocal(vs(i), vs(j)) / (nr(i) * nr(j))
+          if (lb(i) == lb(j)) {
+            if (posScore(i).isNaN || posScore(j).isNaN ||
+                raw <= posScore(i) + 1e-6 || raw <= posScore(j) + 1e-6) {
+              val sc = round6(raw)
+              updPos(i, ids(j), sc)
+              updPos(j, ids(i), sc)
             }
-            j += 1
+          } else {
+            if (negScore(i).isNaN || negScore(j).isNaN ||
+                raw >= negScore(i) - 1e-6 || raw >= negScore(j) - 1e-6) {
+              val sc = round6(raw)
+              updNeg(i, ids(j), sc)
+              updNeg(j, ids(i), sc)
+            }
           }
-          i += 1
+        }
+        // CACHE-BLOCKED pair sweep: a flat i<j scan streams both
+        // 512-byte vectors from RAM for every pair (~3.5 TB per sf100
+        // run across the cell set — measured bandwidth-bound at 660
+        // ns/pair in-Spark vs 85 ns in-cache); 128×128 tiles keep the
+        // two active vector blocks (~128 KB) in L2, and the visit
+        // order is free to change because every per-pair update is an
+        // order-independent (min/max, tie-to-lowest-id) monoid and the
+        // rounding band is conservative under any visit order.
+        val B = 128
+        var bi = 0
+        while (bi < n) {
+          val biEnd = math.min(bi + B, n)
+          var i = bi
+          while (i < biEnd) {
+            var j = i + 1
+            while (j < biEnd) { doPair(i, j); j += 1 }
+            i += 1
+          }
+          var bj = biEnd
+          while (bj < n) {
+            val bjEnd = math.min(bj + B, n)
+            var i2 = bi
+            while (i2 < biEnd) {
+              var j2 = bj
+              while (j2 < bjEnd) { doPair(i2, j2); j2 += 1 }
+              i2 += 1
+            }
+            bj = bjEnd
+          }
+          bi = biEnd
         }
         (0 until n).iterator.flatMap { k =>
           if (posScore(k).isNaN || negScore(k).isNaN) None
@@ -763,23 +806,41 @@ object VectorOps {
         val vs = Array.tabulate(n)(k => m(k)._3)
         val nr = Array.tabulate(n)(k => m(k)._4)
         val deg = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val vi = vs(i); val ni = nr(i)
-          var j = i + 1
-          while (j < n) {
-            val raw = dotLocal(vi, vs(j)) / (ni * nr(j))
-            // defer the rounding to the decision band: half-up moves a
-            // value ≤ 5e-7, so anything ≥ t+1e-6 is surely an edge and
-            // anything ≤ t-1e-6 surely is not
-            val edge =
-              if (raw >= threshold + 1e-6) true
-              else if (raw <= threshold - 1e-6) false
-              else round6(raw) >= threshold
-            if (edge) { deg(i) += 1L; deg(j) += 1L }
-            j += 1
+        def doPair(i: Int, j: Int): Unit = {
+          val raw = dotLocal(vs(i), vs(j)) / (nr(i) * nr(j))
+          // defer the rounding to the decision band: half-up moves a
+          // value ≤ 5e-7, so anything ≥ t+1e-6 is surely an edge and
+          // anything ≤ t-1e-6 surely is not
+          val edge =
+            if (raw >= threshold + 1e-6) true
+            else if (raw <= threshold - 1e-6) false
+            else round6(raw) >= threshold
+          if (edge) { deg(i) += 1L; deg(j) += 1L }
+        }
+        // cache-blocked sweep (see tripletCellLocal): degree counting
+        // commutes, so tiles keep both vector blocks in L2
+        val B = 128
+        var bi = 0
+        while (bi < n) {
+          val biEnd = math.min(bi + B, n)
+          var i = bi
+          while (i < biEnd) {
+            var j = i + 1
+            while (j < biEnd) { doPair(i, j); j += 1 }
+            i += 1
           }
-          i += 1
+          var bj = biEnd
+          while (bj < n) {
+            val bjEnd = math.min(bj + B, n)
+            var i2 = bi
+            while (i2 < biEnd) {
+              var j2 = bj
+              while (j2 < bjEnd) { doPair(i2, j2); j2 += 1 }
+              i2 += 1
+            }
+            bj = bjEnd
+          }
+          bi = biEnd
         }
         deg.iterator.map(d => Tuple1(d))
       }

@@ -737,6 +737,79 @@ object TextQueries {
       minhashPairsSql(300, doubled = true) +
         "\nSELECT d1, d2 FROM pairs ORDER BY d1, d2"),
 
+    // B93: MinHash estimation-error audit — the calibration report a
+    // dedup pipeline owes its threshold choice: for every banded
+    // candidate pair, the 8-leg signature agreement (the MinHash
+    // Jaccard estimate, est_ppm = agree/8 in exact ppm) against the
+    // EXACT shingle Jaccard (integer ppm, the dedup_ngram_jaccard
+    // machinery), bucketed by agreement level. Scale: pairs are the
+    // banded candidates (never all-pairs), signatures broadcast-join
+    // onto them, and the exact-intersection relation is the same
+    // shingle-keyed equi-join dedup_ngram_jaccard already bounds.
+    // All legs exact integers; the one double (mean) divides exact
+    // longs in identical operand order on both engines.
+    "dedup_minhash_error" -> QueryDef.sql(
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val prs = minhashPairs(s, dir, 300, doubled = true)
+        val sig = shingleArrays(s, dir, 300, doubled = true)
+          .selectExpr("doc_id", "minhash_sig(shingles, 8) AS sig")
+        val sh = shingles(s, dir, 300, doubled = true)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+        val agree = prs
+          .join(broadcast(sig.select(col("doc_id").as("d1"), col("sig").as("sg1"))), "d1")
+          .join(broadcast(sig.select(col("doc_id").as("d2"), col("sig").as("sg2"))), "d2")
+          .withColumn("sig_agree", (1 to 8).map(i =>
+            when(element_at(col("sg1"), i) === element_at(col("sg2"), i), 1L)
+              .otherwise(0L)).reduce(_ + _))
+        agree
+          // an md5 band collision can pair docs sharing no shingle —
+          // the left join + coalesce keeps the pair at jaccard 0
+          .join(inter, Seq("d1", "d2"), "left")
+          .join(broadcast(sz.select(col("doc_id").as("d1"), col("n").as("n1"))), "d1")
+          .join(broadcast(sz.select(col("doc_id").as("d2"), col("n").as("n2"))), "d2")
+          .withColumn("jac_ppm",
+            expr("coalesce(i, 0L) * 1000000 div (n1 + n2 - coalesce(i, 0L))"))
+          .groupBy("sig_agree")
+          .agg(count(lit(1)).as("n_pairs"), sum("jac_ppm").as("sum_jaccard_ppm"))
+          .withColumn("est_ppm", col("sig_agree") * 125000L)
+          .withColumn("mean_jaccard_ppm",
+            col("sum_jaccard_ppm").cast("double") / col("n_pairs").cast("double"))
+          .select(col("sig_agree"), col("est_ppm"), col("n_pairs"),
+            col("sum_jaccard_ppm"), col("mean_jaccard_ppm"))
+          .orderBy("sig_agree")
+      },
+      minhashPairsSql(300, doubled = true) +
+        """,
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |i AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+          |      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |      GROUP BY 1, 2),
+          |ag AS (SELECT p.d1, p.d2,
+          |         CAST((CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END)
+          |            + (CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END) AS BIGINT) AS sig_agree
+          |       FROM pairs p JOIN sig a ON p.d1 = a.doc_id
+          |                    JOIN sig b ON p.d2 = b.doc_id),
+          |jp AS (SELECT ag.sig_agree,
+          |         COALESCE(i.i, 0) * 1000000 // (sa.n + sb.n - COALESCE(i.i, 0)) AS jac_ppm
+          |       FROM ag LEFT JOIN i ON ag.d1 = i.d1 AND ag.d2 = i.d2
+          |       JOIN sz sa ON ag.d1 = sa.doc_id
+          |       JOIN sz sb ON ag.d2 = sb.doc_id)
+          |SELECT sig_agree, sig_agree * 125000 AS est_ppm, COUNT(*) AS n_pairs,
+          |  CAST(SUM(jac_ppm) AS BIGINT) AS sum_jaccard_ppm,
+          |  CAST(SUM(jac_ppm) AS DOUBLE) / COUNT(*) AS mean_jaccard_ppm
+          |FROM jp GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Near-dup CLUSTERING: connected components over the minhash
     // candidate pairs — the step that turns pairwise collisions into
     // keep/drop groups (cluster id = min doc id of the component).
