@@ -503,6 +503,28 @@ object VectorOps {
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue
 
+  /** Memoizing wrapper over [[round6]] for pairwise cell loops.
+    * BigDecimal.valueOf parses Double.toString (~1 µs); on a
+    * ScaleUp-replicated corpus the same raw cosine recurs thousands of
+    * times AND constantly ties the running extremes, so the deferral
+    * band fires on a large fraction of pairs (measured: ~100 s of the
+    * sf100 triplet stage was rounding). Distinct raw values are
+    * bounded by distinct base-vector pairs, so a capped per-cell map
+    * collapses the cost; past the cap (a genuinely high-entropy cell,
+    * where the band fires rarely anyway) it falls through to the
+    * direct computation. */
+  private final class Round6Memo {
+    private val memo = new java.util.HashMap[java.lang.Double, java.lang.Double]()
+    def apply(x: Double): Double = {
+      if (memo.size < (1 << 20)) {
+        val k = java.lang.Double.valueOf(x)
+        var v = memo.get(k)
+        if (v == null) { v = java.lang.Double.valueOf(round6(x)); memo.put(k, v) }
+        v.doubleValue
+      } else round6(x)
+    }
+  }
+
   private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -711,19 +733,20 @@ object VectorOps {
         def updNeg(k: Int, cid: Long, sc: Double): Unit =
           if (negScore(k).isNaN || sc > negScore(k)) { negScore(k) = sc; negId(k) = cid }
           else if (sc == negScore(k) && cid < negId(k)) negId(k) = cid
+        val r6 = new Round6Memo
         def doPair(i: Int, j: Int): Unit = {
           val raw = dotLocal(vs(i), vs(j)) / (nr(i) * nr(j))
           if (lb(i) == lb(j)) {
             if (posScore(i).isNaN || posScore(j).isNaN ||
                 raw <= posScore(i) + 1e-6 || raw <= posScore(j) + 1e-6) {
-              val sc = round6(raw)
+              val sc = r6(raw)
               updPos(i, ids(j), sc)
               updPos(j, ids(i), sc)
             }
           } else {
             if (negScore(i).isNaN || negScore(j).isNaN ||
                 raw >= negScore(i) - 1e-6 || raw >= negScore(j) - 1e-6) {
-              val sc = round6(raw)
+              val sc = r6(raw)
               updNeg(i, ids(j), sc)
               updNeg(j, ids(i), sc)
             }
@@ -806,6 +829,7 @@ object VectorOps {
         val vs = Array.tabulate(n)(k => m(k)._3)
         val nr = Array.tabulate(n)(k => m(k)._4)
         val deg = new Array[Long](n)
+        val r6 = new Round6Memo
         def doPair(i: Int, j: Int): Unit = {
           val raw = dotLocal(vs(i), vs(j)) / (nr(i) * nr(j))
           // defer the rounding to the decision band: half-up moves a
@@ -814,7 +838,7 @@ object VectorOps {
           val edge =
             if (raw >= threshold + 1e-6) true
             else if (raw <= threshold - 1e-6) false
-            else round6(raw) >= threshold
+            else r6(raw) >= threshold
           if (edge) { deg(i) += 1L; deg(j) += 1L }
         }
         // cache-blocked sweep (see tripletCellLocal): degree counting
