@@ -154,6 +154,23 @@ object Bench {
       SparkEntry.queries("trace_partitioned_scan")(spark, sfDir).count()
     } catch { case NonFatal(_) => }
 
+    // Box-weather control (the r11 lesson: the pack ran on a box 1.8×
+    // slower than its own morning and 20+ untouched surfaces read as
+    // regressions — an integer-second scoreboard can't tell weather
+    // from plans unless the bench carries its own yardstick). q1_agg
+    // is the yardstick: a fixed cached-scan aggregate whose plan never
+    // changes round over round. Measure it at three points — right
+    // after warmup, after the batch block, after the streaming block —
+    // so mid-pack drift is visible, and emit all three (plus the cold
+    // q1 scan) in the COMPACT line the driver records. Runs even under
+    // SPARK_GRAFT_ONLY so isolated probes stay normalizable.
+    def controlRun(tag: String): Double = {
+      System.gc()
+      val ts = (1 to trials).map(_ => once("q1_agg", tag)).filter(_ >= 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
+    val ctlStart = controlRun("ctl_start")
+
     // batch queries first, streaming last (state-store contamination)
     // dev-only subset filter (the driver never sets it): comma-joined
     // names for scale probes where the full pack would take hours
@@ -161,12 +178,20 @@ object Bench {
       .filter(n => onlyEnv.forall(_.contains(n)))
     val (streamingNames, batchNames) = names.partition(_.startsWith("streaming_"))
     val batchResults = batchNames.map(n => n -> measured(n))
+    val ctlMid = controlRun("ctl_mid")
     // the warm-pass caches exist for the batch block; carried into the
     // streaming block they only squeeze state-store memory (measured
     // 110 s vs 6.5 s on streaming_index_docs at the sf10 pack) — drop
     // them so streaming entries time the streams
     spark.catalog.clearCache()
     val results = batchResults ++ streamingNames.map(n => n -> measured(n))
+    // end control: re-pin the q1 relation so all three warm controls
+    // measure the same cached-scan plan (post-streaming the cache is
+    // cold; without the re-pin ctl_end would time a parquet scan and
+    // read as fake drift)
+    try { val li = Tables.lineitem(spark, sfDir); if (li.count() <= cacheRowCap) li.cache().count() }
+    catch { case NonFatal(_) => }
+    val ctlEnd = controlRun("ctl_end")
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -191,12 +216,27 @@ object Bench {
     // errors in the compact line are capped (first 5 + true count) so
     // even a mass failure leaves the line parseable — see compactErrJson
     val errCompact = compactErrJson(errors.toSeq)
+    // q1 controls: warm floor = min over the three checkpoints (the
+    // box's best observed state); ratios against it self-normalize the
+    // per-query numbers. cold control = the cold-pass q1 scan.
+    val ctlCold = cold.collectFirst { case ("q1_agg", v) => v }.getOrElse(-1.0)
+    val ctlWarm = Seq(ctlStart, ctlMid, ctlEnd).filter(_ >= 0) match {
+      case Nil => -1.0; case xs => xs.min
+    }
+    val ctlJson =
+      s"""{"q1_start":${fmtSig(ctlStart, 3)},"q1_mid":${fmtSig(ctlMid, 3)},"q1_end":${fmtSig(ctlEnd, 3)},"q1_cold":${fmtSig(ctlCold, 3)}}"""
     def compactLine(kvs: Seq[(String, Double)], sig: Int, note: String): String = {
       val noteJson = if (note.isEmpty) "" else s""","note":${jq(note)}"""
-      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"queries":${jmapSig(kvs, sig)},"errors":$errCompact,"sf":"$sfDir"$noteJson}"""
+      s"""{"metric":"total","value":${fmtSig(total, 4)},"unit":"sec","trials":$trials,"control":$ctlJson,"queries":${jmapSig(kvs, sig)},"errors":$errCompact,"sf":"$sfDir"$noteJson}"""
     }
+    // detail line: raw mins/medians plus a q1-normalized view (raw min
+    // divided by the warm q1 floor) so round-over-round per-query diffs
+    // read in box-independent units
+    val q1x = if (ctlWarm > 0)
+      mins.map { case (k, v) => k -> (if (v >= 0) math.rint(v / ctlWarm * 100) / 100 else -1.0) }
+    else Seq.empty[(String, Double)]
     val detailLine =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","trials":$trials,"control":$ctlJson,"queries":${jmap(mins)},"queries_median":${jmap(medians)},"queries_q1x":${jmap(q1x)},"cold_queries":${jmap(cold)},"errors":$errJson,"sf":"$sfDir"}"""
     println(detailLine)
     // The compact line drops the fastest entries by design, so the
     // driver-recorded BENCH json is not per-query diffable round over

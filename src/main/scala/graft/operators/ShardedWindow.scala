@@ -52,6 +52,47 @@ object ShardedWindow {
       !df.columns.exists(Reserved.contains),
       s"input must not contain reserved columns ${Reserved.mkString(", ")}")
 
+  /** ANSI-totality lint on the shard expression, enforced at plan-build
+    * time on EVERY call site (the trace_theilsen_trend precedent was
+    * caught by hand; this makes the class of bug impossible to ship).
+    * Walks the ANALYZED `_sw_shard` tree: every division-family node
+    * (Divide / IntegralDivide / Remainder / Pmod — all ANSI-throwing)
+    * must either sit inside a `when()`/`if` VALUE branch (then the full
+    * expression evaluates safely on any pre-filter row, which is what
+    * InferFiltersFromConstraints' pushed `isnotnull(shard)` requires)
+    * or divide by a foldable nonzero, non-(-1) literal (-1 excluded:
+    * `Long.MinValue div -1` overflows under ANSI). A division in a
+    * when/if PREDICATE is not guarded by that branch and stays linted. */
+  private def checkShardTotal(tagged: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Divide, Expression, If, IntegralDivide, Pmod, Remainder}
+    val shardExpr = tagged.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+      .collectFirst { case a: Alias if a.name == "_sw_shard" => a.child }
+    def safeDivisor(e: Expression): Boolean =
+      e.foldable && (e.eval() match {
+        case null => false
+        case v =>
+          val d = scala.util.Try(v.toString.toDouble).getOrElse(0.0)
+          d != 0.0 && d != -1.0
+      })
+    def walk(e: Expression, guarded: Boolean): Unit = e match {
+      case i: If =>
+        walk(i.predicate, guarded); walk(i.trueValue, guarded = true); walk(i.falseValue, guarded = true)
+      case c: CaseWhen =>
+        c.branches.foreach { case (p, v) => walk(p, guarded); walk(v, guarded = true) }
+        c.elseValue.foreach(walk(_, guarded = true))
+      case d @ (_: Divide | _: IntegralDivide | _: Remainder | _: Pmod) =>
+        require(guarded || safeDivisor(d.children(1)),
+          s"ShardedWindow shard expression contains an unguarded division `${d.sql}`: " +
+            "the offsets join keys on the shard, so isnotnull(<shard>) can be inferred " +
+            "and pushed ahead of the caller's own filters — wrap the division in when() " +
+            "or divide by a nonzero literal (ANSI DIVIDE_BY_ZERO applies to doubles too)")
+        d.children.foreach(walk(_, guarded))
+      case other => other.children.foreach(walk(_, guarded))
+    }
+    shardExpr.foreach(walk(_, guarded = false))
+  }
+
   /** Running `sum(value)` over each `keys` partition in `order`
     * (inclusive ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), equal to
     * `sum(value).over(Window.partitionBy(keys).orderBy(order))` but
@@ -66,6 +107,7 @@ object ShardedWindow {
       out: String): DataFrame = {
     checkReserved(df)
     val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    checkShardTotal(tagged)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)
@@ -104,6 +146,7 @@ object ShardedWindow {
       out: String): DataFrame = {
     checkReserved(df)
     val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    checkShardTotal(tagged)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)
@@ -142,6 +185,7 @@ object ShardedWindow {
       out: String): DataFrame = {
     checkReserved(df)
     val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    checkShardTotal(tagged)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)

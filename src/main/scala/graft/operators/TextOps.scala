@@ -242,10 +242,19 @@ object TextOps {
     // caller's (checkpointed) one-row string — each of the handful of
     // scans below recomputes in ~0.1 s where the materialization itself
     // cost ~0.4 s at bench scale. Callers own making `str` a cheap read.
-    var r = str.select(col(txtCol).as("txt"))
+    val base = str.select(col(txtCol).as("txt"))
       // empty-string guard: sequence(0, -1) DESCENDS (the §5 trap) and
       // would fabricate positions 0 and -1 for a zero-length input
       .filter(length(col("txt")) > 0)
+    // ASCII contract guard, LOUD (r11 advice): ascii() returns the full
+    // codepoint, so any char ≥ 128 carries into the next base-128 digit
+    // and silently corrupts the seed order (and NUL would tie with the
+    // absent-char 0). One row-local regex scan of the single input row —
+    // O(L) with no extra shuffle — turns the contract into a failure.
+    require(base.filter(col("txt").rlike("[^\\x01-\\x7f]")).isEmpty,
+      s"suffixArrayRanks: input column '$txtCol' contains codepoints outside " +
+        "1..127; base-128 packed seeding is only lexicographic for ASCII")
+    var r = base
       .select(explode(sequence(lit(0), length(col("txt")) - 1)).as("p0"), col("txt"))
       .select(col("p0").cast("long").as("pos"), packed.as("rank"))
     val n = r.count()

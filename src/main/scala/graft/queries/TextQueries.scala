@@ -137,6 +137,66 @@ object TextQueries {
     * is visible in the ranking: docs containing it dominate the top. */
   private val Bm25Terms = Seq("dup", "stream", "filter", "window")
 
+  /** BM25 top-20 candidate generation — the scoring pipeline of
+    * text_bm25 (B34), factored so the cross-encoder-style rerank (B94)
+    * retrieves with the SAME first stage it reranks (retrieval and
+    * rerank reading different candidate sets is the classic eval bug).
+    * Returns (doc_id, score DESC top-20). One corpus tokenize pass:
+    * the tf and df branches share the (doc_id, term) exchange via
+    * ReusedExchange (see the inline repartition note). */
+  private def bm25Top20(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"),
+        tokCount(col("text")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      // one explicit exchange both the tf and df branches hash to
+      // byte-identically → ReusedExchange: ONE corpus tokenize +
+      // explode pass, not two (the text_ngram_novelty lesson; the
+      // (doc_id, term) clustering satisfies the (doc_id, dl, term)
+      // grouping as a key subset)
+      .repartition(col("doc_id"), col("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) *
+        ((col("dl") * col("n_docs")).cast("double") / col("tot_tokens")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(dfreq), col("term") === col("df_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        round(idf * (lit(2.2) * col("tf") / denom), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(sum("sc").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** DuckDB CTE chain ending in `bm(doc_id, score)` = [[bm25Top20]] —
+    * single source for the text_bm25 and text_rerank_cross oracles. */
+  private lazy val Bm25CteSql: String =
+    s"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+       |        len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+       |      FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM d),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+       |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |bm AS (SELECT doc_id,
+       |  CAST(SUM(CAST(ROUND(
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |    (2.2 * tf.tf / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |       (CAST(dl * n_docs AS DOUBLE) / tot_tokens)))), 6) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS score
+       |FROM tf JOIN dfreq USING (term), stats
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+
   /** Per-language keep rates (percent buckets of 100) for the
     * stratified sampling demo (B15b) — downsample the dominant
     * language, keep the rest whole. Built with foldRight below so the
@@ -1551,54 +1611,9 @@ object TextQueries {
     // partition-order-independent; the (score desc, doc_id) cut is a
     // TakeOrdered.
     "text_bm25" -> QueryDef.sql(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), toks(col("text")).as("t"),
-            tokCount(col("text")).as("dl"))
-        val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-          .filter(col("term").isin(Bm25Terms: _*))
-          // one explicit exchange both the tf and df branches hash to
-          // byte-identically → ReusedExchange: ONE corpus tokenize +
-          // explode pass, not two (the text_ngram_novelty lesson; the
-          // (doc_id, term) clustering satisfies the (doc_id, dl, term)
-          // grouping as a key subset)
-          .repartition(col("doc_id"), col("term"))
-          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
-        val denom = col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) *
-            ((col("dl") * col("n_docs")).cast("double") / col("tot_tokens")))
-        val idf = log(lit(1.0) +
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-        tf.join(broadcast(dfreq), col("term") === col("df_term"))
-          .crossJoin(broadcast(stats))
-          .withColumn("sc",
-            round(idf * (lit(2.2) * col("tf") / denom), 6)
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .groupBy("doc_id")
-          .agg(sum("sc").cast("double").as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
-         |             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
-         |           FROM documents),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tokens FROM d),
-         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-         |       WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |       GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
-         |SELECT doc_id,
-         |  CAST(SUM(CAST(ROUND(
-         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |    (2.2 * tf.tf / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |       (CAST(dl * n_docs AS DOUBLE) / tot_tokens)))), 6) AS DECIMAL(18,6)))
-         |    AS DOUBLE) AS score
-         |FROM tf JOIN dfreq USING (term), stats
-         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => bm25Top20(s, dir),
+      s"""WITH $Bm25CteSql
+         |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin),
 
     // B35: Gopher-style rule gate — the named-heuristic quality filter
     // (word count bounds, mean word length bounds, stopword presence)
@@ -3636,7 +3651,164 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN tr.gr IS NOT NULL THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS coverage_ppm
         |FROM te LEFT JOIN tr ON te.n = tr.n AND te.gr = tr.gr
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // B94: cross-encoder-style rerank over the BM25 candidates — the
+    // two-stage retrieval every production RAG/training-retrieval
+    // pipeline runs: a cheap index-side scorer (BM25, stage 1) narrows
+    // the corpus to k candidates, then an expensive scorer that sees
+    // the FULL (query, document) pair re-orders just those k. The
+    // rerank features here are the deterministic interaction features
+    // a cross-encoder attends to — query-term coverage, query-term
+    // ADJACENCY (two query terms touching in the doc), hit density,
+    // first-hit position — combined into one exact integer margin
+    // (lexicographic buckets: coverage ≫ adjacency ≫ hits ≫ earlier
+    // first hit), so the top-k cut is reproducible bit-for-bit where a
+    // float ensemble would tie-break by luck. Scale shape: stage 1 is
+    // the existing distributed BM25 pass; stage 2 joins the 20-row
+    // candidate set back to the corpus by doc_id — a broadcast-able
+    // k-row probe, so the expensive features run on k rows, never the
+    // corpus (exactly why rerankers are affordable at 100 TB).
+    "text_rerank_cross" -> QueryDef.sql(
+      (s, dir) => {
+        val terms = Bm25Terms
+        val cand = bm25Top20(s, dir)
+        val docs = Tables.documents(s, dir)
+          .join(broadcast(cand), "doc_id")
+          .select(col("doc_id"), col("score"), toks(col("text")).as("t"),
+            tokCount(col("text")).as("dl"))
+        val inTerms = (c: Column) => c.isin(terms: _*)
+        val cov = terms.map(t => array_contains(col("t"), t).cast("long")).reduce(_ + _)
+        // adjacent (i, i+1) pairs where BOTH tokens are query terms —
+        // k-row relation, so the higher-order lambda's interpreted
+        // eval is irrelevant here
+        val adj = size(filter(
+          zip_with(slice(col("t"), lit(1), (col("dl") - 1).cast("int")),
+            slice(col("t"), lit(2), (col("dl") - 1).cast("int")),
+            (a, b) => inTerms(a) && inTerms(b)),
+          x => x)).cast("long")
+        val hits = size(filter(col("t"), x => inTerms(x))).cast("long")
+        // first hit position, 1-based; sentinel 1e9 when a term is
+        // absent (nullif guards both engines' absent conventions)
+        val firstPos = least(terms.map(t =>
+          coalesce(nullif(array_position(col("t"), lit(t)), lit(0L)), lit(1000000000L))): _*)
+        docs
+          .withColumn("cov", cov)
+          .withColumn("adj", when(col("dl") > 1, adj).otherwise(0L))
+          .withColumn("hits", hits)
+          .withColumn("first_pos",
+            when(firstPos < 1000000000L, firstPos).otherwise(col("dl") + 1))
+          .withColumn("rerank_score",
+            col("cov") * 1000000000000L + col("adj") * 100000000L +
+              col("hits") * 10000L - col("first_pos"))
+          .select(col("doc_id"), col("score"), col("cov"), col("adj"),
+            col("hits"), col("first_pos"), col("rerank_score"))
+          .orderBy(col("rerank_score").desc, col("doc_id"))
+          .limit(10)
+      },
+      s"""WITH $Bm25CteSql,
+         |feat AS (
+         |  SELECT b.doc_id, b.score,
+         |    regexp_split_to_array(trim(d.text), '\\s+') AS t,
+         |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS dl
+         |  FROM bm b JOIN documents d ON b.doc_id = d.doc_id),
+         |scored AS (
+         |  SELECT doc_id, score,
+         |    CAST(${Bm25Terms.map(t => s"CAST(list_contains(t, '$t') AS BIGINT)").mkString(" + ")} AS BIGINT) AS cov,
+         |    CAST(CASE WHEN dl > 1 THEN len(list_filter(range(1, CAST(dl AS BIGINT)),
+         |      i -> t[i] IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       AND t[i + 1] IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})))
+         |      ELSE 0 END AS BIGINT) AS adj,
+         |    CAST(len(list_filter(t, x -> x IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}))) AS BIGINT) AS hits,
+         |    CAST(CASE WHEN least(${Bm25Terms.map(t => s"coalesce(nullif(list_position(t, '$t'), 0), 1000000000)").mkString(", ")}) < 1000000000
+         |      THEN least(${Bm25Terms.map(t => s"coalesce(nullif(list_position(t, '$t'), 0), 1000000000)").mkString(", ")})
+         |      ELSE dl + 1 END AS BIGINT) AS first_pos
+         |  FROM feat)
+         |SELECT doc_id, score, cov, adj, hits, first_pos,
+         |  CAST(cov * 1000000000000 + adj * 100000000 + hits * 10000 - first_pos AS BIGINT) AS rerank_score
+         |FROM scored
+         |ORDER BY rerank_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // B95: document-quality ensemble gate — the calibrated combination
+    // of the individual quality signals (gopher-style length/word-shape
+    // rules, lexical diversity, stopword fluency) into ONE score and
+    // keep decision, the way production curation stacks gate documents
+    // (no single heuristic is trusted alone). Calibration is corpus
+    // min-max per-mille scaling from ONE tiny global aggregate
+    // broadcast back over the scan — each signal lands on a common
+    // 0..1000 scale before weighting, so no signal's raw units
+    // dominate. The chars-per-token signal scores by distance from the
+    // gopher band midpoint (5.4 chars/token) — both runaway-long and
+    // degenerate-short words lose points. All arithmetic is integer
+    // floor division (identical on both engines); ensemble = equal-
+    // weight mean; keep = ensemble ≥ 500. Scale shape: scan → 1-row
+    // agg → broadcast → scan: zero data-sized shuffles at any SF.
+    "corpus_quality_ensemble" -> QueryDef.sql(
+      (s, dir) => {
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            tokCount(col("text")).as("n_tokens"),
+            size(array_distinct(toks(col("text")))).cast("long").as("uniq"),
+            length(trim(col("text"))).cast("long").as("n_chars"),
+            regexp_count(col("text"), lit("\\b(the|and|of|to|in|is)\\b"))
+              .cast("long").as("stop_hits"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("uniq * 1000000 div n_tokens").as("uniq_ppm"),
+            expr("n_chars * 10000 div n_tokens").as("cpt_pm"),
+            expr("stop_hits * 1000000 div n_tokens").as("stop_ppm"))
+          .withColumn("cdist", abs(col("cpt_pm") - 54000L))
+        val mm = sig.agg(
+          min("n_tokens").as("tok_mn"), max("n_tokens").as("tok_mx"),
+          min("uniq_ppm").as("uq_mn"), max("uniq_ppm").as("uq_mx"),
+          min("cdist").as("cd_mn"), max("cdist").as("cd_mx"),
+          min("stop_ppm").as("sp_mn"), max("stop_ppm").as("sp_mx"))
+        // all scale inputs are non-negative, so Spark's truncating
+        // `div` ≡ DuckDB's flooring `//`; the when() guards the
+        // degenerate constant-signal corpus (ANSI DIVIDE_BY_ZERO)
+        def scaled(x: String, mn: String, mx: String): Column =
+          when(col(mx) > col(mn),
+            expr(s"($x - $mn) * 1000 div ($mx - $mn)")).otherwise(500L)
+        sig.crossJoin(broadcast(mm))
+          .withColumn("s_tok", scaled("n_tokens", "tok_mn", "tok_mx"))
+          .withColumn("s_uniq", scaled("uniq_ppm", "uq_mn", "uq_mx"))
+          .withColumn("s_cpt", lit(1000L) - scaled("cdist", "cd_mn", "cd_mx"))
+          .withColumn("s_stop", scaled("stop_ppm", "sp_mn", "sp_mx"))
+          .withColumn("ensemble",
+            expr("(s_tok + s_uniq + s_cpt + s_stop) div 4"))
+          .select(col("doc_id"), col("n_tokens"), col("uniq_ppm"),
+            col("cpt_pm"), col("stop_ppm"), col("ensemble"),
+            (col("ensemble") >= 500L).cast("long").as("keep"))
+          .orderBy("doc_id")
+      },
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1000000
+        |      // len(regexp_split_to_array(trim(text), '\s+')) AS uniq_ppm,
+        |    length(trim(text)) * 10000
+        |      // len(regexp_split_to_array(trim(text), '\s+')) AS cpt_pm,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) * 1000000
+        |      // len(regexp_split_to_array(trim(text), '\s+')) AS stop_ppm
+        |  FROM documents),
+        |sig2 AS (SELECT *, abs(cpt_pm - 54000) AS cdist FROM sig),
+        |mm AS (SELECT min(n_tokens) AS tok_mn, max(n_tokens) AS tok_mx,
+        |              min(uniq_ppm) AS uq_mn, max(uniq_ppm) AS uq_mx,
+        |              min(cdist) AS cd_mn, max(cdist) AS cd_mx,
+        |              min(stop_ppm) AS sp_mn, max(stop_ppm) AS sp_mx
+        |       FROM sig2),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, uniq_ppm, cpt_pm, stop_ppm,
+        |    CASE WHEN tok_mx > tok_mn THEN (n_tokens - tok_mn) * 1000 // (tok_mx - tok_mn) ELSE 500 END AS s_tok,
+        |    CASE WHEN uq_mx > uq_mn THEN (uniq_ppm - uq_mn) * 1000 // (uq_mx - uq_mn) ELSE 500 END AS s_uniq,
+        |    1000 - CASE WHEN cd_mx > cd_mn THEN (cdist - cd_mn) * 1000 // (cd_mx - cd_mn) ELSE 500 END AS s_cpt,
+        |    CASE WHEN sp_mx > sp_mn THEN (stop_ppm - sp_mn) * 1000 // (sp_mx - sp_mn) ELSE 500 END AS s_stop
+        |  FROM sig2, mm)
+        |SELECT doc_id, n_tokens,
+        |  CAST(uniq_ppm AS BIGINT) AS uniq_ppm, CAST(cpt_pm AS BIGINT) AS cpt_pm,
+        |  CAST(stop_ppm AS BIGINT) AS stop_ppm,
+        |  CAST((s_tok + s_uniq + s_cpt + s_stop) // 4 AS BIGINT) AS ensemble,
+        |  CAST((s_tok + s_uniq + s_cpt + s_stop) // 4 >= 500 AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin))
 
   /** floor(1e6 / log2(rank+1)) for rank 1..10 — shared literal rank
     * discounts (never a runtime log; the q_benford discipline). Lazy:

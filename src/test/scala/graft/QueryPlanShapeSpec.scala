@@ -814,4 +814,35 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "SortMergeJoin"
     }
   }
+
+  /** The walkGroups(contiguous = true) contract (r11 advice): the
+    * zero-exchange per-trace walk is only correct while every trace's
+    * rows stay CONTIGUOUS in their partition — which the events→spans
+    * window guarantees (hash exchange on the trace key + leading sort
+    * on it) PROVIDED nothing re-partitions between the Window and the
+    * MapPartitions walk. A future repartition/join slipped in there
+    * would silently split traces across partitions; these tests pin
+    * each traceContiguous caller's physical plan so that change fails
+    * a spec instead of producing wrong depths/rollups. The
+    * within-partition interleaving case is already a loud runtime
+    * require() (per-partition seen-set in TreeOps.walkGroups). */
+  describe("contiguous-walk plan contracts") {
+    for (q <- Seq("trace_depth", "trace_path_rollup", "trace_flamegraph_diff")) {
+      it(s"$q: the local walk sits directly on the trace-key window exchange") {
+        val p = plan(q)
+        p should include("MapPartitions")
+        // subtree below the walk (tree prints parent-then-children):
+        // exactly ONE hash exchange — the trace-key (user_id) window
+        // exchange — and a leading sort on that same key; the 1-row
+        // broadcast sides (flamegraph's mid_us) are exempt by kind
+        val sub = p.substring(p.indexOf("MapPartitions"))
+        "Exchange hashpartitioning\\(user_id".r.findAllIn(sub).size shouldBe 1
+        "Exchange hashpartitioning".r.findAllIn(sub).size shouldBe 1
+        sub should include regex """Sort \[user_id#\d+L ASC"""
+        sub should include regex """windowspecdefinition\(user_id"""
+        sub should not include "Exchange rangepartitioning"
+        sub should not include "SortMergeJoin"
+      }
+    }
+  }
 }

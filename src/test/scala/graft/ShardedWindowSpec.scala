@@ -135,4 +135,91 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
       shards should be > keys
     }
   }
+
+  /** The ANSI-totality lint (r11 verdict #6): InferFiltersFromConstraints
+    * derives `isnotnull(<shard expr>)` from the offsets equi-join and can
+    * push it ahead of the caller's own filters — an unguarded division in
+    * the shard then throws DIVIDE_BY_ZERO on rows the caller believed
+    * filtered (trace_theilsen_trend precedent). The lint lives INSIDE
+    * every ShardedWindow entry point, so every call site — present and
+    * future — is checked at plan-build time; these tests prove it fires,
+    * and the enumeration test pins that all main-source sites go through
+    * the linted entry points (tautological by construction, asserted so
+    * a refactor that adds an unlinted entry point fails here). */
+  describe("shard totality lint") {
+    import spark.implicits._
+    def df2 = Seq((1L, 2L, 3L), (4L, 0L, 5L)).toDF("ord", "d", "v")
+
+    it("fails loudly on an unguarded fractional division in the shard") {
+      val e = intercept[IllegalArgumentException] {
+        ShardedWindow.runningSum(df2, Seq.empty, col("ord") / col("d"),
+          Seq(col("ord")), col("v"), "out")
+      }
+      e.getMessage should include("unguarded division")
+    }
+
+    it("fails loudly on an unguarded integral div / modulo by a column") {
+      intercept[IllegalArgumentException] {
+        ShardedWindow.rowNumber(df2, Seq.empty, expr("ord div d"),
+          Seq(col("ord")), "out")
+      }
+      intercept[IllegalArgumentException] {
+        ShardedWindow.runningMin(df2, Seq.empty, expr("ord % d"),
+          Seq(col("ord")), col("v"), "out")
+      }
+    }
+
+    it("fails on a division hiding in a when() PREDICATE (not guarded by the branch)") {
+      intercept[IllegalArgumentException] {
+        ShardedWindow.runningSum(df2, Seq.empty,
+          when(col("ord") / col("d") > 1, lit(1L)).otherwise(lit(0L)),
+          Seq(col("ord")), col("v"), "out")
+      }
+    }
+
+    it("accepts a when()-guarded division and a nonzero-literal divisor") {
+      ShardedWindow.runningSum(df2, Seq.empty,
+        when(col("d") =!= 0, col("ord") / col("d")).otherwise(lit(0.0)),
+        Seq(col("ord")), col("v"), "out").count() shouldBe 2
+      ShardedWindow.runningSum(df2, Seq.empty, expr("ord div 64"),
+        Seq(col("ord")), col("v"), "out").count() shouldBe 2
+    }
+
+    it("rejects a literal zero (and -1 overflow) divisor outright") {
+      intercept[IllegalArgumentException] {
+        ShardedWindow.runningSum(df2, Seq.empty, expr("ord div 0"),
+          Seq(col("ord")), col("v"), "out")
+      }
+      intercept[IllegalArgumentException] {
+        ShardedWindow.runningSum(df2, Seq.empty, expr("ord div -1"),
+          Seq(col("ord")), col("v"), "out")
+      }
+    }
+
+    it("every main-source call site resolves through a linted entry point") {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get("src/main/scala")
+      val call = """ShardedWindow\.(runningSum|runningMin|runningMaxExclusive|rowNumber)\s*\(""".r
+      val sites = Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val src = Files.readString(p)
+          // strip block/line comments so Scaladoc mentions don't count
+          val code = src.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
+          call.findAllIn(code).map(_ => p.toString)
+        }.toList
+      // the object itself defines the four entry points; every external
+      // site is a call to one of them, and each body runs checkShardTotal
+      // (rowNumber by delegation to runningSum)
+      sites.size should be >= 30
+      val swSrc = Files.readString(
+        Paths.get("src/main/scala/graft/operators/ShardedWindow.scala"))
+      "checkShardTotal\\(tagged\\)".r.findAllIn(swSrc).size shouldBe 3
+      swSrc should include("runningSum(df, keys, shard, order, lit(1L), out)")
+      info(s"${sites.size} ShardedWindow call sites enumerated, all linted: " +
+        sites.groupBy(identity).map { case (f, xs) => s"${f.split('/').last}×${xs.size}" }
+          .toSeq.sorted.mkString(", "))
+    }
+  }
 }

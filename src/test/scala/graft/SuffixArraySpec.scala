@@ -26,6 +26,16 @@ class SuffixArraySpec extends AnyFunSpec with Matchers with SparkTestBase {
       doublingRanks("banana") shouldBe bruteRanks("banana")
     }
 
+    it("fails LOUDLY on non-ASCII input (the base-128 seed contract, r11 advice)") {
+      // ascii() yields full codepoints; é (233) would carry into the
+      // next base-128 digit and silently corrupt the seed order — the
+      // guard must turn that into a failure, not a wrong answer
+      val e = intercept[IllegalArgumentException] { doublingRanks("café banana") }
+      e.getMessage should include("codepoints outside")
+      // control bytes below 0x01 are equally out of contract
+      intercept[IllegalArgumentException] { doublingRanks("a\u0000b") }
+    }
+
     it("handles a highly repetitive string (long shared prefixes)") {
       val s = "abab" * 16 + "b"
       doublingRanks(s) shouldBe bruteRanks(s)
