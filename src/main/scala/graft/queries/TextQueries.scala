@@ -3987,9 +3987,21 @@ object TextQueries {
     val nfp = probeFp.groupBy("new_id").agg(count(lit(1)).as("n_fp"))
     val ov = probeFp.join(oldFp, "fp")
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("overlap"))
-    val best = ov.groupBy("new_id").agg(max("overlap").as("overlap"))
-      .join(ov, Seq("new_id", "overlap"))
-      .groupBy("new_id", "overlap").agg(min("old_id").as("old_id"))
+    // (max overlap, min old_id) argmax in ONE pass: the old max-join-
+    // back form recomputed `ov` — i.e. re-ran the posting join against
+    // the full fingerprint index — a second time (measured as the r12
+    // sf100 pack's biggest pole, 1289 s). Packing the ordering into a
+    // single primitive long keeps the aggregate a streaming
+    // HashAggregate (a max(struct) would plan as SortAggregate — the
+    // integerCells lesson). Bound contract: old ids are corpus doc_ids
+    // (< 2^31 at every SF; the +10M mutated ids live on the NEW side),
+    // overlap ≤ fps-per-doc, so the key stays well inside ANSI long.
+    val best = ov
+      .select(col("new_id"),
+        (col("overlap") * 4294967296L + (lit(2147483648L) - col("old_id"))).as("bk"))
+      .groupBy("new_id").agg(max("bk").as("bk"))
+      .select(col("new_id"), expr("bk div 4294967296").as("overlap"),
+        (lit(2147483648L) - expr("bk % 4294967296")).as("old_id"))
     best.join(nfp, "new_id")
       .filter(col("overlap") * 2 >= col("n_fp"))
       .select(col("new_id"), col("old_id"), col("overlap"), col("n_fp"),
