@@ -81,7 +81,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def once(name: String, tag: String): Double = {
+    // record=false: the box-weather control runs (q1_agg yardstick) must
+    // NOT feed the surface errors map — a transient control hiccup would
+    // flip the pack's errors count / compact-line gate without any
+    // benchmark surface failing (r12 advice). A failed control already
+    // propagates as -1 inside the `control` json block.
+    def once(name: String, tag: String, record: Boolean = true): Double = {
       val t0 = System.nanoTime()
       try {
         // noop write, NOT count(): under count() Catalyst prunes every
@@ -101,8 +106,9 @@ object Bench {
         sec
       } catch {
         case NonFatal(e) =>
-          errors(s"$tag:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
+          if (record)
+            errors(s"$tag:$name") = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
           System.err.println(s"[bench] $tag $name FAILED")
           -1.0
       }
@@ -152,6 +158,11 @@ object Bench {
         graft.operators.SpanOps.spansFromEvents(Tables.events(spark, sfDir)))
         .foreach(df => if (df.count() <= cacheRowCap) df.cache().count())
       SparkEntry.queries("trace_partitioned_scan")(spark, sfDir).count()
+      // pre-build the persisted winnow-fp index (r13 build/probe
+      // split): dedup_incremental + its streaming twin then time the
+      // PROBE against the existing index — the production contract —
+      // while dedup_index_build times the build as its own line item
+      graft.operators.IndexStore.ensure(spark, sfDir)
     } catch { case NonFatal(_) => }
 
     // Box-weather control (the r11 lesson: the pack ran on a box 1.8×
@@ -166,7 +177,7 @@ object Bench {
     // SPARK_GRAFT_ONLY so isolated probes stay normalizable.
     def controlRun(tag: String): Double = {
       System.gc()
-      val ts = (1 to trials).map(_ => once("q1_agg", tag)).filter(_ >= 0)
+      val ts = (1 to trials).map(_ => once("q1_agg", tag, record = false)).filter(_ >= 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
     val ctlStart = controlRun("ctl_start")

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted build-once indexes — the physical split the incremental
+  * dedup contract implies (VERDICT r12 task 1).
+  *
+  * `dedup_incremental`'s production shape is "an existing corpus is
+  * ALREADY indexed; only the new batch probes it" — but until round 13
+  * the surface rebuilt the fingerprint index inside every run, so the
+  * sf100 bench charged ~1000 s of index BUILD to a surface whose
+  * contract is probe-only. This store gives the index a durable home:
+  *
+  *  - the (old_id, fp) posting relation persists as a parquet table
+  *    BUCKETED and SORTED by `fp` — the probe join's key — so every
+  *    later probe's sort-merge join reads the index pre-partitioned
+  *    and pre-sorted with NO exchange and NO sort on the (huge) index
+  *    side; only the (small) probe batch shuffles. That is the 100 TB
+  *    posture: per-ingest cost ∝ batch size, amortized build cost
+  *    paid once and shared by every batch and by the streaming twin.
+  *  - the stop list (fps with old-corpus df > 10) persists beside it —
+  *    tiny, broadcast at probe time.
+  *
+  * Index location is keyed by a CONTENT fingerprint of the corpus
+  * parquet (file names, lengths, mtimes): regenerate the testdata and
+  * the key changes, so a stale index can never serve a new corpus —
+  * the cache is self-invalidating, no manual flush step.
+  *
+  * Catalog note: bucketing metadata lives in the session catalog, and
+  * this project runs on the default in-memory catalog (no Hive
+  * metastore), so each new session re-registers the external bucketed
+  * table with `CREATE TABLE ... CLUSTERED BY ... LOCATION` DDL over
+  * the persisted files — the stand-in for the persistent metastore a
+  * cluster deployment would have. Bucket files are written by Spark's
+  * own bucketed writer, so the DDL's spec matches the file layout
+  * exactly.
+  */
+object IndexStore {
+
+  /** 32 buckets matches the local-mode parallelism; a cluster build
+    * would size this by index bytes (e.g. one bucket per ~256 MB). */
+  private def buckets: Int =
+    sys.env.getOrElse("GRAFT_INDEX_BUCKETS", "32").toInt
+
+  private def rootDir: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      new java.io.File("target/graft-index").getAbsolutePath)
+
+  /** Content fingerprint of `<dir>/documents.parquet` — md5 over the
+    * sorted (relative name, length, mtime) listing, so any rewrite of
+    * the corpus produces a fresh index key. */
+  private[graft] def corpusKey(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, Long, Long)] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      else Seq((st.getPath.getName, st.getLen, st.getModificationTime))
+    }
+    val canon = files.sortBy(_._1)
+      .map { case (n, l, m) => s"$n:$l:$m" }.mkString(dir, "|", "")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+    md.take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def indexDir(key: String) = s"$rootDir/$key/winnow_fp"
+  private def stopDir(key: String) = s"$rootDir/$key/stop_fp"
+  private def metaPath(key: String) = new Path(s"$rootDir/$key/_META")
+  private def tableName(key: String) = s"graft_winnow_fp_$key"
+
+  private def hfs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True when a completed build exists for this corpus. */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val key = corpusKey(spark, dir)
+    hfs(spark, rootDir).exists(metaPath(key))
+  }
+
+  /** Force-(re)build the winnowing fingerprint index for the corpus at
+    * `dir` and return a 1-row stats relation (the benchable,
+    * oracle-checkable face of the build): postings, distinct docs,
+    * distinct fps, stop-list size. Same winnow parameters as
+    * `TextQueries.incrementalIndex` (k=9, w=4, df cap 10) — the probe
+    * path must see identical data whichever side built it. */
+  def buildWinnowIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = corpusKey(spark, dir)
+    val tbl = tableName(key)
+    val fs = hfs(spark, rootDir)
+    fs.delete(metaPath(key), false)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val docs = graft.Tables.documents(spark, dir)
+    val oldFp = TextOps.winnowNative(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 9, w = 4)
+      .select(col("doc_id").as("old_id"), col("fp")).distinct()
+    // pre-repartition on the bucket key so the bucketed write emits one
+    // file per bucket instead of (#shuffle-partitions × #buckets)
+    oldFp.repartition(buckets, col("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .option("path", indexDir(key))
+      .saveAsTable(tbl)
+    // stop list off the WRITTEN table — one bucketed scan, never a
+    // second winnow pass
+    spark.table(tbl)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 10).select("fp")
+      .write.mode("overwrite").parquet(stopDir(key))
+    fs.create(metaPath(key), true).close()
+    indexStats(spark, key)
+  }
+
+  /** Open the persisted index for `dir`, building it first if absent.
+    * Returns (postings bucketed on fp, stop-list) — drop-in for
+    * `TextQueries.incrementalIndex`, minus the per-run build cost. */
+  def winnowIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = corpusKey(spark, dir)
+    if (!hfs(spark, rootDir).exists(metaPath(key))) buildWinnowIndex(spark, dir)
+    (openTable(spark, key), spark.read.parquet(stopDir(key)))
+  }
+
+  /** Pre-build hook for benches: make sure the index exists so probe
+    * surfaces time the probe, with the build its own line item. */
+  def ensure(spark: SparkSession, dir: String): Unit = {
+    val key = corpusKey(spark, dir)
+    if (!hfs(spark, rootDir).exists(metaPath(key))) buildWinnowIndex(spark, dir)
+  }
+
+  private def openTable(spark: SparkSession, key: String): DataFrame = {
+    val tbl = tableName(key)
+    if (!spark.catalog.tableExists(tbl))
+      // re-attach the external bucketed table in this session's
+      // in-memory catalog; the files carry Spark's bucketed layout
+      spark.sql(
+        s"""CREATE TABLE $tbl (old_id BIGINT, fp BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+           |LOCATION '${indexDir(key)}'""".stripMargin)
+    spark.table(tbl).select("old_id", "fp")
+  }
+
+  private def indexStats(spark: SparkSession, key: String): DataFrame = {
+    val post = openTable(spark, key).agg(
+      count(lit(1)).as("n_postings"),
+      countDistinct("old_id").as("n_docs"),
+      countDistinct("fp").as("n_fps"))
+    val stop = spark.read.parquet(stopDir(key))
+      .agg(count(lit(1)).as("n_stop"))
+    post.crossJoin(stop)
+      .select(col("n_docs"), col("n_fps"), col("n_postings"), col("n_stop"))
+  }
+}

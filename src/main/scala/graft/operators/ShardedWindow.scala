@@ -60,20 +60,35 @@ object ShardedWindow {
     * must either sit inside a `when()`/`if` VALUE branch (then the full
     * expression evaluates safely on any pre-filter row, which is what
     * InferFiltersFromConstraints' pushed `isnotnull(shard)` requires)
-    * or divide by a foldable nonzero, non-(-1) literal (-1 excluded:
-    * `Long.MinValue div -1` overflows under ANSI). A division in a
-    * when/if PREDICATE is not guarded by that branch and stays linted. */
+    * or divide by a foldable nonzero literal. For the INTEGRAL family
+    * (div / % / pmod) a literal -1 is also rejected: `Long.MinValue
+    * div -1` overflows under ANSI. Fractional division by -1.0 is
+    * exact and safe, so it passes. A division in a when/if PREDICATE
+    * is not guarded by that branch and stays linted.
+    *
+    * SCOPE OF THE GUARANTEE — this lint is SHAPE-level, not semantic:
+    * it proves a division sits under a when()/if VALUE branch, but it
+    * cannot prove the branch PREDICATE actually excludes zero
+    * divisors. `when(col("flag") === 1, x / d)` passes the lint and
+    * still throws DIVIDE_BY_ZERO on a pre-filter row with flag = 1,
+    * d = 0. The caller's contract is that the when() predicate itself
+    * rules out every zero-divisor row that can reach the expression
+    * BEFORE the caller's own filters run (the whole point: inferred
+    * isnotnull(shard) may be pushed ahead of them). Guard on the
+    * divisor (`when(d =!= 0, x / d)`), not on a correlated flag. */
   private def checkShardTotal(tagged: DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Divide, Expression, If, IntegralDivide, Pmod, Remainder}
     val shardExpr = tagged.queryExecution.analyzed
       .collect { case p => p.expressions }.flatten
       .collectFirst { case a: Alias if a.name == "_sw_shard" => a.child }
-    def safeDivisor(e: Expression): Boolean =
+    def safeDivisor(e: Expression, integral: Boolean): Boolean =
       e.foldable && (e.eval() match {
         case null => false
         case v =>
           val d = scala.util.Try(v.toString.toDouble).getOrElse(0.0)
-          d != 0.0 && d != -1.0
+          // -1 only overflows the integral family (MinValue div -1);
+          // fractional x / -1.0 is exact negation and safe
+          d != 0.0 && !(integral && d == -1.0)
       })
     def walk(e: Expression, guarded: Boolean): Unit = e match {
       case i: If =>
@@ -82,11 +97,17 @@ object ShardedWindow {
         c.branches.foreach { case (p, v) => walk(p, guarded); walk(v, guarded = true) }
         c.elseValue.foreach(walk(_, guarded = true))
       case d @ (_: Divide | _: IntegralDivide | _: Remainder | _: Pmod) =>
-        require(guarded || safeDivisor(d.children(1)),
+        val integral = d match {
+          case _: IntegralDivide | _: Remainder | _: Pmod => true
+          case _ => false
+        }
+        require(guarded || safeDivisor(d.children(1), integral),
           s"ShardedWindow shard expression contains an unguarded division `${d.sql}`: " +
             "the offsets join keys on the shard, so isnotnull(<shard>) can be inferred " +
-            "and pushed ahead of the caller's own filters — wrap the division in when() " +
-            "or divide by a nonzero literal (ANSI DIVIDE_BY_ZERO applies to doubles too)")
+            "and pushed ahead of the caller's own filters — wrap the division in a when() " +
+            "whose predicate itself excludes zero divisors (the lint checks shape only, " +
+            "not predicate semantics), or divide by a nonzero literal " +
+            "(ANSI DIVIDE_BY_ZERO applies to doubles too)")
         d.children.foreach(walk(_, guarded))
       case other => other.children.foreach(walk(_, guarded))
     }

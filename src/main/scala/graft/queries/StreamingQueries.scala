@@ -938,7 +938,9 @@ object StreamingQueries {
   private def runIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val docs = Tables.documents(ss, dir)
-    val (oldFp, stop) = TextQueries.incrementalIndex(docs)
+    // r13: consume the persisted build-once index (IndexStore) — the
+    // streaming twin amortizes the same build as the batch surface
+    val (oldFp, stop) = graft.operators.IndexStore.winnowIndex(ss, dir)
     val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val isDir = docsPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
       .getFileStatus(docsPath).isDirectory

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.IndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The r13 build/probe split: the persisted bucketed fingerprint index
+  * must be (a) byte-equivalent to the in-memory build it replaces —
+  * same postings, same stop list, hence an UNCHANGED dedup_incremental
+  * result; (b) genuinely build-once — a second open touches no build;
+  * (c) physically bucketed on the probe join key — the index side of
+  * the probe join must scan without an Exchange; and (d) keyed by
+  * corpus content, so two corpora can never share an index. */
+class IndexStoreSpec extends AnyFunSpec with Matchers with SparkTestBase {
+
+  describe("IndexStore.buildWinnowIndex") {
+    it("persists exactly the in-memory incrementalIndex relations and reports their census") {
+      val docs = Tables.documents(spark, sfDir)
+      val stats = IndexStore.buildWinnowIndex(spark, sfDir).collect()
+      stats.length shouldBe 1
+      val r = stats.head
+      val (memFp, memStop) = graft.queries.TextQueries.incrementalIndex(docs)
+      r.getAs[Long]("n_postings") shouldBe memFp.count()
+      r.getAs[Long]("n_docs") shouldBe memFp.select("old_id").distinct().count()
+      r.getAs[Long]("n_fps") shouldBe memFp.select("fp").distinct().count()
+      r.getAs[Long]("n_stop") shouldBe memStop.count()
+      // persisted rows == in-memory rows, both directions
+      val (diskFp, diskStop) = IndexStore.winnowIndex(spark, sfDir)
+      diskFp.exceptAll(memFp).count() shouldBe 0
+      memFp.exceptAll(diskFp).count() shouldBe 0
+      diskStop.exceptAll(memStop).count() shouldBe 0
+      memStop.exceptAll(diskStop).count() shouldBe 0
+    }
+
+    it("probe over the persisted index lands on the identical dedup_incremental rows") {
+      val docs = Tables.documents(spark, sfDir)
+      val (memFp, memStop) = graft.queries.TextQueries.incrementalIndex(docs)
+      val mem = graft.queries.TextQueries
+        .incrementalProbe(memFp, memStop, graft.queries.TextQueries.mutatedTenth(docs))
+        .orderBy("new_id").collect()
+      val viaStore = SparkEntry.queries("dedup_incremental")(spark, sfDir).collect()
+      viaStore should contain theSameElementsInOrderAs mem
+    }
+  }
+
+  describe("build-once contract") {
+    it("a second open rebuilds nothing (meta marker untouched)") {
+      IndexStore.ensure(spark, sfDir)
+      val meta = new java.io.File(
+        new java.io.File("target/graft-index").getAbsolutePath)
+      def newestMeta: Long = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(meta).filter(_.getName == "_META").map(_.lastModified).max
+      }
+      val before = newestMeta
+      Thread.sleep(20)
+      val (fp, stop) = IndexStore.winnowIndex(spark, sfDir)
+      fp.count() should be > 0L
+      stop.count() should be >= 0L
+      newestMeta shouldBe before
+    }
+
+    it("keys the index by corpus content — different corpora, different keys") {
+      IndexStore.corpusKey(spark, "/root/testdata/sf0.001") should not be
+        IndexStore.corpusKey(spark, "/root/testdata/sf0.01")
+    }
+  }
+
+  describe("physical layout") {
+    it("the probe join scans the index bucketed on fp with no Exchange on the index side") {
+      val (oldFp, stop) = IndexStore.winnowIndex(spark, sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      val probe = graft.queries.TextQueries
+        .incrementalOverlaps(oldFp, stop, graft.queries.TextQueries.mutatedTenth(docs))
+      val plan = probe.queryExecution.executedPlan.toString
+      // the scan advertises its bucket layout…
+      plan should include("Bucketed: true")
+      // …and the (huge) index side reaches its join with no shuffle:
+      // every Exchange in the plan keys on probe-side relations, never
+      // a bare exchange feeding the bucketed index scan. Cheap proxy:
+      // the bucketed FileScan's subtree between scan and SMJ contains
+      // no Exchange — assert by counting: the plan joins index⋈probe
+      // then aggregates, so exactly the probe side + the aggregate
+      // exchanges exist, and removing the bucketed property would add
+      // one more. Pin the exact count to catch that regression.
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      withClue(plan) { exchanges should be <= 2 }
+    }
+  }
+}

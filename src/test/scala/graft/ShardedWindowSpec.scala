@@ -185,7 +185,7 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
         Seq(col("ord")), col("v"), "out").count() shouldBe 2
     }
 
-    it("rejects a literal zero (and -1 overflow) divisor outright") {
+    it("rejects a literal zero (and integral -1 overflow) divisor outright") {
       intercept[IllegalArgumentException] {
         ShardedWindow.runningSum(df2, Seq.empty, expr("ord div 0"),
           Seq(col("ord")), col("v"), "out")
@@ -194,27 +194,50 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
         ShardedWindow.runningSum(df2, Seq.empty, expr("ord div -1"),
           Seq(col("ord")), col("v"), "out")
       }
+      intercept[IllegalArgumentException] {
+        ShardedWindow.runningSum(df2, Seq.empty, expr("ord % -1"),
+          Seq(col("ord")), col("v"), "out")
+      }
+    }
+
+    it("accepts fractional division by literal -1.0 (only the integral family overflows at -1)") {
+      ShardedWindow.runningSum(df2, Seq.empty, col("ord") / lit(-1.0),
+        Seq(col("ord")), col("v"), "out").count() shouldBe 2
     }
 
     it("every main-source call site resolves through a linted entry point") {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      val root = Paths.get("src/main/scala")
+      import scala.util.Using
+      // anchor at the build root (the dir holding build.sbt), walking up
+      // from CWD — the suite must not silently depend on the runner's
+      // working directory being the repo root (r12 advice)
+      val buildRoot = Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(8)
+        .find(d => Files.exists(d.resolve("build.sbt")))
+        .getOrElse(fail("no build.sbt found walking up from CWD — cannot locate main sources"))
+      val root = buildRoot.resolve("src/main/scala")
+      withClue(s"main-source root missing at $root: ") {
+        Files.isDirectory(root) shouldBe true
+      }
       val call = """ShardedWindow\.(runningSum|runningMin|runningMaxExclusive|rowNumber)\s*\(""".r
-      val sites = Files.walk(root).iterator().asScala
-        .filter(_.toString.endsWith(".scala"))
-        .flatMap { p =>
-          val src = Files.readString(p)
-          // strip block/line comments so Scaladoc mentions don't count
-          val code = src.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
-          call.findAllIn(code).map(_ => p.toString)
-        }.toList
+      // Using closes the Files.walk stream (it holds directory handles)
+      val sites = Using.resource(Files.walk(root)) { walk =>
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .flatMap { p =>
+            val src = Files.readString(p)
+            // strip block/line comments so Scaladoc mentions don't count
+            val code = src.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
+            call.findAllIn(code).map(_ => p.toString)
+          }.toList
+      }
       // the object itself defines the four entry points; every external
       // site is a call to one of them, and each body runs checkShardTotal
       // (rowNumber by delegation to runningSum)
       sites.size should be >= 30
       val swSrc = Files.readString(
-        Paths.get("src/main/scala/graft/operators/ShardedWindow.scala"))
+        root.resolve("graft/operators/ShardedWindow.scala"))
       "checkShardTotal\\(tagged\\)".r.findAllIn(swSrc).size shouldBe 3
       swSrc should include("runningSum(df, keys, shard, order, lit(1L), out)")
       info(s"${sites.size} ShardedWindow call sites enumerated, all linted: " +
