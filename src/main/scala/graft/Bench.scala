@@ -163,6 +163,7 @@ object Bench {
       // PROBE against the existing index — the production contract —
       // while dedup_index_build times the build as its own line item
       graft.operators.IndexStore.ensure(spark, sfDir)
+      graft.operators.IndexStore.ensureIvfPq(spark, sfDir)
     } catch { case NonFatal(_) => }
 
     // Box-weather control (the r11 lesson: the pack ran on a box 1.8×

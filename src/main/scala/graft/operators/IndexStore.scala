@@ -48,11 +48,12 @@ object IndexStore {
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       new java.io.File("target/graft-index").getAbsolutePath)
 
-  /** Content fingerprint of `<dir>/documents.parquet` — md5 over the
+  /** Content fingerprint of `<dir>/<table>.parquet` — md5 over the
     * sorted (relative name, length, mtime) listing, so any rewrite of
     * the corpus produces a fresh index key. */
-  private[graft] def corpusKey(spark: SparkSession, dir: String): String = {
-    val p = new Path(s"$dir/documents.parquet")
+  private[graft] def corpusKey(spark: SparkSession, dir: String,
+      table: String = "documents"): String = {
+    val p = new Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files: Seq[(String, Long, Long)] = {
       val st = fs.getFileStatus(p)
@@ -144,6 +145,66 @@ object IndexStore {
            |LOCATION '${indexDir(key)}'""".stripMargin)
     spark.table(tbl).select("old_id", "fp")
   }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ vector index (r13): the same build/probe split for the
+  // vector tier. Artifacts per embeddings-corpus key:
+  //   ivfpq/cent     (cell, ccv)          — coarse centroids, tiny
+  //   ivfpq/codebook (m, code, cv)        — residual codebook, tiny
+  //   ivfpq/codes    (vec_id, m, code, cell) — the coded corpus
+  // Parameters are pinned to the ann_topk_ivfpq surface contract
+  // (kc=8, coarseIters=2, m=8, codes=16, pqIters=2) and stamped into
+  // the artifact path, so a parameter change can never read a
+  // mismatched index. codes/ is NOT bucketed: the probe's ADC join
+  // broadcasts the per-query LUT, so the coded corpus never shuffles.
+  // ---------------------------------------------------------------
+
+  private val IvfPqTag = "ivfpq_kc8i2m8x16p2"
+  private def ivfPqDir(key: String) = s"$rootDir/$key/$IvfPqTag"
+  private def ivfPqMeta(key: String) = new Path(s"${ivfPqDir(key)}/_META")
+
+  /** Force-(re)build the IVF-PQ index for `<dir>/embeddings.parquet`;
+    * returns the 1-row coded-corpus census the DuckDB oracle
+    * recomputes from scratch (vectors coded, cells in use, code rows,
+    * and a content checksum over the (cell, m, code) assignments). */
+  def buildIvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = corpusKey(spark, dir, "embeddings")
+    val fs = hfs(spark, rootDir)
+    fs.delete(ivfPqMeta(key), false)
+    val (cent, codebook, codesDf) = VectorOps.ivfPqTrainAssign(
+      graft.Tables.embeddings(spark, dir),
+      kc = 8, coarseIters = 2, m = 8, codes = 16, pqIters = 2)
+    cent.write.mode("overwrite").parquet(s"${ivfPqDir(key)}/cent")
+    codebook.write.mode("overwrite").parquet(s"${ivfPqDir(key)}/codebook")
+    codesDf.write.mode("overwrite").parquet(s"${ivfPqDir(key)}/codes")
+    fs.create(ivfPqMeta(key), true).close()
+    ivfPqStats(spark, key)
+  }
+
+  /** Open (cent, codebook, codes) for `dir`, building on first miss. */
+  def ivfPqIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val key = corpusKey(spark, dir, "embeddings")
+    if (!hfs(spark, rootDir).exists(ivfPqMeta(key))) buildIvfPqIndex(spark, dir)
+    (spark.read.parquet(s"${ivfPqDir(key)}/cent"),
+      spark.read.parquet(s"${ivfPqDir(key)}/codebook"),
+      spark.read.parquet(s"${ivfPqDir(key)}/codes"))
+  }
+
+  /** Pre-build hook for benches (see [[ensure]]). */
+  def ensureIvfPq(spark: SparkSession, dir: String): Unit = {
+    val key = corpusKey(spark, dir, "embeddings")
+    if (!hfs(spark, rootDir).exists(ivfPqMeta(key))) buildIvfPqIndex(spark, dir)
+  }
+
+  private def ivfPqStats(spark: SparkSession, key: String): DataFrame =
+    spark.read.parquet(s"${ivfPqDir(key)}/codes").agg(
+      countDistinct("vec_id").as("n_vecs"),
+      countDistinct("cell").as("n_cells"),
+      count(lit(1)).as("n_code_rows"),
+      // content checksum over bounded fields only (cell < 8, m < 8,
+      // code < 16): stays far inside ANSI long at any corpus size
+      sum(col("cell") * 251L + col("m") * 31L + col("code")).as("code_checksum"))
 
   private def indexStats(spark: SparkSession, key: String): DataFrame = {
     val post = openTable(spark, key).agg(

@@ -1326,6 +1326,20 @@ object VectorOps {
   def annTopKIvfPq(embeddings: DataFrame, queryPred: Column, k: Int,
       kc: Int = 8, coarseIters: Int = 2, m: Int = 8, codes: Int = 16,
       pqIters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val (cent, cbrDf, codesDf) =
+      ivfPqTrainAssign(embeddings, kc, coarseIters, m, codes, pqIters)
+    ivfPqProbe(embeddings, cent, cbrDf, codesDf, queryPred, k, m, nProbe)
+  }
+
+  /** The BUILD side of IVF-PQ, split out (r13) so the index artifacts
+    * can persist (IndexStore) and every later query pays only the
+    * probe: trains both quantizers and codes the corpus. Returns
+    * (cent: (cell, ccv), codebook: (m, code, cv), codes: (vec_id, m,
+    * code, cell)) — cent/codebook are driver-bounded (kc / m·codes
+    * rows), codes is corpus-sized. */
+  private[graft] def ivfPqTrainAssign(embeddings: DataFrame, kc: Int,
+      coarseIters: Int, m: Int, codes: Int, pqIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val s = embeddings.sparkSession
     val sub = 64 / m
     val q = milliQuantized(embeddings)
@@ -1341,6 +1355,19 @@ object VectorOps {
     val cbrDf = pqCodebookDf(s, pqTrain(s, svr, codes, pqIters))
     val codesDf = pqAssign(svr, cbrDf).select("vec_id", "m", "code")
       .join(cells, "vec_id")
+    (cent, cbrDf, codesDf)
+  }
+
+  /** The PROBE side: rank cells by exact coarse distance, probe
+    * `nProbe`, score members via the broadcast per-query residual LUT.
+    * `cent`/`cbrDf`/`codesDf` may come fresh from [[ivfPqTrainAssign]]
+    * or from their persisted parquet form — explicit broadcast() hints
+    * here keep the plan identical either way. */
+  private[graft] def ivfPqProbe(embeddings: DataFrame, cent: DataFrame,
+      cbrDf: DataFrame, codesDf: DataFrame, queryPred: Column, k: Int,
+      m: Int, nProbe: Int): DataFrame = {
+    val sub = 64 / m
+    val q = milliQuantized(embeddings)
     // query side: rank cells by exact coarse distance, probe nProbe
     val qset = q.filter(queryPred).select(col("vec_id").as("q_id"), col("q"))
     val qcell = qset.crossJoin(broadcast(cent))
@@ -1354,7 +1381,7 @@ object VectorOps {
     val qsv = probed.select(col("q_id"), col("cell"), explode(expr(
         s"transform(sequence(0, ${m - 1}), mi -> struct(CAST(mi AS BIGINT) AS m, slice(q, mi * $sub + 1, $sub) AS sv))")).as("e"))
       .select(col("q_id"), col("cell"), col("e.m").as("m"), col("e.sv").as("qsv"))
-    val lut = qsv.join(cbrDf, "m")
+    val lut = qsv.join(broadcast(cbrDf), "m")
       .withColumn("qd", l2sq(col("qsv"), col("cv")))
       .select("q_id", "cell", "m", "code", "qd")
     val adc = codesDf.join(broadcast(lut), Seq("cell", "m", "code"))

@@ -831,6 +831,19 @@ object StreamingQueries {
     "streaming_dedup_incremental" -> QueryDef.sql(runIncrementalDedup,
       TextQueries.IncrementalDedupOracleSql),
 
+    // B95 as deployed (r13): the corpus min-max calibration is a 1-row
+    // STATIC aggregate computed once (in production: from the corpus
+    // snapshot the gate was calibrated on); documents arrive as a
+    // stream and every micro-batch scores against the broadcast
+    // calibration in foreachBatch — the streaming_enrich shape with a
+    // scalar dim. Oracle-exact BY CONSTRUCTION like
+    // streaming_dedup_incremental: each doc's row depends only on
+    // (doc, fixed calibration), so any micro-batch partition of the
+    // corpus lands on the identical rows, and the surface shares the
+    // batch corpus_quality_ensemble oracle verbatim.
+    "streaming_quality_ensemble" -> QueryDef.sql(runQualityEnsemble,
+      TextQueries.QualityEnsembleOracleSql),
+
     // Watermark late-drop accounting over the 4-batch deterministic
     // replay (see runLateDrops): a row is DROPPED when its window end
     // has been evicted by the effective watermark (ms floor of the
@@ -935,6 +948,43 @@ object StreamingQueries {
     * lands in a parquet FILE sink (never memory — a large snapshot's
     * matches would collect to the driver) and is read back for the
     * caller. */
+  /** Streaming twin of corpus_quality_ensemble: static 1-row
+    * calibration (localCheckpointed — computed once, not per batch),
+    * file-stream replay of the documents corpus, per-micro-batch
+    * scoring via the shared row-local expressions, parquet file sink
+    * (never a memory sink — the result is corpus-sized). */
+  private def runQualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val ss = isolated(s, dir)
+    val docs = Tables.documents(ss, dir)
+    val mm = TextQueries.qualityEnsembleCalibration(
+      TextQueries.qualityEnsembleSignals(docs)).localCheckpoint()
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val isDir = docsPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      .getFileStatus(docsPath).isDirectory
+    val reader = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+    val stream =
+      if (isDir) reader.parquet(docsPath.toString)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_qens").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextQueries.qualityEnsembleApply(
+            TextQueries.qualityEnsembleSignals(batch), mm)
+          .write.mode("append").parquet(s"$base/out")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) s.read.parquet(s"$base/out").orderBy("doc_id")
+    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq()))
+  }
+
   private def runIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val ss = isolated(s, dir)
     val docs = Tables.documents(ss, dir)

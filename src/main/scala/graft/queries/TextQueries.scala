@@ -3780,41 +3780,67 @@ object TextQueries {
     // agg → broadcast → scan: zero data-sized shuffles at any SF.
     "corpus_quality_ensemble" -> QueryDef.sql(
       (s, dir) => {
-        val sig = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            tokCount(col("text")).as("n_tokens"),
-            size(array_distinct(toks(col("text")))).cast("long").as("uniq"),
-            length(trim(col("text"))).cast("long").as("n_chars"),
-            regexp_count(col("text"), lit("\\b(the|and|of|to|in|is)\\b"))
-              .cast("long").as("stop_hits"))
-          .select(col("doc_id"), col("n_tokens"),
-            expr("uniq * 1000000 div n_tokens").as("uniq_ppm"),
-            expr("n_chars * 10000 div n_tokens").as("cpt_pm"),
-            expr("stop_hits * 1000000 div n_tokens").as("stop_ppm"))
-          .withColumn("cdist", abs(col("cpt_pm") - 54000L))
-        val mm = sig.agg(
-          min("n_tokens").as("tok_mn"), max("n_tokens").as("tok_mx"),
-          min("uniq_ppm").as("uq_mn"), max("uniq_ppm").as("uq_mx"),
-          min("cdist").as("cd_mn"), max("cdist").as("cd_mx"),
-          min("stop_ppm").as("sp_mn"), max("stop_ppm").as("sp_mx"))
-        // all scale inputs are non-negative, so Spark's truncating
-        // `div` ≡ DuckDB's flooring `//`; the when() guards the
-        // degenerate constant-signal corpus (ANSI DIVIDE_BY_ZERO)
-        def scaled(x: String, mn: String, mx: String): Column =
-          when(col(mx) > col(mn),
-            expr(s"($x - $mn) * 1000 div ($mx - $mn)")).otherwise(500L)
-        sig.crossJoin(broadcast(mm))
-          .withColumn("s_tok", scaled("n_tokens", "tok_mn", "tok_mx"))
-          .withColumn("s_uniq", scaled("uniq_ppm", "uq_mn", "uq_mx"))
-          .withColumn("s_cpt", lit(1000L) - scaled("cdist", "cd_mn", "cd_mx"))
-          .withColumn("s_stop", scaled("stop_ppm", "sp_mn", "sp_mx"))
-          .withColumn("ensemble",
-            expr("(s_tok + s_uniq + s_cpt + s_stop) div 4"))
-          .select(col("doc_id"), col("n_tokens"), col("uniq_ppm"),
-            col("cpt_pm"), col("stop_ppm"), col("ensemble"),
-            (col("ensemble") >= 500L).cast("long").as("keep"))
+        val sig = qualityEnsembleSignals(Tables.documents(s, dir))
+        qualityEnsembleApply(sig, qualityEnsembleCalibration(sig))
           .orderBy("doc_id")
       },
+      QualityEnsembleOracleSql))
+
+  /** Per-doc raw quality signals for the ensemble gate (B95): token
+    * count, unique-token ppm, chars-per-token per-mille, stopword-hit
+    * ppm, and the distance of cpt from the gopher-band midpoint.
+    * Row-local — safe on a batch OR a micro-batch (the streaming twin
+    * scores arriving docs with the SAME expression). */
+  private[graft] def qualityEnsembleSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        tokCount(col("text")).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("uniq"),
+        length(trim(col("text"))).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("\\b(the|and|of|to|in|is)\\b"))
+          .cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("uniq * 1000000 div n_tokens").as("uniq_ppm"),
+        expr("n_chars * 10000 div n_tokens").as("cpt_pm"),
+        expr("stop_hits * 1000000 div n_tokens").as("stop_ppm"))
+      .withColumn("cdist", abs(col("cpt_pm") - 54000L))
+
+  /** The 1-row corpus min-max calibration aggregate — the ONLY
+    * corpus-global state the ensemble needs, hence exactly what the
+    * streaming twin broadcasts per micro-batch. */
+  private[graft] def qualityEnsembleCalibration(sig: DataFrame): DataFrame =
+    sig.agg(
+      min("n_tokens").as("tok_mn"), max("n_tokens").as("tok_mx"),
+      min("uniq_ppm").as("uq_mn"), max("uniq_ppm").as("uq_mx"),
+      min("cdist").as("cd_mn"), max("cdist").as("cd_mx"),
+      min("stop_ppm").as("sp_mn"), max("stop_ppm").as("sp_mx"))
+
+  /** Score signal rows against a (broadcast) calibration row: per-mille
+    * min-max scale each signal, equal-weight integer mean, keep at
+    * >= 500. All scale inputs are non-negative, so Spark's truncating
+    * `div` == DuckDB's flooring `//`; the when() guards the degenerate
+    * constant-signal corpus (ANSI DIVIDE_BY_ZERO). */
+  private[graft] def qualityEnsembleApply(sig: DataFrame, mm: DataFrame): DataFrame = {
+    def scaled(x: String, mn: String, mx: String): Column =
+      when(col(mx) > col(mn),
+        expr(s"($x - $mn) * 1000 div ($mx - $mn)")).otherwise(500L)
+    sig.crossJoin(broadcast(mm))
+      .withColumn("s_tok", scaled("n_tokens", "tok_mn", "tok_mx"))
+      .withColumn("s_uniq", scaled("uniq_ppm", "uq_mn", "uq_mx"))
+      .withColumn("s_cpt", lit(1000L) - scaled("cdist", "cd_mn", "cd_mx"))
+      .withColumn("s_stop", scaled("stop_ppm", "sp_mn", "sp_mx"))
+      .withColumn("ensemble",
+        expr("(s_tok + s_uniq + s_cpt + s_stop) div 4"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ppm"),
+        col("cpt_pm"), col("stop_ppm"), col("ensemble"),
+        (col("ensemble") >= 500L).cast("long").as("keep"))
+  }
+
+  /** DuckDB oracle for the quality-ensemble gate — shared verbatim by
+    * the batch surface and the streaming twin (each arriving doc's row
+    * depends only on (doc, fixed calibration), so any micro-batch
+    * partition of the corpus lands on identical rows). */
+  private[graft] lazy val QualityEnsembleOracleSql: String =
       """WITH sig AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -3843,7 +3869,7 @@ object TextQueries {
         |  CAST(stop_ppm AS BIGINT) AS stop_ppm,
         |  CAST((s_tok + s_uniq + s_cpt + s_stop) // 4 AS BIGINT) AS ensemble,
         |  CAST((s_tok + s_uniq + s_cpt + s_stop) // 4 >= 500 AS BIGINT) AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin))
+        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** floor(1e6 / log2(rank+1)) for rank 1..10 — shared literal rank
     * discounts (never a runtime log; the q_benford discipline). Lazy:

@@ -514,6 +514,32 @@ object VectorQueries {
       ivfPqOracleSql(k = 5, kc = 8, coarseIters = 2, m = 8, codes = 16,
         pqIters = 2, nProbe = 2, nQueries = 10)),
 
+    // r13 build/probe split for the vector tier (the dedup_incremental
+    // convention): ann_index_build trains both quantizers, persists
+    // (cent, codebook, coded corpus) via IndexStore keyed by
+    // embeddings content, and hash-checks a census of the coded
+    // corpus against the oracle's from-scratch retrain. In production
+    // this runs once per embedding snapshot.
+    "ann_index_build" -> QueryDef.sql(
+      (s, dir) => graft.operators.IndexStore.buildIvfPqIndex(s, dir),
+      ivfPqBuildStatsSql(kc = 8, coarseIters = 2, m = 8, codes = 16,
+        pqIters = 2)),
+
+    // …and the probe against the PERSISTED index: identical output
+    // (and oracle) to ann_topk_ivfpq, but the training/assignment
+    // stages are gone from the plan — the per-query serving cost at
+    // 100 TB is the coarse-distance rank + the broadcast-LUT ADC join
+    // over the probed cells only. Builds transparently on first touch.
+    "ann_topk_ivfpq_indexed" -> QueryDef.sql(
+      (s, dir) => {
+        val (cent, codebook, codesDf) =
+          graft.operators.IndexStore.ivfPqIndex(s, dir)
+        VectorOps.ivfPqProbe(Tables.embeddings(s, dir), cent, codebook,
+          codesDf, col("vec_id") < 10, k = 5, m = 8, nProbe = 2)
+      },
+      ivfPqOracleSql(k = 5, kc = 8, coarseIters = 2, m = 8, codes = 16,
+        pqIters = 2, nProbe = 2, nQueries = 10)),
+
     // B47: dominant principal component (the PCA anisotropy/whitening
     // direction) — exact-integer power iteration, reproducible
     // bit-for-bit in any engine with floor division and 128-bit sums
@@ -1401,10 +1427,15 @@ object VectorQueries {
     * residual PQ (same template), nProbe coarse-ranked cells per
     * query, per-cell residual lookup table, ADC keyed on
     * (cell, m, code). */
-  private def ivfPqOracleSql(k: Int, kc: Int, coarseIters: Int, m: Int,
-      codes: Int, pqIters: Int, nProbe: Int, nQueries: Int): String = {
+  /** The BUILD portion of the IVF-PQ oracle chain — everything through
+    * the coded corpus `rfc` (plus `cent` and the final residual
+    * codebook `rc<pqIters>`). Factored (r13) so the probe oracle and
+    * the index-build census oracle certify the SAME relations the
+    * persisted index stores. */
+  private def ivfPqBuildCtes(kc: Int, coarseIters: Int, m: Int,
+      codes: Int, pqIters: Int): String = {
     val sub = 64 / m
-    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+    s"""q AS MATERIALIZED (SELECT vec_id,
        |      list_transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
        |      FROM embeddings),
        |svc AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS m, q AS sv FROM q),
@@ -1424,7 +1455,26 @@ object VectorQueries {
        |${lloydSql("r", "svr", pqIters, sub)},
        |${assignSql("rf", "svr", s"rc$pqIters", sub)},
        |rfc AS (SELECT rf.vec_id, rs.cell, rf.m, rf.code
-       |        FROM rf JOIN (SELECT DISTINCT vec_id, cell FROM rs) rs ON rf.vec_id = rs.vec_id),
+       |        FROM rf JOIN (SELECT DISTINCT vec_id, cell FROM rs) rs ON rf.vec_id = rs.vec_id)"""
+      .stripMargin
+  }
+
+  /** Census of the coded corpus — the dedup_index_build convention for
+    * the vector tier: counts plus a content checksum over the bounded
+    * (cell, m, code) assignment fields. */
+  private def ivfPqBuildStatsSql(kc: Int, coarseIters: Int, m: Int,
+      codes: Int, pqIters: Int): String =
+    s"""WITH ${ivfPqBuildCtes(kc, coarseIters, m, codes, pqIters)}
+       |SELECT (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM rfc) AS n_vecs,
+       |  (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) FROM rfc) AS n_cells,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rfc) AS n_code_rows,
+       |  (SELECT CAST(SUM(cell * 251 + m * 31 + code) AS BIGINT) FROM rfc) AS code_checksum"""
+      .stripMargin
+
+  private def ivfPqOracleSql(k: Int, kc: Int, coarseIters: Int, m: Int,
+      codes: Int, pqIters: Int, nProbe: Int, nQueries: Int): String = {
+    val sub = 64 / m
+    s"""WITH ${ivfPqBuildCtes(kc, coarseIters, m, codes, pqIters)},
        |qs AS (SELECT vec_id AS q_id, q FROM q WHERE vec_id < $nQueries),
        |qcd AS (SELECT q_id, cell, ${distSql("qs.q", "c.cv", 64)} AS cd
        |        FROM qs CROSS JOIN cent c),
