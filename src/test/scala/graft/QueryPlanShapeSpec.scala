@@ -195,6 +195,26 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       // the tertile cut points are a per-lang scalar table; bucket
       // assignment must stay row-local against a broadcast
       p should include("BroadcastHashJoin")
+      // the lm-score stage (a 4-stage bigram join DAG off a token
+      // explode) must be paid ONCE: both the cut pass and the bucket
+      // pass consume the localCheckpoint (Scan ExistingRDD), so the
+      // final plan re-derives NO token explode (r12 verdict task 4 —
+      // the silent per-tertile re-explode class)
+      p should include("Scan ExistingRDD")
+      p should not include "Generate explode"
+    }
+
+    it("dedup_incremental probes the persisted index with a bucketed scan") {
+      val p = plan("dedup_incremental")
+      // the r13 build/probe split: the (old_id, fp) posting side must
+      // come from the bucketed table (no exchange, no sort on the
+      // index side), and NO winnow may exist in the final plan at all
+      // — the old corpus's winnow lives in the persisted build, the
+      // new batch's behind the eager probeFp localCheckpoint (Scan
+      // ExistingRDD), so a winnow_fps here means a rebuild leaked in
+      p should include("Bucketed: true")
+      "winnow_fps".r.findAllIn(p).size shouldBe 0
+      p should include("Scan ExistingRDD")
     }
 
     it("q_scd2 runs both change-capture windows on one exchange + one sort") {
