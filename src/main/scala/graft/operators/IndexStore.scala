@@ -113,7 +113,12 @@ object IndexStore {
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > 10).select("fp")
       .write.mode("overwrite").parquet(stopDir(key))
-    fs.create(metaPath(key), true).close()
+    // the meta marker RECORDS the bucket count: a later session must
+    // register the external table with the layout the files were
+    // actually written in, not whatever its own env says
+    val out = fs.create(metaPath(key), true)
+    out.write(s"buckets=$buckets\n".getBytes("UTF-8"))
+    out.close()
     indexStats(spark, key)
   }
 
@@ -133,15 +138,28 @@ object IndexStore {
     if (!hfs(spark, rootDir).exists(metaPath(key))) buildWinnowIndex(spark, dir)
   }
 
+  /** Bucket count the index at `key` was WRITTEN with (from the meta
+    * marker); falls back to the env default for pre-marker builds. */
+  private def writtenBuckets(spark: SparkSession, key: String): Int = {
+    val fs = hfs(spark, rootDir)
+    val in = fs.open(metaPath(key))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "buckets=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(buckets)
+  }
+
   private def openTable(spark: SparkSession, key: String): DataFrame = {
     val tbl = tableName(key)
     if (!spark.catalog.tableExists(tbl))
       // re-attach the external bucketed table in this session's
-      // in-memory catalog; the files carry Spark's bucketed layout
+      // in-memory catalog with the layout the files were WRITTEN in
+      // (recorded in the meta marker — the session's own env may
+      // differ); the files carry Spark's bucketed naming
       spark.sql(
         s"""CREATE TABLE $tbl (old_id BIGINT, fp BIGINT)
            |USING PARQUET
-           |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+           |CLUSTERED BY (fp) SORTED BY (fp) INTO ${writtenBuckets(spark, key)} BUCKETS
            |LOCATION '${indexDir(key)}'""".stripMargin)
     spark.table(tbl).select("old_id", "fp")
   }
