@@ -44,9 +44,19 @@ object IndexStore {
   private def buckets: Int =
     sys.env.getOrElse("GRAFT_INDEX_BUCKETS", "32").toInt
 
-  private def rootDir: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR",
-      new java.io.File("target/graft-index").getAbsolutePath)
+  /** Default root is PER-PROCESS (fresh temp dir): within one JVM the
+    * build-once/probe-many split holds — build in warmup or as its own
+    * timed surface, every probe reads the bucketed files — but nothing
+    * survives the process, so every bench/verify invocation provably
+    * computes from the parquet inputs alone (no cross-run result
+    * caching). A production deployment sets GRAFT_INDEX_DIR to durable
+    * storage and gets the true build-once amortization. */
+  private lazy val processRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-index").toFile
+    d.getAbsolutePath
+  }
+  private[graft] def rootDir: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR", processRoot)
 
   /** Content fingerprint of `<dir>/<table>.parquet` — md5 over the
     * sorted (relative name, length, mtime) listing, so any rewrite of

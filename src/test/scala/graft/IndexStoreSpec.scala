@@ -47,8 +47,7 @@ class IndexStoreSpec extends AnyFunSpec with Matchers with SparkTestBase {
   describe("build-once contract") {
     it("a second open rebuilds nothing (meta marker untouched)") {
       IndexStore.ensure(spark, sfDir)
-      val meta = new java.io.File(
-        new java.io.File("target/graft-index").getAbsolutePath)
+      val meta = new java.io.File(IndexStore.rootDir)
       def newestMeta: Long = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
