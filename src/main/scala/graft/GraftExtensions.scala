@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrDot, ArrL2Sq, FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
+import graft.functions.{ArrDot, ArrDotL, ArrL2Sq, FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("arr_l2sq"), ArrL2Sq.info, exprs => ArrL2Sq(exprs(0), exprs(1))))
     ext.injectFunction(
+      (FunctionIdentifier("arr_dotl"), ArrDotL.info, exprs => ArrDotL(exprs(0), exprs(1))))
+    ext.injectFunction(
       (FunctionIdentifier("pack_blob"), PackBlob.info,
         exprs => PackBlob(exprs(0), exprs(1))))
     ext.injectFunction(
@@ -66,6 +68,8 @@ object GraftExtensions {
       FunctionIdentifier("arr_dot"), ArrDot.info, exprs => ArrDot(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("arr_l2sq"), ArrL2Sq.info, exprs => ArrL2Sq(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("arr_dotl"), ArrDotL.info, exprs => ArrDotL(exprs(0), exprs(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pack_blob"), PackBlob.info,
       exprs => PackBlob(exprs(0), exprs(1)))

@@ -87,6 +87,17 @@ object Probe {
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$pd/$name.txt"), txt)
+          // SPARK_GRAFT_PROBE_FINAL=1: ALSO capture the post-execution
+          // adaptive plan (final query stages, ReusedQueryStage nodes) —
+          // the only view that shows whether AQE actually deduplicated
+          // semantically-equal exchanges at runtime
+          if (sys.env.get("SPARK_GRAFT_PROBE_FINAL").contains("1")) {
+            val df2 = SparkEntry.queries(name)(spark, sfDir)
+            val plan = df2.queryExecution.executedPlan
+            plan.execute().foreach(_ => ())
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$pd/${name}_final.txt"), plan.toString)
+          }
         }
         println(f"[probe] $name build=$tBuild%.3f plan=$tPlan%.3f " +
           s"exec=${execs.map(e => f"$e%.3f").mkString(",")} min=${f"${execs.min}%.3f"}")

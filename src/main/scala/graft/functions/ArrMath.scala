@@ -123,6 +123,68 @@ case class ArrL2Sq(left: Expression, right: Expression) extends BinaryExpression
     }
 }
 
+/** Exact integer dot product — the long sibling of [[ArrDot]], for the
+  * milli-quantized vector surfaces whose scores are BIGINT end to end.
+  * Replaces `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)`, which
+  * evaluates interpreted (higher-order functions have no codegen);
+  * products and the running sum use Math.*Exact so overflow throws
+  * loudly exactly like the ANSI-mode Column form it replaces. */
+case class ArrDotL(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "arr_dotl"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrDotL.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("arrDotLRes")
+      s"""
+      |java.lang.Long $r = graft.functions.ArrDotL.compute($a, $b);
+      |if ($r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = $r.longValue();
+      |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrDotL =
+    copy(left = newLeft, right = newRight)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arr_dotl requires (array<bigint>, array<bigint>), got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+}
+
+object ArrDotL {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrDotL].getName, null, "arr_dotl",
+    "_FUNC_(a, b) - exact integer dot product of two bigint arrays " +
+      "(overflow throws, matching ANSI).", "")
+}
+
 object ArrL2Sq {
   def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()

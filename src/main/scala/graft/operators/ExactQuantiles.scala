@@ -75,11 +75,14 @@ object ExactQuantiles {
       .filter(col("_eq_v").isNotNull)
       .groupBy((keys.map(col) :+ col("_eq_v")): _*)
       .agg(sum("_eq_w").as("_eq_cnt"))
+    // per-key n rides the sharded scan's own (tiny) totals relation —
+    // a separate vc.groupBy(keys) aggregate was a third full
+    // derivation of vc for one number per key (r13)
     val cum = ShardedWindow.runningSum(
       vc, keys, valueShard(col("_eq_v"), shardWidth),
-      order = Seq(col("_eq_v")), value = col("_eq_cnt"), out = "_eq_cum")
-    val totals = vc.groupBy(keys.map(col): _*).agg(sum("_eq_cnt").as("_eq_n"))
-    selectRanks(cum.join(broadcast(totals), keys), keys, pcts, nCol, countOut)
+      order = Seq(col("_eq_v")), value = col("_eq_cnt"), out = "_eq_cum",
+      keyTotalOut = Some("_eq_n"))
+    selectRanks(cum, keys, pcts, nCol, countOut)
   }
 
   /** Compact path over a pre-aggregated `(keys, value) → weight`

@@ -119,32 +119,84 @@ object ShardedWindow {
     * `sum(value).over(Window.partitionBy(keys).orderBy(order))` but
     * with per-(key, shard) parallelism. `shard` must be monotone
     * non-decreasing along `order` within every key. */
+  /** Tag + shard-lint + ONE explicit exchange shared by both phases
+    * (guide §2.4): the local-window branch and the totals branch both
+    * consume the same `repartition(keys, shard)`, so the physical plan
+    * carries a single Exchange with a ReusedExchange on the second
+    * branch — the upstream lineage (which can be an arbitrarily
+    * expensive join/window DAG at the call sites) executes ONCE.
+    * Before r13 the totals branch re-derived the input from scratch;
+    * chained calls (trace_queue_wait runs two, q_rfm three) multiplied
+    * the upstream re-execution per level. The window's own required
+    * distribution is satisfied by the explicit repartition, so no
+    * second shuffle appears; AQE still coalesces it (no pinned
+    * partition count). */
+  /** Shared tag + lint + an EXPLICIT isnotnull(_sw_shard) filter.
+    *
+    * The filter changes no results — the offsets equi-join on
+    * `_sw_shard` already dropped null-shard rows — but it is the key
+    * to executing the upstream lineage ONCE instead of once per phase:
+    * without it, InferFiltersFromConstraints derives
+    * `isnotnull(<shard expr>)` from the join and pushes it into the
+    * WINDOW branch's scan only, so the two phases' subtrees no longer
+    * canonicalize equal and neither ReuseExchange nor AQE's runtime
+    * stage cache can deduplicate them (measured on q_percentiles: the
+    * value-count aggregate ran once per phase, three identical
+    * shuffles per call). With the constraint stated identically on
+    * both branches, the upstream exchange subtrees match and the
+    * shuffle materializes once (plans/r13/q_percentiles_after.txt:
+    * ShuffleQueryStage N (reused) on the totals branch). The totals
+    * phase itself stays a pre-shuffle map-combined aggregate — its
+    * exchange carries #(key, shard) rows, not data. */
+  private def partitioned(
+      df: DataFrame, keys: Seq[String], shard: Column, value: Column): DataFrame = {
+    checkReserved(df)
+    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
+    checkShardTotal(tagged)
+    tagged.filter(col("_sw_shard").isNotNull)
+  }
+
+  /** `keyTotalOut`: optionally ALSO emit each key's grand total of
+    * `value` as an extra column, computed on the (tiny) per-shard
+    * totals relation and carried back on the same broadcast join —
+    * a caller needing "running sum + the key's n" (ExactQuantiles'
+    * rank thresholds) otherwise pays a THIRD full derivation of the
+    * input for a one-number-per-key aggregate. Long addition over the
+    * shard totals is exact and order-free, so the value is identical
+    * to a direct groupBy(keys).sum. */
   def runningSum(
       df: DataFrame,
       keys: Seq[String],
       shard: Column,
       order: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
-    checkReserved(df)
-    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
-    checkShardTotal(tagged)
+      out: String,
+      keyTotalOut: Option[String] = None): DataFrame = {
+    val parted = partitioned(df, keys, shard, value)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = tagged.withColumn("_sw_local", sum(col("_sw_v")).over(localW))
+    val local = parted.withColumn("_sw_local", sum(col("_sw_v")).over(localW))
     // One row per (key, shard): driver-scale however big the data is.
-    val totals = tagged
+    val totals = parted
       .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
       .agg(sum(col("_sw_v")).as("_sw_total"))
     val offW = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_sw_shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals
+    val withCum = totals
       .withColumn("_sw_off", sum(col("_sw_total")).over(offW) - col("_sw_total"))
-      .select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off")): _*)
+    val offsets = keyTotalOut match {
+      case None =>
+        withCum.select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off")): _*)
+      case Some(tn) =>
+        withCum
+          .withColumn(tn, sum(col("_sw_total"))
+            .over(Window.partitionBy(keys.map(col): _*)))
+          .select((keys.map(col) :+ col("_sw_shard") :+ col("_sw_off") :+ col(tn)): _*)
+    }
     local
       .join(broadcast(offsets), keys :+ "_sw_shard")
       .withColumn(out, col("_sw_local") + col("_sw_off"))
@@ -165,15 +217,13 @@ object ShardedWindow {
       order: Seq[Column],
       value: Column,
       out: String): DataFrame = {
-    checkReserved(df)
-    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
-    checkShardTotal(tagged)
+    val parted = partitioned(df, keys, shard, value)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = tagged.withColumn("_sw_local", min(col("_sw_v")).over(localW))
-    val totals = tagged
+    val local = parted.withColumn("_sw_local", min(col("_sw_v")).over(localW))
+    val totals = parted
       .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
       .agg(min(col("_sw_v")).as("_sw_total"))
     val offW = Window
@@ -204,15 +254,13 @@ object ShardedWindow {
       order: Seq[Column],
       value: Column,
       out: String): DataFrame = {
-    checkReserved(df)
-    val tagged = df.withColumn("_sw_shard", shard).withColumn("_sw_v", value)
-    checkShardTotal(tagged)
+    val parted = partitioned(df, keys, shard, value)
     val localW = Window
       .partitionBy((keys.map(col) :+ col("_sw_shard")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = tagged.withColumn("_sw_local", max(col("_sw_v")).over(localW))
-    val totals = tagged
+    val local = parted.withColumn("_sw_local", max(col("_sw_v")).over(localW))
+    val totals = parted
       .groupBy((keys.map(col) :+ col("_sw_shard")): _*)
       .agg(max(col("_sw_v")).as("_sw_total"))
     val offW = Window

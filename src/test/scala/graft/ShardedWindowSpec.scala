@@ -238,7 +238,12 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
       sites.size should be >= 30
       val swSrc = Files.readString(
         root.resolve("graft/operators/ShardedWindow.scala"))
-      "checkShardTotal\\(tagged\\)".r.findAllIn(swSrc).size shouldBe 3
+      // r13: all three scan entry points route through the shared
+      // partitioned() helper (one lint + one explicit exchange); the
+      // lint itself runs exactly once there
+      "val parted = partitioned\\(df, keys, shard, value\\)".r
+        .findAllIn(swSrc).size shouldBe 3
+      "checkShardTotal\\(tagged\\)".r.findAllIn(swSrc).size shouldBe 1
       swSrc should include("runningSum(df, keys, shard, order, lit(1L), out)")
       info(s"${sites.size} ShardedWindow call sites enumerated, all linted: " +
         sites.groupBy(identity).map { case (f, xs) => s"${f.split('/').last}×${xs.size}" }
