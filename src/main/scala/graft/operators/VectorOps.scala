@@ -40,6 +40,34 @@ object VectorOps {
       org.apache.spark.sql.GraftPlanBridge.expressionOf(v),
       org.apache.spark.sql.GraftPlanBridge.expressionOf(w)))
 
+  /** Exact integer dot product as the native codegen'd
+    * [[graft.functions.ArrDotL]] — the bigint sibling of [[dot]], for
+    * the milli-quantized surfaces whose scores are longs end to end
+    * (r13: the interpreted `aggregate(zip_with(a*b))` folds sat on
+    * every row of the JL / perceptron / MMR scans). */
+  def dotl(v: Column, w: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.columnOf(graft.functions.ArrDotL(
+      org.apache.spark.sql.GraftPlanBridge.expressionOf(v),
+      org.apache.spark.sql.GraftPlanBridge.expressionOf(w)))
+
+  /** 16-dim Johnson–Lindenstrauss ±1 sign projection (B75/B78). The
+    * sign matrix is fully deterministic — bit 16 parity of the
+    * multiplicative hash (i + j·64)·2654435761 — so it precomputes to
+    * 16 literal ±1 rows at plan-build time and each output dim is ONE
+    * native [[graft.functions.ArrDotL]] call, replacing the
+    * interpreted 16×64 `transform(sequence, aggregate(sequence))`
+    * double loop (same formula, same exact integer sums — the output
+    * array is bit-identical). */
+  def jlProject(q: Column): Column = {
+    val rows = (0 until 16).map { j =>
+      typedLit((0 until 64).map { i =>
+        val h = ((i + j * 64L) * 2654435761L % 2147483648L) * 2246822519L
+        1L - 2L * (java.lang.Long.bitCount(h) % 2)
+      })
+    }
+    array(rows.map(r => dotl(q, r)): _*)
+  }
+
   /** Corpus with precomputed norms; embeddings cast to array<double>. */
   def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1463,10 +1491,9 @@ object VectorOps {
     if (v(pivot) < 0) v = v.map(-_)
     val lambda = ((0 until d).flatMap(i => (0 until d).map(j => cov(i)(j) * v(i) * v(j))).sum /
       v.map(x => x * x).sum).toLong
-    // pass 4: projections — the component inlined, scan-local dot
-    val vSql = v.mkString("array(", ",", ")")
-    val proj = qc.selectExpr("vec_id",
-      s"aggregate(zip_with(qc, CAST($vSql AS ARRAY<BIGINT>), (x, y) -> x * y), 0L, (a, x) -> a + x) AS p")
+    // pass 4: projections — the component inlined, scan-local native dot
+    val proj = qc.select(col("vec_id"),
+        dotl(col("qc"), typedLit(v.map(_.toLong).toSeq)).as("p"))
       .orderBy(abs(col("p")).desc, col("vec_id")).limit(topK)
       .select(lit("proj").as("kind"), col("vec_id").as("idx"), col("p").as("value"))
     val head = s.createDataFrame(

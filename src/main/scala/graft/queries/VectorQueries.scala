@@ -671,10 +671,8 @@ object VectorQueries {
         val hist = scala.collection.mutable.Buffer[(Long, Long, Long)]()
         val total = data.count()
         (1 to rounds).foreach { r =>
-          val wLit = s"array(${w.mkString("L,")}L)"
           val mis = data
-            .withColumn("margin", expr(
-              s"aggregate(zip_with(x, $wLit, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+            .withColumn("margin", VectorOps.dotl(col("x"), typedLit(w.toSeq)))
             .filter(col("y") * col("margin") <= 0L)
           val deltas = mis
             .select(col("y"), posexplode(col("x")).as(Seq("i", "xi")))
@@ -785,8 +783,7 @@ object VectorQueries {
         val qv = broadcast(q.filter(col("vec_id") === 0L)
           .select(col("v").as("qv")))
         val cand = q.filter(col("vec_id") =!= 0L).crossJoin(qv)
-          .withColumn("rel",
-            expr("aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("rel", VectorOps.dotl(col("v"), col("qv")))
           .select("vec_id", "v", "rel")
           .orderBy(col("rel").desc, col("vec_id")).limit(50)
           .localCheckpoint()
@@ -804,8 +801,7 @@ object VectorQueries {
                 .filter(col("vec_id").isin(selected: _*))
                 .select(col("v").as("sv")))
               rest.crossJoin(selVecs)
-                .withColumn("sim",
-                  expr("aggregate(zip_with(v, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+                .withColumn("sim", VectorOps.dotl(col("v"), col("sv")))
                 .groupBy("vec_id", "rel").agg(max("sim").as("ms"))
                 .orderBy((col("rel") - col("ms")).desc, col("vec_id")).limit(1)
                 .select(col("vec_id"), col("rel"), col("ms"))
@@ -872,20 +868,16 @@ object VectorQueries {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
-          .withColumn("y", expr(
-            """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
-              |  0L, (acc, i) -> acc +
-              |    (1 - 2 * (bit_count((((i + j * 64) * 2654435761L) % 2147483648L) * 2246822519L) % 2)) *
-              |    element_at(q, i + 1)))""".stripMargin))
+          // r13: native codegen'd forms of the same exact-integer math
+          // (the interpreted 16×64 lambda loop dominated this scan)
+          .withColumn("y", VectorOps.jlProject(col("q")))
         val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("y").as("ya"))
           .filter(col("vec_a") % 2 === 0)
         val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("y").as("yb"))
         a.join(b, col("vec_b") === col("vec_a") + 1)
           .select(col("vec_a"), col("vec_b"),
-            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-              .as("d2_orig"),
-            expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-              .as("d2_proj"))
+            VectorOps.l2sq(col("qa"), col("qb")).as("d2_orig"),
+            VectorOps.l2sq(col("ya"), col("yb")).as("d2_proj"))
           .filter(col("d2_orig") > 0)
           .withColumn("ratio_ppm",
             expr("CAST(d2_proj AS DECIMAL(38,0)) * 1000000 div (CAST(16 AS DECIMAL(38,0)) * d2_orig)"))
@@ -943,8 +935,7 @@ object VectorQueries {
             .select(col("v").as("sv")))
           val row = q.filter(!col("vec_id").isin(selected: _*))
             .crossJoin(selVecs)
-            .withColumn("d2",
-              expr("aggregate(zip_with(v, sv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .withColumn("d2", VectorOps.l2sq(col("v"), col("sv")))
             .groupBy("vec_id").agg(min("d2").as("min_d2"))
             .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
             .collect().head
@@ -1006,20 +997,14 @@ object VectorQueries {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("q"))
-          .withColumn("y", expr(
-            """transform(sequence(0, 15), j -> aggregate(sequence(0, 63),
-              |  0L, (acc, i) -> acc +
-              |    (1 - 2 * (bit_count((((i + j * 64) * 2654435761L) % 2147483648L) * 2246822519L) % 2)) *
-              |    element_at(q, i + 1)))""".stripMargin))
+          .withColumn("y", VectorOps.jlProject(col("q")))
           .localCheckpoint()
         val queries = broadcast(e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("q").as("qq"), col("y").as("qy")))
         val scored = e.filter(col("vec_id") >= 10).crossJoin(queries)
           .select(col("q_id"), col("vec_id"),
-            expr("aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
-              .as("d2_orig"),
-            expr("aggregate(zip_with(y, qy, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
-              .as("d2_proj"))
+            VectorOps.l2sq(col("q"), col("qq")).as("d2_orig"),
+            VectorOps.l2sq(col("y"), col("qy")).as("d2_proj"))
         val wo = Window.partitionBy("q_id").orderBy(col("d2_orig"), col("vec_id"))
         val wp = Window.partitionBy("q_id").orderBy(col("d2_proj"), col("vec_id"))
         val ranked = scored
