@@ -1256,8 +1256,9 @@ object VectorOps {
     val sub = 64 / m
     val q = milliQuantized(embeddings)
     val sv = pqSplit(q, m, sub)
-    val cbDf = pqCodebookDf(s, pqTrain(s, sv, codes, iters))
-    val corpusCodes = pqAssign(sv, cbDf).select("vec_id", "m", "code")
+    val cb = pqTrain(s, sv, codes, iters)
+    val cbDf = pqCodebookDf(s, cb)
+    val corpusCodes = pqAssign(sv, cb).select("vec_id", "m", "code")
     val queries = sv.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
     val qd = queries.join(cbDf, "m")
@@ -1292,14 +1293,60 @@ object VectorOps {
       s.createDataFrame(cb.toSeq.map { case (mm, cc, cv) => (mm, cc, cv.toSeq) })
         .toDF("m", "code", "cv"))
 
-  /** Argmin code per (vec_id, subspace) against a broadcast codebook —
-    * exact integer squared distance, ties to the lowest code id. */
-  private def pqAssign(sv: DataFrame, cbDf: DataFrame): DataFrame =
-    sv.join(cbDf, "m")
-      .withColumn("d", l2sq(col("sv"), col("cv")))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("code"))).as("bc"), first("sv").as("sv"))
-      .select(col("vec_id"), col("m"), col("bc.code").as("code"), col("sv"))
+  /** Exact integer squared L2, driver-local — the identical
+    * Math.*Exact sequence as [[graft.functions.ArrL2Sq]], so local and
+    * distributed argmins agree bit-for-bit (and overflow throws). */
+  private def l2sqLocal(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      val d = Math.subtractExact(a(i), b(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
+      i += 1
+    }
+    s
+  }
+
+  /** Argmin code per (vec_id, subspace) against the driver-held
+    * codebook — exact integer squared distance, ties to the lowest
+    * code id. r13: a typed row-local loop over the broadcast codebook
+    * (the assignCellsLocal pattern). The former declarative form
+    * (explode-join to n·m·codes rows + min(struct(d, code))) planned
+    * as a SORTAGGREGATE — structs are not hash-buffer-eligible — and
+    * sorted a 128×-expanded corpus on every training round and every
+    * bulk assignment. Row-local argmin is one narrow pass, no join,
+    * no aggregate, and the codes-sorted strict `<` keeps the same
+    * lowest-code tie rule. */
+  private def pqAssign(sv: DataFrame,
+      cb: Array[(Long, Long, Array[Long])]): DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    val byM: Map[Long, Array[(Long, Array[Long])]] =
+      cb.groupBy(_._1).map { case (mm, rows) =>
+        mm -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+      }
+    val bc = s.sparkContext.broadcast(byM)
+    sv.select(col("vec_id"), col("m"), col("sv"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val cbv = bc.value
+        it.map { case (id, mm, v) =>
+          val codes = cbv(mm)
+          var best = Long.MaxValue
+          var bestCode = Long.MaxValue
+          var i = 0
+          while (i < codes.length) {
+            val d = l2sqLocal(v, codes(i)._2)
+            if (d < best) { best = d; bestCode = codes(i)._1 }
+            i += 1
+          }
+          require(bestCode != Long.MaxValue,
+            s"pqAssign: empty codebook for subspace $mm")
+          (id, mm, bestCode, v)
+        }
+      }
+      .toDF("vec_id", "m", "code", "sv")
+  }
 
   /** Integer Lloyd codebook training over a (vec_id, m, sv) relation:
     * init = the first `codes` vectors' subvectors, then `iters` rounds
@@ -1314,7 +1361,7 @@ object VectorOps {
     var cb: Array[(Long, Long, Array[Long])] = sv.filter(col("vec_id") < codes)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2).toArray))
     (1 to iters).foreach { _ =>
-      val upd = pqAssign(sv, pqCodebookDf(s, cb))
+      val upd = pqAssign(sv, cb)
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("i0", "x")))
         .groupBy("m", "code", "i0").agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -1373,15 +1420,16 @@ object VectorOps {
     val q = milliQuantized(embeddings)
     // coarse quantizer: one full-width subspace
     val svc = pqSplit(q, 1, 64)
-    val cbcDf = pqCodebookDf(s, pqTrain(s, svc, kc, coarseIters))
-    val cells = pqAssign(svc, cbcDf).select(col("vec_id"), col("code").as("cell"))
-    val cent = cbcDf.select(col("code").as("cell"), col("cv").as("ccv"))
+    val cbc = pqTrain(s, svc, kc, coarseIters)
+    val cells = pqAssign(svc, cbc).select(col("vec_id"), col("code").as("cell"))
+    val cent = pqCodebookDf(s, cbc).select(col("code").as("cell"), col("cv").as("ccv"))
     // residuals row-local against the broadcast centroid map
     val resid = q.join(cells, "vec_id").join(broadcast(cent), "cell")
       .select(col("vec_id"), expr("zip_with(q, ccv, (a, b) -> a - b)").as("q"))
     val svr = pqSplit(resid, m, sub)
-    val cbrDf = pqCodebookDf(s, pqTrain(s, svr, codes, pqIters))
-    val codesDf = pqAssign(svr, cbrDf).select("vec_id", "m", "code")
+    val cbr = pqTrain(s, svr, codes, pqIters)
+    val cbrDf = pqCodebookDf(s, cbr)
+    val codesDf = pqAssign(svr, cbr).select("vec_id", "m", "code")
       .join(cells, "vec_id")
     (cent, cbrDf, codesDf)
   }
