@@ -3739,38 +3739,51 @@ object TraceQueries {
           .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
           .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
           .agg(count(lit(1)).as("w"))
-        val outw = edges.groupBy("src").agg(sum("w").as("outw"))
-        val norm = edges.join(outw, "src")
-          .select(col("src"), col("dst"), expr("w * 1000000 div outw").as("p_ppm"))
-          .localCheckpoint()
-        val nodes = norm.select(col("src").as("service"))
-          .union(norm.select(col("dst").as("service"))).distinct()
-          .localCheckpoint()
-        val sc = nodes.agg(count(lit(1)).as("s_cnt"))
-        val srcs = norm.select("src").distinct().localCheckpoint()
-        var rank = nodes.crossJoin(broadcast(sc))
-          .select(col("service"), expr("1000000000000 div s_cnt").as("r"),
-            col("s_cnt"))
-          .localCheckpoint()
-        for (_ <- 1 to 6) {
-          val contrib = rank.join(norm, col("service") === col("src"))
-            .select(col("dst"), expr("r * p_ppm div 1000000").as("c"))
-            .groupBy("dst").agg(sum("c").as("contrib"))
-          val dang = rank.join(srcs, col("service") === col("src"), "left_anti")
-            .agg(coalesce(sum("r"), lit(0L)).as("dangling"))
-          val next = rank.select("service", "s_cnt")
-            .join(contrib, col("service") === col("dst"), "left")
-            .crossJoin(broadcast(dang))
-            .select(col("service"),
-              (expr("(1000000000000 div s_cnt) * 15 div 100") +
-                expr("(coalesce(contrib, 0) + dangling div s_cnt) * 85 div 100"))
-                .as("r"),
-              col("s_cnt"))
-            .localCheckpoint()
-          rank.unpersist()
-          rank = next
+        // r13: the corpus-scale work (spans self-join + edge agg) stays
+        // distributed and runs ONCE (the out-weight normalization also
+        // moves to the driver — as a join it re-executed the self-join
+        // on its second branch); the 6 power-iteration rounds then ride
+        // a service-cardinality-bounded edge list — bounded driver
+        // state by the same contract as kmeans centroids/codebooks.
+        // The former per-round distributed form paid 6 localCheckpoints
+        // + ~3 jobs per round on a few-row relation. Long arithmetic
+        // mirrors the ANSI column math op for op (Math.*Exact; all
+        // operands non-negative so trunc div == floor div == both
+        // engines' `div`).
+        val edgeRows: Array[(String, String, Long)] = edges
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val outw: Map[String, Long] = edgeRows.groupBy(_._1)
+          .map { case (src, es) =>
+            src -> es.foldLeft(0L)((acc, e) => Math.addExact(acc, e._3)) }
+        val normRows: Array[(String, String, Long)] = edgeRows.map {
+          case (src, dst, w) =>
+            (src, dst, Math.multiplyExact(w, 1000000L) / outw(src))
         }
-        rank.select(col("service"), expr("r div 1000000").as("rank_ppm"))
+        val nodes: Array[String] =
+          normRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val srcs: Set[String] = normRows.map(_._1).toSet
+        val scnt = nodes.length.toLong
+        var rank: Map[String, Long] =
+          nodes.map(_ -> 1000000000000L / scnt).toMap
+        for (_ <- 1 to 6) {
+          val contrib = scala.collection.mutable.HashMap[String, Long]()
+          normRows.foreach { case (src, dst, pPpm) =>
+            val c = Math.multiplyExact(rank(src), pPpm) / 1000000L
+            contrib(dst) = Math.addExact(contrib.getOrElse(dst, 0L), c)
+          }
+          val dangling = nodes.filterNot(srcs.contains)
+            .foldLeft(0L)((a, n) => Math.addExact(a, rank(n)))
+          rank = nodes.map { n =>
+            n -> Math.addExact(
+              (1000000000000L / scnt) * 15L / 100L,
+              Math.multiplyExact(
+                Math.addExact(contrib.getOrElse(n, 0L), dangling / scnt),
+                85L) / 100L)
+          }.toMap
+        }
+        import s.implicits._
+        nodes.toSeq.map(n => (n, rank(n) / 1000000L))
+          .toDF("service", "rank_ppm")
           .orderBy(desc("rank_ppm"), col("service"))
       },
       {
@@ -3824,41 +3837,45 @@ object TraceQueries {
     "trace_hits" -> QueryDef.sql(
       (s, dir) => {
         val sp = spans(s, dir).select("span_id", "parent_span_id", "service")
-        val edges = sp.as("c")
+        // r13: as in trace_pagerank, only the edge aggregation touches
+        // the corpus; the 8 propagate/renormalize steps run on the
+        // driver over the bounded service graph in BigInt — the exact
+        // integer semantics of the former DECIMAL(38,0) column math
+        // (score*w can pass 1e18, hence BigInt, matching HUGEINT),
+        // replacing 8 localCheckpoints + per-round 1-row total jobs.
+        val edgeRows: Array[(String, String, Long)] = sp.as("c")
           .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
           .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
           .agg(count(lit(1)).as("w"))
-          .localCheckpoint()
-        val nodes = edges.select(col("src").as("service"))
-          .union(edges.select(col("dst"))).distinct().localCheckpoint()
-        val sc = nodes.agg(count(lit(1)).as("s_cnt"))
-        val init = nodes.crossJoin(broadcast(sc))
-          .select(col("service"), expr("1000000000000 div s_cnt").as("v"))
-          .localCheckpoint()
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nodes: Array[String] =
+          edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val scnt = nodes.length.toLong
+        val init: Map[String, BigInt] =
+          nodes.map(_ -> BigInt(1000000000000L / scnt)).toMap
         // propagate scores along edges from the `from` endpoint to the
         // `to` endpoint, then L1-renormalize to 1e12 total
-        def propagate(score: DataFrame, from: String, to: String): DataFrame = {
-          val raw = score.join(edges, col("service") === col(from))
-            .select(col(to).as("svc"),
-              (col("v").cast(DecimalType(38, 0))
-                * col("w").cast(DecimalType(38, 0))).as("c"))
-            .groupBy("svc").agg(sum("c").as("raw"))
-          val tot = raw.agg(sum("raw").as("tot"))
-          nodes.join(raw, col("service") === col("svc"), "left")
-            .crossJoin(broadcast(tot))
-            .select(col("service"),
-              coalesce(expr("raw * 1000000000000 div tot"), lit(0L)).as("v"))
-            .localCheckpoint()
+        def propagate(score: Map[String, BigInt], bySrc: Boolean): Map[String, BigInt] = {
+          val raw = scala.collection.mutable.HashMap[String, BigInt]()
+          edgeRows.foreach { case (src, dst, w) =>
+            val (from, to) = if (bySrc) (src, dst) else (dst, src)
+            raw(to) = raw.getOrElse(to, BigInt(0)) + score(from) * w
+          }
+          val tot = raw.values.sum
+          nodes.map { n =>
+            n -> raw.get(n).fold(BigInt(0))(r => r * BigInt(1000000000000L) / tot)
+          }.toMap
         }
         var h = init
         var a = init
         for (_ <- 1 to 4) {
-          a = propagate(h, "src", "dst")
-          h = propagate(a, "dst", "src")
+          a = propagate(h, bySrc = true)
+          h = propagate(a, bySrc = false)
         }
-        a.select(col("service"), expr("v div 1000000").as("authority_ppm"))
-          .join(h.select(col("service"), expr("v div 1000000").as("hub_ppm")),
-            "service")
+        import s.implicits._
+        nodes.toSeq
+          .map(n => (n, (a(n) / 1000000).toLong, (h(n) / 1000000).toLong))
+          .toDF("service", "authority_ppm", "hub_ppm")
           .orderBy(desc("authority_ppm"), col("service"))
       },
       {
