@@ -2682,20 +2682,28 @@ object TextQueries {
         // the vocab²-bounded edge set before any exchange (an
         // instance-level distinct measured 22 s at sf10 vs ~6 s for
         // the same corpus through kn_lm's combined groupBy)
+        // localCheckpoint: the vocab²-bounded edge set is read by the
+        // degree census, the orientation join, and (via deg) the final
+        // rollup — materialize the bigram explode once (r13)
         val und = bg.select(least(col("w1"), col("w2")).as("a"),
             greatest(col("w1"), col("w2")).as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("_c")).drop("_c")
+          .localCheckpoint()
         val deg = und.select(col("a").as("node"))
           .union(und.select(col("b")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
         val withOrd = und
           .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
           .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        // localCheckpoint: the oriented edge relation feeds a THREE-way
+        // self-join — uncheckpointed, each of e1/e2/e3 re-derived the
+        // bigram explode + edge aggregate + two degree joins (r13)
         val or = withOrd.select(
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
             .otherwise(col("b")).as("src"),
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
             .otherwise(col("a")).as("dst"))
+          .localCheckpoint()
         val tri = or.as("e1")
           .join(or.as("e2"), col("e1.dst") === col("e2.src"))
           .join(or.as("e3"),

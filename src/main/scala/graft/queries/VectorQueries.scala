@@ -782,32 +782,42 @@ object VectorQueries {
           .localCheckpoint()
         val qv = broadcast(q.filter(col("vec_id") === 0L)
           .select(col("v").as("qv")))
-        val cand = q.filter(col("vec_id") =!= 0L).crossJoin(qv)
-          .withColumn("rel", VectorOps.dotl(col("v"), col("qv")))
-          .select("vec_id", "v", "rel")
-          .orderBy(col("rel").desc, col("vec_id")).limit(50)
-          .localCheckpoint()
+        // r13: the corpus-scale work (relevance scan + top-50) stays
+        // distributed; the greedy MMR loop then runs driver-locally
+        // over the COLLECTED 50-row candidate set (bounded driver
+        // state by construction) instead of 10 driver-synchronized
+        // jobs of filter/crossJoin/argmax over those same 50 rows.
+        // Math.*Exact mirrors the ANSI column dot products.
+        val cand: Array[(Long, Array[Long], Long)] =
+          q.filter(col("vec_id") =!= 0L).crossJoin(qv)
+            .withColumn("rel", VectorOps.dotl(col("v"), col("qv")))
+            .select("vec_id", "v", "rel")
+            .orderBy(col("rel").desc, col("vec_id")).limit(50)
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        def dotL(a: Array[Long], b: Array[Long]): Long = {
+          var acc = 0L; var i = 0
+          while (i < a.length) {
+            acc = Math.addExact(acc, Math.multiplyExact(a(i), b(i))); i += 1
+          }
+          acc
+        }
         val picks = scala.collection.mutable.Buffer[(Long, Long, Long, Long, Long)]()
         var selected = List.empty[Long]
         (1 to k).foreach { r =>
-          val rest = cand.filter(!col("vec_id").isin(selected: _*))
-          val row =
-            if (selected.isEmpty)
-              rest.orderBy(col("rel").desc, col("vec_id")).limit(1)
-                .select(col("vec_id"), col("rel"), lit(0L).as("ms"))
-                .collect().head
-            else {
-              val selVecs = broadcast(cand
-                .filter(col("vec_id").isin(selected: _*))
-                .select(col("v").as("sv")))
-              rest.crossJoin(selVecs)
-                .withColumn("sim", VectorOps.dotl(col("v"), col("sv")))
-                .groupBy("vec_id", "rel").agg(max("sim").as("ms"))
-                .orderBy((col("rel") - col("ms")).desc, col("vec_id")).limit(1)
-                .select(col("vec_id"), col("rel"), col("ms"))
-                .collect().head
+          val rest = cand.filter(c => !selected.contains(c._1))
+          val (id, rel, ms) =
+            if (selected.isEmpty) {
+              val best = rest.maxBy(c => (c._3, -c._1))
+              (best._1, best._3, 0L)
+            } else {
+              val selVecs = cand.filter(c => selected.contains(c._1)).map(_._2)
+              val scored = rest.map { c =>
+                val msim = selVecs.map(sv => dotL(c._2, sv)).max
+                (c._1, c._3, msim)
+              }
+              scored.maxBy { case (cid, crel, cms) => (crel - cms, -cid) }
             }
-          val (id, rel, ms) = (row.getLong(0), row.getLong(1), row.getLong(2))
           picks += ((r.toLong, id, rel, ms, rel - ms))
           selected = selected :+ id
         }
