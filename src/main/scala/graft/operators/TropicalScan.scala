@@ -42,45 +42,63 @@ object TropicalScan {
         when(col(idxCol) === 0L, col(e1Col))
           .otherwise(col(e1Col)).as("m11"))
       .localCheckpoint()
+    // r13: fold ARITY-B per round instead of pairwise, and derive the
+    // round count arithmetically instead of a per-round count job.
+    // min-plus matrix product is associative, so pivoting up to B
+    // consecutive segments onto one row and folding them left-to-right
+    // in an expression yields the identical matrices; ceil(log_B)
+    // rounds (3 at a month of hours for B=8) replace ceil(log2) (10),
+    // and each removed round was a checkpoint + a driver-synchronized
+    // group count.
+    val B = 4
+    var groupMax: Long = seg.groupBy("key").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     var rounds = 0
-    var multi = seg.groupBy("key").count().filter(col("count") > 1).isEmpty == false
-    while (multi && rounds < maxRounds) {
+    type M = (Column, Column, Column, Column)
+    // acc ⊗ next with identity carry-through: a null next side (tail
+    // group shorter than B — idx is dense, so present sides are a
+    // prefix, and a null LEFT operand implies a null right) leaves acc
+    // unchanged. Folded as a BALANCED tree, not left-to-right — each
+    // combine roughly quadruples expression size, so a linear fold
+    // grows exponentially in B (measured: the B=8 left-fold compiled
+    // past Janino's limits and ran interpreted at 10× the pairwise
+    // form) while the tree stays depth log2(B).
+    def combine(a: M, b: M): M = (
+      when(b._1.isNull, a._1).otherwise(least(a._1 + b._1, a._2 + b._3)),
+      when(b._1.isNull, a._2).otherwise(least(a._1 + b._2, a._2 + b._4)),
+      when(b._1.isNull, a._3).otherwise(least(a._3 + b._1, a._4 + b._3)),
+      when(b._1.isNull, a._4).otherwise(least(a._3 + b._2, a._4 + b._4)))
+    def treeFold(ms: Seq[M]): M =
+      if (ms.size == 1) ms.head
+      else {
+        val (l, r) = ms.splitAt(ms.size / 2)
+        combine(treeFold(l), treeFold(r))
+      }
+    while (groupMax > 1 && rounds < maxRounds) {
       val paired = seg
-        .withColumn("idx2", expr("idx div 2"))
-        .withColumn("side", expr("idx % 2"))
-      // min-plus product L ⊗ R computed row-locally after pivoting the
-      // (at most two) segments of a pair onto one row; a lone segment
-      // (odd tail) carries through unchanged
-      val merged = paired.groupBy("key", "idx2")
+        .withColumn("idx2", expr(s"idx div $B"))
+        .withColumn("side", expr(s"idx % $B"))
+      val pivoted = paired.groupBy("key", "idx2")
         .agg(
-          min(when(col("side") === 0, col("m00"))).as("l00"),
-          min(when(col("side") === 0, col("m01"))).as("l01"),
-          min(when(col("side") === 0, col("m10"))).as("l10"),
-          min(when(col("side") === 0, col("m11"))).as("l11"),
-          min(when(col("side") === 1, col("m00"))).as("r00"),
-          min(when(col("side") === 1, col("m01"))).as("r01"),
-          min(when(col("side") === 1, col("m10"))).as("r10"),
-          min(when(col("side") === 1, col("m11"))).as("r11"))
+          min(when(col("side") === 0, col("m00"))).as("s0_00"),
+          (for (i <- 0 until B; e <- Seq("00", "01", "10", "11")
+                if i > 0 || e != "00") yield
+            min(when(col("side") === i, col(s"m$e"))).as(s"s${i}_$e")): _*)
+      val folded = treeFold((0 until B).map(i =>
+        (col(s"s${i}_00"), col(s"s${i}_01"),
+          col(s"s${i}_10"), col(s"s${i}_11")): M))
+      val merged = pivoted
         .select(col("key"), col("idx2").as("idx"),
-          when(col("r00").isNull, col("l00"))
-            .when(col("l00").isNull, col("r00"))
-            .otherwise(least(col("l00") + col("r00"), col("l01") + col("r10"))).as("m00"),
-          when(col("r00").isNull, col("l01"))
-            .when(col("l00").isNull, col("r01"))
-            .otherwise(least(col("l00") + col("r01"), col("l01") + col("r11"))).as("m01"),
-          when(col("r00").isNull, col("l10"))
-            .when(col("l00").isNull, col("r10"))
-            .otherwise(least(col("l10") + col("r00"), col("l11") + col("r10"))).as("m10"),
-          when(col("r00").isNull, col("l11"))
-            .when(col("l00").isNull, col("r11"))
-            .otherwise(least(col("l10") + col("r01"), col("l11") + col("r11"))).as("m11"))
+          folded._1.as("m00"), folded._2.as("m01"),
+          folded._3.as("m10"), folded._4.as("m11"))
         .localCheckpoint()
       seg.unpersist()
       seg = merged
       rounds += 1
-      multi = merged.groupBy("key").count().filter(col("count") > 1).isEmpty == false
+      // deterministic shrink: group sizes divide by B exactly
+      groupMax = (groupMax + B - 1) / B
     }
-    require(!multi, s"viterbi2 did not fold to one segment per key in $maxRounds rounds")
+    require(groupMax <= 1, s"viterbi2 did not fold to one segment per key in $maxRounds rounds")
     seg.select("key", "m00", "m01", "m10", "m11")
   }
 }
