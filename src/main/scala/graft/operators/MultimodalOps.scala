@@ -25,6 +25,13 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP
+  // FILE on disk; these payloads are small in-memory byte arrays, so
+  // the cache is pure disk I/O + registry contention per image (r13 —
+  // guide §1.2 per-task work). Memory-cached streams produce the
+  // identical bytes.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via the JDK codec (PNG/JPEG/GIF/BMP). None for
     * bytes no installed reader accepts — callers fall back to the
     * stub so non-image payloads still flow through the pipeline. */
