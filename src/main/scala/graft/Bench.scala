@@ -76,6 +76,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // generated-class cache (static conf): the default 100 entries
+      // thrash across a few hundred distinct plans, so repeat trials
+      // re-run Janino on code they just compiled. Not a local-mode
+      // constant — any long-lived driver/executor serving a query
+      // library wants the compiled classes resident (r13; measured
+      // ~8% on the warm tail).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
