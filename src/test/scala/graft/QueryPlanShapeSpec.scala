@@ -481,12 +481,15 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "Expand"
     }
 
-    it("trace_pagerank iterates over the checkpointed service graph") {
+    it("trace_pagerank emits driver-iterated ranks as a local relation") {
       val p = plan("trace_pagerank")
-      // the final round reads the checkpointed rank relation, not a
-      // 6-deep nested join lineage; no row-pair blowup anywhere
-      p should include("Scan ExistingRDD")
+      // r13: the corpus-scale edge aggregation runs eagerly (bounded
+      // collect) and the 6 power-iteration rounds happen on the
+      // driver, so the registered plan is just the tiny result
+      // relation — no per-round join lineage, no checkpoint scans
+      p should include("LocalTableScan")
       p should not include "CartesianProduct"
+      p should not include "Window"
     }
 
     it("trace_bootstrap_ci fans out replicates in the scan and shuffles once") {
@@ -589,10 +592,13 @@ class QueryPlanShapeSpec extends AnyFunSpec with Matchers with SparkTestBase {
       p should not include "CartesianProduct"
     }
 
-    it("trace_hits iterates over the checkpointed edge list") {
+    it("trace_hits emits driver-iterated scores as a local relation") {
       val p = plan("trace_hits")
-      p should include("Scan ExistingRDD")
+      // r13: same shape as trace_pagerank — one eager bounded edge
+      // collect, 8 driver-local propagate rounds, local result
+      p should include("LocalTableScan")
       p should not include "CartesianProduct"
+      p should not include "Window"
     }
 
     it("trace_attribution rides user-keyed window shuffles only") {
