@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrDot, ArrDotL, ArrL2Sq, FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
+import graft.functions.{ArrDot, ArrDotL, ArrL2Sq, CharNgrams, FnvHash64, JsonTagsMap, LshBandKeys, LshBandKeysLin, MinHashSig, PackBlob, SimHash48, UnpackBlob, WinnowFps}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("winnow_fps"), WinnowFps.info,
         exprs => WinnowFps(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("char_ngrams"), CharNgrams.info,
+        exprs => CharNgrams(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -78,5 +81,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("winnow_fps"), WinnowFps.info,
       exprs => WinnowFps(exprs(0), exprs(1), exprs(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("char_ngrams"), CharNgrams.info,
+      exprs => CharNgrams(exprs(0), exprs(1)))
   }
 }

@@ -24,7 +24,7 @@ object Probe {
     val planDir = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,7 +32,12 @@ object Probe {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only A/B hook: SPARK_GRAFT_CONF="k1=v1;k2=v2" sets arbitrary
+    // confs on the probe session (config experiments stay out of Bench
+    // until measured here)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // mirror Bench's warm pass so probe numbers are comparable to pack

@@ -70,6 +70,16 @@ object ExactQuantiles {
       weight: Column = lit(1L),
       countOut: Option[String] = None): DataFrame = {
     val nCol = checkArgs(df, pcts, countOut)
+    // NOT checkpointed (r14 measured): the grid feeds both sharded-
+    // window phases and AQE's stage cache cannot dedupe the two
+    // derivations (same-wave lookups miss — the cache inserts the
+    // post-codegen-optimized stage subtree as key but looks raw
+    // exchanges up), but materializing the grid once via
+    // localCheckpoint measured WORSE (q_percentiles 1.45 → 1.91 s,
+    // q_iqr_outliers 1.69 → 2.40 s): under AQE even a lazy checkpoint
+    // executes its upstream stages at construction and serializes the
+    // pipeline, while the duplicate derivation is a map-combined
+    // re-scan that overlaps with the other wave-1 stages.
     val vc = df
       .select((keys.map(col) :+ value.as("_eq_v") :+ weight.as("_eq_w")): _*)
       .filter(col("_eq_v").isNotNull)

@@ -53,6 +53,16 @@ object IndexStore {
     * storage and gets the true build-once amortization. */
   private lazy val processRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-index").toFile
+    // best-effort cleanup at JVM exit (r13 advice): without it every
+    // bench/verify/test JVM leaked a graft-index* directory of parquet
+    // index data into the system temp dir
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }, "graft-index-cleanup"))
     d.getAbsolutePath
   }
   private[graft] def rootDir: String =

@@ -114,40 +114,38 @@ object ShardedWindow {
     shardExpr.foreach(walk(_, guarded = false))
   }
 
-  /** Running `sum(value)` over each `keys` partition in `order`
-    * (inclusive ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), equal to
-    * `sum(value).over(Window.partitionBy(keys).orderBy(order))` but
-    * with per-(key, shard) parallelism. `shard` must be monotone
-    * non-decreasing along `order` within every key. */
-  /** Tag + shard-lint + ONE explicit exchange shared by both phases
-    * (guide §2.4): the local-window branch and the totals branch both
-    * consume the same `repartition(keys, shard)`, so the physical plan
-    * carries a single Exchange with a ReusedExchange on the second
-    * branch — the upstream lineage (which can be an arbitrarily
-    * expensive join/window DAG at the call sites) executes ONCE.
-    * Before r13 the totals branch re-derived the input from scratch;
-    * chained calls (trace_queue_wait runs two, q_rfm three) multiplied
-    * the upstream re-execution per level. The window's own required
-    * distribution is satisfied by the explicit repartition, so no
-    * second shuffle appears; AQE still coalesces it (no pinned
-    * partition count). */
   /** Shared tag + lint + an EXPLICIT isnotnull(_sw_shard) filter.
     *
-    * The filter changes no results — the offsets equi-join on
-    * `_sw_shard` already dropped null-shard rows — but it is the key
-    * to executing the upstream lineage ONCE instead of once per phase:
-    * without it, InferFiltersFromConstraints derives
-    * `isnotnull(<shard expr>)` from the join and pushes it into the
-    * WINDOW branch's scan only, so the two phases' subtrees no longer
-    * canonicalize equal and neither ReuseExchange nor AQE's runtime
-    * stage cache can deduplicate them (measured on q_percentiles: the
-    * value-count aggregate ran once per phase, three identical
-    * shuffles per call). With the constraint stated identically on
-    * both branches, the upstream exchange subtrees match and the
-    * shuffle materializes once (plans/r13/q_percentiles_after.txt:
-    * ShuffleQueryStage N (reused) on the totals branch). The totals
-    * phase itself stays a pre-shuffle map-combined aggregate — its
-    * exchange carries #(key, shard) rows, not data. */
+    * NON-NULL SHARD IS PART OF THE CALLER CONTRACT: the offsets
+    * equi-join keys on `_sw_shard`, so null-shard rows never reach the
+    * output of either phase — the explicit filter states that
+    * constraint identically on both phases' subtrees. (A caller whose
+    * shard expression CAN be null on its input rows must not rely on
+    * any particular treatment of those rows; before r13 a null-shard
+    * group's totals silently folded into every non-null shard's
+    * offsets, after r13 the rows are dropped up front — both shapes
+    * are out of contract.)
+    *
+    * The filter is also the key to executing the upstream lineage once
+    * instead of once per phase: without it,
+    * InferFiltersFromConstraints derives `isnotnull(<shard expr>)`
+    * from the join and pushes it into the WINDOW branch's scan only,
+    * so the two phases' subtrees stop canonicalizing equal and neither
+    * static ReuseExchange nor AQE's wave replanning can deduplicate
+    * them (measured on q_percentiles: the value-count aggregate ran
+    * once per phase, three identical shuffles per call). With the
+    * constraint stated identically on both branches the subtrees
+    * match; the static planner then dedupes them outright (AQE off: 2
+    * ReusedExchange), and under AQE the wave-replanning logical
+    * substitution routes later waves through the already-materialized
+    * stage (trace_queue_wait's spans-window exchange serves 16
+    * references). Same-wave bottom-level duplicates still materialize
+    * twice under AQE — its stage cache inserts the post-codegen-
+    * optimized stage subtree as key but looks raw exchanges up (r14
+    * measured; checkpointing the grid to force sharing measured WORSE,
+    * see ExactQuantiles.percentiles). The totals phase stays a
+    * pre-shuffle map-combined aggregate — its exchange carries
+    * #(key, shard) rows, not data. */
   private def partitioned(
       df: DataFrame, keys: Seq[String], shard: Column, value: Column): DataFrame = {
     checkReserved(df)
@@ -156,7 +154,14 @@ object ShardedWindow {
     tagged.filter(col("_sw_shard").isNotNull)
   }
 
-  /** `keyTotalOut`: optionally ALSO emit each key's grand total of
+  /** Running `sum(value)` over each `keys` partition in `order`
+    * (inclusive ROWS UNBOUNDED PRECEDING..CURRENT ROW frame), equal to
+    * `sum(value).over(Window.partitionBy(keys).orderBy(order))` but
+    * with per-(key, shard) parallelism. `shard` must be monotone
+    * non-decreasing along `order` within every key, total (ANSI-safe)
+    * and NON-NULL on every pre-filter row (see [[partitioned]]).
+    *
+    * `keyTotalOut`: optionally ALSO emit each key's grand total of
     * `value` as an extra column, computed on the (tiny) per-shard
     * totals relation and carried back on the same broadcast join —
     * a caller needing "running sum + the key's n" (ExactQuantiles'

@@ -1331,7 +1331,10 @@ object VectorOps {
       .mapPartitions { it =>
         val cbv = bc.value
         it.map { case (id, mm, v) =>
-          val codes = cbv(mm)
+          // name the invariant instead of surfacing a bare
+          // NoSuchElementException from an executor task (r13 advice)
+          val codes = cbv.getOrElse(mm,
+            sys.error(s"pqAssign: no codebook for subspace $mm"))
           var best = Long.MaxValue
           var bestCode = Long.MaxValue
           var i = 0

@@ -1903,11 +1903,13 @@ object RelationalQueries {
     "q_mad_outliers" -> QueryDef.sql(
       (s, dir) => {
         def discMedian(grid: DataFrame, valueCol: String, out: String): DataFrame = {
+          // per-flag n rides the sharded scan's own totals relation
+          // (keyTotalOut) — the separate groupBy(flag) aggregate plus
+          // its broadcast join-back were two extra jobs per call (r14)
           val cum = ShardedWindow.runningSum(grid, Seq("flag"),
-            expr(s"$valueCol div 1000000"), Seq(col(valueCol)), col("cnt"), "cum")
-          val tot = grid.groupBy("flag").agg(sum("cnt").as("n"))
-          cum.join(broadcast(tot), "flag")
-            .filter(col("cum") * 2 >= col("n"))
+            expr(s"$valueCol div 1000000"), Seq(col(valueCol)), col("cnt"), "cum",
+            keyTotalOut = Some("n"))
+          cum.filter(col("cum") * 2 >= col("n"))
             .groupBy("flag").agg(min(col(valueCol)).as(out))
         }
         val vals = Tables.lineitem(s, dir)
@@ -1921,13 +1923,13 @@ object RelationalQueries {
         // Checkpoints: each grid feeds a ShardedWindow scan, which
         // reads its input twice (the q_gini_split sf100 lesson).
         val vc = vals.groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val med = discMedian(vc, "cents", "med_c")
         val ac = vc.join(broadcast(med), "flag")
           .select(col("flag"), abs(col("cents") - col("med_c")).as("adev"),
             col("cnt"))
           .groupBy("flag", "adev").agg(sum("cnt").as("cnt"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val mad = discMedian(ac, "adev", "mad_c")
         ac.join(broadcast(mad), "flag")
           .groupBy("flag", "mad_c")

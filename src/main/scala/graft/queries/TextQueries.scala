@@ -1210,17 +1210,21 @@ object TextQueries {
     // ID and contamination fingerprints. The trigram array generates
     // INLINE inside explode (a materialized upstream projection would
     // hit the CollapseProject re-evaluation trap, SURVEY §4); counts
-    // collapse map-side before the one term shuffle.
+    // collapse map-side before the one term shuffle. r14: grams come
+    // from the native char_ngrams expression — the former
+    // transform(sequence, i -> substring) evaluated its lambda
+    // INTERPRETED per gram and each substring re-walked the text from
+    // byte 0 (CharNgrams doc; value-identical by CharNgramsSpec + the
+    // unchanged oracle hash).
     "text_char_ngrams" -> QueryDef.sql(
-      // docs shorter than 3 chars are filtered BEFORE the sequence:
-      // sequence(1, 0) in Spark steps DOWNWARD ([1, 0] — step defaults
-      // to -1 when start > stop) and would fabricate grams the oracle's
-      // empty range(1, 1) never emits
-      (s, dir) => Tables.documents(s, dir)
-        .filter(length(col("text")) >= 3)
-        .select(explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("trigram"))
+      // docs shorter than 3 chars are filtered BEFORE gram generation,
+      // matching the oracle's empty range(1, 1) on short docs
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, dir)
+          .filter(length(col("text")) >= 3)
+          .select(explode(expr("char_ngrams(text, 3)")).as("trigram"))
+      }
         .groupBy("trigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))
         .limit(20),
@@ -2040,7 +2044,7 @@ object TextQueries {
         // join DAG that would otherwise execute twice (the GraphOps
         // localCheckpoint convention; ~16 B/doc, far under the
         // corpus it derives from)
-        val sc = lmScores(docs, carry = Seq("lang")).localCheckpoint()
+        val sc = lmScores(docs, carry = Seq("lang")).localCheckpoint(eager = false)
         val cuts = ExactQuantiles.percentiles(
           sc, Seq("lang"), col("lm_score"), shardWidth = 0.01,
           Seq(ExactQuantiles.Disc("cut_lo", 1, 3), ExactQuantiles.Disc("cut_hi", 2, 3)))

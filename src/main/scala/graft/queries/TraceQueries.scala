@@ -3750,6 +3750,15 @@ object TraceQueries {
         // mirrors the ANSI column math op for op (Math.*Exact; all
         // operands non-negative so trunc div == floor div == both
         // engines' `div`).
+        //
+        // EAGER CONSTRUCTION (r13 advice, documented): the collect()
+        // below executes the spans self-join at QUERY-BUILD time and
+        // the returned LocalTableScan freezes the result as of that
+        // moment — a consumer that only wants the plan (explain dumps,
+        // schema checks, plan-shape tests) pays full execution, and
+        // harness code must not assume lazy construction. Acceptable
+        // here because the benchmark inputs are static; a live
+        // deployment would schedule this as a periodic job, not a view.
         val edgeRows: Array[(String, String, Long)] = edges
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val outw: Map[String, Long] = edgeRows.groupBy(_._1)
@@ -3843,6 +3852,8 @@ object TraceQueries {
         // integer semantics of the former DECIMAL(38,0) column math
         // (score*w can pass 1e18, hence BigInt, matching HUGEINT),
         // replacing 8 localCheckpoints + per-round 1-row total jobs.
+        // EAGER CONSTRUCTION: the collect() executes at query-build
+        // time and freezes the result (see trace_pagerank's note).
         val edgeRows: Array[(String, String, Long)] = sp.as("c")
           .join(sp.as("p"), col("c.parent_span_id") === col("p.span_id"))
           .groupBy(col("p.service").as("src"), col("c.service").as("dst"))
