@@ -31,4 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code cache sized to a query-LIBRARY workload (r14): the JVM
+  // default 240m was measured 9.8 MB from full halfway through the
+  // 322-surface pack (jcmd Compiler.codecache: non-profiled nmethods
+  // 109/116 MB at query 150), after which code-cache sweeps evict the
+  // very nmethods the later queries just JIT'd — the late-alphabet
+  // surfaces ran 1.5-2x their isolated times in-pack. Reserved (not
+  // committed) memory, so the only cost is virtual address space.
+  // Same class of fix as the r13 spark.sql.codegen.cache.maxEntries
+  // raise: any long-lived driver serving hundreds of distinct plans
+  // wants its compiled code resident.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -246,18 +246,22 @@ object TextOps {
       // empty-string guard: sequence(0, -1) DESCENDS (the §5 trap) and
       // would fabricate positions 0 and -1 for a zero-length input
       .filter(length(col("txt")) > 0)
-    // ASCII contract guard, LOUD (r11 advice): ascii() returns the full
-    // codepoint, so any char ≥ 128 carries into the next base-128 digit
-    // and silently corrupts the seed order (and NUL would tie with the
-    // absent-char 0). One row-local regex scan of the single input row —
-    // O(L) with no extra shuffle — turns the contract into a failure.
-    require(base.filter(col("txt").rlike("[^\\x01-\\x7f]")).isEmpty,
+    // ONE tiny job (r14; was two — an isEmpty over the guard filter
+    // plus a count() that re-ran the position explode) fetches both
+    // the ASCII-contract flag and the suffix count from the un-exploded
+    // input row(s): n = Σ length(txt), and the guard stays LOUD (r11
+    // advice) — ascii() returns the full codepoint, so any char ≥ 128
+    // carries into the next base-128 digit and silently corrupts the
+    // seed order (and NUL would tie with the absent-char 0).
+    val meta = base.select(length(col("txt")).cast("long").as("len"),
+      col("txt").rlike("[^\\x01-\\x7f]").as("non_ascii")).collect()
+    require(!meta.exists(_.getBoolean(1)),
       s"suffixArrayRanks: input column '$txtCol' contains codepoints outside " +
         "1..127; base-128 packed seeding is only lexicographic for ASCII")
     var r = base
       .select(explode(sequence(lit(0), length(col("txt")) - 1)).as("p0"), col("txt"))
       .select(col("p0").cast("long").as("pos"), packed.as("rank"))
-    val n = r.count()
+    val n = meta.map(_.getLong(0)).sum
 
     // One doubling step: rank the (rank(i), rank(i+kk)) pairs — ranks
     // need only be ORDER-ISOMORPHIC integers between rounds, dense

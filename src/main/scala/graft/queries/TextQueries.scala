@@ -2602,6 +2602,8 @@ object TextQueries {
             element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2)))): _*))
           .as(Seq("band", "bh")))
           // both sides of the self-join read this subtree — materialize
+          // (r14 re-measured: dropping it is flat at sf0.1 and loses the
+          // 2M-row recompute bound at sf100, so it stays)
           .localCheckpoint()
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
