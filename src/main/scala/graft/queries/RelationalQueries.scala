@@ -2154,7 +2154,21 @@ object RelationalQueries {
             .select(col("flag").as(s"${out}_flag"), col(valueCol).as(s"${out}_v"),
               (col("cum") * 2 - col("cnt") + 1).as(out))
         }
-        val rq = rank2("qty", "rq2")
+        // qty is DOMAIN-bounded (ROUND(l_quantity) in 1..50, ≤50 distinct
+        // values per flag at any corpus scale), so the compact one-window
+        // path over its count grid is the right ExactQuantiles-style
+        // strategy (r14) — the sharded scan + checkpoint machinery is for
+        // unbounded domains like cents. Identical math: running sum over
+        // the same (flag, qty) order.
+        def rank2Bounded(valueCol: String, out: String): DataFrame = {
+          val grid = pairs.groupBy("flag", valueCol).agg(count(lit(1)).as("cnt"))
+          val wCum = Window.partitionBy("flag").orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          grid.withColumn("cum", sum("cnt").over(wCum))
+            .select(col("flag").as(s"${out}_flag"), col(valueCol).as(s"${out}_v"),
+              (col("cum") * 2 - col("cnt") + 1).as(out))
+        }
+        val rq = rank2Bounded("qty", "rq2")
         val rp = rank2("cents", "rp2")
         val dec = (c: Column) => c.cast(DecimalType(38, 0))
         pairs

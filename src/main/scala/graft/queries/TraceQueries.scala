@@ -2811,6 +2811,7 @@ object TraceQueries {
         // rescanning spans
         val vc = spans(s, dir).groupBy("service", "duration_us")
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
         val med = graft.operators.ExactQuantiles.percentilesFromCounts(
           vc, Seq("service"), col("duration_us"), weight = col("cnt"),
           pcts = Seq(graft.operators.ExactQuantiles.Disc("med_us", 1, 2)))
