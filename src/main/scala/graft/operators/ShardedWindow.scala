@@ -284,12 +284,16 @@ object ShardedWindow {
   /** `row_number()` over each `keys` partition in `order` (a running
     * COUNT(1)), sharded the same way; `order` must totally order rows
     * within each key for the numbering to be deterministic. Returns
-    * LongType (a running sum), where `row_number()` returns int. */
+    * LongType (a running sum), where `row_number()` returns int.
+    * `keyTotalOut` optionally emits each key's row count alongside
+    * (= COUNT(*) OVER (PARTITION BY keys)) on the same broadcast —
+    * see [[runningSum]]. */
   def rowNumber(
       df: DataFrame,
       keys: Seq[String],
       shard: Column,
       order: Seq[Column],
-      out: String): DataFrame =
-    runningSum(df, keys, shard, order, lit(1L), out)
+      out: String,
+      keyTotalOut: Option[String] = None): DataFrame =
+    runningSum(df, keys, shard, order, lit(1L), out, keyTotalOut)
 }

@@ -1893,6 +1893,10 @@ object TextQueries {
             "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
           .as(Seq("pos0", "g")))
           .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+          // both the dup-gram census and the island pass consume this
+          // token-trigram explode — materialize once (r14; the q_mad
+          // grid discipline)
+          .localCheckpoint(eager = false)
         val dup = win.select("g", "doc_id").distinct()
           .groupBy("g").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2).select("g")

@@ -2396,6 +2396,9 @@ object TraceQueries {
             (col("b.cnt") - col("a.cnt")).as("dy"),
             (col("b.h") - col("a.h")).as("dx"))
           .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+        // (r14: a lazy localCheckpoint on this pair relation measured
+        // WORSE, 1.68 -> 2.49 s — the self-join off the checkpointed
+        // grid is cheaper to re-run than the pairs are to materialize)
         // the median rank routes through ShardedWindow (shard =
         // floor(slope·1024), a pure function of the leading order key)
         // — a plain per-service window would sort the O(H²) pair
@@ -2407,11 +2410,14 @@ object TraceQueries {
         // self-join's condition AHEAD of `a.h < b.h`, where an
         // unguarded slope division sees dx = 0 and ANSI throws
         // (Spark 4.1 raises DIVIDE_BY_ZERO for double division too)
-        val nPairs = pairs.groupBy("service").agg(count(lit(1)).as("n_pairs"))
+        // n_pairs rides the sharded scan's totals relation (keyTotalOut,
+        // r14) — the separate grouped count plus its broadcast join-back
+        // were a THIRD derivation of the O(H²) pair self-join
         val ranked = ShardedWindow.rowNumber(pairs, Seq("service"),
           when(col("dx") > 0, floor(col("slope") * 1024)).otherwise(lit(0L)),
-          Seq(col("slope"), col("dy"), col("dx")), "rn")
-        ranked.join(broadcast(nPairs), "service")
+          Seq(col("slope"), col("dy"), col("dx")), "rn",
+          keyTotalOut = Some("n_pairs"))
+        ranked
           .filter(expr("rn = (n_pairs + 1) div 2"))
           .select(col("service"), col("n_pairs"), col("dy").as("med_dy"),
             col("dx").as("med_dx"), col("slope").as("theil_slope"))
