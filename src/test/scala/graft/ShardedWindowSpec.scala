@@ -244,7 +244,7 @@ class ShardedWindowSpec extends AnyFunSpec with Matchers with SparkTestBase {
       "val parted = partitioned\\(df, keys, shard, value\\)".r
         .findAllIn(swSrc).size shouldBe 3
       "checkShardTotal\\(tagged\\)".r.findAllIn(swSrc).size shouldBe 1
-      swSrc should include("runningSum(df, keys, shard, order, lit(1L), out)")
+      swSrc should include("runningSum(df, keys, shard, order, lit(1L), out, keyTotalOut)")
       info(s"${sites.size} ShardedWindow call sites enumerated, all linted: " +
         sites.groupBy(identity).map { case (f, xs) => s"${f.split('/').last}×${xs.size}" }
           .toSeq.sorted.mkString(", "))
